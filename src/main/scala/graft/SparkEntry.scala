@@ -1,13 +1,555 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.core.{GraftTableConfig, GraftTableType}
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Similarity}
+import graft.read.GraftReadClient
+import graft.services.TableServices
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** Driver contract — see SURVEY.md §7 + the builder prompt.
+  *
+  * Three query families:
+  *  - `q*`   analytics over the TPC-H-ish tables (Catalyst end-to-end)
+  *  - `tf_*` table-format semantics (upsert/delete/incremental/MOR/
+  *           compaction/clustering …) — each builds a real Graft table
+  *           under /tmp and reads it back; the oracle states the expected
+  *           merged result as plain SQL over the source parquet
+  *  - `doc_*`/`emb_*`/`mm_*` training-data-pipeline operators (dedup,
+  *           similarity search, text analysis, multimodal plumbing)
+  *
+  * Aggregate determinism: double sums are order-dependent, so every
+  * aggregated measure is cast to an exact DECIMAL before summing and back
+  * to double after — bit-identical across Spark and DuckDB.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q1_pricing_summary")(spark, "/root/testdata/sf0.001")
+
+  // =====================================================================
+  // helpers
+  // =====================================================================
+
+  private def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+  private def dbl(c: Column): Column = c.cast("double")
+  private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
+
+  private val ordersCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate", "o_orderpriority")
+
+  /** Fresh table dir per (query, sf) — rebuilt on every invocation. */
+  private def freshDir(name: String, sfDir: String): String = {
+    val sfName = new java.io.File(sfDir).getName
+    val dir = s"/tmp/graft_tables/${name}_$sfName"
+    val f = new java.io.File(dir)
+    def rm(x: java.io.File): Unit = {
+      if (x.isDirectory) x.listFiles().foreach(rm)
+      x.delete()
+    }
+    if (f.exists()) rm(f)
+    dir
+  }
+
+  private def ordersTableConfig(tt: String) = GraftTableConfig(
+    tableName = "orders", tableType = tt,
+    recordKeyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"),
+    precombineField = Some("o_totalprice"))
+
+  /** Small target sizes so multi-file-group behavior is exercised even at
+    * test scale; production defaults live in WriteConfig().
+    */
+  private def testWc = WriteConfig(
+    targetFileSizeBytes = 4L * 1024 * 1024,
+    smallFileLimitBytes = 3L * 1024 * 1024,
+    defaultRecordSizeBytes = 64,
+    inlineCompactDeltaCommits = 0)
+
+  private def cowOrders(name: String, s: SparkSession, sfDir: String): (GraftTable, GraftWriteClient, DataFrame) = {
+    val orders = T(s, sfDir, "orders")
+    val t = GraftTable.create(s, freshDir(name, sfDir), ordersTableConfig(GraftTableType.Cow))
+    val w = new GraftWriteClient(t, testWc)
+    (t, w, orders)
+  }
+
+  private def morOrders(name: String, s: SparkSession, sfDir: String): (GraftTable, GraftWriteClient, DataFrame) = {
+    val orders = T(s, sfDir, "orders")
+    val t = GraftTable.create(s, freshDir(name, sfDir), ordersTableConfig(GraftTableType.Mor))
+    val w = new GraftWriteClient(t, testWc)
+    (t, w, orders)
+  }
+
+  private def snap(t: GraftTable): DataFrame =
+    new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
+
+  // =====================================================================
+  // queries
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------- analytics ----------------
+
+    "q1_pricing_summary" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= ts("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dbl(sum(dec(col("l_quantity"), 18, 2))).as("sum_qty"),
+          dbl(sum(dec(col("l_extendedprice"), 18, 2))).as("sum_base_price"),
+          dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 4))).as("sum_disc_price"),
+          dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax")), 18, 6))).as("sum_charge"),
+          count(lit(1)).as("count_order"))
+        .withColumn("avg_qty", col("sum_qty") / col("count_order"))
+        .withColumn("avg_price", col("sum_base_price") / col("count_order"))
+    }),
+
+    "q3_top_orders" -> ((s, dir) => {
+      val c = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = T(s, dir, "orders").filter(col("o_orderdate") < ts("1998-01-01"))
+      val l = T(s, dir, "lineitem").filter(col("l_shipdate") > ts("1998-01-01"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 4))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    "q5_nation_revenue" -> ((s, dir) => {
+      val r = T(s, dir, "region").filter(col("r_name") === "ASIA")
+      val n = T(s, dir, "nation")
+      val cDim = T(s, dir, "customer")
+      val sup = T(s, dir, "supplier")
+      val o = T(s, dir, "orders")
+        .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      val l = T(s, dir, "lineitem")
+      l.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(cDim, col("o_custkey") === col("c_custkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 4))).as("revenue"))
+    }),
+
+    "q10_returned_customers" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      val l = T(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "c_name")
+        .agg(dbl(sum(dec(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 18, 4))).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
+    "q_orders_priority_agg" -> ((s, dir) => {
+      T(s, dir, "orders")
+        .groupBy("o_orderpriority", "o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_orders"),
+          dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
+    }),
+
+    "q_events_daily" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+        .agg(
+          count(lit(1)).as("n"),
+          dbl(sum(dec(col("value"), 25, 6))).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "q_events_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      T(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("last_event_type"), col("value").as("last_value"))
+    }),
+
+    "q_events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      T(s, dir, "events")
+        .withColumn("gap", col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+        .withColumn("new_session",
+          when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    }),
+
+    // ---------------- table format ----------------
+
+    "tf_upsert" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_upsert", s, dir)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      snap(t)
+    }),
+
+    "tf_delete" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_delete", s, dir)
+      w.bulkInsert(orders)
+      w.delete(orders.filter(col("o_orderkey") % 10 === 3)
+        .select("o_orderkey", "o_orderpriority"))
+      snap(t)
+    }),
+
+    "tf_precombine" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_precombine", s, dir)
+      val stale = orders.withColumn("o_totalprice", col("o_totalprice") - 1.0)
+      w.upsert(orders.unionByName(stale)) // in-batch dups; precombine keeps max
+      snap(t)
+    }),
+
+    "tf_incremental" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_incremental", s, dir)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
+    "tf_time_travel" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_time_travel", s, dir)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") * 2.0))
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.snapshot(Some(c1))).select(ordersCols.map(col): _*)
+    }),
+
+    "tf_insert_overwrite" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_insert_overwrite", s, dir)
+      w.bulkInsert(orders)
+      w.insertOverwrite(orders.filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+      snap(t)
+    }),
+
+    "tf_delete_partition" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_delete_partition", s, dir)
+      w.bulkInsert(orders)
+      w.deletePartitions(Seq("5-LOW"))
+      snap(t)
+    }),
+
+    "tf_mor_snapshot" -> ((s, dir) => {
+      val (t, w, orders) = morOrders("tf_mor_snapshot", s, dir)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 77.0))
+      w.delete(orders.filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_orderpriority"))
+      snap(t)
+    }),
+
+    "tf_mor_read_optimized" -> ((s, dir) => {
+      val (t, w, orders) = morOrders("tf_mor_read_optimized", s, dir)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 77.0))
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.readOptimized()).select(ordersCols.map(col): _*)
+    }),
+
+    "tf_mor_compact" -> ((s, dir) => {
+      val (t, w, orders) = morOrders("tf_mor_compact", s, dir)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 77.0))
+      w.delete(orders.filter(col("o_orderkey") % 7 === 0)
+        .select("o_orderkey", "o_orderpriority"))
+      new TableServices(t, testWc).compact()
+      snap(t)
+    }),
+
+    "tf_cluster" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_cluster", s, dir)
+      new GraftWriteClient(t, testWc.copy(targetFileSizeBytes = 64 * 1024))
+        .bulkInsert(orders)
+      new TableServices(t, testWc.copy(
+        targetFileSizeBytes = 32L * 1024 * 1024,
+        smallFileLimitBytes = 16L * 1024 * 1024)).cluster(Seq("o_orderkey"))
+      snap(t)
+    }),
+
+    "tf_filter_exists" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_filter_exists", s, dir)
+      w.bulkInsert(orders)
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val probe = orders.unionByName(
+        orders.withColumn("o_orderkey", col("o_orderkey") + lit(maxKey))
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+      w.filterExists(probe).select(ordersCols.map(col): _*)
+    }),
+
+    // ---------------- text analysis ----------------
+
+    "doc_text_stats" -> ((s, dir) => {
+      val text = col("text")
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(text).cast("long").as("n_tokens"),
+        TextFunctions.charCount(text).cast("long").as("len_chars"),
+        TextFunctions.alphaRatio(text).as("alpha_ratio"),
+        TextFunctions.punctRatio(text).as("punct_ratio"),
+        TextFunctions.digitRatio(text).as("digit_ratio"),
+        TextFunctions.stopwordRatio(text).as("stopword_ratio"))
+    }),
+
+    "doc_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
+    }),
+
+    "doc_dedup_exact" -> ((s, dir) => {
+      Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    "doc_minhash_pairs" -> ((s, dir) => {
+      Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.4)
+        .select("id_a", "id_b")
+    }),
+
+    "doc_simhash_pairs" -> ((s, dir) => {
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxBits = 3)
+        .select("id_a", "id_b", "hamming")
+    }),
+
+    "doc_jaccard_pairs" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 5, threshold = 0.6)
+        .select("id_a", "id_b")
+    }),
+
+    "doc_fingerprint_dups" -> ((s, dir) => {
+      // duplicate-content groups by 64-bit fingerprint: every doc whose
+      // normalized text appears more than once
+      val docs = T(s, dir, "documents")
+        .withColumn("fp", TextFunctions.fingerprint(col("text")))
+      import org.apache.spark.sql.expressions.Window
+      docs.withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
+        .filter(col("n") > 1)
+        .select("doc_id")
+    }),
+
+    // ---------------- similarity search ----------------
+
+    "emb_topk_cosine" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceTopK(emb, "embedding", "vec_id", q, 50)
+        .select("vec_id")
+    }),
+
+    "emb_ann_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val q = emb.orderBy("vec_id").select("embedding").head
+        .getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.annTopK(emb, "embedding", "vec_id", q, 50, numPlanes = 8)
+        .select("vec_id")
+    }),
+
+    "emb_near_dups" -> ((s, dir) => {
+      Similarity.cosineNearDups(T(s, dir, "embeddings"), "embedding", "vec_id",
+        threshold = 0.9, numPlanes = 12)
+        .select("id_a", "id_b")
+    }),
+
+    // ---------------- multimodal plumbing (decode stubbed) ----------------
+
+    "mm_image_meta" -> ((s, dir) => {
+      graft.operators.Multimodal.imageMeta(
+        T(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("payload")))
+    })
+  )
+
+  // =====================================================================
+  // DuckDB oracles — same column names, decimal-exact aggregation
+  // =====================================================================
+
+  private val caseUpsert =
+    "CASE WHEN o_orderkey % 2 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice"
+  private val caseMor =
+    "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 77.0 ELSE o_totalprice END AS o_totalprice"
+  private def ordersSelect(totalExpr: String): String =
+    s"SELECT o_orderkey, o_custkey, o_orderstatus, $totalExpr, o_orderdate, o_orderpriority FROM orders"
+
+  private val duckNorm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+  private val duckTokens = raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
+  private def duckStops(l: Seq[String]): String =
+    l.map("'" + _ + "'").mkString("[", ", ", "]")
+  private val enS = duckStops(Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was"))
+  private val deS = duckStops(Seq("der", "die", "und", "das", "nicht", "ist", "ein", "mit", "den", "von"))
+  private val frS = duckStops(Seq("le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"))
+  private val esS = duckStops(Seq("el", "la", "los", "las", "y", "es", "un", "una", "por", "con"))
+
+  def oracleSql: Map[String, String] = Map(
+
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+        |  count(*) AS count_order,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01' AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q5_nation_revenue" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, supplier, orders, customer, nation, region
+        |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name""".stripMargin,
+
+    "q10_returned_customers" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem, orders, customer
+        |WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |GROUP BY c_custkey, c_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+
+    "q_orders_priority_agg" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_total
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus""".stripMargin,
+
+    "q_events_daily" ->
+      """SELECT event_type, CAST(ts AS DATE) AS event_date, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS sum_value,
+        |  count(DISTINCT user_id) AS n_users
+        |FROM events GROUP BY event_type, CAST(ts AS DATE)""".stripMargin,
+
+    "q_events_latest" ->
+      """SELECT user_id, event_type AS last_event_type, value AS last_value
+        |FROM events
+        |QUALIFY row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1""".stripMargin,
+
+    "q_events_sessions" ->
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN prev_e IS NULL OR e - prev_e > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id, epoch(ts) AS e,
+        |    lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e
+        |  FROM events)
+        |GROUP BY user_id""".stripMargin,
+
+    "tf_upsert" -> ordersSelect(caseUpsert),
+
+    "tf_delete" -> (ordersSelect("o_totalprice") + " WHERE o_orderkey % 10 <> 3"),
+
+    "tf_precombine" -> ordersSelect("o_totalprice"),
+
+    "tf_incremental" ->
+      (ordersSelect("o_totalprice + 500.0 AS o_totalprice") + " WHERE o_orderkey % 4 = 1"),
+
+    "tf_time_travel" -> ordersSelect("o_totalprice"),
+
+    "tf_insert_overwrite" -> ordersSelect(
+      "CASE WHEN o_orderpriority = '1-URGENT' THEN o_totalprice + 5.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_delete_partition" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderpriority <> '5-LOW'"),
+
+    "tf_mor_snapshot" -> (ordersSelect(caseMor) + " WHERE o_orderkey % 7 <> 0"),
+
+    "tf_mor_read_optimized" -> ordersSelect("o_totalprice"),
+
+    "tf_mor_compact" -> (ordersSelect(caseMor) + " WHERE o_orderkey % 7 <> 0"),
+
+    "tf_cluster" -> ordersSelect("o_totalprice"),
+
+    "tf_filter_exists" ->
+      """SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,
+        |  o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
+        |  o_orderdate, o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "doc_text_stats" ->
+      s"""SELECT doc_id,
+         |  n_tokens, len_chars,
+         |  len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE / greatest(len_chars, 1) AS alpha_ratio,
+         |  len(regexp_extract_all(text, '[.,;:!?]'))::DOUBLE / greatest(len_chars, 1) AS punct_ratio,
+         |  len(regexp_extract_all(text, '[0-9]'))::DOUBLE / greatest(len_chars, 1) AS digit_ratio,
+         |  len(list_filter(string_split($duckNorm, ' '), t -> list_contains($enS, t)))::DOUBLE
+         |    / greatest(n_tokens, 1) AS stopword_ratio
+         |FROM (SELECT doc_id, text, $duckTokens AS n_tokens, length(text) AS len_chars FROM documents)""".stripMargin,
+
+    "doc_lang_id" ->
+      s"""SELECT doc_id,
+         |  CASE WHEN top = 0 THEN 'und'
+         |       WHEN en = top THEN 'en' WHEN de = top THEN 'de'
+         |       WHEN fr = top THEN 'fr' ELSE 'es' END AS lang_pred
+         |FROM (
+         |  SELECT doc_id, en, de, fr, es, greatest(en, de, fr, es) AS top FROM (
+         |    SELECT doc_id,
+         |      len(list_filter(toks, t -> list_contains($enS, t))) AS en,
+         |      len(list_filter(toks, t -> list_contains($deS, t))) AS de,
+         |      len(list_filter(toks, t -> list_contains($frS, t))) AS fr,
+         |      len(list_filter(toks, t -> list_contains($esS, t))) AS es
+         |    FROM (SELECT doc_id, string_split($duckNorm, ' ') AS toks FROM documents)))""".stripMargin,
+
+    "doc_dedup_exact" ->
+      s"""SELECT doc_id, lang, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (PARTITION BY $duckNorm ORDER BY doc_id) = 1""".stripMargin,
+
+    "doc_fingerprint_dups" ->
+      s"""SELECT doc_id FROM (
+         |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
+         |WHERE n > 1""".stripMargin,
+
+    "emb_topk_cosine" ->
+      """SELECT vec_id FROM embeddings
+        |ORDER BY list_cosine_similarity(embedding,
+        |  (SELECT embedding FROM embeddings
+        |   WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id
+        |LIMIT 50""".stripMargin,
+
+    "mm_image_meta" ->
+      """SELECT doc_id,
+        |  octet_length(encode(text)) AS byte_len,
+        |  64 + octet_length(encode(text)) % 256 AS width,
+        |  64 + (octet_length(encode(text)) * 7) % 256 AS height,
+        |  1 + octet_length(encode(text)) % 8 AS n_frames
+        |FROM documents""".stripMargin
+  )
 }

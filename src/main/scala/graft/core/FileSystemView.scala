@@ -1,0 +1,136 @@
+package graft.core
+
+/** A file slice: one base file (+ MOR delta files committed after it) of a
+  * file group. (ref: hudi-common/.../model/FileSlice.java:1-147)
+  */
+final case class FileSlice(
+    partition: String,
+    fileId: String,
+    base: Option[WriteFileInfo],
+    deltas: Seq[WriteFileInfo]) {
+  def baseInstant: Option[String] = base.map(instantOf)
+  private def instantOf(f: WriteFileInfo): String =
+    FileSystemView.instantOfFileName(f.fileName)
+}
+
+/** Derives latest/as-of file slices for every file group purely from the
+  * commit-metadata manifest carried on the timeline — readers never list
+  * the data directories. This replaces the reference's
+  * AbstractTableFileSystemView (file-listing based,
+  * hudi-common/.../view/AbstractTableFileSystemView.java:1-1118) and its
+  * metadata-table/timeline-server mitigations with the manifest pattern:
+  * O(completed instants) driver work, independent of file count growth
+  * within a commit, and broadcast-friendly.
+  *
+  * @param instantsWithMeta completed DATA instants (ascending) + metadata
+  */
+final class FileSystemView(
+    instantsWithMeta: Seq[(GraftInstant, GraftCommitMetadata)]) {
+
+  /** Latest file slice per live file group as of `asOf` (inclusive).
+    * Replace-commits (insert_overwrite / delete_partition / clustering)
+    * hide the file groups they replaced from that instant onward.
+    */
+  def latestSlices(asOf: Option[String] = None): Seq[FileSlice] = {
+    val visible = asOf match {
+      case Some(ts) => instantsWithMeta.filter(_._1.ts <= ts)
+      case None     => instantsWithMeta
+    }
+    // (partition, fileId) -> replaced-at instant
+    val replacedAt = scala.collection.mutable.Map[(String, String), String]()
+    visible.foreach { case (i, meta) =>
+      meta.replacedFileIds.foreach { case (part, ids) =>
+        ids.foreach(id => replacedAt((part, id)) = i.ts)
+      }
+    }
+    val deleted: Set[String] =
+      visible.flatMap(_._2.deletedFiles).toSet
+
+    val byGroup = scala.collection.mutable
+      .LinkedHashMap[(String, String), scala.collection.mutable.ArrayBuffer[(String, WriteFileInfo)]]()
+    visible.foreach { case (i, meta) =>
+      meta.files.foreach { f =>
+        if (!deleted.contains(s"${f.partition}/${f.fileName}")) {
+          byGroup.getOrElseUpdate(
+            (f.partition, f.fileId),
+            scala.collection.mutable.ArrayBuffer.empty) += ((i.ts, f))
+        }
+      }
+    }
+
+    byGroup.iterator.flatMap { case ((part, fileId), files) =>
+      val liveUntil = replacedAt.get((part, fileId))
+      // A group written at/after its replacement instant is a NEW group
+      // reusing the id (not supported — ids are unique), so simply drop
+      // all files once replaced.
+      val live = liveUntil match {
+        case Some(_) => Seq.empty[(String, WriteFileInfo)]
+        case None    => files.toSeq
+      }
+      if (live.isEmpty) None
+      else {
+        val bases = live.filter(!_._2.isDelta)
+        val latestBase = if (bases.isEmpty) None else Some(bases.maxBy(_._1))
+        val baseTs = latestBase.map(_._1).getOrElse("")
+        val deltas = live
+          .filter { case (ts, f) => f.isDelta && ts > baseTs }
+          .sortBy(_._1)
+          .map(_._2)
+        Some(FileSlice(part, fileId, latestBase.map(_._2), deltas))
+      }
+    }.toSeq
+  }
+
+  /** All file versions of every group (for cleaning). */
+  def allFilesByGroup: Map[(String, String), Seq[(String, WriteFileInfo)]] = {
+    val byGroup = scala.collection.mutable
+      .LinkedHashMap[(String, String), scala.collection.mutable.ArrayBuffer[(String, WriteFileInfo)]]()
+    val deleted: Set[String] = instantsWithMeta.flatMap(_._2.deletedFiles).toSet
+    instantsWithMeta.foreach { case (i, meta) =>
+      meta.files.foreach { f =>
+        if (!deleted.contains(s"${f.partition}/${f.fileName}"))
+          byGroup.getOrElseUpdate(
+            (f.partition, f.fileId),
+            scala.collection.mutable.ArrayBuffer.empty) += ((i.ts, f))
+      }
+    }
+    byGroup.view.mapValues(_.toSeq).toMap
+  }
+
+  def partitions: Seq[String] =
+    latestSlices(None).map(_.partition).distinct
+
+  /** Live file groups in the given partitions (for replace-commits). */
+  def groupsInPartitions(parts: Set[String]): Map[String, Seq[String]] =
+    latestSlices(None)
+      .filter(s => parts.contains(s.partition))
+      .groupBy(_.partition)
+      .view
+      .mapValues(_.map(_.fileId).distinct)
+      .toMap
+
+  /** Average record size observed over recent commits, for insert
+    * bin-packing. (ref: UpsertPartitioner.java:160-165 — estimate from
+    * previous commit stats, fall back to a default.)
+    */
+  def avgRecordSize(default: Long = 1024L): Long = {
+    val recent = instantsWithMeta.reverseIterator
+      .map(_._2)
+      .find(m => m.totalRecords > 0 && m.avgRecordSize > 0)
+    recent.map(_.avgRecordSize).getOrElse(default)
+  }
+}
+
+object FileSystemView {
+  /** Data file names are `{fileId}_{instant}.parquet` or
+    * `{fileId}_{instant}.delta.parquet`; fileId contains no '_'.
+    */
+  def instantOfFileName(name: String): String = {
+    val core = name.substring(name.indexOf('_') + 1)
+    core.substring(0, core.indexOf('.'))
+  }
+
+  def fromTimeline(timeline: GraftTimeline): FileSystemView =
+    new FileSystemView(
+      timeline.completedData.map(i => (i, timeline.metadataOf(i))))
+}

@@ -1,0 +1,188 @@
+package graft.core
+
+import java.nio.charset.StandardCharsets
+import java.util.concurrent.atomic.AtomicReference
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Storage abstraction + active timeline.
+  *
+  * All state lives under `<basePath>/.graft/`:
+  *   - `table_config.json`
+  *   - `<ts>.<action>[.requested|.inflight]` instant files
+  *   - `archived/` (archived instants)
+  *   - `.temp/<ts>/` staging dirs for in-flight writes
+  *
+  * Uses the Hadoop FileSystem API so the same code path runs on
+  * file://, hdfs://, s3a:// — at cluster scale the driver performs
+  * O(files-written-per-commit) renames at commit time, identical in
+  * shape to the reference's commit protocol
+  * (ref: hudi-common/.../timeline/HoodieActiveTimeline.java).
+  *
+  * Atomicity: completion is a single create-if-absent write of the
+  * completed instant file (single-writer assumption, documented; the
+  * reference's default is the same optimistic single-writer mode).
+  */
+final class GraftStorage(val basePath: Path, val conf: Configuration) {
+  val fs: FileSystem = basePath.getFileSystem(conf)
+  val metaDir: Path = new Path(basePath, GraftStorage.MetaDirName)
+  val archiveDir: Path = new Path(metaDir, "archived")
+  val tempDir: Path = new Path(metaDir, ".temp")
+
+  def exists(p: Path): Boolean = fs.exists(p)
+
+  def readString(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  /** Create-if-absent write; fails if the file already exists. */
+  def createImmutable(p: Path, content: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def overwrite(p: Path, content: String): Unit = {
+    val out = fs.create(p, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def delete(p: Path, recursive: Boolean = false): Boolean = fs.delete(p, recursive)
+
+  def rename(src: Path, dst: Path): Boolean = {
+    val parent = dst.getParent
+    if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+    fs.rename(src, dst)
+  }
+
+  def listNames(dir: Path): Seq[String] =
+    if (!fs.exists(dir)) Seq.empty
+    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+
+  def partitionDir(partition: String): Path =
+    if (partition.isEmpty) basePath else new Path(basePath, partition)
+
+  def dataFilePath(partition: String, fileName: String): Path =
+    new Path(partitionDir(partition), fileName)
+}
+
+object GraftStorage {
+  val MetaDirName = ".graft"
+}
+
+/** The active timeline: ordered instants parsed from `.graft/` file names.
+  * (ref: hudi-common/.../timeline/HoodieTimeline.java:46-84)
+  */
+final class GraftTimeline(storage: GraftStorage) {
+
+  def reload(): GraftTimeline = this // stateless — always reads storage
+
+  /** All instants (any state), ascending by (ts, action). */
+  def instants: Seq[GraftInstant] =
+    storage
+      .listNames(storage.metaDir)
+      .flatMap(GraftInstant.fromFileName)
+      .sortBy(i => (i.ts, i.action))
+
+  def completed: Seq[GraftInstant] = instants.filter(_.isCompleted)
+
+  def completedData: Seq[GraftInstant] =
+    completed.filter(i => GraftAction.DataActions.contains(i.action))
+
+  def pending: Seq[GraftInstant] = instants.filterNot(_.isCompleted)
+
+  def lastCompletedData: Option[GraftInstant] = completedData.lastOption
+
+  def metadataOf(instant: GraftInstant): GraftCommitMetadata =
+    Json.readCommitMetadata(
+      storage.readString(new Path(storage.metaDir, instant.fileName)))
+
+  /** Completed data commits with begin < ts <= end (incremental pulls). */
+  def dataInstantsBetween(begin: String, end: String): Seq[GraftInstant] =
+    completedData.filter(i => i.ts > begin && i.ts <= end)
+
+  // --- state transitions ----------------------------------------------
+
+  def createRequested(ts: String, action: String): GraftInstant = {
+    val i = GraftInstant(ts, action, GraftState.Requested)
+    storage.createImmutable(new Path(storage.metaDir, i.fileName), "{}")
+    i
+  }
+
+  def transitionToInflight(i: GraftInstant): GraftInstant = {
+    val inflight = i.copy(state = GraftState.Inflight)
+    storage.createImmutable(new Path(storage.metaDir, inflight.fileName), "{}")
+    inflight
+  }
+
+  /** Completing writes the commit metadata as the instant file content —
+    * the atomic "publish" of the transaction.
+    */
+  def transitionToCompleted(i: GraftInstant, meta: GraftCommitMetadata): GraftInstant = {
+    val done = i.copy(state = GraftState.Completed)
+    storage.createImmutable(new Path(storage.metaDir, done.fileName), Json.write(meta))
+    // best-effort removal of the requested/inflight marker files
+    storage.delete(new Path(storage.metaDir, i.copy(state = GraftState.Requested).fileName))
+    storage.delete(new Path(storage.metaDir, i.copy(state = GraftState.Inflight).fileName))
+    done
+  }
+
+  /** Remove every trace of an instant (rollback support). */
+  def deleteInstant(i: GraftInstant): Unit =
+    Seq(GraftState.Requested, GraftState.Inflight, GraftState.Completed).foreach { s =>
+      storage.delete(new Path(storage.metaDir, i.copy(state = s).fileName))
+    }
+
+  // --- archived timeline ----------------------------------------------
+
+  /** Append instants to the archive log and drop them from the active dir.
+    * (ref: hudi-common/.../HoodieTimelineArchiveLog.java:120-194)
+    */
+  def archive(toArchive: Seq[GraftInstant]): Unit = {
+    if (toArchive.isEmpty) return
+    if (!storage.fs.exists(storage.archiveDir)) storage.fs.mkdirs(storage.archiveDir)
+    toArchive.foreach { i =>
+      val src = new Path(storage.metaDir, i.fileName)
+      if (storage.exists(src)) {
+        storage.rename(src, new Path(storage.archiveDir, i.fileName))
+      }
+    }
+  }
+
+  def archivedInstants: Seq[GraftInstant] =
+    storage
+      .listNames(storage.archiveDir)
+      .flatMap(GraftInstant.fromFileName)
+      .sortBy(i => (i.ts, i.action))
+
+  def archivedMetadataOf(instant: GraftInstant): GraftCommitMetadata =
+    Json.readCommitMetadata(
+      storage.readString(new Path(storage.archiveDir, instant.fileName)))
+}
+
+/** Monotonic commit-timestamp generator: `yyyyMMddHHmmssSSS`.
+  * (ref: HoodieActiveTimeline.createNewInstantTime — second granularity;
+  * we use millis + CAS bump so rapid local commits stay distinct.)
+  */
+object InstantTimeGenerator {
+  private val last = new AtomicReference[String]("")
+  private val fmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyyMMddHHmmssSSS")
+    .withZone(java.time.ZoneOffset.UTC)
+
+  def next(): String = synchronized {
+    var candidate = fmt.format(java.time.Instant.now())
+    if (candidate <= last.get()) candidate = (BigInt(last.get()) + 1).toString()
+    last.set(candidate)
+    candidate
+  }
+}

@@ -1,0 +1,136 @@
+package graft.core
+
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import org.json4s.jackson.Serialization
+
+/** Core metadata model for the Graft table format.
+  *
+  * Mirrors the semantics of the reference's timeline/commit protocol
+  * (ref: hudi-common/src/main/java/org/apache/hudi/common/table/timeline/
+  * HoodieTimeline.java:46-84, HoodieInstant.java:35-63) re-expressed as
+  * plain Scala case classes serialized to JSON with json4s (shipped with
+  * Spark). The completed-instant file content IS the commit metadata; the
+  * file-system view is derived entirely from these (a Delta-style
+  * manifest approach — no recursive storage listing, which is the scaling
+  * bottleneck the reference mitigates with its metadata table).
+  */
+object GraftAction {
+  val Commit = "commit"               // COW write
+  val DeltaCommit = "deltacommit"     // MOR write (delta files)
+  val ReplaceCommit = "replacecommit" // insert_overwrite / delete_partition / clustering
+  val Clean = "clean"
+  val Rollback = "rollback"
+  val Savepoint = "savepoint"
+  val Restore = "restore"
+  /** Actions that add/replace data files and participate in views. */
+  val DataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit)
+}
+
+object GraftState {
+  val Requested = "requested"
+  val Inflight = "inflight"
+  val Completed = "completed"
+}
+
+/** One timeline instant: (timestamp, action, state).
+  * File name on storage: `<ts>.<action>[.requested|.inflight]`.
+  */
+final case class GraftInstant(ts: String, action: String, state: String) {
+  def isCompleted: Boolean = state == GraftState.Completed
+  def fileName: String = state match {
+    case GraftState.Completed => s"$ts.$action"
+    case s                    => s"$ts.$action.$s"
+  }
+}
+
+object GraftInstant {
+  /** Parse `<ts>.<action>[.<state>]` file names; None for foreign files. */
+  def fromFileName(name: String): Option[GraftInstant] = {
+    val parts = name.split('.')
+    parts.length match {
+      case 2 => Some(GraftInstant(parts(0), parts(1), GraftState.Completed))
+      case 3 if parts(2) == GraftState.Requested || parts(2) == GraftState.Inflight =>
+        Some(GraftInstant(parts(0), parts(1), parts(2)))
+      case _ => None
+    }
+  }
+}
+
+/** One data file written by a commit.
+  * @param partition relative partition path ("" for non-partitioned)
+  * @param fileId    stable file-group id (all versions of a group share it)
+  * @param fileName  physical file name within the partition dir
+  * @param isDelta   true for MOR delta ("log") files
+  */
+final case class WriteFileInfo(
+    partition: String,
+    fileId: String,
+    fileName: String,
+    records: Long,
+    bytes: Long,
+    isDelta: Boolean)
+
+/** Commit metadata persisted as the content of a completed instant file.
+  * (ref: hudi-common/.../model/HoodieCommitMetadata.java — ours also
+  * carries the full file manifest so readers never list storage.)
+  *
+  * @param replacedFileIds partition -> file-group ids invalidated by this
+  *                        replacecommit (empty for commit/deltacommit)
+  * @param extra           free-form (streaming checkpoints, op params)
+  */
+final case class GraftCommitMetadata(
+    instant: String,
+    action: String,
+    operation: String,
+    files: Seq[WriteFileInfo] = Seq.empty,
+    replacedFileIds: Map[String, Seq[String]] = Map.empty,
+    deletedFiles: Seq[String] = Seq.empty, // "partition/fileName" removed by clean/rollback
+    totalRecords: Long = 0L,
+    avgRecordSize: Long = 0L,
+    schemaJson: String = "",
+    extra: Map[String, String] = Map.empty)
+
+/** Table-level config stored at `<base>/.graft/table_config.json`.
+  * (ref: hudi-common/.../table/HoodieTableConfig.java)
+  */
+final case class GraftTableConfig(
+    tableName: String,
+    tableType: String,                    // "cow" | "mor"
+    recordKeyFields: Seq[String],
+    partitionFields: Seq[String] = Seq.empty,
+    precombineField: Option[String] = None,
+    payloadClass: String = "overwrite_latest")
+
+object GraftTableType {
+  val Cow = "cow"
+  val Mor = "mor"
+}
+
+/** Meta columns injected into every stored record.
+  * (ref: hudi-common/.../model/HoodieRecord.java:37-45)
+  */
+object MetaColumns {
+  val CommitTime = "_graft_commit_time"
+  val CommitSeqno = "_graft_commit_seqno"
+  val RecordKey = "_graft_record_key"
+  val PartitionPath = "_graft_partition_path"
+  val FileName = "_graft_file_name"
+  /** Tombstone flag (ref: the `_hoodie_is_deleted` soft-delete convention,
+    * HoodieTestDataGenerator.java:96). */
+  val IsDeleted = "_graft_is_deleted"
+  val All: Seq[String] = Seq(CommitTime, CommitSeqno, RecordKey, PartitionPath, FileName)
+  val AllWithDeleted: Seq[String] = All :+ IsDeleted
+}
+
+object Json {
+  implicit val formats: Formats = DefaultFormats
+
+  def write[A <: AnyRef](a: A): String = Serialization.writePretty(a)
+
+  def readCommitMetadata(s: String): GraftCommitMetadata =
+    JsonMethods.parse(s).extract[GraftCommitMetadata]
+
+  def readTableConfig(s: String): GraftTableConfig =
+    JsonMethods.parse(s).extract[GraftTableConfig]
+}

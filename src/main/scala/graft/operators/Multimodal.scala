@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing: treat image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in per-partition batches.
+  *
+  * The decode step is a clearly-marked deterministic STUB (no image/audio
+  * codecs ship in this environment); everything Spark-side — binary
+  * schema, partition-batched iteration, typed output schema — is real.
+  * In production the stub body is replaced by a codec call (JNI/FFI),
+  * keeping the identical `mapPartitions` batch shape so one decoder
+  * instance is amortized across a whole partition.
+  */
+object Multimodal {
+
+  /** Typed metadata extracted per payload. */
+  final case class ImageMeta(doc_id: Long, byte_len: Long, width: Long, height: Long, n_frames: Long)
+
+  /** STUB decode: derives deterministic fake dimensions from the payload
+    * size. Replace with a real codec (e.g. libjpeg/ffmpeg via FFI) —
+    * signature stays `Array[Byte] => (width, height, frames)`.
+    */
+  private def decodeStub(bytes: Array[Byte]): (Long, Long, Long) =
+    (64L + bytes.length % 256, 64L + (bytes.length.toLong * 7) % 256, 1L + bytes.length % 8)
+
+  /** Extract image metadata from a (doc_id: Long, payload: binary) frame.
+    * One decoder "session" per partition (the `mapPartitions` boundary),
+    * rows streamed through it — the batch shape a real codec needs.
+    */
+  def imageMeta(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val decoder = Codec.open(); it.map(... decoder.decode ...)
+        it.map { case (id, bytes) =>
+          val (w, h, f) = decodeStub(bytes)
+          ImageMeta(id, bytes.length.toLong, w, h, f)
+        }
+      }
+      .toDF()
+  }
+
+  /** Frame-sampling stub for video-like payloads: emits `n` evenly spaced
+    * (doc_id, frame_index, frame_bytes) rows per payload — the explode
+    * shape of a real frame extractor.
+    */
+  def sampleFrames(df: DataFrame, n: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        val frames = (decodeStub(bytes)._3).toInt
+        (0 until math.min(n, frames)).map { i =>
+          // real impl: decoder.frameAt(i * frames / n)
+          val off = if (bytes.isEmpty) 0 else (i.toLong * bytes.length / math.max(1, frames)).toInt
+          (id, i.toLong, bytes.slice(off, math.min(bytes.length, off + 16)))
+        }
+      }
+      .toDF("doc_id", "frame_index", "frame_bytes")
+  }
+}

@@ -1,0 +1,143 @@
+package graft.read
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftTable
+import graft.core._
+
+/** Read relations over a Graft table: snapshot, read-optimized,
+  * incremental, time travel.
+  * (ref: hudi-spark-datasource/.../DefaultSource.scala:111-137 dispatch;
+  * query types snapshot | read_optimized | incremental,
+  * DataSourceOptions.scala:43-45)
+  *
+  * All reads resolve the file list on the driver from the commit-metadata
+  * manifest (no storage listing) and hand Spark a plain multi-path parquet
+  * scan — predicate pushdown, column pruning and vectorized reading are
+  * stock Spark from there. For MOR, only file groups that actually have
+  * delta files pay the merge (window dedup); clean groups stay on the
+  * pushdown-friendly base-scan path.
+  */
+final class GraftReadClient(val table: GraftTable) {
+
+  private val spark = table.spark
+  private def cfg = table.config
+
+  /** Latest-wins precedence for MOR log merging.
+    * (ref: HoodieMergedLogRecordScanner.java:80-116 — latest by commit
+    * order; "event_time" payload also honors the precombine field,
+    * DefaultHoodieRecordPayload.java:55-75)
+    */
+  private def mergeOrder(df: DataFrame): Seq[Column] = {
+    val pc = cfg.precombineField
+      .filter(_ => cfg.payloadClass == "event_time")
+      .filter(df.columns.contains)
+    pc.map(f => col(f).desc_nulls_last).toSeq ++ Seq(
+      col(MetaColumns.CommitTime).desc,
+      col(MetaColumns.CommitSeqno).desc)
+  }
+
+  private def readFiles(paths: Seq[String]): Option[DataFrame] =
+    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+
+  private def basePath(s: FileSlice, f: WriteFileInfo): String =
+    table.storage.dataFilePath(s.partition, f.fileName).toString
+
+  /** Snapshot view (optionally as of a past instant = time travel).
+    * COW: latest base files, a pure columnar scan
+    * (ref: DefaultSource.scala:190-247).
+    * MOR: base+delta merge per slice
+    * (ref: MergeOnReadSnapshotRelation.scala:59-222).
+    */
+  def snapshot(asOf: Option[String] = None): DataFrame = {
+    val slices = table.view.latestSlices(asOf)
+    if (!table.isMor) {
+      val paths = slices.flatMap(s => s.base.map(f => basePath(s, f)))
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf))
+    } else {
+      val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
+      val cleanDf = readFiles(
+        baseOnly.flatMap(s => s.base.map(f => basePath(s, f))))
+      val mergedDf = readFiles(
+        withDeltas.flatMap(s =>
+          (s.base.toSeq ++ s.deltas).map(f => basePath(s, f)))
+      ).map(mergeLatestPerKey)
+      (cleanDf, mergedDf) match {
+        case (Some(a), Some(b)) => dropTombstones(a).unionByName(b)
+        case (Some(a), None)    => dropTombstones(a)
+        case (None, Some(b))    => b
+        case _                  => emptyFrame(asOf)
+      }
+    }
+  }
+
+  /** Read-optimized view: base files only (MOR reads skip the log merge).
+    * (ref: DataSourceOptions.scala QUERY_TYPE_READ_OPTIMIZED)
+    */
+  def readOptimized(asOf: Option[String] = None): DataFrame = {
+    val paths = table.view.latestSlices(asOf)
+      .flatMap(s => s.base.map(f => basePath(s, f)))
+    readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf))
+  }
+
+  /** Incremental view: records written in commits with
+    * begin < ts <= end, deduped to the latest version per key.
+    * (ref: IncrementalRelation.scala:60-181 — file list from commit
+    * metadata, then a `_hoodie_commit_time` band filter)
+    */
+  def incremental(beginTs: String, endTs: Option[String] = None): DataFrame = {
+    val end = endTs.getOrElse(
+      table.timeline.lastCompletedData.map(_.ts).getOrElse(beginTs))
+    val instants = table.timeline.dataInstantsBetween(beginTs, end)
+    val files = instants.flatMap { i =>
+      table.timeline.metadataOf(i).files
+        .map(f => table.storage.dataFilePath(f.partition, f.fileName).toString)
+    }
+    readFiles(files.distinct) match {
+      case None => emptyFrame(None)
+      case Some(df) =>
+        val band = df.filter(
+          col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
+        mergeLatestPerKey(band)
+    }
+  }
+
+  /** Dedup to latest row per (partition, key) and drop tombstones. */
+  private def mergeLatestPerKey(df: DataFrame): DataFrame = {
+    val w = Window
+      .partitionBy(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey))
+      .orderBy(mergeOrder(df): _*)
+    dropTombstones(
+      df.withColumn("_g_rank", row_number().over(w))
+        .filter(col("_g_rank") === 1)
+        .drop("_g_rank"))
+  }
+
+  private def dropTombstones(df: DataFrame): DataFrame =
+    if (df.columns.contains(MetaColumns.IsDeleted))
+      df.filter(!col(MetaColumns.IsDeleted)).drop(MetaColumns.IsDeleted)
+    else df
+
+  /** User-visible projection: data columns only. */
+  def dataOnly(df: DataFrame): DataFrame =
+    df.drop(MetaColumns.AllWithDeleted: _*)
+
+  def snapshotData(asOf: Option[String] = None): DataFrame = dataOnly(snapshot(asOf))
+
+  private def emptyFrame(asOf: Option[String]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+  }
+
+  /** Point lookup: rows whose key is in `keys` — a broadcast semi-join
+    * against the snapshot. (ref: HoodieReadClient.java:138-196)
+    */
+  def readByKeys(keys: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val k = keys.toDF(MetaColumns.RecordKey)
+    snapshot(None).join(broadcast(k), Seq(MetaColumns.RecordKey), "left_semi")
+  }
+}

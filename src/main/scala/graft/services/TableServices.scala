@@ -1,0 +1,355 @@
+package graft.services
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.GraftTable
+import graft.core._
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** Maintenance operators: compaction, clustering, cleaning, archiving,
+  * rollback, savepoint, restore.
+  * (ref: hudi-client/hudi-client-common/.../table/action/{compact,cluster,
+  * clean,rollback,savepoint,restore} and AbstractHoodieWriteClient.java:504-659)
+  */
+final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConfig()) {
+
+  private val spark = table.spark
+
+  // =====================================================================
+  // Compaction (MOR): merge delta files into new base files.
+  // (ref: HoodieSparkMergeOnReadTableCompactor.java:90-189; strategy
+  // LogFileSizeBased per HoodieCompactionConfig.java:162-164, IO-bounded
+  // by hoodie.compaction.target.io = 500GB :156-158)
+  // =====================================================================
+
+  /** Compact file slices with delta files, largest delta volume first,
+    * bounded by `targetIOBytes`. Returns the compaction instant, or None
+    * if nothing to compact.
+    */
+  def compact(targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] = {
+    val view = table.view
+    val candidates = view.latestSlices(None)
+      .filter(_.deltas.nonEmpty)
+      .sortBy(s => -s.deltas.map(_.bytes).sum)
+    if (candidates.isEmpty) return None
+
+    // IO-bound selection: read (base + deltas) + write (~base size)
+    var budget = targetIOBytes
+    val chosen = candidates.takeWhile { s =>
+      val io = s.base.map(_.bytes).getOrElse(0L) * 2 + s.deltas.map(_.bytes).sum
+      val ok = budget > 0
+      budget -= io
+      ok
+    }
+
+    val ts = InstantTimeGenerator.next()
+    val instant = table.timeline.transitionToInflight(
+      table.timeline.createRequested(ts, GraftAction.Commit))
+    try {
+      val paths = chosen.flatMap(s =>
+        (s.base.toSeq ++ s.deltas).map(f =>
+          table.storage.dataFilePath(s.partition, f.fileName).toString))
+      val df = spark.read.parquet(paths: _*)
+        .withColumn(GraftWriteClient.ColTargetFile, GraftWriteClient.fileIdOfInputFile)
+
+      // latest-wins per key within each file group; tombstones dropped for
+      // good once compacted into the base file
+      val order = mergeOrderCols(df.columns.toSeq)
+      val w = Window
+        .partitionBy(
+          col(MetaColumns.PartitionPath),
+          col(GraftWriteClient.ColTargetFile),
+          col(MetaColumns.RecordKey))
+        .orderBy(order: _*)
+      val merged = df
+        .repartition(col(MetaColumns.PartitionPath), col(GraftWriteClient.ColTargetFile))
+        .withColumn("_g_rank", row_number().over(w))
+        .filter(col("_g_rank") === 1)
+        .drop("_g_rank")
+        .filter(!col(MetaColumns.IsDeleted))
+        .withColumn(MetaColumns.FileName,
+          concat(col(GraftWriteClient.ColTargetFile), lit("_" + ts + ".parquet")))
+
+      val staging = new Path(table.storage.tempDir, ts)
+      merged
+        .withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
+        .withColumn(GraftWriteClient.StageFileCol, col(GraftWriteClient.ColTargetFile))
+        .drop(GraftWriteClient.ColTargetFile)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy(GraftWriteClient.StagePartCol, GraftWriteClient.StageFileCol)
+        .parquet(staging.toString)
+
+      val written = publishCompacted(staging, ts)
+      val totalRecords = written.map(_.records).sum
+      val totalBytes = written.map(_.bytes).sum
+      table.timeline.transitionToCompleted(instant, GraftCommitMetadata(
+        instant = ts, action = GraftAction.Commit, operation = "compact",
+        files = written,
+        totalRecords = totalRecords,
+        avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+        extra = lastSchemaExtra))
+      table.storage.delete(staging, recursive = true)
+      Some(ts)
+    } catch {
+      case e: Throwable =>
+        table.timeline.deleteInstant(instant)
+        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        throw e
+    }
+  }
+
+  private def publishCompacted(staging: Path, ts: String): Seq[WriteFileInfo] = {
+    val fs = table.storage.fs
+    val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    if (!fs.exists(staging)) return Seq.empty
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = GraftWriteClient.decodeStageValue(
+        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+      fs.listStatus(partDir.getPath).filter(_.isDirectory).foreach { gfDir =>
+        val fileId = GraftWriteClient.decodeStageValue(
+          gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
+        val parts = fs.listStatus(gfDir.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
+        parts.foreach { st =>
+          val name = s"${fileId}_$ts.parquet"
+          val dest = table.storage.dataFilePath(partition, name)
+          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          val records = GraftWriteClient.parquetRecordCount(dest, table.storage.conf)
+          out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  private def mergeOrderCols(cols: Seq[String]) = {
+    val pc = table.config.precombineField
+      .filter(_ => table.config.payloadClass == "event_time")
+      .filter(cols.contains)
+    pc.map(f => col(f).desc_nulls_last).toSeq ++ Seq(
+      col(MetaColumns.CommitTime).desc,
+      col(MetaColumns.CommitSeqno).desc)
+  }
+
+  private def lastSchemaExtra: Map[String, String] =
+    table.timeline.completedData.lastOption
+      .map(i => table.timeline.metadataOf(i).extra)
+      .filter(_.contains(GraftWriteClient.SchemaColsKey))
+      .getOrElse(Map.empty)
+
+  // =====================================================================
+  // Clustering: sort-rewrite small file groups for locality, committed as
+  // a replacecommit. (ref: SparkSortAndSizeExecutionStrategy.java:51-90)
+  // =====================================================================
+
+  /** Rewrite file groups smaller than `smallFileLimitBytes` into sorted,
+    * right-sized new groups. `sortColumns` empty = record-key order.
+    */
+  def cluster(sortColumns: Seq[String] = Seq.empty): Option[String] = {
+    val view = table.view
+    val candidates = view.latestSlices(None).filter(s =>
+      s.deltas.isEmpty && s.base.exists(_.bytes < wc.smallFileLimitBytes))
+    // clustering only pays off when it consolidates multiple groups
+    val byPartition = candidates.groupBy(_.partition).filter(_._2.size > 1)
+    if (byPartition.isEmpty) return None
+    val chosen = byPartition.values.flatten.toSeq
+    val paths = chosen.flatMap(s => s.base.map(f =>
+      table.storage.dataFilePath(s.partition, f.fileName).toString))
+    val df = spark.read.parquet(paths: _*)
+    val sortCols =
+      if (sortColumns.nonEmpty) sortColumns.map(col)
+      else Seq(col(MetaColumns.RecordKey))
+
+    val ts = InstantTimeGenerator.next()
+    val instant = table.timeline.transitionToInflight(
+      table.timeline.createRequested(ts, GraftAction.ReplaceCommit))
+    try {
+      val avg = view.avgRecordSize(wc.defaultRecordSizeBytes)
+      val staging = new Path(table.storage.tempDir, ts)
+      df.withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
+        .repartition(col(GraftWriteClient.StagePartCol))
+        .sortWithinPartitions(sortCols: _*)
+        .write.mode(SaveMode.Overwrite)
+        .option("maxRecordsPerFile", math.max(1L, wc.targetFileSizeBytes / avg))
+        .partitionBy(GraftWriteClient.StagePartCol)
+        .parquet(staging.toString)
+
+      val written = publishUngrouped(staging, ts)
+      val replaced = chosen.groupBy(_.partition).view
+        .mapValues(_.map(_.fileId).distinct.toSeq).toMap
+      val totalRecords = written.map(_.records).sum
+      val totalBytes = written.map(_.bytes).sum
+      table.timeline.transitionToCompleted(instant, GraftCommitMetadata(
+        instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
+        files = written, replacedFileIds = replaced,
+        totalRecords = totalRecords,
+        avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+        extra = lastSchemaExtra))
+      table.storage.delete(staging, recursive = true)
+      Some(ts)
+    } catch {
+      case e: Throwable =>
+        table.timeline.deleteInstant(instant)
+        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        throw e
+    }
+  }
+
+  private def publishUngrouped(staging: Path, ts: String): Seq[WriteFileInfo] = {
+    val fs = table.storage.fs
+    val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    var seq = 0
+    if (!fs.exists(staging)) return Seq.empty
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = GraftWriteClient.decodeStageValue(
+        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+      fs.listStatus(partDir.getPath)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
+          val name = s"${fileId}_$ts.parquet"
+          val dest = table.storage.dataFilePath(partition, name)
+          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          val records = GraftWriteClient.parquetRecordCount(dest, table.storage.conf)
+          out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
+        }
+    }
+    out.toSeq
+  }
+
+  // =====================================================================
+  // Cleaning: delete file versions no longer needed by the last N commits.
+  // (ref: CleanPlanner.java:123-405, policy KEEP_LATEST_COMMITS)
+  // =====================================================================
+
+  def clean(retainCommits: Int = 10): Option[String] = {
+    val tl = table.timeline
+    val dataCommits = tl.completedData
+    if (dataCommits.size <= retainCommits) return None
+    val earliestRetained = dataCommits(dataCommits.size - retainCommits).ts
+    // never clean past a savepoint (ref: CleanPlanner savepointed files)
+    val savepoints = tl.completed.filter(_.action == GraftAction.Savepoint).map(_.ts)
+    val floor = (savepoints :+ earliestRetained).min
+
+    val deletable = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    table.view.allFilesByGroup.foreach { case ((_, _), versions) =>
+      val bases = versions.filter(!_._2.isDelta).sortBy(_._1)
+      // a base file is deletable if a newer base version exists at ts <= floor
+      val keepFrom = bases.takeWhile(_._1 < floor) match {
+        case older if older.nonEmpty => older.last._1 // latest version still needed
+        case _                       => ""
+      }
+      bases.foreach { case (bts, f) => if (bts < keepFrom) deletable += f }
+      // deltas compacted into a retained base are obsolete
+      versions.filter(_._2.isDelta).foreach { case (dts, f) =>
+        if (dts <= keepFrom && keepFrom.nonEmpty) deletable += f
+      }
+    }
+    if (deletable.isEmpty) return None
+
+    val ts = InstantTimeGenerator.next()
+    val instant = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Clean))
+    // (at cluster scale this delete fans out via foreachPartition; driver
+    // loop is fine for the file counts a single clean touches)
+    deletable.foreach(f =>
+      table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+    tl.transitionToCompleted(instant, GraftCommitMetadata(
+      instant = ts, action = GraftAction.Clean, operation = "clean",
+      deletedFiles = deletable.map(f => s"${f.partition}/${f.fileName}").toSeq))
+    Some(ts)
+  }
+
+  // =====================================================================
+  // Rollback / savepoint / restore
+  // (ref: rollback/ action executors; AbstractHoodieWriteClient.java:504-627)
+  // =====================================================================
+
+  /** Undo one instant: physically delete the files it added and remove it
+    * from the timeline. Only the latest data instant (or a pending one)
+    * can be rolled back.
+    */
+  def rollback(instantTs: String): String = {
+    val tl = table.timeline
+    val target = tl.instants.filter(_.ts == instantTs)
+    require(target.nonEmpty, s"unknown instant $instantTs")
+    val completedData = tl.completedData
+    val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    target.find(_.isCompleted) match {
+      case Some(done) if GraftAction.DataActions.contains(done.action) =>
+        require(completedData.lastOption.exists(_.ts == instantTs),
+          s"can only roll back the latest commit, not $instantTs")
+        val meta = tl.metadataOf(done)
+        meta.files.foreach { f =>
+          table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName))
+          deleted += s"${f.partition}/${f.fileName}"
+        }
+      case _ => // pending instant: wipe staging only
+        table.storage.delete(
+          new Path(table.storage.tempDir, instantTs), recursive = true)
+    }
+    target.foreach(tl.deleteInstant)
+    val ts = InstantTimeGenerator.next()
+    val i = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Rollback))
+    tl.transitionToCompleted(i, GraftCommitMetadata(
+      instant = ts, action = GraftAction.Rollback, operation = "rollback",
+      deletedFiles = deleted.toSeq,
+      extra = Map("rolled_back_instant" -> instantTs)))
+    ts
+  }
+
+  /** Pin an instant against cleaning. (ref: SavepointActionExecutor.java) */
+  def savepoint(instantTs: String): Unit = {
+    val tl = table.timeline
+    require(tl.completedData.exists(_.ts == instantTs), s"no completed commit $instantTs")
+    val i = tl.transitionToInflight(tl.createRequested(instantTs, GraftAction.Savepoint))
+    tl.transitionToCompleted(i, GraftCommitMetadata(
+      instant = instantTs, action = GraftAction.Savepoint, operation = "savepoint"))
+  }
+
+  /** Restore the table to a savepointed instant by rolling back every
+    * newer commit, newest first. (ref: BaseRestoreActionExecutor.java)
+    */
+  def restore(instantTs: String): Unit = {
+    val tl = table.timeline
+    tl.completedData.filter(_.ts > instantTs).reverse.foreach(i => rollback(i.ts))
+    val ts = InstantTimeGenerator.next()
+    val i = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Restore))
+    tl.transitionToCompleted(i, GraftCommitMetadata(
+      instant = ts, action = GraftAction.Restore, operation = "restore",
+      extra = Map("restored_to" -> instantTs)))
+  }
+
+  // =====================================================================
+  // Archiving: bound the active timeline; write a manifest checkpoint so
+  // views stay O(active timeline).
+  // (ref: HoodieTimelineArchiveLog.java:120-194)
+  // =====================================================================
+
+  def archive(minCommits: Int = 20, maxCommits: Int = 30): Option[String] = {
+    val tl = table.timeline
+    val completed = tl.completed
+    if (completed.size <= maxCommits) return None
+    val toArchive = completed.dropRight(minCommits)
+    if (toArchive.isEmpty) return None
+
+    // checkpoint the view BEFORE removing instants: all live files as a
+    // synthetic manifest (Delta-checkpoint pattern)
+    val archiveTs = toArchive.last.ts
+    val liveFiles = table.view.latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas)
+    val manifest = GraftCommitMetadata(
+      instant = archiveTs, action = GraftAction.Commit, operation = "manifest",
+      files = liveFiles,
+      extra = lastSchemaExtra)
+    if (!table.storage.fs.exists(table.storage.archiveDir))
+      table.storage.fs.mkdirs(table.storage.archiveDir)
+    table.storage.overwrite(
+      new Path(table.storage.archiveDir, s"$archiveTs.manifest"), Json.write(manifest))
+    tl.archive(toArchive)
+    Some(archiveTs)
+  }
+}

@@ -1,0 +1,636 @@
+package graft.write
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+import graft.GraftTable
+import graft.core._
+
+/** Write operations of the Graft engine: upsert / insert / bulk_insert /
+  * delete / delete_partitions / insert_overwrite[_table], for both COW and
+  * MOR tables.
+  *
+  * The end-to-end shape mirrors the reference write path
+  * (ref: hudi-client/hudi-spark-client/.../SparkRDDWriteClient.java:149-255
+  * and BaseSparkCommitActionExecutor.java:112-146): key/partition
+  * extraction -> optional pre-combine -> index tag -> workload profile ->
+  * bucket assignment (small-file bin-packing,
+  * ref: UpsertPartitioner.java:101-296) -> per-file-group merge-write ->
+  * atomic commit. Everything between the driver-side planning steps is a
+  * single declarative DataFrame pipeline: one shuffle clustering rows by
+  * (partition, fileGroup), a windowed latest-wins merge that Catalyst
+  * runs without a second shuffle, and a partitioned parquet write.
+  */
+final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteConfig()) {
+  import GraftWriteClient._
+
+  private val spark = table.spark
+  private def cfg = table.config
+
+  // ---- key generation (ref: hudi-client-common/.../keygen/*KeyGenerator;
+  // pure Column expressions, no custom Expression needed) ----
+  private def keyExpr: Column =
+    concat_ws(":", cfg.recordKeyFields.map(f => col(f).cast("string")): _*)
+  private def partExpr: Column =
+    if (cfg.partitionFields.isEmpty) lit("")
+    else concat_ws("/", cfg.partitionFields.map(f => col(f).cast("string")): _*)
+
+  /** Deterministic content-hash tiebreak so merges are reproducible even
+    * when ordering values collide (monotonically_increasing_id is not
+    * stable across plans, so it is never used for ordering).
+    */
+  private def tiebreakExpr(dataCols: Seq[String]): Column =
+    xxhash64(dataCols.map(c => col(c).cast("string")): _*)
+
+  /** Merge precedence for latest-wins row picking, highest first.
+    * "overwrite_latest" = incoming always beats stored
+    * (ref: OverwriteWithLatestAvroPayload.java:50-66); "event_time" =
+    * larger precombine wins even if stored
+    * (ref: DefaultHoodieRecordPayload.java:55-75).
+    */
+  private def mergeOrder(dataCols: Seq[String]): Seq[Column] = {
+    val pc = cfg.precombineField.filter(_ => cfg.payloadClass == "event_time")
+    pc.map(f => col(f).desc_nulls_last).toSeq ++
+      Seq(col(MetaColumns.CommitTime).desc, tiebreakExpr(dataCols).desc)
+  }
+
+  // =====================================================================
+  // Public operations
+  // =====================================================================
+
+  /** Initial large load: sort + sized parquet files, no index lookup.
+    * (ref: SparkRDDWriteClient.java:223-246, HoodieSparkSqlWriter
+    * row-native path :325-360 — which converges to exactly this
+    * DataFrame pipeline.)
+    */
+  def bulkInsert(df: DataFrame): String =
+    writeNewFilesCommit(df, "bulk_insert", GraftAction.Commit, replaced = Map.empty)
+
+  /** Upsert: updates routed to their existing file group, inserts packed
+    * into small/new files. (ref: SparkRDDWriteClient.java:149-160)
+    */
+  def upsert(df: DataFrame): String =
+    runKeyedWrite(df, "upsert", tag = true,
+      dedupIncoming = wc.combineBeforeUpsert, deleteOp = false)
+
+  /** Insert without update routing; still packs small files; duplicates
+    * allowed. (ref: SparkRDDWriteClient.java:172-196)
+    */
+  def insert(df: DataFrame): String =
+    runKeyedWrite(df, "insert", tag = false,
+      dedupIncoming = wc.combineBeforeInsert, deleteOp = false)
+
+  /** Delete by key: `df` needs the record-key (+ partition) columns.
+    * (ref: SparkRDDWriteClient.java:248-253, SparkDeleteHelper.java —
+    * delete is an upsert of empty payloads; ours is a merge that drops
+    * tombstoned rows at rewrite.)
+    */
+  def delete(df: DataFrame): String =
+    runKeyedWrite(df, "delete", tag = true, dedupIncoming = true, deleteOp = true)
+
+  /** Replace all file groups of the partitions present in `df`.
+    * (ref: SparkInsertOverwriteCommitActionExecutor.java)
+    */
+  def insertOverwrite(df: DataFrame): String = {
+    val parts = df.select(partExpr.as("p")).distinct()
+      .collect().map(_.getString(0)).toSet
+    writeNewFilesCommit(df, "insert_overwrite", GraftAction.ReplaceCommit,
+      replaced = table.view.groupsInPartitions(parts))
+  }
+
+  /** Replace every file group in the table.
+    * (ref: SparkInsertOverwriteTableCommitActionExecutor.java)
+    */
+  def insertOverwriteTable(df: DataFrame): String = {
+    val view = table.view
+    val allParts = view.partitions.toSet
+    writeNewFilesCommit(df, "insert_overwrite_table", GraftAction.ReplaceCommit,
+      replaced = view.groupsInPartitions(allParts))
+  }
+
+  /** Drop whole partitions via a replace-commit — no data rewrite.
+    * (ref: SparkDeletePartitionCommitActionExecutor.java)
+    */
+  def deletePartitions(partitions: Seq[String]): String = {
+    val instant = begin(GraftAction.ReplaceCommit)
+    val replaced = table.view.groupsInPartitions(partitions.toSet)
+    commit(instant, GraftCommitMetadata(
+      instant = instant.ts, action = instant.action, operation = "delete_partition",
+      replacedFileIds = replaced))
+    instant.ts
+  }
+
+  /** Keep only records whose key is NOT already in the table.
+    * (ref: SparkRDDWriteClient.java:131-138 filterExists)
+    */
+  def filterExists(df: DataFrame): DataFrame = {
+    val withKeys = df
+      .withColumn(ColKey, keyExpr)
+      .withColumn(ColPart, partExpr)
+    val idx = keyIndex(None)
+    withKeys.join(idx, Seq(ColKey, ColPart), "left_anti")
+      .drop(ColKey, ColPart)
+  }
+
+  // =====================================================================
+  // Keyed write engine (upsert / insert / delete)
+  // =====================================================================
+
+  private def runKeyedWrite(
+      df: DataFrame,
+      operation: String,
+      tag: Boolean,
+      dedupIncoming: Boolean,
+      deleteOp: Boolean): String = {
+
+    val dataCols = storedDataColumns.getOrElse(df.columns.toSeq)
+    val instant = begin(if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
+    try {
+      val prepared = withMetaColumns(alignSchema(df, dataCols), instant.ts, deleteOp)
+
+      val deduped =
+        if (dedupIncoming) dedupByKey(prepared, dataCols)
+        else prepared
+
+      // ---- index tag (SIMPLE index: partition-scoped key join,
+      // ref: SparkHoodieSimpleIndex.java:55-134) ----
+      val touchedParts = deduped.select(ColPart).distinct()
+        .collect().map(_.getString(0)).toSet
+      val tagged0 =
+        if (tag) {
+          val idx = keyIndex(Some(touchedParts))
+          deduped.join(idx, Seq(ColKey, ColPart), "left")
+        } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
+      // deletes for keys that don't exist are no-ops
+      val tagged = (if (deleteOp) tagged0.filter(col(ColTargetFile).isNotNull) else tagged0)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+
+      try {
+        // ---- workload profile (one action; ref:
+        // BaseSparkCommitActionExecutor.java:148-180 countByKey) ----
+        val profile = tagged.groupBy(ColPart, ColTargetFile).count().collect()
+        val insertCounts = profile
+          .filter(_.isNullAt(1))
+          .map(r => r.getString(0) -> r.getLong(2)).toMap
+        val updateGroups = profile.filterNot(_.isNullAt(1))
+          .map(r => (r.getString(0), r.getString(1))).toSet
+
+        val view = table.view
+        val avgSize = view.avgRecordSize(wc.defaultRecordSizeBytes)
+        val slices = view.latestSlices(None)
+        val sliceByGroup = slices.map(s => (s.partition, s.fileId) -> s).toMap
+
+        // ---- insert bucket assignment: fill small files first, then new
+        // groups (ref: UpsertPartitioner.java:101-296) ----
+        val packSmall = !table.isMor && !deleteOp
+        val ranges = assignInsertRanges(insertCounts, slices, avgSize, packSmall, instant.ts)
+        val assigned = assignInserts(tagged, ranges)
+
+        // groups whose base file must be rewritten (COW) = tagged updates
+        // + small files receiving inserts
+        val smallFileGroups = ranges.filter(_.existing).map(r => (r.partition, r.fileId)).toSet
+        val rewriteGroups =
+          if (table.isMor) Set.empty[(String, String)]
+          else updateGroups ++ smallFileGroups
+
+        val oldRows: Option[DataFrame] =
+          if (rewriteGroups.isEmpty) None
+          else {
+            val paths = rewriteGroups.toSeq.flatMap { g =>
+              sliceByGroup.get(g).flatMap(_.base)
+                .map(f => table.storage.dataFilePath(g._1, f.fileName).toString)
+            }
+            if (paths.isEmpty) None
+            else Some(
+              spark.read.parquet(paths: _*)
+                .withColumn(ColKey, col(MetaColumns.RecordKey))
+                .withColumn(ColPart, col(MetaColumns.PartitionPath))
+                .withColumn(ColTargetFile, fileIdOfInputFile))
+          }
+
+        val incoming = assigned
+        val unioned = oldRows match {
+          case Some(old) => old.unionByName(incoming.select(old.columns.map(col).toSeq: _*))
+          case None      => incoming
+        }
+
+        // ---- merge: cluster by (partition, fileGroup); the latest-wins
+        // window then needs no second shuffle (HashPartitioning(p,g)
+        // satisfies ClusteredDistribution(p,g,key)) ----
+        val clustered = unioned.repartition(col(ColPart), col(ColTargetFile))
+        val merged =
+          if (operation == "insert") clustered // no dedup against existing
+          else {
+            val w = Window
+              .partitionBy(col(ColPart), col(ColTargetFile), col(ColKey))
+              .orderBy(mergeOrder(dataCols): _*)
+            clustered
+              .withColumn(ColRank, row_number().over(w))
+              .filter(col(ColRank) === 1)
+              .drop(ColRank)
+          }
+        val surviving =
+          if (table.isMor) merged // tombstones live in deltas until compaction
+          else merged.filter(!col(MetaColumns.IsDeleted))
+
+        // MOR: updates become delta files of their group, inserts new base
+        // groups; COW: everything is a new base file version.
+        val deltaGroups: Set[String] =
+          if (table.isMor) updateGroups.map(_._2) else Set.empty
+
+        val written = writeGrouped(surviving, dataCols, instant.ts, deltaGroups)
+        finishCommit(instant, operation, written, replaced = Map.empty, dataCols)
+      } finally tagged.unpersist()
+    } catch {
+      case e: Throwable => abort(instant); throw e
+    }
+    postWrite()
+    instant.ts
+  }
+
+  // =====================================================================
+  // New-file writes (bulk_insert / insert_overwrite*)
+  // =====================================================================
+
+  private def writeNewFilesCommit(
+      df: DataFrame,
+      operation: String,
+      action: String,
+      replaced: Map[String, Seq[String]]): String = {
+    val dataCols = storedDataColumns.getOrElse(df.columns.toSeq)
+    val instant = begin(action)
+    try {
+      val prepared = withMetaColumns(alignSchema(df, dataCols), instant.ts, deleteOp = false)
+      val avgSize = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
+      val recordsPerFile = math.max(1L, wc.targetFileSizeBytes / avgSize)
+      val n = if (wc.parallelism > 0) wc.parallelism else spark.sparkContext.defaultParallelism
+
+      // (ref: bulk-insert sort modes, BulkInsertSortMode.java:24-29 and
+      // GlobalSortPartitionerWithRows / PartitionSortPartitionerWithRows)
+      val sorted = wc.bulkInsertSortMode match {
+        case "global" =>
+          prepared.repartitionByRange(n, col(ColPart), col(ColKey))
+            .sortWithinPartitions(col(ColPart), col(ColKey))
+        case "partition" =>
+          prepared.repartition(n, col(ColPart)).sortWithinPartitions(col(ColKey))
+        case _ => prepared
+      }
+      val written = writeUngrouped(sorted, dataCols, instant.ts, recordsPerFile)
+      finishCommit(instant, operation, written, replaced, dataCols)
+    } catch {
+      case e: Throwable => abort(instant); throw e
+    }
+    postWrite()
+    instant.ts
+  }
+
+  // =====================================================================
+  // Shared plumbing
+  // =====================================================================
+
+  private def begin(action: String): GraftInstant = {
+    val ts = InstantTimeGenerator.next()
+    val req = table.timeline.createRequested(ts, action)
+    table.timeline.transitionToInflight(req)
+  }
+
+  private def abort(instant: GraftInstant): Unit = {
+    table.timeline.deleteInstant(instant)
+    table.storage.delete(stagingDir(instant.ts), recursive = true)
+  }
+
+  private def commit(instant: GraftInstant, meta: GraftCommitMetadata): Unit =
+    table.timeline.transitionToCompleted(
+      instant.copy(state = GraftState.Inflight), meta)
+
+  private def finishCommit(
+      instant: GraftInstant,
+      operation: String,
+      written: Seq[WriteFileInfo],
+      replaced: Map[String, Seq[String]],
+      dataCols: Seq[String]): Unit = {
+    val totalRecords = written.map(_.records).sum
+    val totalBytes = written.map(_.bytes).sum
+    val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
+    commit(instant, GraftCommitMetadata(
+      instant = instant.ts,
+      action = instant.action,
+      operation = operation,
+      files = written,
+      replacedFileIds = replaced,
+      totalRecords = totalRecords,
+      avgRecordSize = avg,
+      schemaJson = "",
+      extra = Map(SchemaColsKey -> dataCols.mkString(","))))
+    table.storage.delete(stagingDir(instant.ts), recursive = true)
+  }
+
+  /** Inline table services after a successful commit. */
+  private def postWrite(): Unit = {
+    if (table.isMor && wc.inlineCompactDeltaCommits > 0) {
+      val tl = table.timeline
+      val lastCompaction = tl.completedData
+        .filter(i => i.action == GraftAction.Commit)
+        .lastOption.map(_.ts).getOrElse("")
+      val deltasSince = tl.completedData
+        .count(i => i.action == GraftAction.DeltaCommit && i.ts > lastCompaction)
+      if (deltasSince >= wc.inlineCompactDeltaCommits) {
+        new graft.services.TableServices(table, wc).compact()
+      }
+    }
+    if (wc.inlineClean) {
+      new graft.services.TableServices(table, wc).clean(wc.cleanRetainCommits)
+    }
+  }
+
+  /** Ordered data columns of the stored schema, if the table has commits. */
+  private def storedDataColumns: Option[Seq[String]] =
+    table.timeline.completedData.lastOption
+      .map(i => table.timeline.metadataOf(i))
+      .flatMap(m => if (m.extra.contains(SchemaColsKey))
+        Some(m.extra(SchemaColsKey).split(",").toSeq.filter(_.nonEmpty))
+      else None)
+
+  /** Project `df` onto the stored column order, null-filling missing
+    * columns (schema evolution: new columns appended; delete batches may
+    * carry keys only).
+    */
+  private def alignSchema(df: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val existing = df.columns.toSet
+    val newCols = df.columns.toSeq.filterNot(dataCols.contains)
+    val all = dataCols ++ newCols
+    df.select(all.map { c =>
+      if (existing.contains(c)) col(c) else lit(null).as(c)
+    }: _*)
+  }
+
+  /** Inject the 5 meta columns + tombstone flag.
+    * (ref: HoodieRecord.java:37-45 meta fields; _hoodie_is_deleted
+    * convention from HoodieTestDataGenerator.java:96)
+    */
+  private def withMetaColumns(df: DataFrame, instantTs: String, deleteOp: Boolean): DataFrame =
+    df.withColumn(ColKey, keyExpr)
+      .withColumn(ColPart, partExpr)
+      .withColumn(MetaColumns.CommitTime, lit(instantTs))
+      .withColumn(MetaColumns.CommitSeqno,
+        concat(lit(instantTs + "_"), format_string("%019d", monotonically_increasing_id())))
+      .withColumn(MetaColumns.RecordKey, col(ColKey))
+      .withColumn(MetaColumns.PartitionPath, col(ColPart))
+      .withColumn(MetaColumns.FileName, lit(""))
+      .withColumn(MetaColumns.IsDeleted, lit(deleteOp))
+
+  /** Pre-combine duplicate incoming keys, keeping the max ordering value.
+    * (ref: SparkWriteHelper.java:50-66 reduceByKey(preCombine))
+    */
+  private def dedupByKey(df: DataFrame, dataCols: Seq[String]): DataFrame = {
+    val order = cfg.precombineField.map(f => col(f).desc_nulls_last).toSeq :+
+      tiebreakExpr(dataCols).desc
+    val w = Window.partitionBy(col(ColPart), col(ColKey)).orderBy(order: _*)
+    df.withColumn(ColRank, row_number().over(w))
+      .filter(col(ColRank) === 1)
+      .drop(ColRank)
+  }
+
+  /** Key -> file-group index: project 2 meta columns + the physical file
+    * from the latest slices of the touched partitions. A pure columnar
+    * scan of 2 columns (parquet column pruning does the heavy lifting).
+    * (ref: SparkHoodieSimpleIndex.java:109-118)
+    */
+  private def keyIndex(partitions: Option[Set[String]]): DataFrame = {
+    val slices0 = table.view.latestSlices(None)
+    val slices = partitions match {
+      case Some(p) => slices0.filter(s => p.contains(s.partition))
+      case None    => slices0
+    }
+    val paths = slices.flatMap { s =>
+      (s.base.toSeq ++ s.deltas).map(f =>
+        table.storage.dataFilePath(s.partition, f.fileName).toString)
+    }
+    if (paths.isEmpty) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row],
+        StructType(Seq(
+          StructField(ColKey, StringType),
+          StructField(ColPart, StringType),
+          StructField(ColTargetFile, StringType))))
+    } else {
+      spark.read.parquet(paths: _*)
+        .select(
+          col(MetaColumns.RecordKey).as(ColKey),
+          col(MetaColumns.PartitionPath).as(ColPart),
+          fileIdOfInputFile.as(ColTargetFile))
+        .dropDuplicates(ColKey, ColPart)
+    }
+  }
+
+  import GraftWriteClient.InsertRange
+
+  /** Driver-side bin-packing plan: per partition, fill small files up to
+    * target size, then open new file groups.
+    * (ref: UpsertPartitioner.assignInserts, UpsertPartitioner.java:157-296)
+    */
+  private def assignInsertRanges(
+      insertCounts: Map[String, Long],
+      slices: Seq[graft.core.FileSlice],
+      avgSize: Long,
+      packSmall: Boolean,
+      instantTs: String): Seq[InsertRange] = {
+    val recordsPerFile = math.max(1L, wc.targetFileSizeBytes / avgSize)
+    var groupSeq = 0
+    insertCounts.toSeq.flatMap { case (part, n) =>
+      var remaining = n
+      var next = 1L // row_number is 1-based
+      val out = scala.collection.mutable.ArrayBuffer[InsertRange]()
+      if (packSmall) {
+        val small = slices
+          .filter(s => s.partition == part && s.deltas.isEmpty &&
+            s.base.exists(_.bytes < wc.smallFileLimitBytes))
+          .sortBy(_.base.map(_.bytes).getOrElse(0L))
+        small.foreach { s =>
+          if (remaining > 0) {
+            val cap = math.max(0L,
+              (wc.targetFileSizeBytes - s.base.map(_.bytes).getOrElse(0L)) / avgSize)
+            val take = math.min(cap, remaining)
+            if (take > 0) {
+              out += InsertRange(part, next, next + take, s.fileId, existing = true)
+              next += take; remaining -= take
+            }
+          }
+        }
+      }
+      while (remaining > 0) {
+        val take = math.min(recordsPerFile, remaining)
+        out += InsertRange(part, next, next + take, newFileId(instantTs, groupSeq), existing = false)
+        groupSeq += 1
+        next += take; remaining -= take
+      }
+      out
+    }
+  }
+
+  /** Map each insert row to its target file group via a broadcast range
+    * join on a per-partition row_number.
+    */
+  private def assignInserts(tagged: DataFrame, ranges: Seq[InsertRange]): DataFrame = {
+    if (ranges.isEmpty) return tagged.filter(col(ColTargetFile).isNotNull)
+    import spark.implicits._
+    val rangesDf = ranges.toDF()
+    val inserts = tagged.filter(col(ColTargetFile).isNull).drop(ColTargetFile)
+    val w = Window.partitionBy(col(ColPart)).orderBy(col(ColKey))
+    val withRn = inserts.withColumn(ColRank, row_number().over(w))
+    val assignedInserts = withRn
+      .join(broadcast(rangesDf),
+        withRn(ColPart) === rangesDf("partition") &&
+          col(ColRank) >= rangesDf("lo") && col(ColRank) < rangesDf("hi"),
+        "inner")
+      .withColumn(ColTargetFile, rangesDf("fileId"))
+      .drop("partition", "lo", "hi", "fileId", "existing", ColRank)
+    val updates = tagged.filter(col(ColTargetFile).isNotNull)
+    updates.unionByName(assignedInserts.select(updates.columns.map(col).toSeq: _*))
+  }
+
+  // ---- physical write: staging dir + driver-side publish renames ----
+
+  private def stagingDir(instantTs: String): Path =
+    new Path(table.storage.tempDir, instantTs)
+
+  /** Write rows that carry an assigned file group: one parquet file per
+    * (partition, fileId). Rows were already clustered by these columns, so
+    * the partitioned write produces exactly one file per group.
+    */
+  private def writeGrouped(
+      df: DataFrame,
+      dataCols: Seq[String],
+      instantTs: String,
+      deltaGroups: Set[String]): Seq[WriteFileInfo] = {
+    val staging = stagingDir(instantTs)
+    val fileCols = MetaColumns.All :+ MetaColumns.IsDeleted
+    val suffixCol =
+      if (deltaGroups.isEmpty) lit(BaseSuffix)
+      else when(col(ColTargetFile).isin(deltaGroups.toSeq: _*), lit(DeltaSuffix))
+        .otherwise(lit(BaseSuffix))
+    val out = df
+      .withColumn(MetaColumns.FileName,
+        concat(col(ColTargetFile), lit("_" + instantTs), suffixCol))
+      .withColumn(StagePartCol, col(ColPart))
+      .withColumn(StageFileCol, col(ColTargetFile))
+      .select((fileCols ++ dataCols ++ Seq(StagePartCol, StageFileCol)).map(col): _*)
+    out.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(StagePartCol, StageFileCol)
+      .parquet(staging.toString)
+    publishStaged(staging, instantTs, groupedByFile = true, deltaGroups)
+  }
+
+  /** Write rows without a pre-assigned group (bulk loads): each staged
+    * part-file becomes a brand-new file group, sized by maxRecordsPerFile.
+    */
+  private def writeUngrouped(
+      df: DataFrame,
+      dataCols: Seq[String],
+      instantTs: String,
+      recordsPerFile: Long): Seq[WriteFileInfo] = {
+    val staging = stagingDir(instantTs)
+    val fileCols = MetaColumns.All :+ MetaColumns.IsDeleted
+    df.withColumn(StagePartCol, col(ColPart))
+      .select((fileCols ++ dataCols ++ Seq(StagePartCol)).map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("maxRecordsPerFile", recordsPerFile)
+      .partitionBy(StagePartCol)
+      .parquet(staging.toString)
+    publishStaged(staging, instantTs, groupedByFile = false, Set.empty)
+  }
+
+  /** Move staged files into the table layout with their final
+    * `{fileId}_{instant}[.delta].parquet` names and collect stats.
+    * O(files-written) driver renames — the commit protocol itself.
+    */
+  private def publishStaged(
+      staging: Path,
+      instantTs: String,
+      groupedByFile: Boolean,
+      deltaGroups: Set[String]): Seq[WriteFileInfo] = {
+    val fs = table.storage.fs
+    val conf = table.storage.conf
+    if (!fs.exists(staging)) return Seq.empty
+    val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    var newGroupSeq = 0
+
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = decodeStageValue(
+        partDir.getPath.getName.stripPrefix(StagePartCol + "="))
+      val leafDirs =
+        if (groupedByFile) fs.listStatus(partDir.getPath).filter(_.isDirectory).toSeq
+        else Seq(partDir)
+      leafDirs.foreach { leaf =>
+        val fileId =
+          if (groupedByFile)
+            decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
+          else null
+        val parts = fs.listStatus(leaf.getPath)
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .sortBy(_.getPath.getName)
+        if (groupedByFile) require(parts.length <= 1,
+          s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
+        parts.foreach { st =>
+          val id = if (fileId != null) fileId
+          else {
+            val fid = newFileId(instantTs, newGroupSeq) // bulk path: fresh group
+            newGroupSeq += 1
+            fid
+          }
+          val isDelta = deltaGroups.contains(id)
+          val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
+          val dest = table.storage.dataFilePath(partition, name)
+          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          val records = parquetRecordCount(dest, conf)
+          out += WriteFileInfo(partition, id, name, records, st.getLen, isDelta)
+        }
+      }
+    }
+    out.toSeq
+  }
+}
+
+object GraftWriteClient {
+  /** One insert-assignment bucket: rows with rn in [lo, hi) of `partition`
+    * go to file group `fileId`; `existing` = small-file append target.
+    */
+  final case class InsertRange(
+      partition: String, lo: Long, hi: Long, fileId: String, existing: Boolean)
+
+  // transient planning columns (never persisted)
+  val ColKey = "_g_key"
+  val ColPart = "_g_part"
+  val ColTargetFile = "_g_target_file"
+  val ColRank = "_g_rank"
+  val StagePartCol = "_gp"
+  val StageFileCol = "_gf"
+  val BaseSuffix = ".parquet"
+  val DeltaSuffix = ".delta.parquet"
+  val SchemaColsKey = "schema_cols"
+
+  /** fileId = basename up to the first '_' (fileIds contain no '_'). */
+  def fileIdOfInputFile: Column =
+    regexp_extract(input_file_name(), "([^/_]+)_[^/]*$", 1)
+
+  def newFileId(instantTs: String, seq: Int): String =
+    f"$instantTs-$seq%05d"
+
+  def parquetRecordCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
+    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try r.getRecordCount finally r.close()
+  }
+
+  /** Undo Spark's partition-dir escaping (%xx; no '+'-for-space). */
+  def decodeStageValue(v: String): String =
+    if (v == "__HIVE_DEFAULT_PARTITION__") ""
+    else java.net.URLDecoder.decode(v.replace("+", "%2B"), "UTF-8")
+}

@@ -1,0 +1,28 @@
+package graft.write
+
+/** Writer tuning knobs, defaults mirroring the reference's sizing
+  * invariants (see BASELINE.md):
+  *  - 120 MB target base file (hoodie.parquet.max.file.size)
+  *  - 100 MB small-file threshold (hoodie.parquet.small.file.limit)
+  *  - compact every 5 delta commits (hoodie.compact.inline.max.delta.commits)
+  *  - retain 10 commits on clean (hoodie.cleaner.commits.retained)
+  */
+final case class WriteConfig(
+    targetFileSizeBytes: Long = 120L * 1024 * 1024,
+    smallFileLimitBytes: Long = 100L * 1024 * 1024,
+    defaultRecordSizeBytes: Long = 1024L,
+    combineBeforeUpsert: Boolean = true,
+    combineBeforeInsert: Boolean = false,
+    /** bulk_insert sort: "global" | "partition" | "none"
+      * (ref: BulkInsertSortMode.java:24-29) */
+    bulkInsertSortMode: String = "global",
+    /** Output parallelism for bulk loads; 0 = Spark default parallelism. */
+    parallelism: Int = 0,
+    /** MOR: run inline compaction after this many delta commits; 0 = off. */
+    inlineCompactDeltaCommits: Int = 5,
+    /** Run inline clean after each commit; retains `cleanRetainCommits`. */
+    inlineClean: Boolean = false,
+    cleanRetainCommits: Int = 10,
+    /** Active-timeline archive bounds (hoodie.keep.{min,max}.commits). */
+    archiveMinCommits: Int = 20,
+    archiveMaxCommits: Int = 30)

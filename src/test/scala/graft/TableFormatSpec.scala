@@ -1,0 +1,255 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReadClient
+import graft.services.TableServices
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** End-to-end table-format semantics, mirroring the reference's
+  * functional datasource tests (ref: TestCOWDataSource.scala:81-766,
+  * TestMORDataSource.scala:77-686): write->read round trips, upsert
+  * merge, delete, incremental pull, time travel, replace-commits,
+  * compaction, clean and rollback.
+  */
+class TableFormatSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def orders: DataFrame = spark.read.parquet(s"$sf/orders.parquet")
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_test_").toString
+
+  private def cowConfig = GraftTableConfig(
+    tableName = "t", tableType = GraftTableType.Cow,
+    recordKeyFields = Seq("o_orderkey"),
+    partitionFields = Seq("o_orderpriority"),
+    precombineField = Some("o_totalprice"))
+
+  private def morConfig = cowConfig.copy(tableType = GraftTableType.Mor)
+
+  // small target size to force multiple file groups at test scale
+  private val wc = WriteConfig(
+    targetFileSizeBytes = 256 * 1024,
+    smallFileLimitBytes = 200 * 1024,
+    defaultRecordSizeBytes = 64,
+    parallelism = 4,
+    inlineCompactDeltaCommits = 0)
+
+  test("COW: bulk_insert -> snapshot round trip") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    new GraftWriteClient(t, wc).bulkInsert(orders)
+    val read = new GraftReadClient(t)
+    val got = read.snapshotData()
+    assert(got.count() === orders.count())
+    // full content equality
+    assert(got.select(orders.columns.map(col).toSeq: _*)
+      .exceptAll(orders).count() === 0)
+    assert(orders.exceptAll(got.select(orders.columns.map(col).toSeq: _*)).count() === 0)
+    // multiple file groups were produced and sized
+    val slices = t.view.latestSlices(None)
+    assert(slices.size > 1)
+    assert(slices.forall(_.base.isDefined))
+  }
+
+  test("COW: upsert merges updates and routes inserts; delete removes keys") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders)
+
+    // update: bump totalprice on even keys; insert: new keys beyond max
+    val updates = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val inserts = orders.limit(50)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey))
+    val c2 = w.upsert(updates.unionByName(inserts))
+
+    val read = new GraftReadClient(t)
+    val snap = read.snapshotData()
+    assert(snap.count() === orders.count() + 50)
+    // updated rows carry the new price
+    val updated = snap.filter(col("o_orderkey") % 2 === 0 && col("o_orderkey") <= maxKey)
+    val expectUpdated = orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    assert(updated.exceptAll(expectUpdated).count() === 0)
+    assert(expectUpdated.exceptAll(updated).count() === 0)
+
+    // incremental pull of commit 2 returns exactly the touched rows
+    val inc = read.dataOnly(read.incremental(c1))
+    assert(inc.count() === updates.count() + 50)
+
+    // time travel to commit 1 returns the original table
+    val asOf = read.dataOnly(read.snapshot(Some(c1)))
+    assert(asOf.exceptAll(orders).count() === 0)
+    assert(orders.exceptAll(asOf).count() === 0)
+
+    // delete one third of the keys
+    val delKeys = orders.filter(col("o_orderkey") % 3 === 0).select("o_orderkey", "o_orderpriority")
+    w.delete(delKeys)
+    val afterDelete = read.snapshotData()
+    assert(afterDelete.filter(col("o_orderkey") % 3 === 0 && col("o_orderkey") <= maxKey).count() === 0)
+    assert(c2.nonEmpty)
+  }
+
+  test("COW: precombine dedups incoming batch keeping max ordering value") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val dup = orders.withColumn("o_totalprice", col("o_totalprice") - 1.0)
+    w.upsert(orders.unionByName(dup)) // duplicates in one batch
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === orders.count())
+    // kept the higher-ordering version
+    assert(snap.exceptAll(orders).count() === 0)
+  }
+
+  test("COW: insert_overwrite replaces only touched partitions; delete_partition drops one") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val parts = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).sorted
+    val target = parts.head
+
+    val replacement = orders.filter(col("o_orderpriority") === target).limit(10)
+    w.insertOverwrite(replacement)
+    val read = new GraftReadClient(t)
+    val snap1 = read.snapshotData()
+    assert(snap1.filter(col("o_orderpriority") === target).count() === 10)
+    assert(snap1.filter(col("o_orderpriority") =!= target).count() ===
+      orders.filter(col("o_orderpriority") =!= target).count())
+
+    w.deletePartitions(Seq(parts.last))
+    val snap2 = read.snapshotData()
+    assert(snap2.filter(col("o_orderpriority") === parts.last).count() === 0)
+  }
+
+  test("COW: small-file packing appends inserts into existing small groups") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(100))
+    val groupsBefore = t.view.latestSlices(None).map(_.fileId).toSet
+    // small insert should go into existing small files, not new groups
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    w.insert(orders.limit(20).withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)))
+    val groupsAfter = t.view.latestSlices(None).map(_.fileId).toSet
+    assert(groupsBefore === groupsAfter) // bin-packed, no new group
+    assert(new GraftReadClient(t).snapshotData().count() === 120)
+  }
+
+  test("MOR: delta commits merge on read; compaction folds them into base") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+
+    val updates = orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 77.0)
+    w.upsert(updates)
+    val read = new GraftReadClient(t)
+
+    // snapshot merges deltas
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 77.0)
+        .otherwise(col("o_totalprice")))
+    val snap = read.snapshotData()
+    assert(snap.count() === orders.count())
+    assert(snap.exceptAll(expect).count() === 0)
+
+    // read-optimized sees only base files (pre-update values)
+    val ro = read.dataOnly(read.readOptimized())
+    assert(ro.exceptAll(orders).count() === 0)
+
+    // delta files exist before compaction, none after
+    assert(t.view.latestSlices(None).exists(_.deltas.nonEmpty))
+    val svc = new TableServices(t, wc)
+    assert(svc.compact().nonEmpty)
+    assert(t.view.latestSlices(None).forall(_.deltas.isEmpty))
+    val snapAfter = read.snapshotData()
+    assert(snapAfter.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snapAfter).count() === 0)
+
+    // MOR delete via tombstone delta
+    val delKeys = orders.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey", "o_orderpriority")
+    w.delete(delKeys)
+    assert(read.snapshotData().filter(col("o_orderkey") % 7 === 0).count() === 0)
+  }
+
+  test("services: clean removes obsolete versions; rollback undoes last commit") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(200))
+    (1 to 3).foreach { i =>
+      w.upsert(orders.limit(200)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    }
+    val read = new GraftReadClient(t)
+    val svc = new TableServices(t, wc)
+
+    // rollback the last upsert (materialize "before" eagerly — rollback
+    // physically deletes the files backing the lazy plan)
+    val beforeSum = read.snapshotData().agg(sum("o_totalprice")).head.getDouble(0)
+    val last = t.timeline.completedData.last.ts
+    svc.rollback(last)
+    val afterSum = read.snapshotData().agg(sum("o_totalprice")).head.getDouble(0)
+    assert(afterSum < beforeSum)
+
+    // clean with retain=1 deletes older file versions from storage
+    val allVersions = t.view.allFilesByGroup.values.flatten.size
+    assert(svc.clean(retainCommits = 1).nonEmpty)
+    val live = t.view.latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas)
+    live.foreach { f =>
+      assert(t.storage.exists(t.storage.dataFilePath(f.partition, f.fileName)))
+    }
+    assert(read.snapshotData().count() === 200)
+    assert(allVersions > live.size)
+  }
+
+  test("cluster: consolidates small groups under a replacecommit") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(targetFileSizeBytes = 64 * 1024))
+    w.bulkInsert(orders)
+    val groupsBefore = t.view.latestSlices(None).size
+    val svc = new TableServices(t, wc.copy(targetFileSizeBytes = 10 * 1024 * 1024,
+      smallFileLimitBytes = 8 * 1024 * 1024))
+    assert(svc.cluster(Seq("o_orderkey")).nonEmpty)
+    val groupsAfter = t.view.latestSlices(None).size
+    assert(groupsAfter < groupsBefore)
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === orders.count())
+    assert(snap.exceptAll(orders).count() === 0)
+  }
+
+  test("filterExists keeps only unseen keys") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(100))
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val probe = orders.limit(100).unionByName(
+      orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)))
+    assert(w.filterExists(probe).count() === 10)
+  }
+}
