@@ -23,6 +23,39 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 
   def isMor: Boolean = config.tableType == GraftTableType.Mor
 
+  /** Data-column schema persisted by the most recent data commit (the
+    * reference carries the writer schema in every commit's metadata —
+    * ref: hudi-common/.../model/HoodieCommitMetadata.java + the
+    * `hoodie.avro.schema.validate` evolution check). Readers pass it to
+    * `spark.read.schema(...)` so mixed-footer scans and null-filled
+    * evolution columns are always correctly typed.
+    */
+  def storedDataSchema: Option[org.apache.spark.sql.types.StructType] = {
+    val active = timeline.completedData.lastOption
+      .map(i => timeline.metadataOf(i).schemaJson)
+      .filter(_.nonEmpty)
+    lazy val archived = storage
+      .listNames(storage.archiveDir)
+      .filter(_.endsWith(".manifest"))
+      .sorted.lastOption
+      .map(n => Json.readCommitMetadata(
+        storage.readString(new Path(storage.archiveDir, n))).schemaJson)
+      .filter(_.nonEmpty)
+    active.orElse(archived)
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+  }
+
+  /** Full physical schema of stored files: meta columns ++ data columns. */
+  def storedFileSchema: Option[org.apache.spark.sql.types.StructType] =
+    storedDataSchema.map { data =>
+      import org.apache.spark.sql.types._
+      StructType(
+        MetaColumns.All.map(StructField(_, StringType)) ++
+          Seq(StructField(MetaColumns.IsDeleted, BooleanType)) ++
+          data.fields)
+    }
+
   /** Build the current file-system view: latest archived manifest (if any)
     * + active completed data instants after it. The manifest is a
     * Delta-style checkpoint written at archive time so that view
@@ -35,13 +68,22 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       .sorted
     val base: Seq[(GraftInstant, GraftCommitMetadata)] = manifests.lastOption match {
       case Some(name) =>
-        val ts = name.stripSuffix(".manifest")
         val meta = Json.readCommitMetadata(
           storage.readString(new Path(storage.archiveDir, name)))
-        Seq((GraftInstant(ts, GraftAction.Commit, GraftState.Completed), meta))
+        // Re-expand the manifest into one synthetic instant per original
+        // write instant (parsed from the file names) — collapsing them all
+        // under the archive ts would break MOR base-vs-delta ordering
+        // (latestSlices keeps deltas only when delta ts > base ts).
+        meta.files
+          .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
+          .toSeq.sortBy(_._1)
+          .map { case (its, fs) =>
+            (GraftInstant(its, GraftAction.Commit, GraftState.Completed),
+              meta.copy(instant = its, files = fs))
+          }
       case None => Seq.empty
     }
-    val afterTs = base.headOption.map(_._1.ts).getOrElse("")
+    val afterTs = manifests.lastOption.map(_.stripSuffix(".manifest")).getOrElse("")
     val active = timeline.completedData
       .filter(_.ts > afterTs)
       .map(i => (i, timeline.metadataOf(i)))
@@ -50,6 +92,16 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 
   def dataFilePaths(files: Seq[WriteFileInfo]): Seq[String] =
     files.map(f => storage.dataFilePath(f.partition, f.fileName).toString)
+
+  /** Read table data files with the stored schema applied — footer
+    * sampling is never trusted for the table schema, so scans over files
+    * written before a schema evolution still surface the full current
+    * schema (missing columns read as typed nulls).
+    */
+  def readDataFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
+    reader.parquet(paths: _*)
+  }
 }
 
 object GraftTable {

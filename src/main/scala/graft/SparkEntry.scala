@@ -39,6 +39,16 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events table with nano-precision `ts` surfaced as exact microsecond
+    * columns: `_us` (long micros) and `_ts` (timestamp).
+    */
+  private def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events")
+      .withColumn("_us", expr("ts div 1000"))
+      .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+  }
+
   private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
   private def dbl(c: Column): Column = c.cast("double")
   private def ts(lit0: String): Column = lit(lit0).cast("timestamp")
@@ -163,9 +173,13 @@ object SparkEntry {
           dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
     }),
 
+    // The events fixture is written with parquet TIMESTAMP(NANOS), which
+    // Spark refuses by default; we read nanos as long and convert to
+    // microseconds with integer division (exactly DuckDB's nanos->micros
+    // truncation, so oracles agree to the microsecond).
     "q_events_daily" -> ((s, dir) => {
-      T(s, dir, "events")
-        .groupBy(col("event_type"), to_date(col("ts")).as("event_date"))
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("_ts")).as("event_date"))
         .agg(
           count(lit(1)).as("n"),
           dbl(sum(dec(col("value"), 25, 6))).as("sum_value"),
@@ -174,8 +188,8 @@ object SparkEntry {
 
     "q_events_latest" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
-      T(s, dir, "events")
+      val w = Window.partitionBy("user_id").orderBy(col("_us").desc, col("event_id").desc)
+      events(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("user_id"), col("event_type").as("last_event_type"), col("value").as("last_value"))
@@ -183,11 +197,11 @@ object SparkEntry {
 
     "q_events_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      T(s, dir, "events")
-        .withColumn("gap", col("ts").cast("double") - lag(col("ts").cast("double"), 1).over(w))
+      val w = Window.partitionBy("user_id").orderBy(col("_us"), col("event_id"))
+      events(s, dir)
+        .withColumn("gap_us", col("_us") - lag(col("_us"), 1).over(w))
         .withColumn("new_session",
-          when(col("gap").isNull || col("gap") > 1800.0, 1).otherwise(0))
+          when(col("gap_us").isNull || col("gap_us") > 1800L * 1000000L, 1).otherwise(0))
         .groupBy("user_id")
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     }),
@@ -325,8 +339,8 @@ object SparkEntry {
 
     "doc_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.4)
-        .select("id_a", "id_b")
+        shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.6)
+        .select("id_a", "id_b", "jaccard")
     }),
 
     "doc_simhash_pairs" -> ((s, dir) => {
@@ -336,8 +350,8 @@ object SparkEntry {
 
     "doc_jaccard_pairs" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
-        shingleLen = 5, threshold = 0.6)
-        .select("id_a", "id_b")
+        shingleLen = 5, threshold = 0.6, maxShingleDf = 100)
+        .select("id_a", "id_b", "jaccard")
     }),
 
     "doc_fingerprint_dups" -> ((s, dir) => {
@@ -361,17 +375,33 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // The fixture embeddings are near-orthogonal random vectors (max
+    // pairwise cosine ~0.51), so near-dup structure is PLANTED inside the
+    // query: exact copies at vec_id + 1_000_000. The DuckDB oracle
+    // replicates the planting and independently recomputes cosine, so the
+    // check is exact, not circular: LSH bucketing must surface every
+    // planted pair through its pruned candidate join.
     "emb_ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val q = emb.orderBy("vec_id").select("embedding").head
-        .getSeq[Float](0).map(_.toDouble).toSeq
-      Similarity.annTopK(emb, "embedding", "vec_id", q, 50, numPlanes = 8)
+      val minId = emb.agg(min("vec_id")).head.getLong(0)
+      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      val qf = qRow.getSeq[Float](0)
+      val q = qf.map(_.toDouble).toSeq
+      val copies = s.range(60).select(
+        (col("id") + lit(1000000L)).as("vec_id"),
+        typedLit(qf).as("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      Similarity.annTopK(aug, "embedding", "vec_id", q, 50, numPlanes = 8)
         .select("vec_id")
     }),
 
     "emb_near_dups" -> ((s, dir) => {
-      Similarity.cosineNearDups(T(s, dir, "embeddings"), "embedding", "vec_id",
-        threshold = 0.9, numPlanes = 12)
+      val emb = T(s, dir, "embeddings")
+      val copies = emb.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + lit(1000000L)).as("vec_id"), col("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      Similarity.cosineNearDups(aug, "embedding", "vec_id",
+        threshold = 0.8, numPlanes = 12)
         .select("id_a", "id_b")
     }),
 
@@ -396,6 +426,21 @@ object SparkEntry {
     s"SELECT o_orderkey, o_custkey, o_orderstatus, $totalExpr, o_orderdate, o_orderpriority FROM orders"
 
   private val duckNorm = raw"lower(trim(regexp_replace(text, '\s+', ' ', 'g')))"
+
+  /** Exact char-5-shingle Jaccard pairs at threshold 0.6 (shared oracle
+    * for the MinHash and inverted-index near-dup strategies).
+    */
+  private val duckJaccardPairs =
+    s"""WITH d AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         CASE WHEN length(norm) < 5 THEN norm ELSE substr(norm, CAST(i AS INT), 5) END AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, greatest(length(norm)-3, 2))) AS i) t),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared::DOUBLE / (ca.n + cb.n - shared) AS jaccard
+       |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.6""".stripMargin
   private val duckTokens = raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
   private def duckStops(l: Seq[String]): String =
     l.map("'" + _ + "'").mkString("[", ", ", "]")
@@ -465,11 +510,11 @@ object SparkEntry {
 
     "q_events_sessions" ->
       """SELECT user_id,
-        |  CAST(sum(CASE WHEN prev_e IS NULL OR e - prev_e > 1800.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |  CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
         |  count(*) AS n_events
         |FROM (
-        |  SELECT user_id, epoch(ts) AS e,
-        |    lag(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_e
+        |  SELECT user_id, epoch_us(ts) AS us,
+        |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
         |  FROM events)
         |GROUP BY user_id""".stripMargin,
 
@@ -537,12 +582,56 @@ object SparkEntry {
          |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
          |WHERE n > 1""".stripMargin,
 
+    // exact 5-char-shingle Jaccard pairs >= 0.6 — the independent ground
+    // truth for BOTH near-dup candidate strategies (MinHash+LSH banding
+    // and the inverted-index join); the engines must emit identical pairs
+    // with bit-identical jaccard values (int-set sizes, one double div).
+    "doc_minhash_pairs" -> duckJaccardPairs,
+    "doc_jaccard_pairs" -> duckJaccardPairs,
+
+    // full independent SimHash recomputation: same md5-derived 60-bit
+    // token hashes, same +1/-1 bit votes, same 60-bit signature packing.
+    "doc_simhash_pairs" ->
+      s"""WITH d AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+         |tk AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM d),
+         |h AS (SELECT doc_id, CAST(list_sum(list_transform(range(1,16), i ->
+         |  (strpos('0123456789abcdef', substr(md5(t), CAST(i AS INT), 1))-1)::UBIGINT
+         |    * (1::UBIGINT << CAST((15-i)*4 AS INT)))) AS UBIGINT) AS h FROM tk),
+         |v AS (SELECT doc_id, b, sum(CASE WHEN (h >> CAST(b AS INT)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h, range(60) r(b) GROUP BY 1, 2),
+         |sig AS (SELECT doc_id, CAST(sum(CASE WHEN vote > 0 THEN (1::UBIGINT << CAST(b AS INT)) ELSE 0::UBIGINT END) AS UBIGINT) AS sig
+         |  FROM v GROUP BY 1)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 3""".stripMargin,
+
     "emb_topk_cosine" ->
       """SELECT vec_id FROM embeddings
         |ORDER BY list_cosine_similarity(embedding,
         |  (SELECT embedding FROM embeddings
         |   WHERE vec_id = (SELECT min(vec_id) FROM embeddings))) DESC, vec_id
         |LIMIT 50""".stripMargin,
+
+    "emb_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings
+        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL
+        |        SELECT 1000000 + i AS vec_id, (SELECT qv FROM q) AS embedding
+        |        FROM range(60) r(i))
+        |SELECT vec_id FROM aug, q
+        |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+        |LIMIT 50""".stripMargin,
+
+    "emb_near_dups" ->
+      """WITH aug AS (SELECT vec_id, embedding FROM embeddings
+        |             UNION ALL
+        |             SELECT vec_id + 1000000, embedding FROM embeddings
+        |             WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8""".stripMargin,
 
     "mm_image_meta" ->
       """SELECT doc_id,

@@ -25,6 +25,9 @@ object GraftAction {
   val Restore = "restore"
   /** Actions that add/replace data files and participate in views. */
   val DataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit)
+  /** Every valid instant action (file-name validation). */
+  val All: Set[String] =
+    Set(Commit, DeltaCommit, ReplaceCommit, Clean, Rollback, Savepoint, Restore)
 }
 
 object GraftState {
@@ -45,12 +48,20 @@ final case class GraftInstant(ts: String, action: String, state: String) {
 }
 
 object GraftInstant {
-  /** Parse `<ts>.<action>[.<state>]` file names; None for foreign files. */
+  /** Parse `<ts>.<action>[.<state>]` file names; None for foreign files.
+    * The ts segment must be all digits and the action a known one, so
+    * foreign meta files (`table_config.json`, `.temp`, …) are never
+    * mistaken for completed instants.
+    */
   def fromFileName(name: String): Option[GraftInstant] = {
     val parts = name.split('.')
+    def valid(ts: String, action: String): Boolean =
+      ts.nonEmpty && ts.forall(_.isDigit) && GraftAction.All.contains(action)
     parts.length match {
-      case 2 => Some(GraftInstant(parts(0), parts(1), GraftState.Completed))
-      case 3 if parts(2) == GraftState.Requested || parts(2) == GraftState.Inflight =>
+      case 2 if valid(parts(0), parts(1)) =>
+        Some(GraftInstant(parts(0), parts(1), GraftState.Completed))
+      case 3 if valid(parts(0), parts(1)) &&
+        (parts(2) == GraftState.Requested || parts(2) == GraftState.Inflight) =>
         Some(GraftInstant(parts(0), parts(1), parts(2)))
       case _ => None
     }

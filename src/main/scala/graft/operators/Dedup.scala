@@ -12,8 +12,12 @@ import graft.functions.TextFunctions._
   * Design for 100 TB: every variant is shuffle-bounded by banding/
   * bucketing — candidate generation is an equi-join on (band, signature)
   * buckets, never an all-pairs comparison; exact-verification joins touch
-  * candidate pairs only. No UDFs: MinHash signatures are built from
-  * `xxhash64` + higher-order array functions, fully codegen'd.
+  * candidate pairs only. No UDFs and — deliberately — no higher-order
+  * array functions on the hot path: Spark does not codegen HOFs, so
+  * MinHash/SimHash signatures are computed RELATIONALLY (explode once,
+  * aggregate with N plain codegen'd agg expressions), which also
+  * guarantees the shingle/token pipeline is evaluated exactly once per
+  * row instead of once per hash seed.
   */
 object Dedup {
 
@@ -28,20 +32,45 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** MinHash signature: for each of `numHashes` seeded hash functions,
-    * the min over the document's shingle set. Pure expression:
-    * shingles -> transform(seed-range, s -> min over hashes).
+  /** (id, shingle-set array, set size) per document — shingles computed
+    * exactly once per doc behind an explode/collect boundary.
     */
-  private def minhashSig(shingles: Column, numHashes: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)), seed =>
-      array_min(transform(shingles, s => xxhash64(s, seed))))
+  private def docShingles(
+      df: DataFrame, textCol: String, idCol: String, shingleLen: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      charShingles(col(textCol), shingleLen).as("sh"))
+      .withColumn("n", size(col("sh")))
 
-  /** MinHash + LSH near-duplicate pairs.
+  /** Exact-Jaccard verification of candidate pairs: join the full shingle
+    * sets back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
+    */
+  private def verifyJaccard(
+      candidates: DataFrame, // (id_a, id_b)
+      shingles: DataFrame,   // (id, sh, n)
+      threshold: Double): DataFrame = {
+    val sa = shingles.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+    val sb = shingles.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+    candidates
+      .join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash + LSH near-duplicate pairs, exact-verified.
     * Pipeline (the standard shingle->minhash->band->bucket-join shape):
-    *  1. per doc: shingle set, `numHashes` minhashes, `bands` band keys
-    *  2. explode band keys; equi-join docs sharing a (band, key) bucket
-    *  3. estimate Jaccard as matching-minhash fraction; keep >= threshold
-    * Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *  1. explode shingles once; one groupBy(id) computes all `numHashes`
+    *     minhashes as plain `min(xxhash64(s, seed))` agg expressions —
+    *     map-side combined, whole-stage codegen'd
+    *  2. band keys hash `rows` consecutive signature slots; docs sharing
+    *     a (band, key) bucket become candidate pairs
+    *  3. candidates are verified by EXACT shingle Jaccard >= threshold
+    * Returns (id_a, id_b, jaccard) with id_a < id_b. Output is therefore
+    * deterministic and engine-independent (modulo the astronomically
+    * small LSH miss probability at high Jaccard: with 16 bands of 4 rows
+    * a 0.9-Jaccard pair is missed with p ≈ 4e-8).
     */
   def minhashNearDups(
       df: DataFrame,
@@ -52,87 +81,111 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sigs = df
-      .select(col(idCol).as("id"), charShingles(col(textCol), shingleLen).as("sh"))
-      .withColumn("sig", minhashSig(col("sh"), numHashes))
-      .withColumn("bands", transform(sequence(lit(0), lit(bands - 1)), b =>
-        xxhash64(concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))), b)))
-      .select(col("id"), col("sig"), posexplode(col("bands")).as(Seq("band", "bkey")))
+    val shingles = docShingles(df, textCol, idCol, shingleLen)
+    val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
+    val minAggs = (0 until numHashes).map(i =>
+      min(xxhash64(col("s"), lit(i))).as(s"_h$i"))
+    val sigs = exploded.groupBy("id")
+      .agg(minAggs.head, minAggs.tail: _*)
+      .select(col("id") +: (0 until bands).map { b =>
+        val slots = (0 until rows).map(r => col(s"_h${b * rows + r}").cast("string"))
+        xxhash64(concat_ws(",", slots: _*), lit(b)).as(s"_b$b")
+      }: _*)
+      .select(col("id"), posexplode(
+        array((0 until bands).map(b => col(s"_b$b")): _*)).as(Seq("band", "bkey")))
 
-    val a = sigs.select(col("band"), col("bkey"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = sigs.select(col("band"), col("bkey"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bkey"))
+    val a = sigs.select(col("band"), col("bkey"), col("id").as("id_a"))
+    val b = sigs.select(col("band"), col("bkey"), col("id").as("id_b"))
+    val candidates = a.join(b, Seq("band", "bkey"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select("id_a", "id_b")
       .distinct()
-      .withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"),
-          (x, y) => when(x === y, lit(1)).otherwise(lit(0))),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
-      .filter(col("est_jaccard") >= threshold)
-      .select("id_a", "id_b", "est_jaccard")
+    verifyJaccard(candidates, shingles, threshold)
   }
 
-  /** 64-bit SimHash of the token set: bit i is the sign of the sum of
-    * (+1/-1) votes from each token's hash bit i.
+  /** Cross-engine 60-bit token hash: the first 15 hex chars of md5,
+    * parsed base-16. md5 is identical in every engine (unlike xxhash64),
+    * so SimHash signatures — and thus near-dup pairs — are reproducible
+    * bit-for-bit by the DuckDB oracle.
     */
-  def simhash(c: Column): Column = {
-    val toks = split(normText(c), " ")
-    val hashes = transform(toks, t => xxhash64(t))
-    aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, bit) => {
-        val vote = aggregate(hashes, lit(0L), (a, h) =>
-          a + when(call_function("shiftright", h, bit).bitwiseAND(1) === 1, 1L)
-            .otherwise(-1L))
-        acc + when(vote > 0, call_function("shiftleft", lit(1L), bit)).otherwise(lit(0L))
-      })
+  def tokenHash60(t: Column): Column =
+    conv(substring(md5(t), 1, 15), 16, 10).cast("long")
+
+  private val SimhashBits = 60
+  private val SimhashChunks = 4 // 4 x 15-bit chunks
+
+  /** 60-bit SimHash of the token sequence: bit i is the sign of the sum
+    * of (+1/-1) votes from each token's hash bit i. Computed relationally
+    * (explode tokens once, 60 codegen'd sum aggregates), no HOFs.
+    */
+  def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(split(normText(col(textCol)), " ")).as("t"))
+      .withColumn("h", tokenHash60(col("t")))
+    val voteAggs = (0 until SimhashBits).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_v$b"))
+    val packed = (0 until SimhashBits)
+      .map(b => when(col(s"_v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    toks.groupBy("id")
+      .agg(voteAggs.head, voteAggs.tail: _*)
+      .select(col("id"), packed.as("sig"))
   }
 
-  /** SimHash near-dups: docs whose signatures agree on >= 64 - maxBits
-    * bits. Candidate buckets = 4 x 16-bit chunks (any pair within
-    * hamming distance <= 3 shares at least one chunk).
+  /** SimHash near-dups: pairs whose signatures differ in <= maxBits bits.
+    * Candidate buckets = 4 x 15-bit chunks — by pigeonhole any pair
+    * within hamming distance 3 shares at least one chunk, so candidate
+    * generation is COMPLETE (not probabilistic) while staying an
+    * equi-join, never all-pairs.
     */
   def simhashNearDups(
       df: DataFrame, textCol: String, idCol: String, maxBits: Int = 3): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-      .withColumn("chunk", explode(sequence(lit(0), lit(3))))
+    require(maxBits < SimhashChunks, s"chunk bucketing is complete only for maxBits < $SimhashChunks")
+    val sigs = simhashSigs(df, textCol, idCol)
+      .withColumn("chunk", explode(sequence(lit(0), lit(SimhashChunks - 1))))
       .withColumn("ckey",
-        call_function("shiftright", col("sig"), col("chunk") * 16).bitwiseAND(0xFFFFL))
+        call_function("shiftright", col("sig"), lit(15) * col("chunk")).bitwiseAND(0x7FFFL))
     val a = sigs.select(col("chunk"), col("ckey"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = sigs.select(col("chunk"), col("ckey"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "ckey"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b", "sig_a", "sig_b").distinct()
-      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
       .filter(col("hamming") <= maxBits)
       .select("id_a", "id_b", "hamming")
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs found via a
-    * shared-shingle bucket join (inverted-index style): explode shingles,
-    * equi-join on the shingle, count shared, |A∪B| = |A|+|B|-shared.
+  /** Exact n-gram Jaccard pairs via an inverted-index candidate join:
+    * docs sharing at least one (non-ubiquitous) shingle are candidates,
+    * then exact Jaccard filters to >= threshold.
+    *
+    * `maxShingleDf`: shingles appearing in more than this many documents
+    * are excluded from CANDIDATE GENERATION (a df(s)^2 candidate blowup
+    * on boilerplate shingles is the classic quadratic scale-killer; a
+    * hot-shingle cutoff is standard practice). Verification still uses
+    * the full shingle sets, so reported Jaccard values are exact; a pair
+    * is only missed if ALL its shared shingles are hot — impossible in
+    * practice for near-identical documents at meaningful thresholds.
     */
   def ngramJaccardPairs(
       df: DataFrame,
       textCol: String,
       idCol: String,
       shingleLen: Int = 5,
-      threshold: Double = 0.8): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleLen).as("sh"))
-      .withColumn("n", size(col("sh")))
-    val exploded = sh.select(col("id"), col("n"), explode(col("sh")).as("s"))
-    val a = exploded.select(col("s"), col("id").as("id_a"), col("n").as("n_a"))
-    val b = exploded.select(col("s"), col("id").as("id_b"), col("n").as("n_b"))
-    a.join(b, "s")
+      threshold: Double = 0.8,
+      maxShingleDf: Int = 100): DataFrame = {
+    val shingles = docShingles(df, textCol, idCol, shingleLen)
+    val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
+    val rare = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxShingleDf)
+      .select("s")
+    val indexed = exploded.join(rare, "s")
+    val a = indexed.select(col("s"), col("id").as("id_a"))
+    val b = indexed.select(col("s"), col("id").as("id_b"))
+    val candidates = a.join(b, "s")
       .filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b", "n_a", "n_b")
-      .agg(count(lit(1)).as("shared"))
-      .withColumn("jaccard",
-        col("shared").cast("double") / (col("n_a") + col("n_b") - col("shared")))
-      .filter(col("jaccard") >= threshold)
-      .select("id_a", "id_b", "jaccard")
+      .select("id_a", "id_b")
+      .distinct()
+    verifyJaccard(candidates, shingles, threshold)
   }
 }

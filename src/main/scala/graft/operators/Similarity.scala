@@ -80,21 +80,31 @@ object Similarity {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs via bucket join: candidates
-    * share an LSH bucket; exact cosine filters to >= threshold.
+  /** Embedding-cosine near-duplicate pairs via bucket join with
+    * MULTI-PROBE: side A is exploded into its own bucket plus every
+    * 1-bit-flip probe, so a pair is a candidate if its buckets differ in
+    * at most one plane (recall for a pair at angle θ rises from p^n to
+    * p^n + n·p^(n-1)(1-p), p = 1-θ/π). Exact cosine then filters to
+    * >= threshold — precision is always exact, bucketing affects recall
+    * only. The join stays an equi-join (never all-pairs): candidate
+    * volume is (numPlanes+1)·Σ bucket_size², bounded at scale by the
+    * bucket granularity, not the corpus size.
     */
   def cosineNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
       .withColumn("bucket", lshBucket(col("v"), numPlanes))
-    val a = sigs.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val probes = sigs.withColumn("bucket",
+      explode(array(col("bucket") +:
+        (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))
+    val a = probes.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
     val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "v_a", "v_b").distinct()
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")
-      .distinct()
   }
 }

@@ -40,7 +40,7 @@ final class GraftReadClient(val table: GraftTable) {
   }
 
   private def readFiles(paths: Seq[String]): Option[DataFrame] =
-    if (paths.isEmpty) None else Some(spark.read.parquet(paths: _*))
+    if (paths.isEmpty) None else Some(table.readDataFiles(paths))
 
   private def basePath(s: FileSlice, f: WriteFileInfo): String =
     table.storage.dataFilePath(s.partition, f.fileName).toString
@@ -126,10 +126,14 @@ final class GraftReadClient(val table: GraftTable) {
 
   def snapshotData(asOf: Option[String] = None): DataFrame = dataOnly(snapshot(asOf))
 
+  /** Zero-row frame carrying the full stored schema so downstream column
+    * references still resolve on an empty table.
+    */
   private def emptyFrame(asOf: Option[String]): DataFrame = {
     import org.apache.spark.sql.types.StructType
+    val schema = table.storedFileSchema.getOrElse(new StructType())
     spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], new StructType())
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Point lookup: rows whose key is in `keys` — a broadcast semi-join

@@ -52,7 +52,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       val paths = chosen.flatMap(s =>
         (s.base.toSeq ++ s.deltas).map(f =>
           table.storage.dataFilePath(s.partition, f.fileName).toString))
-      val df = spark.read.parquet(paths: _*)
+      val df = table.readDataFiles(paths)
         .withColumn(GraftWriteClient.ColTargetFile, GraftWriteClient.fileIdOfInputFile)
 
       // latest-wins per key within each file group; tombstones dropped for
@@ -90,7 +90,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         files = written,
         totalRecords = totalRecords,
         avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-        extra = lastSchemaExtra))
+        schemaJson = lastSchemaJson))
       table.storage.delete(staging, recursive = true)
       Some(ts)
     } catch {
@@ -135,11 +135,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       col(MetaColumns.CommitSeqno).desc)
   }
 
-  private def lastSchemaExtra: Map[String, String] =
+  private def lastSchemaJson: String =
     table.timeline.completedData.lastOption
-      .map(i => table.timeline.metadataOf(i).extra)
-      .filter(_.contains(GraftWriteClient.SchemaColsKey))
-      .getOrElse(Map.empty)
+      .map(i => table.timeline.metadataOf(i).schemaJson)
+      .getOrElse("")
 
   // =====================================================================
   // Clustering: sort-rewrite small file groups for locality, committed as
@@ -159,7 +158,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val chosen = byPartition.values.flatten.toSeq
     val paths = chosen.flatMap(s => s.base.map(f =>
       table.storage.dataFilePath(s.partition, f.fileName).toString))
-    val df = spark.read.parquet(paths: _*)
+    val df = table.readDataFiles(paths)
     val sortCols =
       if (sortColumns.nonEmpty) sortColumns.map(col)
       else Seq(col(MetaColumns.RecordKey))
@@ -188,7 +187,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         files = written, replacedFileIds = replaced,
         totalRecords = totalRecords,
         avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-        extra = lastSchemaExtra))
+        schemaJson = lastSchemaJson))
       table.storage.delete(staging, recursive = true)
       Some(ts)
     } catch {
@@ -236,18 +235,32 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val savepoints = tl.completed.filter(_.action == GraftAction.Savepoint).map(_.ts)
     val floor = (savepoints :+ earliestRetained).min
 
+    // file groups invalidated by a replacecommit older than the floor are
+    // permanently dead — no retained or savepointed view can resolve them
+    // (the reference cleaner reclaims replaced groups the same way)
+    val replacedDead: Set[(String, String)] = (for {
+      i <- dataCommits if i.ts < floor
+      meta = tl.metadataOf(i)
+      (part, ids) <- meta.replacedFileIds
+      id <- ids
+    } yield (part, id)).toSet
+
     val deletable = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
-    table.view.allFilesByGroup.foreach { case ((_, _), versions) =>
-      val bases = versions.filter(!_._2.isDelta).sortBy(_._1)
-      // a base file is deletable if a newer base version exists at ts <= floor
-      val keepFrom = bases.takeWhile(_._1 < floor) match {
-        case older if older.nonEmpty => older.last._1 // latest version still needed
-        case _                       => ""
-      }
-      bases.foreach { case (bts, f) => if (bts < keepFrom) deletable += f }
-      // deltas compacted into a retained base are obsolete
-      versions.filter(_._2.isDelta).foreach { case (dts, f) =>
-        if (dts <= keepFrom && keepFrom.nonEmpty) deletable += f
+    table.view.allFilesByGroup.foreach { case ((part, fileId), versions) =>
+      if (replacedDead.contains((part, fileId))) {
+        versions.foreach { case (_, f) => deletable += f }
+      } else {
+        val bases = versions.filter(!_._2.isDelta).sortBy(_._1)
+        // a base file is deletable if a newer base version exists at ts <= floor
+        val keepFrom = bases.takeWhile(_._1 < floor) match {
+          case older if older.nonEmpty => older.last._1 // latest version still needed
+          case _                       => ""
+        }
+        bases.foreach { case (bts, f) => if (bts < keepFrom) deletable += f }
+        // deltas compacted into a retained base are obsolete
+        versions.filter(_._2.isDelta).foreach { case (dts, f) =>
+          if (dts <= keepFrom && keepFrom.nonEmpty) deletable += f
+        }
       }
     }
     if (deletable.isEmpty) return None
@@ -332,7 +345,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
   def archive(minCommits: Int = 20, maxCommits: Int = 30): Option[String] = {
     val tl = table.timeline
-    val completed = tl.completed
+    // savepoints stay on the active timeline — archiving one would lose
+    // the cleaner's savepoint floor protection
+    val completed = tl.completed.filterNot(_.action == GraftAction.Savepoint)
     if (completed.size <= maxCommits) return None
     val toArchive = completed.dropRight(minCommits)
     if (toArchive.isEmpty) return None
@@ -344,7 +359,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val manifest = GraftCommitMetadata(
       instant = archiveTs, action = GraftAction.Commit, operation = "manifest",
       files = liveFiles,
-      extra = lastSchemaExtra)
+      schemaJson = lastSchemaJson)
     if (!table.storage.fs.exists(table.storage.archiveDir))
       table.storage.fs.mkdirs(table.storage.archiveDir)
     table.storage.overwrite(

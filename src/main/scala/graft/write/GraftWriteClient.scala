@@ -148,10 +148,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       dedupIncoming: Boolean,
       deleteOp: Boolean): String = {
 
-    val dataCols = storedDataColumns.getOrElse(df.columns.toSeq)
+    val aligned = alignSchema(df, table.storedDataSchema)
+    val dataSchema = aligned.schema
+    val dataCols = dataSchema.fieldNames.toSeq
     val instant = begin(if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
     try {
-      val prepared = withMetaColumns(alignSchema(df, dataCols), instant.ts, deleteOp)
+      val prepared = withMetaColumns(aligned, instant.ts, deleteOp)
 
       val deduped =
         if (dedupIncoming) dedupByKey(prepared, dataCols)
@@ -207,7 +209,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             }
             if (paths.isEmpty) None
             else Some(
-              spark.read.parquet(paths: _*)
+              table.readDataFiles(paths)
                 .withColumn(ColKey, col(MetaColumns.RecordKey))
                 .withColumn(ColPart, col(MetaColumns.PartitionPath))
                 .withColumn(ColTargetFile, fileIdOfInputFile))
@@ -215,7 +217,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
         val incoming = assigned
         val unioned = oldRows match {
-          case Some(old) => old.unionByName(incoming.select(old.columns.map(col).toSeq: _*))
+          // allowMissingColumns: evolution-added columns absent from old
+          // base files surface as typed nulls
+          case Some(old) => incoming.unionByName(old, allowMissingColumns = true)
           case None      => incoming
         }
 
@@ -244,7 +248,17 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (table.isMor) updateGroups.map(_._2) else Set.empty
 
         val written = writeGrouped(surviving, dataCols, instant.ts, deltaGroups)
-        finishCommit(instant, operation, written, replaced = Map.empty, dataCols)
+        // A rewritten COW group where every row was tombstoned produces no
+        // replacement file; record it as replaced so the old base version
+        // is hidden from readers (the reference always emits a new file
+        // slice per touched group — without this the delete silently
+        // resurrects).
+        val writtenGroups = written.map(w => (w.partition, w.fileId)).toSet
+        val vanished = rewriteGroups -- writtenGroups
+        val replacedMap = vanished.groupBy(_._1).map {
+          case (p, gs) => p -> gs.map(_._2).toSeq
+        }
+        finishCommit(instant, operation, written, replaced = replacedMap, dataSchema)
       } finally tagged.unpersist()
     } catch {
       case e: Throwable => abort(instant); throw e
@@ -262,10 +276,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       operation: String,
       action: String,
       replaced: Map[String, Seq[String]]): String = {
-    val dataCols = storedDataColumns.getOrElse(df.columns.toSeq)
+    val aligned = alignSchema(df, table.storedDataSchema)
+    val dataSchema = aligned.schema
     val instant = begin(action)
     try {
-      val prepared = withMetaColumns(alignSchema(df, dataCols), instant.ts, deleteOp = false)
+      val prepared = withMetaColumns(aligned, instant.ts, deleteOp = false)
       val avgSize = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val recordsPerFile = math.max(1L, wc.targetFileSizeBytes / avgSize)
       val n = if (wc.parallelism > 0) wc.parallelism else spark.sparkContext.defaultParallelism
@@ -280,8 +295,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           prepared.repartition(n, col(ColPart)).sortWithinPartitions(col(ColKey))
         case _ => prepared
       }
-      val written = writeUngrouped(sorted, dataCols, instant.ts, recordsPerFile)
-      finishCommit(instant, operation, written, replaced, dataCols)
+      val written = writeUngrouped(sorted, dataSchema.fieldNames.toSeq, instant.ts, recordsPerFile)
+      finishCommit(instant, operation, written, replaced, dataSchema)
     } catch {
       case e: Throwable => abort(instant); throw e
     }
@@ -313,7 +328,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       operation: String,
       written: Seq[WriteFileInfo],
       replaced: Map[String, Seq[String]],
-      dataCols: Seq[String]): Unit = {
+      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
     val totalRecords = written.map(_.records).sum
     val totalBytes = written.map(_.bytes).sum
     val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
@@ -325,8 +340,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       replacedFileIds = replaced,
       totalRecords = totalRecords,
       avgRecordSize = avg,
-      schemaJson = "",
-      extra = Map(SchemaColsKey -> dataCols.mkString(","))))
+      schemaJson = dataSchema.json))
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 
@@ -348,26 +362,26 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     }
   }
 
-  /** Ordered data columns of the stored schema, if the table has commits. */
-  private def storedDataColumns: Option[Seq[String]] =
-    table.timeline.completedData.lastOption
-      .map(i => table.timeline.metadataOf(i))
-      .flatMap(m => if (m.extra.contains(SchemaColsKey))
-        Some(m.extra(SchemaColsKey).split(",").toSeq.filter(_.nonEmpty))
-      else None)
-
-  /** Project `df` onto the stored column order, null-filling missing
-    * columns (schema evolution: new columns appended; delete batches may
-    * carry keys only).
+  /** Project `df` onto the stored schema order with stored TYPES, null-
+    * filling missing columns (schema evolution: new columns appended;
+    * delete batches may carry keys only). Typed casts are what keep MOR
+    * delta/tombstone files from acquiring untyped void columns — the
+    * reference equivalently carries the writer schema per commit and
+    * validates compatibility (hoodie.avro.schema.validate,
+    * HoodieWriteConfig.java:130-133).
     */
-  private def alignSchema(df: DataFrame, dataCols: Seq[String]): DataFrame = {
-    val existing = df.columns.toSet
-    val newCols = df.columns.toSeq.filterNot(dataCols.contains)
-    val all = dataCols ++ newCols
-    df.select(all.map { c =>
-      if (existing.contains(c)) col(c) else lit(null).as(c)
-    }: _*)
-  }
+  private def alignSchema(df: DataFrame, stored: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+    stored match {
+      case None => df
+      case Some(schema) =>
+        val existing = df.columns.toSet
+        val newCols = df.columns.toSeq.filterNot(schema.fieldNames.contains)
+        df.select(
+          (schema.fields.toSeq.map { f =>
+            if (existing.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } ++ newCols.map(col)): _*)
+    }
 
   /** Inject the 5 meta columns + tombstone flag.
     * (ref: HoodieRecord.java:37-45 meta fields; _hoodie_is_deleted
@@ -420,7 +434,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           StructField(ColPart, StringType),
           StructField(ColTargetFile, StringType))))
     } else {
-      spark.read.parquet(paths: _*)
+      table.readDataFiles(paths)
         .select(
           col(MetaColumns.RecordKey).as(ColKey),
           col(MetaColumns.PartitionPath).as(ColPart),
@@ -615,7 +629,6 @@ object GraftWriteClient {
   val StageFileCol = "_gf"
   val BaseSuffix = ".parquet"
   val DeltaSuffix = ".delta.parquet"
-  val SchemaColsKey = "schema_cols"
 
   /** fileId = basename up to the first '_' (fileIds contain no '_'). */
   def fileIdOfInputFile: Column =
