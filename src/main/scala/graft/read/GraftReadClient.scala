@@ -63,7 +63,7 @@ final class GraftReadClient(val table: GraftTable) {
       val mergedDf = readFiles(
         withDeltas.flatMap(s =>
           (s.base.toSeq ++ s.deltas).map(f => basePath(s, f)))
-      ).map(mergeLatestPerKey)
+      ).map(mergeLatestPerGroup)
       (cleanDf, mergedDf) match {
         case (Some(a), Some(b)) => dropTombstones(a).unionByName(b)
         case (Some(a), None)    => dropTombstones(a)
@@ -102,6 +102,28 @@ final class GraftReadClient(val table: GraftTable) {
           col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
         mergeLatestPerKey(band)
     }
+  }
+
+  /** MOR snapshot merge: cluster dirty rows by their FILE GROUP first
+    * (base and its deltas share the fileId filename prefix), then run the
+    * latest-wins window within (fileId, key). The shuffle is keyed on
+    * (partition, fileId) — each file group merges independently, exactly
+    * the reference's per-slice merge
+    * (ref: HoodieMergeOnReadRDD.scala:196-305) — and HashPartitioning
+    * (part, fileId) satisfies the window's clustering requirement, so no
+    * second shuffle follows.
+    */
+  private def mergeLatestPerGroup(df: DataFrame): DataFrame = {
+    val g = "_g_group"
+    val withG = df.withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+    val w = Window
+      .partitionBy(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey))
+      .orderBy(mergeOrder(df): _*)
+    dropTombstones(
+      withG.repartition(col(MetaColumns.PartitionPath), col(g))
+        .withColumn("_g_rank", row_number().over(w))
+        .filter(col("_g_rank") === 1)
+        .drop("_g_rank", g))
   }
 
   /** Dedup to latest row per (partition, key) and drop tombstones. */

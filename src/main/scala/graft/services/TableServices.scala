@@ -83,11 +83,21 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .parquet(staging.toString)
 
       val written = publishCompacted(staging, ts)
+      // A chosen group whose every row was tombstoned produces no new base
+      // file; record it as replaced so the stale base version is hidden
+      // from read-optimized readers and the group stops being a compaction
+      // candidate (mirror of the COW vanished-group fix).
+      val writtenGroups = written.map(w => (w.partition, w.fileId)).toSet
+      val vanished = chosen.map(s => (s.partition, s.fileId)).toSet -- writtenGroups
+      val replacedMap = vanished.groupBy(_._1).map {
+        case (p, gs) => p -> gs.map(_._2).toSeq
+      }
       val totalRecords = written.map(_.records).sum
       val totalBytes = written.map(_.bytes).sum
       table.timeline.transitionToCompleted(instant, GraftCommitMetadata(
         instant = ts, action = GraftAction.Commit, operation = "compact",
         files = written,
+        replacedFileIds = replacedMap,
         totalRecords = totalRecords,
         avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
         schemaJson = lastSchemaJson))
@@ -105,6 +115,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     if (!fs.exists(staging)) return Seq.empty
+    val counts = GraftWriteClient.stagedFileCounts(spark, staging)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -116,9 +127,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
         parts.foreach { st =>
           val name = s"${fileId}_$ts.parquet"
+          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          val records = GraftWriteClient.parquetRecordCount(dest, table.storage.conf)
           out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
         }
       }
@@ -203,6 +214,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
+    val counts = GraftWriteClient.stagedFileCounts(spark, staging)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -212,9 +224,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .foreach { st =>
           val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
           val name = s"${fileId}_$ts.parquet"
+          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          val records = GraftWriteClient.parquetRecordCount(dest, table.storage.conf)
           out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
         }
     }

@@ -1,8 +1,6 @@
 package graft.write
 
 import org.apache.hadoop.fs.Path
-import org.apache.parquet.hadoop.ParquetFileReader
-import org.apache.parquet.hadoop.util.HadoopInputFile
 import org.apache.spark.sql.{Column, DataFrame, Row, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -446,7 +444,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   import GraftWriteClient.InsertRange
 
   /** Driver-side bin-packing plan: per partition, fill small files up to
-    * target size, then open new file groups.
+    * target size, then open new file groups. Bucket shares are expressed
+    * as fractions of the partition's insert count, so executors can route
+    * rows by key hash without any total ordering.
     * (ref: UpsertPartitioner.assignInserts, UpsertPartitioner.java:157-296)
     */
   private def assignInsertRanges(
@@ -459,8 +459,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     var groupSeq = 0
     insertCounts.toSeq.flatMap { case (part, n) =>
       var remaining = n
-      var next = 1L // row_number is 1-based
+      var assignedSoFar = 0L
       val out = scala.collection.mutable.ArrayBuffer[InsertRange]()
+      def add(take: Long, fileId: String, existing: Boolean): Unit = {
+        out += InsertRange(part,
+          assignedSoFar.toDouble / n, (assignedSoFar + take).toDouble / n,
+          fileId, existing)
+        assignedSoFar += take; remaining -= take
+      }
       if (packSmall) {
         val small = slices
           .filter(s => s.partition == part && s.deltas.isEmpty &&
@@ -471,40 +477,44 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             val cap = math.max(0L,
               (wc.targetFileSizeBytes - s.base.map(_.bytes).getOrElse(0L)) / avgSize)
             val take = math.min(cap, remaining)
-            if (take > 0) {
-              out += InsertRange(part, next, next + take, s.fileId, existing = true)
-              next += take; remaining -= take
-            }
+            if (take > 0) add(take, s.fileId, existing = true)
           }
         }
       }
       while (remaining > 0) {
         val take = math.min(recordsPerFile, remaining)
-        out += InsertRange(part, next, next + take, newFileId(instantTs, groupSeq), existing = false)
+        add(take, newFileId(instantTs, groupSeq), existing = false)
         groupSeq += 1
-        next += take; remaining -= take
       }
+      // float-safety: the last bucket must cover hash fraction 1.0 - eps
+      if (out.nonEmpty) out(out.length - 1) = out.last.copy(hi = 1.000001)
       out
     }
   }
 
-  /** Map each insert row to its target file group via a broadcast range
-    * join on a per-partition row_number.
+  /** Map each insert row to its target file group: a uniform [0,1) hash
+    * of the record key, range-joined (broadcast) against the driver plan's
+    * per-bucket fraction ranges. Fully parallel — no per-partition total
+    * order, no single-task window; bucket fill matches the plan in
+    * expectation, which is all sizing needs (the reference routes insert
+    * buckets by key-hash weight the same way,
+    * ref: UpsertPartitioner.java:157-247 getPartition).
     */
   private def assignInserts(tagged: DataFrame, ranges: Seq[InsertRange]): DataFrame = {
     if (ranges.isEmpty) return tagged.filter(col(ColTargetFile).isNotNull)
     import spark.implicits._
     val rangesDf = ranges.toDF()
     val inserts = tagged.filter(col(ColTargetFile).isNull).drop(ColTargetFile)
-    val w = Window.partitionBy(col(ColPart)).orderBy(col(ColKey))
-    val withRn = inserts.withColumn(ColRank, row_number().over(w))
-    val assignedInserts = withRn
+    val HashMod = 1L << 40
+    val hashFrac = pmod(xxhash64(col(ColKey)), lit(HashMod)).cast("double") / HashMod.toDouble
+    val withH = inserts.withColumn(ColHashFrac, hashFrac)
+    val assignedInserts = withH
       .join(broadcast(rangesDf),
-        withRn(ColPart) === rangesDf("partition") &&
-          col(ColRank) >= rangesDf("lo") && col(ColRank) < rangesDf("hi"),
+        withH(ColPart) === rangesDf("partition") &&
+          col(ColHashFrac) >= rangesDf("lo") && col(ColHashFrac) < rangesDf("hi"),
         "inner")
       .withColumn(ColTargetFile, rangesDf("fileId"))
-      .drop("partition", "lo", "hi", "fileId", "existing", ColRank)
+      .drop("partition", "lo", "hi", "fileId", "existing", ColHashFrac)
     val updates = tagged.filter(col(ColTargetFile).isNotNull)
     updates.unionByName(assignedInserts.select(updates.columns.map(col).toSeq: _*))
   }
@@ -565,6 +575,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   /** Move staged files into the table layout with their final
     * `{fileId}_{instant}[.delta].parquet` names and collect stats.
     * O(files-written) driver renames — the commit protocol itself.
+    * Record counts come from ONE distributed job over the staging dir
+    * (not per-file driver footer reads, which would serialize a
+    * 1500-task write's commit behind thousands of driver round-trips).
     */
   private def publishStaged(
       staging: Path,
@@ -572,8 +585,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       groupedByFile: Boolean,
       deltaGroups: Set[String]): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
-    val conf = table.storage.conf
     if (!fs.exists(staging)) return Seq.empty
+    val counts = stagedFileCounts(spark, staging)
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     var newGroupSeq = 0
 
@@ -602,9 +615,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           }
           val isDelta = deltaGroups.contains(id)
           val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
+          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          val records = parquetRecordCount(dest, conf)
           out += WriteFileInfo(partition, id, name, records, st.getLen, isDelta)
         }
       }
@@ -614,17 +627,19 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 }
 
 object GraftWriteClient {
-  /** One insert-assignment bucket: rows with rn in [lo, hi) of `partition`
-    * go to file group `fileId`; `existing` = small-file append target.
+  /** One insert-assignment bucket: rows whose key-hash fraction falls in
+    * [lo, hi) of `partition` go to file group `fileId`; `existing` =
+    * small-file append target.
     */
   final case class InsertRange(
-      partition: String, lo: Long, hi: Long, fileId: String, existing: Boolean)
+      partition: String, lo: Double, hi: Double, fileId: String, existing: Boolean)
 
   // transient planning columns (never persisted)
   val ColKey = "_g_key"
   val ColPart = "_g_part"
   val ColTargetFile = "_g_target_file"
   val ColRank = "_g_rank"
+  val ColHashFrac = "_g_hash_frac"
   val StagePartCol = "_gp"
   val StageFileCol = "_gf"
   val BaseSuffix = ".parquet"
@@ -637,10 +652,35 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
-  def parquetRecordCount(p: Path, conf: org.apache.hadoop.conf.Configuration): Long = {
-    val r = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
-    try r.getRecordCount finally r.close()
-  }
+  /** Per-staged-file record counts in ONE distributed job (map-side
+    * combined groupBy on input_file_name), keyed by decoded scheme-less
+    * path. Replaces serial driver-side parquet footer reads on the commit
+    * path. input_file_name returns URL-encoded URIs (space = %20 …) while
+    * FileStatus paths are literal, so keys are URI-decoded before lookup.
+    * An empty staging dir (every row of the write was dropped, e.g. a
+    * fully-tombstoned compaction) has no footers to infer a schema from —
+    * that is a legitimate empty write, not an error.
+    */
+  def stagedFileCounts(
+      spark: org.apache.spark.sql.SparkSession, staging: Path): Map[String, Long] =
+    try {
+      spark.read.parquet(staging.toString)
+        .groupBy(input_file_name().as("_f")).count()
+        .collect()
+        .map(r => decodedPath(r.getString(0)) -> r.getLong(1))
+        .toMap
+    } catch {
+      case e: org.apache.spark.sql.AnalysisException
+        if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
+          e.getMessage.contains("Unable to infer schema") => Map.empty
+    }
+
+  /** Scheme-less, percent-decoded path for cross-keying input_file_name
+    * output with FileStatus paths.
+    */
+  def decodedPath(s: String): String =
+    try new java.net.URI(s).getPath
+    catch { case _: Exception => new Path(s).toUri.getPath }
 
   /** Undo Spark's partition-dir escaping (%xx; no '+'-for-space). */
   def decodeStageValue(v: String): String =
