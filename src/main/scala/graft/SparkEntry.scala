@@ -303,6 +303,28 @@ object SparkEntry {
       snap(t)
     }),
 
+    // full round trip through the Spark DataSource API: bulk load +
+    // upsert via df.write.format("graft"), read back via
+    // spark.read.format("graft") — the reference's primary user surface
+    // (ref: TestCOWDataSource.scala:166 testCopyOnWriteStorage)
+    "tf_datasource_roundtrip" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val path = freshDir("tf_datasource_roundtrip", dir)
+      def w(df: DataFrame) = df.write.format("graft")
+        .option("recordkey.field", "o_orderkey")
+        .option("partitionpath.field", "o_orderpriority")
+        .option("precombine.field", "o_totalprice")
+        .option("target.file.size", (4L * 1024 * 1024).toString)
+        .option("small.file.limit", (3L * 1024 * 1024).toString)
+        .option("compact.inline.max.delta.commits", "0")
+      w(orders).option("operation", "bulk_insert").mode("overwrite").save(path)
+      w(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+        .option("operation", "upsert").mode("append").save(path)
+      s.read.format("graft").option("query.type", "snapshot").load(path)
+        .select(ordersCols.map(col): _*)
+    }),
+
     "tf_filter_exists" -> ((s, dir) => {
       val (t, w, orders) = cowOrders("tf_filter_exists", s, dir)
       w.bulkInsert(orders)
@@ -542,6 +564,8 @@ object SparkEntry {
     "tf_mor_compact" -> (ordersSelect(caseMor) + " WHERE o_orderkey % 7 <> 0"),
 
     "tf_cluster" -> ordersSelect("o_totalprice"),
+
+    "tf_datasource_roundtrip" -> ordersSelect(caseUpsert),
 
     "tf_filter_exists" ->
       """SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,

@@ -1,0 +1,269 @@
+package graft.spark
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.StructType
+
+import graft.GraftTable
+import graft.core.{GraftTableConfig, GraftTableType}
+import graft.read.GraftReadClient
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** The Spark DataSource entry point: `format("graft")`.
+  *
+  * Write:
+  * {{{
+  *   df.write.format("graft")
+  *     .option("recordkey.field", "id")            // required on create
+  *     .option("partitionpath.field", "region")    // optional
+  *     .option("precombine.field", "ts")           // optional
+  *     .option("table.type", "cow")                // cow | mor
+  *     .option("operation", "upsert")              // see GraftOptions.Operations
+  *     .mode(SaveMode.Append)
+  *     .save(path)
+  * }}}
+  * Read:
+  * {{{
+  *   spark.read.format("graft")
+  *     .option("query.type", "snapshot")  // snapshot | read_optimized | incremental
+  *     .option("as.of.instant", ts)       // time travel (snapshot/read_optimized)
+  *     .option("begin.instant", ts)       // incremental band (exclusive)
+  *     .option("end.instant", ts)         // incremental band (inclusive)
+  *     .load(path)
+  * }}}
+  *
+  * Dispatch shape mirrors the reference datasource
+  * (ref: hudi-spark-datasource/hudi-spark/src/main/scala/org/apache/hudi/
+  * DefaultSource.scala:111-247; save-mode semantics
+  * HoodieSparkSqlWriter.scala:62-258), re-expressed over the Graft
+  * client APIs: the relation hands Catalyst the engine's declarative
+  * DataFrame (latest-slice parquet scan / MOR merge), so pushdown,
+  * pruning and codegen flow through the format boundary.
+  */
+class DefaultSource extends DataSourceRegister
+    with CreatableRelationProvider
+    with RelationProvider
+    with SchemaRelationProvider {
+
+  override def shortName(): String = "graft"
+
+  // ---- read ----------------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation =
+    GraftRelation(sqlContext, parameters)
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      schema: StructType): BaseRelation =
+    GraftRelation(sqlContext, parameters) // schema always comes from the table
+
+  // ---- write ---------------------------------------------------------
+
+  override def createRelation(
+      sqlContext: SQLContext,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      df: DataFrame): BaseRelation = {
+    GraftWriter.write(sqlContext.sparkSession, mode, parameters, df)
+    GraftRelation(sqlContext, parameters)
+  }
+}
+
+/** Option names of the graft format. */
+object GraftOptions {
+  val Path = "path"
+  val Operation = "operation" // default "upsert"
+  val QueryType = "query.type" // snapshot | read_optimized | incremental
+  val AsOfInstant = "as.of.instant"
+  val BeginInstant = "begin.instant"
+  val EndInstant = "end.instant"
+  val TableName = "table.name"
+  val TableType = "table.type" // cow | mor
+  val RecordKeyField = "recordkey.field"
+  val PartitionPathField = "partitionpath.field"
+  val PrecombineField = "precombine.field"
+  val PayloadClass = "payload.class" // overwrite_latest | event_time
+  val PartitionsToDelete = "partitions.to.delete" // comma-separated
+  // writer sizing knobs (defaults in WriteConfig)
+  val TargetFileSize = "target.file.size"
+  val SmallFileLimit = "small.file.limit"
+  val Parallelism = "parallelism"
+  val BulkInsertSortMode = "bulk_insert.sort.mode"
+  val InlineCompactDeltaCommits = "compact.inline.max.delta.commits"
+  val InlineClean = "clean.automatic"
+  val CleanRetainCommits = "clean.retain.commits"
+
+  val Operations: Set[String] = Set(
+    "upsert", "insert", "bulk_insert", "delete",
+    "insert_overwrite", "insert_overwrite_table", "delete_partition")
+
+  def writeConfig(parameters: Map[String, String]): WriteConfig = {
+    val base = WriteConfig()
+    base.copy(
+      targetFileSizeBytes =
+        parameters.get(TargetFileSize).map(_.toLong).getOrElse(base.targetFileSizeBytes),
+      smallFileLimitBytes =
+        parameters.get(SmallFileLimit).map(_.toLong).getOrElse(base.smallFileLimitBytes),
+      parallelism = parameters.get(Parallelism).map(_.toInt).getOrElse(base.parallelism),
+      bulkInsertSortMode =
+        parameters.getOrElse(BulkInsertSortMode, base.bulkInsertSortMode),
+      inlineCompactDeltaCommits = parameters.get(InlineCompactDeltaCommits)
+        .map(_.toInt).getOrElse(base.inlineCompactDeltaCommits),
+      inlineClean =
+        parameters.get(InlineClean).map(_.toBoolean).getOrElse(base.inlineClean),
+      cleanRetainCommits = parameters.get(CleanRetainCommits)
+        .map(_.toInt).getOrElse(base.cleanRetainCommits))
+  }
+
+  def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {
+    val keys = parameters.getOrElse(RecordKeyField,
+      sys.error(s"option '$RecordKeyField' is required to create a graft table"))
+    GraftTableConfig(
+      tableName = parameters.getOrElse(TableName,
+        path.stripSuffix("/").split('/').last),
+      tableType = parameters.getOrElse(TableType, GraftTableType.Cow),
+      recordKeyFields = keys.split(',').map(_.trim).filter(_.nonEmpty).toSeq,
+      partitionFields = parameters.get(PartitionPathField).toSeq
+        .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
+      precombineField = parameters.get(PrecombineField),
+      payloadClass = parameters.getOrElse(PayloadClass, "overwrite_latest"))
+  }
+}
+
+/** Batch write dispatch with save-mode semantics.
+  * (ref: HoodieSparkSqlWriter.scala:62-258)
+  */
+object GraftWriter {
+  import GraftOptions._
+
+  def write(
+      spark: SparkSession,
+      mode: SaveMode,
+      parameters: Map[String, String],
+      df: DataFrame): Unit = {
+    val path = parameters.getOrElse(Path, sys.error("'path' must be specified"))
+    val exists = GraftTable.exists(spark, path)
+
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        sys.error(s"Graft table already exists at $path (SaveMode.ErrorIfExists)")
+      case SaveMode.Ignore if exists =>
+        return
+      case _ =>
+    }
+
+    val requested = parameters.getOrElse(Operation, "upsert").toLowerCase
+    require(Operations.contains(requested), s"unknown operation '$requested'")
+    // Overwrite on an existing table = replace its content
+    // (ref: HoodieSparkSqlWriter WriteOperationType resolution for
+    // SaveMode.Overwrite → INSERT_OVERWRITE_TABLE)
+    val operation =
+      if (mode == SaveMode.Overwrite && exists &&
+        !requested.startsWith("insert_overwrite")) "insert_overwrite_table"
+      else requested
+
+    val table =
+      if (exists) GraftTable.load(spark, path)
+      else GraftTable.create(spark, path, tableConfig(path, parameters))
+    val writer = new GraftWriteClient(table, writeConfig(parameters))
+
+    operation match {
+      case "upsert"                 => writer.upsert(df)
+      case "insert"                 => writer.insert(df)
+      case "bulk_insert"            => writer.bulkInsert(df)
+      case "delete"                 => writer.delete(df)
+      case "insert_overwrite"       => writer.insertOverwrite(df)
+      case "insert_overwrite_table" => writer.insertOverwriteTable(df)
+      case "delete_partition" =>
+        val parts = parameters.getOrElse(PartitionsToDelete,
+          sys.error(s"operation delete_partition requires '$PartitionsToDelete'"))
+        writer.deletePartitions(parts.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    }
+  }
+}
+
+/** Read relation: resolves the query-type DataFrame from the table and
+  * surfaces it through the V1 relation API with column pruning + filter
+  * pushdown INTO the inner plan (so parquet sees PushedFilters) and
+  * zero row conversion (`needConversion = false`, the rows handed back
+  * are the inner plan's InternalRows — the same trick the reference's
+  * relations use).
+  */
+class GraftRelation private (
+    val sqlContext: SQLContext,
+    @transient private val df: DataFrame)
+  extends BaseRelation with PrunedFilteredScan {
+
+  override def schema: StructType = df.schema
+
+  override def needConversion: Boolean = false
+
+  // every filter is re-applied by Spark above us — pushdown here is a
+  // strict optimization, never a correctness dependency
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    val filtered = filters.flatMap(GraftRelation.translateFilter)
+      .foldLeft(df)((d, c) => d.filter(c))
+    val projected = filtered.select(requiredColumns.toSeq.map(col): _*)
+    projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+}
+
+object GraftRelation {
+  import GraftOptions._
+
+  def apply(sqlContext: SQLContext, parameters: Map[String, String]): GraftRelation = {
+    val spark = sqlContext.sparkSession
+    val path = parameters.getOrElse(Path, sys.error("'path' must be specified"))
+    val table = GraftTable.load(spark, path)
+    val read = new GraftReadClient(table)
+    val df = parameters.getOrElse(QueryType, "snapshot") match {
+      case "snapshot" =>
+        read.snapshot(parameters.get(AsOfInstant))
+      case "read_optimized" =>
+        read.readOptimized(parameters.get(AsOfInstant))
+      case "incremental" =>
+        read.incremental(
+          parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
+      case other =>
+        sys.error(s"unknown $QueryType '$other' " +
+          "(expected snapshot | read_optimized | incremental)")
+    }
+    new GraftRelation(sqlContext, df)
+  }
+
+  /** sources.Filter → Column; None = not pushable (Spark re-applies all
+    * filters above the relation regardless).
+    */
+  def translateFilter(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v)            => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v)        => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v)           => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+    case In(a, vs)                => Some(col(a).isin(vs.toSeq.map(lit): _*))
+    case IsNull(a)                => Some(col(a).isNull)
+    case IsNotNull(a)             => Some(col(a).isNotNull)
+    case StringStartsWith(a, v)   => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v)     => Some(col(a).endsWith(v))
+    case StringContains(a, v)     => Some(col(a).contains(v))
+    case Not(c)                   => translateFilter(c).map(!_)
+    case And(l, r) =>
+      (translateFilter(l), translateFilter(r)) match {
+        case (Some(a), Some(b)) => Some(a && b)
+        case (Some(a), None)    => Some(a) // partial AND is still sound
+        case (None, Some(b))    => Some(b)
+        case _                  => None
+      }
+    case Or(l, r) =>
+      for (a <- translateFilter(l); b <- translateFilter(r)) yield a || b
+    case _ => None
+  }
+}
