@@ -101,6 +101,26 @@ object SparkEntry {
   private def snap(t: GraftTable): DataFrame =
     new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
 
+  /** Bootstrap a fresh COW orders table through the DataSource API and
+    * register it in the (session-scoped, in-memory) catalog; returns
+    * (path, catalog table name) — the targets of the SQL DML queries.
+    */
+  private def sqlBootstrap(name: String, s: SparkSession, dir: String): (String, String) = {
+    val path = freshDir(name, dir)
+    T(s, dir, "orders").write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .option("target.file.size", (4L * 1024 * 1024).toString)
+      .option("small.file.limit", (3L * 1024 * 1024).toString)
+      .mode("overwrite").save(path)
+    val tab = s"${name}_tab"
+    s.sql(s"DROP TABLE IF EXISTS $tab")
+    s.sql(s"CREATE TABLE $tab USING graft OPTIONS (path '$path')")
+    (path, tab)
+  }
+
   // =====================================================================
   // queries
   // =====================================================================
@@ -323,6 +343,41 @@ object SparkEntry {
         .option("operation", "upsert").mode("append").save(path)
       s.read.format("graft").option("query.type", "snapshot").load(path)
         .select(ordersCols.map(col): _*)
+    }),
+
+    // ---- SQL DML (requires graft.sql.GraftSparkSessionExtension,
+    // registered by Verify/Bench session builders) ----
+
+    "tf_sql_update" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_update", s, dir)
+      s.sql(s"UPDATE $tab SET o_totalprice = o_totalprice * 2.0 " +
+        "WHERE o_orderkey % 5 = 2")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
+    "tf_sql_delete" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_delete", s, dir)
+      s.sql(s"DELETE FROM $tab " +
+        "WHERE o_orderpriority = '2-HIGH' OR o_orderkey % 11 = 7")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
+    "tf_sql_merge" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_merge", s, dir)
+      val orders = T(s, dir, "orders")
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val src = orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 111.0)
+        .unionByName(orders.filter(col("o_orderkey") % 3 === 1)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)))
+      src.createOrReplaceTempView("graft_merge_src")
+      s.sql(
+        s"""MERGE INTO $tab t USING graft_merge_src s
+           |ON t.o_orderkey = s.o_orderkey
+           |WHEN MATCHED AND s.o_totalprice > 100000.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET t.o_totalprice = s.o_totalprice
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
     }),
 
     "tf_filter_exists" -> ((s, dir) => {
@@ -566,6 +621,25 @@ object SparkEntry {
     "tf_cluster" -> ordersSelect("o_totalprice"),
 
     "tf_datasource_roundtrip" -> ordersSelect(caseUpsert),
+
+    "tf_sql_update" -> ordersSelect(
+      "CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_sql_delete" ->
+      (ordersSelect("o_totalprice") +
+        " WHERE NOT (o_orderpriority = '2-HIGH' OR o_orderkey % 11 = 7)"),
+
+    "tf_sql_merge" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 111.0 AS o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0 AND o_totalprice + 111.0 <= 100000.0
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 <> 0
+        |UNION ALL
+        |SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,
+        |  o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 1""".stripMargin,
 
     "tf_filter_exists" ->
       """SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,

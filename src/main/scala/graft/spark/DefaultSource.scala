@@ -89,6 +89,7 @@ object GraftOptions {
   val PrecombineField = "precombine.field"
   val PayloadClass = "payload.class" // overwrite_latest | event_time
   val PartitionsToDelete = "partitions.to.delete" // comma-separated
+  val IncludeMetaFields = "include.meta.fields"
   // writer sizing knobs (defaults in WriteConfig)
   val TargetFileSize = "target.file.size"
   val SmallFileLimit = "small.file.limit"
@@ -192,14 +193,15 @@ object GraftWriter {
   * pushdown INTO the inner plan (so parquet sees PushedFilters) and
   * zero row conversion (`needConversion = false`, the rows handed back
   * are the inner plan's InternalRows — the same trick the reference's
-  * relations use).
+  * relations use). Also insertable, so SQL `INSERT INTO` works on
+  * catalog tables `USING graft`.
   */
 class GraftRelation private (
     val sqlContext: SQLContext,
-    @transient private val df: DataFrame)
-  extends BaseRelation with PrunedFilteredScan {
-
-  override def schema: StructType = df.schema
+    val table: GraftTable,
+    mkDf: () => DataFrame,
+    override val schema: StructType)
+  extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
   override def needConversion: Boolean = false
 
@@ -208,10 +210,24 @@ class GraftRelation private (
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
   override def buildScan(requiredColumns: Array[String], filters: Array[Filter]): RDD[Row] = {
+    // the file list is resolved HERE, at scan time, never cached in the
+    // relation — Spark's catalog caches resolved relations, and a write
+    // between resolution and scan (SQL DML, INSERT INTO, a concurrent
+    // writer) must be visible to the next query
+    val df = mkDf()
     val filtered = filters.flatMap(GraftRelation.translateFilter)
       .foldLeft(df)((d, c) => d.filter(c))
     val projected = filtered.select(requiredColumns.toSeq.map(col): _*)
     projected.queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  /** SQL INSERT INTO / INSERT OVERWRITE.
+    * (ref: InsertIntoHoodieTableCommand.scala — INTO maps to the insert
+    * operation, OVERWRITE to insert_overwrite_table)
+    */
+  override def insert(data: DataFrame, overwrite: Boolean): Unit = {
+    val writer = new GraftWriteClient(table)
+    if (overwrite) writer.insertOverwriteTable(data) else writer.insert(data)
   }
 }
 
@@ -222,20 +238,32 @@ object GraftRelation {
     val spark = sqlContext.sparkSession
     val path = parameters.getOrElse(Path, sys.error("'path' must be specified"))
     val table = GraftTable.load(spark, path)
-    val read = new GraftReadClient(table)
-    val df = parameters.getOrElse(QueryType, "snapshot") match {
-      case "snapshot" =>
-        read.snapshot(parameters.get(AsOfInstant))
-      case "read_optimized" =>
-        read.readOptimized(parameters.get(AsOfInstant))
-      case "incremental" =>
-        read.incremental(
-          parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
-      case other =>
-        sys.error(s"unknown $QueryType '$other' " +
-          "(expected snapshot | read_optimized | incremental)")
+    val queryType = parameters.getOrElse(QueryType, "snapshot")
+
+    def mkDf(): DataFrame = {
+      val read = new GraftReadClient(table)
+      val df = queryType match {
+        case "snapshot" =>
+          read.snapshot(parameters.get(AsOfInstant))
+        case "read_optimized" =>
+          read.readOptimized(parameters.get(AsOfInstant))
+        case "incremental" =>
+          read.incremental(
+            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
+        case other =>
+          sys.error(s"unknown $QueryType '$other' " +
+            "(expected snapshot | read_optimized | incremental)")
+      }
+      // Batch/snapshot reads default to the user's data columns so SQL
+      // `INSERT INTO t SELECT *`-style position matching works;
+      // incremental reads default to including meta columns (the
+      // _graft_commit_time band is their point). `include.meta.fields`
+      // overrides either way.
+      val includeMeta = parameters.get(IncludeMetaFields).map(_.toBoolean)
+        .getOrElse(queryType == "incremental")
+      if (includeMeta) df else df.drop(graft.core.MetaColumns.All: _*)
     }
-    new GraftRelation(sqlContext, df)
+    new GraftRelation(sqlContext, table, () => mkDf(), mkDf().schema)
   }
 
   /** sources.Filter → Column; None = not pushable (Spark re-applies all

@@ -1,0 +1,242 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedStar}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, Expression, Literal}
+import org.apache.spark.sql.catalyst.parser.{ParseException, ParserInterface}
+import org.apache.spark.sql.catalyst.plans.{FullOuter, Inner, RightOuter}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.StructType
+
+import graft.spark.GraftRelation
+import graft.write.GraftWriteClient
+
+/** SQL DML for graft tables: MERGE INTO / UPDATE / DELETE (CREATE TABLE,
+  * CTAS, INSERT INTO/OVERWRITE already work through the V1 datasource
+  * path + InsertableRelation).
+  *
+  * Register with:
+  * {{{
+  *   SparkSession.builder()
+  *     .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
+  * }}}
+  *
+  * Spark's own analyzer rejects row-level DML on V1 relations inside the
+  * resolution batch (ResolveSessionCatalog throws "does not support
+  * UPDATE/DELETE" before injected resolution rules run), so — like the
+  * reference (ref: HoodieSparkSessionExtension.scala:27-48 injecting a
+  * parser) — the statements are intercepted at the parser seam and
+  * rewritten to RunnableCommands that resolve their sub-plans through
+  * the normal analyzer at execution time. The MERGE execution is the
+  * SURVEY §2.7 Spark-native shape: one outer join + per-column CASE
+  * chains + a single mixed upsert/delete commit — no serialized
+  * expression payloads (ref: MergeIntoHoodieTableCommand.scala:56-456,
+  * ExpressionPayload.scala:53-155, both absorbed by Catalyst here).
+  */
+class GraftSparkSessionExtension extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+  }
+}
+
+/** Delegating parser that rewrites row-level DML statements into graft
+  * commands; everything else passes through untouched.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    delegate.parsePlan(sqlText) match {
+      case d: DeleteFromTable => GraftDeleteCommand(d)
+      case u: UpdateTable     => GraftUpdateCommand(u)
+      case m: MergeIntoTable  => GraftMergeCommand(m)
+      case other              => other
+    }
+
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+private[sql] object GraftSqlUtils {
+
+  /** Resolve a (parsed, unresolved) target plan through the analyzer and
+    * dig out the graft relation it scans.
+    */
+  def resolveTarget(spark: SparkSession, plan: LogicalPlan): (GraftRelation, DataFrame) = {
+    val df = Shims.ofRows(spark, plan)
+    val rel = df.queryExecution.analyzed.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation]
+    }.getOrElse(sys.error(
+      "MERGE/UPDATE/DELETE target must be a graft table " +
+        "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
+    (rel, df)
+  }
+
+  /** Last name part of an assignment key (`t.price` -> `price`). */
+  def keyName(e: Expression): String = e match {
+    case u: UnresolvedAttribute => u.nameParts.last
+    case a: Attribute           => a.name
+    case other                  => sys.error(s"unsupported assignment key: $other")
+  }
+}
+
+/** DELETE FROM t WHERE cond  →  keyed delete of the matching rows.
+  * (ref: DeleteHoodieTableCommand.scala)
+  */
+case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, df) = GraftSqlUtils.resolveTarget(spark, delete.table)
+    val filtered = delete.condition match {
+      case Literal.TrueLiteral => df
+      case cond                => df.filter(Shims.column(cond))
+    }
+    new GraftWriteClient(rel.table).delete(filtered)
+    Seq.empty
+  }
+}
+
+/** UPDATE t SET a = expr WHERE cond  →  read-matching rows, apply
+  * assignments, upsert. (ref: UpdateHoodieTableCommand.scala)
+  */
+case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val (rel, df) = GraftSqlUtils.resolveTarget(spark, update.table)
+    val filtered = update.condition.map(c => df.filter(Shims.column(c))).getOrElse(df)
+    val assigns: Map[String, Column] = update.assignments.map(a =>
+      GraftSqlUtils.keyName(a.key).toLowerCase -> Shims.column(a.value)).toMap
+    val updated = filtered.select(filtered.columns.toSeq.map(c =>
+      assigns.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
+    new GraftWriteClient(rel.table).upsert(updated)
+    Seq.empty
+  }
+}
+
+/** MERGE INTO target USING source ON cond WHEN ... — executed as ONE
+  * declarative plan: (target ⟗ source) with presence markers, an op
+  * column + per-target-column CASE chains encoding the action
+  * conditions/assignments, filtered to affected rows, written as a
+  * single mixed upsert/delete commit.
+  */
+case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand {
+
+  private val TMark = "_g_t_present"
+  private val SMark = "_g_s_present"
+  private val OpCol = "_g_op"
+  private val DelCol = "_g_is_delete"
+
+  override def run(spark: SparkSession): Seq[Row] = {
+    // presence markers survive outer-join null-extension, so matched /
+    // not-matched classification is null-safe even for all-null rows
+    def marked(plan: LogicalPlan, m: String): LogicalPlan =
+      Project(Seq(UnresolvedStar(None), Alias(Literal(true), m)()), plan)
+
+    val joinType =
+      if (merge.notMatchedBySourceActions.nonEmpty) FullOuter
+      else if (merge.notMatchedActions.nonEmpty) RightOuter
+      else Inner
+    val joined = Join(
+      marked(merge.targetTable, TMark),
+      marked(merge.sourceTable, SMark),
+      joinType, Some(merge.mergeCondition), JoinHint.NONE)
+    val jdf = Shims.ofRows(spark, joined)
+
+    val joinNode = jdf.queryExecution.analyzed.collectFirst { case j: Join => j }
+      .getOrElse(sys.error("internal: merge join not found"))
+    val rel = joinNode.left.collectFirst {
+      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+        lr.relation.asInstanceOf[GraftRelation]
+    }.getOrElse(sys.error(
+      "MERGE INTO target must be a graft table " +
+        "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
+
+    val tAttrs = joinNode.left.output.filterNot(_.name == TMark)
+    val sAttrs = joinNode.right.output.filterNot(_.name == SMark)
+    val tMarkAttr = joinNode.left.output.find(_.name == TMark).get
+    val sMarkAttr = joinNode.right.output.find(_.name == SMark).get
+    val sByName = sAttrs.map(a => a.name.toLowerCase -> a).toMap
+
+    val tPresent = Shims.column(tMarkAttr).isNotNull
+    val sPresent = Shims.column(sMarkAttr).isNotNull
+    val matchedC = tPresent && sPresent
+    val notMatchedC = sPresent && !tPresent
+    val nmbsC = tPresent && !sPresent
+
+    def guard(group: Column, c: Option[Expression]): Column =
+      c.map(e => group && Shims.column(e)).getOrElse(group)
+    def starFromSource(t: Attribute): Column =
+      sByName.get(t.name.toLowerCase)
+        .map(s => Shims.column(s).cast(t.dataType))
+        .getOrElse(sys.error(s"MERGE ... *: source has no column '${t.name}'"))
+    def fromAssignments(as: Seq[Assignment], t: Attribute, dflt: Column): Column = {
+      val m = as.map(a => GraftSqlUtils.keyName(a.key).toLowerCase -> a.value).toMap
+      m.get(t.name.toLowerCase)
+        .map(e => Shims.column(e).cast(t.dataType)).getOrElse(dflt)
+    }
+
+    // (row guard, op, value of target column t under this action)
+    // op: "u" upsert the computed row | "d" delete the target key
+    val actions: Seq[(Column, String, Attribute => Column)] =
+      merge.matchedActions.map {
+        case UpdateAction(c, as, _) =>
+          (guard(matchedC, c), "u",
+            (t: Attribute) => fromAssignments(as, t, Shims.column(t)))
+        case _: UpdateStarAction =>
+          (matchedC, "u", starFromSource _)
+        case DeleteAction(c) =>
+          (guard(matchedC, c), "d", (t: Attribute) => Shims.column(t))
+        case other => sys.error(s"unsupported WHEN MATCHED action: $other")
+      } ++ merge.notMatchedActions.map {
+        case InsertAction(c, as) =>
+          (guard(notMatchedC, c), "u",
+            (t: Attribute) => fromAssignments(as, t, lit(null).cast(t.dataType)))
+        case _: InsertStarAction =>
+          (notMatchedC, "u", starFromSource _)
+        case other => sys.error(s"unsupported WHEN NOT MATCHED action: $other")
+      } ++ merge.notMatchedBySourceActions.map {
+        case UpdateAction(c, as, _) =>
+          (guard(nmbsC, c), "u",
+            (t: Attribute) => fromAssignments(as, t, Shims.column(t)))
+        case DeleteAction(c) =>
+          (guard(nmbsC, c), "d", (t: Attribute) => Shims.column(t))
+        case other => sys.error(s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+      }
+
+    // first matching action wins (SQL MERGE order semantics)
+    val opCol = actions.foldRight(lit(null).cast("string")) {
+      case ((g, op, _), els) => when(g, lit(op)).otherwise(els)
+    }
+    val valueCols = tAttrs.map { t =>
+      actions.foldRight(Shims.column(t)) {
+        case ((g, _, v), els) => when(g, v(t)).otherwise(els)
+      }.as(t.name)
+    }
+
+    val result = jdf
+      .select(valueCols :+ opCol.as(OpCol): _*)
+      .filter(col(OpCol).isNotNull)
+      .withColumn(DelCol, col(OpCol) === "d")
+      .drop(OpCol)
+
+    new GraftWriteClient(rel.table).mergeWrite(result, DelCol)
+    Seq.empty
+  }
+}

@@ -91,6 +91,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   def delete(df: DataFrame): String =
     runKeyedWrite(df, "delete", tag = true, dedupIncoming = true, deleteOp = true)
 
+  /** Mixed upsert+delete in ONE commit: rows where boolean column
+    * `deleteMarker` is true are deleted, the rest upserted — the write
+    * shape SQL MERGE needs (the reference folds per-row update/delete
+    * decisions into one upsert the same way via ExpressionPayload,
+    * ref: MergeIntoHoodieTableCommand.scala:216-280).
+    */
+  def mergeWrite(df: DataFrame, deleteMarker: String): String =
+    runKeyedWrite(df, "merge", tag = true, dedupIncoming = wc.combineBeforeUpsert,
+      deleteOp = false, deleteMarker = Some(deleteMarker))
+
   /** Replace all file groups of the partitions present in `df`.
     * (ref: SparkInsertOverwriteCommitActionExecutor.java)
     */
@@ -144,14 +154,27 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       operation: String,
       tag: Boolean,
       dedupIncoming: Boolean,
-      deleteOp: Boolean): String = {
+      deleteOp: Boolean,
+      deleteMarker: Option[String] = None): String = {
 
-    val aligned = alignSchema(df, table.storedDataSchema)
-    val dataSchema = aligned.schema
+    // stash the per-row delete flag under a reserved name so schema
+    // alignment never mistakes it for a data column
+    val df0 = deleteMarker match {
+      case Some(m) =>
+        df.withColumn(ColDeleteFlag, coalesce(col(m).cast("boolean"), lit(false))).drop(m)
+      case None => df
+    }
+    val aligned = alignSchema(df0, table.storedDataSchema)
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      aligned.schema.filterNot(_.name == ColDeleteFlag))
     val dataCols = dataSchema.fieldNames.toSeq
     val instant = begin(if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
     try {
-      val prepared = withMetaColumns(aligned, instant.ts, deleteOp)
+      val prepared0 = withMetaColumns(aligned, instant.ts, deleteOp)
+      val prepared =
+        if (deleteMarker.isDefined)
+          prepared0.withColumn(MetaColumns.IsDeleted, col(ColDeleteFlag)).drop(ColDeleteFlag)
+        else prepared0
 
       val deduped =
         if (dedupIncoming) dedupByKey(prepared, dataCols)
@@ -640,6 +663,7 @@ object GraftWriteClient {
   val ColTargetFile = "_g_target_file"
   val ColRank = "_g_rank"
   val ColHashFrac = "_g_hash_frac"
+  val ColDeleteFlag = "_g_delete_flag"
   val StagePartCol = "_gp"
   val StageFileCol = "_gf"
   val BaseSuffix = ".parquet"

@@ -1,0 +1,27 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Thin accessors for `private[sql]` Spark APIs the graft SQL layer
+  * needs: running a hand-built logical plan and wrapping raw Catalyst
+  * expressions as Columns. Lives under org.apache.spark.sql for
+  * visibility only — no Spark internals are modified (the reference's
+  * Spark module sits inside org.apache.spark.sql the same way).
+  */
+object Shims {
+
+  /** DataFrame over an arbitrary (possibly unresolved) logical plan —
+    * the plan goes through the full analyzer.
+    */
+  def ofRows(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Wrap a Catalyst expression (resolved or not) as a user-facing
+    * Column.
+    */
+  def column(e: Expression): Column =
+    org.apache.spark.sql.classic.ExpressionUtils.column(e)
+}
