@@ -45,7 +45,9 @@ import graft.write.{GraftWriteClient, WriteConfig}
 class DefaultSource extends DataSourceRegister
     with CreatableRelationProvider
     with RelationProvider
-    with SchemaRelationProvider {
+    with SchemaRelationProvider
+    with StreamSinkProvider
+    with StreamSourceProvider {
 
   override def shortName(): String = "graft"
 
@@ -71,6 +73,40 @@ class DefaultSource extends DataSourceRegister
       df: DataFrame): BaseRelation = {
     GraftWriter.write(sqlContext.sparkSession, mode, parameters, df)
     GraftRelation(sqlContext, parameters)
+  }
+
+  // ---- structured streaming -----------------------------------------
+  // (ref: DefaultSource.createSink :175-186 / createSource dispatch)
+
+  override def createSink(
+      sqlContext: SQLContext,
+      parameters: Map[String, String],
+      partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new graft.streaming.GraftStreamingSink(sqlContext, parameters)
+
+  override def sourceSchema(
+      sqlContext: SQLContext,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val path = parameters.getOrElse(GraftOptions.Path,
+      sys.error("'path' must be specified for the graft streaming source"))
+    (shortName(), schema.getOrElse(
+      graft.streaming.GraftStreamSource.schemaOf(sqlContext.sparkSession, path)))
+  }
+
+  override def createSource(
+      sqlContext: SQLContext,
+      metadataPath: String,
+      schema: Option[StructType],
+      providerName: String,
+      parameters: Map[String, String])
+      : org.apache.spark.sql.execution.streaming.Source = {
+    val path = parameters.getOrElse(GraftOptions.Path,
+      sys.error("'path' must be specified for the graft streaming source"))
+    new graft.streaming.GraftStreamSource(sqlContext, path, parameters)
   }
 }
 
@@ -146,7 +182,8 @@ object GraftWriter {
       spark: SparkSession,
       mode: SaveMode,
       parameters: Map[String, String],
-      df: DataFrame): Unit = {
+      df: DataFrame,
+      extra: Map[String, String] = Map.empty): Unit = {
     val path = parameters.getOrElse(Path, sys.error("'path' must be specified"))
     val exists = GraftTable.exists(spark, path)
 
@@ -171,7 +208,8 @@ object GraftWriter {
     val table =
       if (exists) GraftTable.load(spark, path)
       else GraftTable.create(spark, path, tableConfig(path, parameters))
-    val writer = new GraftWriteClient(table, writeConfig(parameters))
+    val writer = new GraftWriteClient(table,
+      writeConfig(parameters).copy(commitExtra = extra))
 
     operation match {
       case "upsert"                 => writer.upsert(df)

@@ -1,0 +1,111 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset, Sink, Source}
+import org.apache.spark.sql.graft.Shims
+import org.apache.spark.sql.types.StructType
+
+import graft.GraftTable
+import graft.core.MetaColumns
+import graft.read.GraftReadClient
+import graft.spark.{GraftOptions, GraftWriter}
+
+/** Structured Streaming endpoints of the graft format.
+  *
+  * Sink: every micro-batch runs a normal batch write (default upsert),
+  * made idempotent across query restarts by recording the batch id in
+  * the commit metadata and skipping batches at-or-below the last
+  * committed id (ref: HoodieStreamingSink.scala:70-135 — same
+  * batch-id-in-commit protocol).
+  *
+  * Source: offsets are commit instants; each batch is the incremental
+  * read between two instants (ref: HoodieStreamSource.scala:49-190,
+  * HoodieSourceOffset). The table's commit timeline IS the changelog —
+  * no extra state beyond Spark's own offset log.
+  */
+object GraftStreaming {
+  /** Commit-metadata key carrying the sink's micro-batch id. */
+  val BatchIdKey = "streaming.batch.id"
+  /** Commit-metadata key carrying the streaming query id. */
+  val QueryIdKey = "streaming.query.id"
+}
+
+/** Offset = completed commit instant timestamp (lexicographically
+  * ordered, same as the timeline).
+  */
+case class GraftSourceOffset(ts: String) extends V1Offset {
+  override def json: String = ts
+}
+
+object GraftSourceOffset {
+  /** Any V1/serialized offset → ours (our json IS the instant ts). */
+  def of(o: V1Offset): GraftSourceOffset = o match {
+    case g: GraftSourceOffset => g
+    case other                => GraftSourceOffset(other.json)
+  }
+}
+
+final class GraftStreamingSink(
+    sqlContext: SQLContext,
+    parameters: Map[String, String]) extends Sink {
+
+  private val path = parameters.getOrElse(GraftOptions.Path,
+    sys.error("'path' must be specified for the graft streaming sink"))
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = sqlContext.sparkSession
+    // replay guard: a restarted query re-delivers the last uncommitted
+    // batch; anything at-or-below the last batch id in the table's commit
+    // metadata has already been durably written
+    if (GraftTable.exists(spark, path)) {
+      val table = GraftTable.load(spark, path)
+      val lastCommitted = table.timeline.completedData.reverseIterator
+        .map(i => table.timeline.metadataOf(i).extra.get(GraftStreaming.BatchIdKey))
+        .collectFirst { case Some(id) => id.toLong }
+      if (lastCommitted.exists(_ >= batchId)) return
+    }
+    val batchDf = Shims.asBatchDf(data)
+    GraftWriter.write(spark, SaveMode.Append, parameters, batchDf,
+      extra = Map(GraftStreaming.BatchIdKey -> batchId.toString))
+  }
+
+  override def toString: String = s"GraftStreamingSink[$path]"
+}
+
+final class GraftStreamSource(
+    sqlContext: SQLContext,
+    path: String,
+    parameters: Map[String, String]) extends Source {
+
+  private def spark = sqlContext.sparkSession
+  private def table = GraftTable.load(spark, path)
+
+  /** Incremental-read schema: meta columns ++ data columns (tombstones
+    * already dropped by the read).
+    */
+  override def schema: StructType = GraftStreamSource.schemaOf(spark, path)
+
+  override def getOffset: Option[V1Offset] =
+    table.timeline.lastCompletedData.map(i => GraftSourceOffset(i.ts))
+
+  override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
+    val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")
+    val endTs = GraftSourceOffset.of(end).ts
+    val df = new GraftReadClient(table).incremental(begin, Some(endTs))
+    Shims.asStreamingDf(spark, df)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String = s"GraftStreamSource[$path]"
+}
+
+object GraftStreamSource {
+  def schemaOf(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
+    val table = GraftTable.load(spark, path)
+    StructType(table.storedFileSchema
+      .getOrElse(sys.error(s"graft table at $path has no commits yet — " +
+        "the streaming source needs at least one commit to derive a schema"))
+      .filterNot(_.name == MetaColumns.IsDeleted))
+  }
+}

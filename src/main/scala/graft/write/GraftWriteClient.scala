@@ -129,7 +129,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val replaced = table.view.groupsInPartitions(partitions.toSet)
     commit(instant, GraftCommitMetadata(
       instant = instant.ts, action = instant.action, operation = "delete_partition",
-      replacedFileIds = replaced))
+      replacedFileIds = replaced, extra = wc.commitExtra))
     instant.ts
   }
 
@@ -361,7 +361,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       replacedFileIds = replaced,
       totalRecords = totalRecords,
       avgRecordSize = avg,
-      schemaJson = dataSchema.json))
+      schemaJson = dataSchema.json,
+      extra = wc.commitExtra))
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 

@@ -25,4 +25,7 @@ final case class WriteConfig(
     cleanRetainCommits: Int = 10,
     /** Active-timeline archive bounds (hoodie.keep.{min,max}.commits). */
     archiveMinCommits: Int = 20,
-    archiveMaxCommits: Int = 30)
+    archiveMaxCommits: Int = 30,
+    /** Free-form entries merged into each commit's metadata `extra`
+      * (streaming batch ids, ingest checkpoints). */
+    commitExtra: Map[String, String] = Map.empty)

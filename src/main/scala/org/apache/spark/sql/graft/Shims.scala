@@ -24,4 +24,23 @@ object Shims {
     */
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
+
+  /** Rebind a streaming micro-batch DataFrame as a batch DataFrame so the
+    * batch writer can run normal actions on it (the standard V1 sink
+    * pattern — the incremental plan's rows are re-wrapped, not copied).
+    */
+  def asBatchDf(data: DataFrame): DataFrame = {
+    val spark = data.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    spark.internalCreateDataFrame(
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+  }
+
+  /** Wrap a batch DataFrame's rows as a streaming DataFrame (what a V1
+    * Source.getBatch must return).
+    */
+  def asStreamingDf(spark: SparkSession, df: DataFrame): DataFrame = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.internalCreateDataFrame(
+      df.queryExecution.toRdd, df.schema, isStreaming = true)
+  }
 }

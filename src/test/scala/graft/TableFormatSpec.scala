@@ -242,6 +242,57 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.exceptAll(orders).count() === 0)
   }
 
+  test("streaming: sink upserts micro-batches idempotently; source streams increments") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp()
+    val inDir = s"$base/in"; val tablePath = s"$base/table"
+    val ckpt = s"$base/ckpt"; val outDir = s"$base/out"; val ckpt2 = s"$base/ckpt2"
+    orders.limit(300).write.mode("overwrite").parquet(inDir)
+    def runSink(): Unit = {
+      val q = spark.readStream.schema(orders.schema).parquet(inDir)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("recordkey.field", "o_orderkey")
+        .option("partitionpath.field", "o_orderpriority")
+        .option("precombine.field", "o_totalprice")
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath)
+      q.awaitTermination()
+    }
+    runSink()
+    assert(spark.read.format("graft").load(tablePath).count() === 300)
+
+    // second batch: 100 updates + 50 inserts
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    orders.limit(100).withColumn("o_totalprice", col("o_totalprice") + 999.0)
+      .unionByName(orders.limit(50)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)))
+      .write.mode("append").parquet(inDir)
+    runSink()
+    val snap = spark.read.format("graft").load(tablePath)
+    assert(snap.count() === 350)
+
+    // restart with nothing new: the replay guard adds no commit
+    val commits = GraftTable.load(spark, tablePath).timeline.completedData.size
+    runSink()
+    assert(GraftTable.load(spark, tablePath).timeline.completedData.size === commits)
+
+    // source: full catch-up, then exactly the delta after a new write
+    def runSource(): Unit = {
+      val q = spark.readStream.format("graft").load(tablePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt2).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runSource()
+    assert(spark.read.parquet(outDir).count() === 350)
+    orders.limit(20).withColumn("o_orderkey", col("o_orderkey") + lit(2 * maxKey))
+      .write.format("graft").mode("append").option("operation", "upsert").save(tablePath)
+    runSource()
+    assert(spark.read.parquet(outDir).count() === 370)
+  }
+
   test("filterExists keeps only unseen keys") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
