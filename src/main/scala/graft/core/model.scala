@@ -73,6 +73,11 @@ object GraftInstant {
   * @param fileId    stable file-group id (all versions of a group share it)
   * @param fileName  physical file name within the partition dir
   * @param isDelta   true for MOR delta ("log") files
+  * @param minKey/maxKey record-key range of the file ("" when unknown —
+  *                  files from older commits), used by the range-pruned
+  *                  key index (ref: the BLOOM index's min/max key-range
+  *                  pruning step, SparkHoodieBloomIndex.java:110-140 +
+  *                  KeyRangeLookupTree.java)
   */
 final case class WriteFileInfo(
     partition: String,
@@ -80,7 +85,9 @@ final case class WriteFileInfo(
     fileName: String,
     records: Long,
     bytes: Long,
-    isDelta: Boolean)
+    isDelta: Boolean,
+    minKey: String = "",
+    maxKey: String = "")
 
 /** Commit metadata persisted as the content of a completed instant file.
   * (ref: hudi-common/.../model/HoodieCommitMetadata.java — ours also

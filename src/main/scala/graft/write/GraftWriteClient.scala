@@ -677,22 +677,32 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
-  /** Per-staged-file record counts in ONE distributed job (map-side
-    * combined groupBy on input_file_name), keyed by decoded scheme-less
-    * path. Replaces serial driver-side parquet footer reads on the commit
-    * path. input_file_name returns URL-encoded URIs (space = %20 …) while
-    * FileStatus paths are literal, so keys are URI-decoded before lookup.
-    * An empty staging dir (every row of the write was dropped, e.g. a
-    * fully-tombstoned compaction) has no footers to infer a schema from —
-    * that is a legitimate empty write, not an error.
+  /** Per-file write statistics: record count + record-key range. */
+  final case class FileStats(records: Long, minKey: String, maxKey: String)
+
+  /** Per-staged-file stats in ONE distributed job (map-side combined
+    * groupBy on input_file_name), keyed by decoded scheme-less path.
+    * Replaces serial driver-side parquet footer reads on the commit
+    * path; the key range feeds the range-pruned index. input_file_name
+    * returns URL-encoded URIs (space = %20 …) while FileStatus paths are
+    * literal, so keys are URI-decoded before lookup. An empty staging
+    * dir (every row of the write was dropped, e.g. a fully-tombstoned
+    * compaction) has no footers to infer a schema from — that is a
+    * legitimate empty write, not an error.
     */
   def stagedFileCounts(
-      spark: org.apache.spark.sql.SparkSession, staging: Path): Map[String, Long] =
+      spark: org.apache.spark.sql.SparkSession, staging: Path): Map[String, FileStats] =
     try {
       spark.read.parquet(staging.toString)
-        .groupBy(input_file_name().as("_f")).count()
+        .groupBy(input_file_name().as("_f"))
+        .agg(
+          count(lit(1)).as("_n"),
+          min(col(MetaColumns.RecordKey)).as("_mn"),
+          max(col(MetaColumns.RecordKey)).as("_mx"))
         .collect()
-        .map(r => decodedPath(r.getString(0)) -> r.getLong(1))
+        .map(r => decodedPath(r.getString(0)) ->
+          FileStats(r.getLong(1), Option(r.getString(2)).getOrElse(""),
+            Option(r.getString(3)).getOrElse("")))
         .toMap
     } catch {
       case e: org.apache.spark.sql.AnalysisException
