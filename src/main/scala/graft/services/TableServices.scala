@@ -127,10 +127,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
         parts.foreach { st =>
           val name = s"${fileId}_$ts.parquet"
-          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
+          val stats = counts.getOrElse(
+            st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
+          out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+            isDelta = false, stats.minKey, stats.maxKey)
         }
       }
     }
@@ -224,10 +226,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .foreach { st =>
           val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
           val name = s"${fileId}_$ts.parquet"
-          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
+          val stats = counts.getOrElse(
+            st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          out += WriteFileInfo(partition, fileId, name, records, st.getLen, isDelta = false)
+          out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+            isDelta = false, stats.minKey, stats.maxKey)
         }
     }
     out.toSeq

@@ -639,10 +639,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           }
           val isDelta = deltaGroups.contains(id)
           val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
-          val records = counts.getOrElse(st.getPath.toUri.getPath, 0L)
+          val stats = counts.getOrElse(st.getPath.toUri.getPath, FileStats(0L, "", ""))
           val dest = table.storage.dataFilePath(partition, name)
           require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
-          out += WriteFileInfo(partition, id, name, records, st.getLen, isDelta)
+          out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
+            stats.minKey, stats.maxKey)
         }
       }
     }
