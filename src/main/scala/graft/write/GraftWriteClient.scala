@@ -140,7 +140,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val withKeys = df
       .withColumn(ColKey, keyExpr)
       .withColumn(ColPart, partExpr)
-    val idx = keyIndex(None)
+    // pruning is sound for the anti-join too: a pruned file cannot
+    // contain any incoming key, so it can never produce a match
+    val idx = keyIndex(Some(incomingBounds(withKeys)))
     withKeys.join(idx, Seq(ColKey, ColPart), "left_anti")
       .drop(ColKey, ColPart)
   }
@@ -180,13 +182,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         if (dedupIncoming) dedupByKey(prepared, dataCols)
         else prepared
 
-      // ---- index tag (SIMPLE index: partition-scoped key join,
-      // ref: SparkHoodieSimpleIndex.java:55-134) ----
-      val touchedParts = deduped.select(ColPart).distinct()
-        .collect().map(_.getString(0)).toSet
+      // ---- index tag: partition-scoped key join, range-pruned to the
+      // files whose commit-recorded key range can intersect the batch
+      // (ref: SparkHoodieSimpleIndex.java:55-134 for the join,
+      // SparkHoodieBloomIndex.java:110-140 for the range prune) ----
       val tagged0 =
         if (tag) {
-          val idx = keyIndex(Some(touchedParts))
+          val idx = keyIndex(Some(incomingBounds(deduped)))
           deduped.join(idx, Seq(ColKey, ColPart), "left")
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
       // deletes for keys that don't exist are no-ops
@@ -432,20 +434,50 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .drop(ColRank)
   }
 
+  /** Per-partition [min, max] record-key bounds of the incoming batch —
+    * one small aggregate (replaces the former touched-partitions
+    * distinct), feeding the index range prune.
+    */
+  private def incomingBounds(df: DataFrame): Map[String, (String, String)] =
+    df.groupBy(ColPart).agg(min(ColKey).as("_mn"), max(ColKey).as("_mx"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
+      .toMap
+
+  /** Latest-slice files that may contain keys of the incoming batch: a
+    * file is skipped when its commit-recorded [minKey, maxKey] cannot
+    * intersect the batch's per-partition key range — so at scale the tag
+    * scan reads only the files an incoming key could actually live in,
+    * not every file of every touched partition (ref:
+    * SparkHoodieBloomIndex.java:110-140 range pruning +
+    * KeyRangeLookupTree.java). Files from commits predating key-range
+    * stats (empty min/max) are always candidates.
+    */
+  private[graft] def indexCandidatePaths(
+      bounds: Map[String, (String, String)]): Seq[String] =
+    table.view.latestSlices(None)
+      .filter(s => bounds.contains(s.partition))
+      .flatMap { s =>
+        val (inMin, inMax) = bounds(s.partition)
+        (s.base.toSeq ++ s.deltas)
+          .filter(f => f.minKey.isEmpty || f.maxKey.isEmpty ||
+            (utf8Lte(f.minKey, inMax) && utf8Lte(inMin, f.maxKey)))
+          .map(f => table.storage.dataFilePath(s.partition, f.fileName).toString)
+      }
+
   /** Key -> file-group index: project 2 meta columns + the physical file
-    * from the latest slices of the touched partitions. A pure columnar
-    * scan of 2 columns (parquet column pruning does the heavy lifting).
+    * from the range-pruned candidate files. A pure columnar scan of 2
+    * columns (parquet column pruning does the heavy lifting).
     * (ref: SparkHoodieSimpleIndex.java:109-118)
     */
-  private def keyIndex(partitions: Option[Set[String]]): DataFrame = {
-    val slices0 = table.view.latestSlices(None)
-    val slices = partitions match {
-      case Some(p) => slices0.filter(s => p.contains(s.partition))
-      case None    => slices0
-    }
-    val paths = slices.flatMap { s =>
-      (s.base.toSeq ++ s.deltas).map(f =>
-        table.storage.dataFilePath(s.partition, f.fileName).toString)
+  private def keyIndex(bounds: Option[Map[String, (String, String)]]): DataFrame = {
+    val paths = bounds match {
+      case Some(b) => indexCandidatePaths(b)
+      case None =>
+        table.view.latestSlices(None).flatMap { s =>
+          (s.base.toSeq ++ s.deltas).map(f =>
+            table.storage.dataFilePath(s.partition, f.fileName).toString)
+        }
     }
     if (paths.isEmpty) {
       import org.apache.spark.sql.types._
@@ -680,6 +712,24 @@ object GraftWriteClient {
 
   /** Per-file write statistics: record count + record-key range. */
   final case class FileStats(records: Long, minKey: String, maxKey: String)
+
+  /** a <= b under unsigned UTF-8 byte order — the ordering Spark's
+    * UTF8String min/max used to produce the stored key ranges.
+    * (Java String.compareTo diverges on supplementary characters, which
+    * would make the prune unsound for non-BMP keys.)
+    */
+  def utf8Lte(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length <= y.length
+  }
 
   /** Per-staged-file stats in ONE distributed job (map-side combined
     * groupBy on input_file_name), keyed by decoded scheme-less path.

@@ -303,4 +303,34 @@ class TableFormatSpec extends AnyFunSuite {
       orders.limit(10).withColumn("o_orderkey", col("o_orderkey") + lit(maxKey)))
     assert(w.filterExists(probe).count() === 10)
   }
+
+  test("range-pruned index: tag scan reads only files whose key range intersects the batch") {
+    val path = tmp()
+    // unpartitioned, globally key-sorted bulk insert -> files with
+    // disjoint record-key ranges
+    val t = GraftTable.create(spark, path, cowConfig.copy(partitionFields = Seq.empty))
+    val w = new GraftWriteClient(t, wc.copy(bulkInsertSortMode = "global"))
+    w.bulkInsert(orders)
+    val total = t.view.latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas)
+    assert(total.size > 2, s"need several file groups, got ${total.size}")
+    assert(total.forall(f => f.minKey.nonEmpty && f.maxKey.nonEmpty))
+
+    // a batch confined to one file's key range prunes to that one file
+    val narrow = total.head
+    val bounds = Map("" -> (narrow.minKey, narrow.maxKey))
+    val pruned = w.indexCandidatePaths(bounds)
+    assert(pruned.size < total.size,
+      s"expected a pruned scan, got ${pruned.size}/${total.size}")
+    assert(pruned.exists(_.contains(narrow.fileName)))
+
+    // and the upsert driven by that pruned index stays correct
+    val inRange = orders
+      .filter(col("o_orderkey").cast("string").between(narrow.minKey, narrow.maxKey))
+    val n = inRange.count()
+    assert(n > 0)
+    w.upsert(inRange.withColumn("o_orderstatus", lit("RP")))
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === orders.count()) // updates routed, no duplicates
+    assert(snap.filter(col("o_orderstatus") === "RP").count() === n)
+  }
 }
