@@ -85,14 +85,21 @@ object TextFunctions {
 
   /** Character k-shingles of normalized text (the unit for MinHash /
     * Jaccard). Uses `sequence` + `transform` — pure codegen, no UDF.
+    *
+    * NOTE for hot paths: pass an already-materialized (projected)
+    * normalized column via [[charShinglesPre]] instead of composing this
+    * directly over raw text — a captured non-trivial expression inside a
+    * higher-order-function lambda is re-evaluated per array ELEMENT, so
+    * inlining `normText` here costs O(len) regexp evaluations per row.
     */
-  def charShingles(c: Column, k: Int): Column = {
-    val n = normText(c)
+  def charShingles(c: Column, k: Int): Column = charShinglesPre(normText(c), k)
+
+  /** Character k-shingles of an ALREADY-normalized text column. */
+  def charShinglesPre(n: Column, k: Int): Column =
     when(length(n) < k, array(n)).otherwise(
       array_distinct(transform(
         sequence(lit(1), length(n) - lit(k - 1)),
         i => n.substr(i, lit(k)))))
-  }
 
   /** Word w-shingles (w consecutive tokens joined) of normalized text. */
   def wordShingles(c: Column, w: Int): Column = {

@@ -32,14 +32,32 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** (id, shingle-set array, set size) per document — shingles computed
-    * exactly once per doc behind an explode/collect boundary.
+  /** (id, shingle-set array, set size) per document. The normalized text
+    * is materialized behind its own projection BEFORE shingling: the
+    * shingle `transform` lambda re-evaluates captured non-trivial
+    * expressions per array element, so composing `normText` directly into
+    * it would run the whitespace regexp O(text length) times per doc —
+    * quadratic in document size. (CollapseProject keeps the barrier: the
+    * normalized column is non-cheap and multiply-referenced.)
     */
   private def docShingles(
       df: DataFrame, textCol: String, idCol: String, shingleLen: Int): DataFrame =
-    df.select(col(idCol).as("id"),
-      charShingles(col(textCol), shingleLen).as("sh"))
+    spreadWork(df.select(col(idCol).as("id"), normText(col(textCol)).as("_t")))
+      .select(col("id"), charShinglesPre(col("_t"), shingleLen).as("sh"))
       .withColumn("n", size(col("sh")))
+
+  /** Ensure per-row-expensive downstream work (shingling, per-token
+    * hashing) runs at cluster parallelism. Compacted corpora routinely
+    * arrive in a handful of input splits — without this the whole
+    * signature pipeline executes on those few tasks regardless of
+    * executor count. The repartition shuffles only the narrow projected
+    * columns and is skipped when the input is already split finely
+    * enough.
+    */
+  private def spreadWork(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   /** Exact-Jaccard verification of candidate pairs: join the full shingle
     * sets back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
@@ -119,8 +137,9 @@ object Dedup {
     * (explode tokens once, 60 codegen'd sum aggregates), no HOFs.
     */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(split(normText(col(textCol)), " ")).as("t"))
+    val toks = spreadWork(df.select(col(idCol).as("id"),
+      split(normText(col(textCol)), " ").as("_tk")))
+      .select(col("id"), explode(col("_tk")).as("t"))
       .withColumn("h", tokenHash60(col("t")))
     val voteAggs = (0 until SimhashBits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, 1L).otherwise(-1L)).as(s"_v$b"))
