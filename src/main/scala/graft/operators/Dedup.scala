@@ -50,26 +50,58 @@ object Dedup {
     * hashing) runs at cluster parallelism. Compacted corpora routinely
     * arrive in a handful of input splits — without this the whole
     * signature pipeline executes on those few tasks regardless of
-    * executor count. The repartition shuffles only the narrow projected
-    * columns and is skipped when the input is already split finely
-    * enough.
+    * executor count. Unconditional: the repartition shuffles only the
+    * narrow projected (id, text) columns — probing the current split
+    * count first would force an `.rdd` plan conversion per invocation
+    * and defeat AQE coalescing on the reused frame, costing more than
+    * the narrow shuffle it occasionally saves.
     */
-  private def spreadWork(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
-  }
+  private def spreadWork(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+  /** Candidate-pair lists above this row count fall back from broadcast
+    * to shuffled joins in the verify step.
+    */
+  private val BroadcastCandidateLimit = 4000000L
 
   /** Exact-Jaccard verification of candidate pairs: join the full shingle
     * sets back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
+    *
+    * Join strategy matters more than the set intersection here: a naive
+    * candidates⋈shingles⋈shingles plan sort-merge-shuffles the (large)
+    * shingle ARRAYS of the whole corpus twice. Instead:
+    *  1. a size-ratio prefilter kills pairs where min(n)/max(n) < t
+    *     (necessary condition for jaccard >= t) using only the narrow
+    *     (id, n) projection;
+    *  2. the surviving pair list is materialized eagerly (it is the small
+    *     side by LSH design) and BROADCAST into two streaming passes over
+    *     the cached shingle frame — the corpus arrays are never shuffled;
+    *  3. only candidate-matched rows (O(candidates), not O(corpus)) meet
+    *     in the final pair-keyed join.
+    * Falls back to shuffled joins if the candidate list is too large to
+    * broadcast; cost is then still O(candidates) in the final join.
     */
   private def verifyJaccard(
       candidates: DataFrame, // (id_a, id_b)
-      shingles: DataFrame,   // (id, sh, n)
+      shingles: DataFrame,   // (id, sh, n) — expected persisted by caller
       threshold: Double): DataFrame = {
-    val sa = shingles.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-    val sb = shingles.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-    candidates
-      .join(sa, "id_a").join(sb, "id_b")
+    val sizes = shingles.select(col("id"), col("n"))
+    val cand = candidates
+      .join(sizes.toDF("id_a", "n_a"), "id_a")
+      .join(sizes.toDF("id_b", "n_b"), "id_b")
+      .filter(least(col("n_a"), col("n_b")).cast("double") /
+        greatest(col("n_a"), col("n_b")) >= threshold)
+      .select("id_a", "id_b")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hint =
+      if (cand.count() < BroadcastCandidateLimit) broadcast(cand) else cand
+    val aSide = shingles
+      .select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
+      .join(hint, "id_a")
+    val bSide = shingles
+      .select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
+      .join(hint, "id_b")
+    aSide.join(bSide, Seq("id_a", "id_b"))
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
@@ -99,7 +131,14 @@ object Dedup {
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
+    // The shingle frame feeds the signature explode AND both sides of the
+    // exact-Jaccard verify — three full consumptions of the most expensive
+    // scalar pipeline in the engine (normText regexp + substring explode).
+    // Persist it for the run; Spark's ContextCleaner reclaims the blocks
+    // when the plan is garbage-collected, and MEMORY_AND_DISK keeps large
+    // corpora spill-safe.
     val shingles = docShingles(df, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(col("s"), lit(i))).as(s"_h$i"))
@@ -193,7 +232,10 @@ object Dedup {
       shingleLen: Int = 5,
       threshold: Double = 0.8,
       maxShingleDf: Int = 100): DataFrame = {
+    // persisted for the same 3× reuse as in minhashNearDups (inverted
+    // index + both sides of the verify join)
     val shingles = docShingles(df, textCol, idCol, shingleLen)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
     val rare = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDf)

@@ -277,6 +277,8 @@ object GraftRelation {
     val path = parameters.getOrElse(Path, sys.error("'path' must be specified"))
     val table = GraftTable.load(spark, path)
     val queryType = parameters.getOrElse(QueryType, "snapshot")
+    val includeMeta = parameters.get(IncludeMetaFields).map(_.toBoolean)
+      .getOrElse(queryType == "incremental")
 
     def mkDf(): DataFrame = {
       val read = new GraftReadClient(table)
@@ -297,11 +299,21 @@ object GraftRelation {
       // incremental reads default to including meta columns (the
       // _graft_commit_time band is their point). `include.meta.fields`
       // overrides either way.
-      val includeMeta = parameters.get(IncludeMetaFields).map(_.toBoolean)
-        .getOrElse(queryType == "incremental")
       if (includeMeta) df else df.drop(graft.core.MetaColumns.All: _*)
     }
-    new GraftRelation(sqlContext, table, () => mkDf(), mkDf().schema)
+    // Relation schema comes from the stored schema, NOT from building the
+    // scan plan: every read path returns (meta ++ data) minus the
+    // tombstone flag, minus meta when excluded — constructing the full
+    // MOR-merge/incremental plan just to read its schema would cost
+    // O(timeline) driver work twice per resolution.
+    val schema = table.storedFileSchema match {
+      case Some(full) =>
+        val dropped = (if (includeMeta) Seq.empty[String] else graft.core.MetaColumns.All) :+
+          graft.core.MetaColumns.IsDeleted
+        StructType(full.filterNot(f => dropped.contains(f.name)))
+      case None => mkDf().schema // empty table: zero-row plan, cheap
+    }
+    new GraftRelation(sqlContext, table, () => mkDf(), schema)
   }
 
   /** sources.Filter → Column; None = not pushable (Spark re-applies all
