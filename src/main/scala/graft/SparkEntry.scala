@@ -390,6 +390,120 @@ object SparkEntry {
       w.filterExists(probe).select(ordersCols.map(col): _*)
     }),
 
+    // insert does NOT route updates through the index: re-inserting
+    // existing keys produces duplicate rows (save-mode semantics,
+    // ref: TestCOWDataSource.scala:81-766 / SparkInsertCommitActionExecutor)
+    "tf_insert" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_insert", s, dir)
+      w.bulkInsert(orders)
+      w.insert(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 9.0))
+      snap(t)
+    }),
+
+    // (ref: SparkInsertOverwriteTableCommitActionExecutor.java — every
+    // file group of every partition is replaced in one replacecommit)
+    "tf_insert_overwrite_table" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_insert_overwrite_table", s, dir)
+      w.bulkInsert(orders)
+      w.insertOverwriteTable(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 1.5))
+      snap(t)
+    }),
+
+    // incremental pull over a MOR table reads the delta files of commits
+    // in the band and merges latest-per-key, dropping tombstones
+    // (ref: MergeOnReadIncrementalRelation.scala:79-154)
+    "tf_mor_incremental" -> ((s, dir) => {
+      val (t, w, orders) = morOrders("tf_mor_incremental", s, dir)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      w.delete(orders.filter(col("o_orderkey") % 20 === 2)
+        .select("o_orderkey", "o_orderpriority"))
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
+    // rollback physically deletes the files the rolled-back commit added;
+    // the table reverts to the prior snapshot (ref: rollback action
+    // executors + the reference DAG unit-test-cow-dag.yaml)
+    "tf_rollback" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_rollback", s, dir)
+      w.bulkInsert(orders)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") * 2.0))
+      val last = t.timeline.lastCompletedData.get.ts
+      new TableServices(t, testWc).rollback(last)
+      snap(t)
+    }),
+
+    // savepoint pins a commit; restore rolls back every newer commit,
+    // newest first (ref: SavepointActionExecutor / BaseRestoreActionExecutor)
+    "tf_savepoint_restore" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_savepoint_restore", s, dir)
+      val c1 = w.bulkInsert(orders)
+      val svc = new TableServices(t, testWc)
+      svc.savepoint(c1)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 1.0))
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 2.0))
+      svc.restore(c1)
+      snap(t)
+    }),
+
+    // archiving moves old instants off the active timeline behind a
+    // manifest checkpoint; reads AND subsequent index-tagged writes must
+    // keep working off the manifest (ref: HoodieTimelineArchiveLog.java:120-194)
+    "tf_archive" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_archive", s, dir)
+      w.bulkInsert(orders)
+      for (i <- 0 until 5)
+        w.upsert(orders.filter(col("o_orderkey") % 5 === i)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(i + 1).cast("double")))
+      val archived = new TableServices(t, testWc)
+        .archive(minCommits = 2, maxCommits = 3)
+      require(archived.nonEmpty, "tf_archive: nothing was archived")
+      // a post-archive write proves the key index works off the manifest
+      w.upsert(orders.filter(col("o_orderkey") % 11 === 0)
+        .withColumn("o_totalprice",
+          col("o_totalprice") + (col("o_orderkey") % 5 + 1).cast("double") + 100.0))
+      snap(t)
+    }),
+
+    "tf_sql_insert_into" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_insert_into", s, dir)
+      s.sql(s"""INSERT INTO $tab
+        SELECT o_orderkey + (SELECT max(o_orderkey) FROM $tab), o_custkey,
+               o_orderstatus, o_totalprice + 7.0, o_orderdate, o_orderpriority
+        FROM $tab WHERE o_orderkey % 9 = 1""")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
+    // CTAS through CreatableRelationProvider: create + bulk load in one
+    // statement (ref: CreateHoodieTableAsSelectCommand.scala)
+    "tf_sql_ctas" -> ((s, dir) => {
+      val path = freshDir("tf_sql_ctas", dir)
+      T(s, dir, "orders").createOrReplaceTempView("tf_ctas_src")
+      s.sql("DROP TABLE IF EXISTS tf_sql_ctas_tab")
+      s.sql(s"""CREATE TABLE tf_sql_ctas_tab USING graft
+        OPTIONS (path '$path', `recordkey.field` 'o_orderkey',
+                 `partitionpath.field` 'o_orderpriority',
+                 `precombine.field` 'o_totalprice', operation 'bulk_insert')
+        AS SELECT * FROM tf_ctas_src WHERE o_orderkey % 2 = 0""")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
+    // key-point reads: broadcast semi-join against the snapshot
+    // (ref: HoodieReadClient.java:138-196)
+    "tf_read_by_keys" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_read_by_keys", s, dir)
+      w.bulkInsert(orders)
+      val keys = orders.filter(col("o_orderkey") % 100 === 7)
+        .select(col("o_orderkey").cast("string"))
+        .collect().map(_.getString(0)).toSeq
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.readByKeys(keys)).select(ordersCols.map(col): _*)
+    }),
+
     // ---------------- text analysis ----------------
 
     "doc_text_stats" -> ((s, dir) => {
@@ -646,6 +760,40 @@ object SparkEntry {
         |  o_custkey, o_orderstatus, o_totalprice + 1.0 AS o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+
+    "tf_insert" ->
+      (ordersSelect("o_totalprice") + " UNION ALL " +
+        ordersSelect("o_totalprice + 9.0 AS o_totalprice") +
+        " WHERE o_orderkey % 10 = 0"),
+
+    "tf_insert_overwrite_table" ->
+      (ordersSelect("o_totalprice * 1.5 AS o_totalprice") +
+        " WHERE o_orderkey % 3 = 0"),
+
+    "tf_mor_incremental" ->
+      (ordersSelect("o_totalprice + 500.0 AS o_totalprice") +
+        " WHERE o_orderkey % 4 = 1"),
+
+    "tf_rollback" -> ordersSelect("o_totalprice"),
+
+    "tf_savepoint_restore" -> ordersSelect("o_totalprice"),
+
+    "tf_archive" -> ordersSelect(
+      "o_totalprice + (o_orderkey % 5 + 1) " +
+        "+ CASE WHEN o_orderkey % 11 = 0 THEN 100.0 ELSE 0.0 END AS o_totalprice"),
+
+    "tf_sql_insert_into" ->
+      (ordersSelect("o_totalprice") + " UNION ALL " +
+        """SELECT o_orderkey + (SELECT max(o_orderkey) FROM orders) AS o_orderkey,
+          |  o_custkey, o_orderstatus, o_totalprice + 7.0 AS o_totalprice,
+          |  o_orderdate, o_orderpriority
+          |FROM orders WHERE o_orderkey % 9 = 1""".stripMargin),
+
+    "tf_sql_ctas" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderkey % 2 = 0"),
+
+    "tf_read_by_keys" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
 
     "doc_text_stats" ->
       s"""SELECT doc_id,
