@@ -492,6 +492,42 @@ object SparkEntry {
       s.read.format("graft").load(path).select(ordersCols.map(col): _*)
     }),
 
+    // global index: an upsert whose partition value changed MOVES the
+    // record — tombstone in the old partition, insert in the new, exactly
+    // one surviving row per key (ref: SparkHoodieGlobalSimpleIndex.java)
+    "tf_global_upsert" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_global_upsert", dir),
+        ordersTableConfig(GraftTableType.Cow))
+      val w = new GraftWriteClient(t, testWc.copy(globalIndex = true))
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 10 === 4)
+        .withColumn("o_orderpriority", lit("9-MOVED"))
+        .withColumn("o_totalprice", col("o_totalprice") + 3.0))
+      snap(t)
+    }),
+
+    // timestamp-based key generator: partition path derived by formatting
+    // the event-time column (ref: TimestampBasedAvroKeyGenerator.java);
+    // the derived partition value is surfaced and oracle-checked
+    "tf_timestamp_keygen" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_timestamp_keygen", dir),
+        GraftTableConfig(
+          tableName = "orders", tableType = GraftTableType.Cow,
+          recordKeyFields = Seq("o_orderkey"),
+          partitionFields = Seq("o_orderdate"),
+          precombineField = Some("o_totalprice"),
+          partitionTimestampFormat = Some("yyyy-MM")))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+      new GraftReadClient(t).snapshot()
+        .select(ordersCols.map(col) :+
+          col(graft.core.MetaColumns.PartitionPath).as("part_month"): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -794,6 +830,20 @@ object SparkEntry {
 
     "tf_read_by_keys" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
+
+    "tf_global_upsert" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN o_totalprice + 3.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate,
+        |  CASE WHEN o_orderkey % 10 = 4 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "tf_timestamp_keygen" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 11.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  strftime(o_orderdate, '%Y-%m') AS part_month
+        |FROM orders""".stripMargin,
 
     "doc_text_stats" ->
       s"""SELECT doc_id,

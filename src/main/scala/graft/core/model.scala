@@ -118,7 +118,14 @@ final case class GraftTableConfig(
     recordKeyFields: Seq[String],
     partitionFields: Seq[String] = Seq.empty,
     precombineField: Option[String] = None,
-    payloadClass: String = "overwrite_latest")
+    payloadClass: String = "overwrite_latest",
+    /** When set (single partition field), the partition path is the field
+      * formatted through this date pattern instead of its raw value —
+      * epoch seconds and timestamp/date columns both work. The most
+      * common real-world partitioning (daily/monthly buckets from an
+      * event time; ref: TimestampBasedAvroKeyGenerator.java).
+      */
+    partitionTimestampFormat: Option[String] = None)
 
 object GraftTableType {
   val Cow = "cow"

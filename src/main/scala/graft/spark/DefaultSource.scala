@@ -134,6 +134,10 @@ object GraftOptions {
   val InlineCompactDeltaCommits = "compact.inline.max.delta.commits"
   val InlineClean = "clean.automatic"
   val CleanRetainCommits = "clean.retain.commits"
+  /** Global index: keys unique table-wide, updates may move partitions. */
+  val IndexGlobal = "index.global"
+  /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
+  val KeygenTimestampFormat = "keygen.timestamp.format"
 
   val Operations: Set[String] = Set(
     "upsert", "insert", "bulk_insert", "delete",
@@ -154,7 +158,9 @@ object GraftOptions {
       inlineClean =
         parameters.get(InlineClean).map(_.toBoolean).getOrElse(base.inlineClean),
       cleanRetainCommits = parameters.get(CleanRetainCommits)
-        .map(_.toInt).getOrElse(base.cleanRetainCommits))
+        .map(_.toInt).getOrElse(base.cleanRetainCommits),
+      globalIndex =
+        parameters.get(IndexGlobal).map(_.toBoolean).getOrElse(base.globalIndex))
   }
 
   def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {
@@ -168,7 +174,8 @@ object GraftOptions {
       partitionFields = parameters.get(PartitionPathField).toSeq
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
       precombineField = parameters.get(PrecombineField),
-      payloadClass = parameters.getOrElse(PayloadClass, "overwrite_latest"))
+      payloadClass = parameters.getOrElse(PayloadClass, "overwrite_latest"),
+      partitionTimestampFormat = parameters.get(KeygenTimestampFormat))
   }
 }
 

@@ -35,8 +35,15 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private def keyExpr: Column =
     concat_ws(":", cfg.recordKeyFields.map(f => col(f).cast("string")): _*)
   private def partExpr: Column =
-    if (cfg.partitionFields.isEmpty) lit("")
-    else concat_ws("/", cfg.partitionFields.map(f => col(f).cast("string")): _*)
+    (cfg.partitionFields, cfg.partitionTimestampFormat) match {
+      case (Seq(f), Some(fmt)) =>
+        // timestamp-based keygen: epoch seconds or timestamp/date column
+        // -> formatted bucket (ref: TimestampBasedAvroKeyGenerator.java)
+        date_format(col(f).cast("timestamp"), fmt)
+      case (fields, _) if fields.isEmpty => lit("")
+      case (fields, _) =>
+        concat_ws("/", fields.map(f => col(f).cast("string")): _*)
+    }
 
   /** Deterministic content-hash tiebreak so merges are reproducible even
     * when ordering values collide (monotonically_increasing_id is not
@@ -185,9 +192,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // ---- index tag: partition-scoped key join, range-pruned to the
       // files whose commit-recorded key range can intersect the batch
       // (ref: SparkHoodieSimpleIndex.java:55-134 for the join,
-      // SparkHoodieBloomIndex.java:110-140 for the range prune) ----
+      // SparkHoodieBloomIndex.java:110-140 for the range prune).
+      // Global mode joins on the key alone and routes partition moves
+      // (ref: SparkHoodieGlobalSimpleIndex.java). ----
       val tagged0 =
-        if (tag) {
+        if (tag && wc.globalIndex) tagGlobal(deduped, deleteOp)
+        else if (tag) {
           val idx = keyIndex(Some(incomingBounds(deduped)))
           deduped.join(idx, Seq(ColKey, ColPart), "left")
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
@@ -423,15 +433,63 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .withColumn(MetaColumns.IsDeleted, lit(deleteOp))
 
   /** Pre-combine duplicate incoming keys, keeping the max ordering value.
+    * Under a global index keys are table-unique, so the dedup window drops
+    * the partition from its key (two rows for one key in different
+    * partitions are duplicates, not distinct records).
     * (ref: SparkWriteHelper.java:50-66 reduceByKey(preCombine))
     */
   private def dedupByKey(df: DataFrame, dataCols: Seq[String]): DataFrame = {
     val order = cfg.precombineField.map(f => col(f).desc_nulls_last).toSeq :+
       tiebreakExpr(dataCols).desc
-    val w = Window.partitionBy(col(ColPart), col(ColKey)).orderBy(order: _*)
+    val partKeys =
+      if (wc.globalIndex) Seq(col(ColKey)) else Seq(col(ColPart), col(ColKey))
+    val w = Window.partitionBy(partKeys: _*).orderBy(order: _*)
     df.withColumn(ColRank, row_number().over(w))
       .filter(col(ColRank) === 1)
       .drop(ColRank)
+  }
+
+  /** Global index tagging: join incoming rows against the key index on
+    * the record key ALONE; the index supplies the partition the key
+    * currently lives in. A matched key whose incoming partition differs
+    * becomes a MOVE — a tombstone targeted at the old file group plus an
+    * untargeted insert in the new partition — so exactly one copy of the
+    * record survives table-wide
+    * (ref: SparkHoodieGlobalSimpleIndex.java +
+    * hoodie.simple.index.update.partition.path=true semantics).
+    * Global deletes need no partition columns at all: the tombstone is
+    * routed to wherever the key lives
+    * (ref: GlobalAvroDeleteKeyGenerator.java).
+    */
+  private def tagGlobal(deduped: DataFrame, deleteOp: Boolean): DataFrame = {
+    val idx = keyIndex(Some(globalBounds(deduped)), global = true)
+      .withColumnRenamed(ColPart, ColIdxPart)
+    val j = deduped.join(idx, Seq(ColKey), "left")
+    val samePart = col(ColIdxPart).isNull || col(ColIdxPart) === col(ColPart)
+    if (deleteOp) {
+      j.withColumn(ColPart, coalesce(col(ColIdxPart), col(ColPart)))
+        .withColumn(MetaColumns.PartitionPath, col(ColPart))
+        .drop(ColIdxPart)
+    } else {
+      val stay = j.filter(samePart).drop(ColIdxPart)
+      val moved = j.filter(!samePart)
+      val tomb = moved
+        .withColumn(ColPart, col(ColIdxPart))
+        .withColumn(MetaColumns.PartitionPath, col(ColPart))
+        .withColumn(MetaColumns.IsDeleted, lit(true))
+        .drop(ColIdxPart)
+      val ins = moved
+        .withColumn(ColTargetFile, lit(null).cast("string"))
+        .drop(ColIdxPart)
+      stay.unionByName(tomb).unionByName(ins)
+    }
+  }
+
+  /** Single table-wide key range of the batch (global-index prune). */
+  private def globalBounds(df: DataFrame): Map[String, (String, String)] = {
+    val r = df.agg(min(ColKey), max(ColKey)).head
+    if (r.isNullAt(0)) Map.empty
+    else Map(GlobalBoundKey -> (r.getString(0), r.getString(1)))
   }
 
   /** Per-partition [min, max] record-key bounds of the incoming batch —
@@ -454,15 +512,21 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * stats (empty min/max) are always candidates.
     */
   private[graft] def indexCandidatePaths(
-      bounds: Map[String, (String, String)]): Seq[String] =
+      bounds: Map[String, (String, String)],
+      global: Boolean = false): Seq[String] =
     table.view.latestSlices(None)
-      .filter(s => bounds.contains(s.partition))
+      .filter(s => global || bounds.contains(s.partition))
       .flatMap { s =>
-        val (inMin, inMax) = bounds(s.partition)
-        (s.base.toSeq ++ s.deltas)
-          .filter(f => f.minKey.isEmpty || f.maxKey.isEmpty ||
-            (utf8Lte(f.minKey, inMax) && utf8Lte(inMin, f.maxKey)))
-          .map(f => table.storage.dataFilePath(s.partition, f.fileName).toString)
+        val boundOpt =
+          if (global) bounds.get(GlobalBoundKey) else bounds.get(s.partition)
+        boundOpt match {
+          case None => Seq.empty
+          case Some((inMin, inMax)) =>
+            (s.base.toSeq ++ s.deltas)
+              .filter(f => f.minKey.isEmpty || f.maxKey.isEmpty ||
+                (utf8Lte(f.minKey, inMax) && utf8Lte(inMin, f.maxKey)))
+              .map(f => table.storage.dataFilePath(s.partition, f.fileName).toString)
+        }
       }
 
   /** Key -> file-group index: project 2 meta columns + the physical file
@@ -470,9 +534,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * columns (parquet column pruning does the heavy lifting).
     * (ref: SparkHoodieSimpleIndex.java:109-118)
     */
-  private def keyIndex(bounds: Option[Map[String, (String, String)]]): DataFrame = {
+  private def keyIndex(
+      bounds: Option[Map[String, (String, String)]],
+      global: Boolean = false): DataFrame = {
     val paths = bounds match {
-      case Some(b) => indexCandidatePaths(b)
+      case Some(b) => indexCandidatePaths(b, global)
       case None =>
         table.view.latestSlices(None).flatMap { s =>
           (s.base.toSeq ++ s.deltas).map(f =>
@@ -694,6 +760,9 @@ object GraftWriteClient {
   // transient planning columns (never persisted)
   val ColKey = "_g_key"
   val ColPart = "_g_part"
+  val ColIdxPart = "_g_idx_part"
+  /** Synthetic bounds-map key carrying the table-wide range (global index). */
+  val GlobalBoundKey = " global"
   val ColTargetFile = "_g_target_file"
   val ColRank = "_g_rank"
   val ColHashFrac = "_g_hash_frac"

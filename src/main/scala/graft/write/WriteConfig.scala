@@ -26,6 +26,15 @@ final case class WriteConfig(
     /** Active-timeline archive bounds (hoodie.keep.{min,max}.commits). */
     archiveMinCommits: Int = 20,
     archiveMaxCommits: Int = 30,
+    /** Global index: record keys are unique across partitions and an
+      * upsert whose partition value changed MOVES the record (tombstone in
+      * the old partition + insert in the new), mirroring
+      * hoodie.index.type=GLOBAL_SIMPLE with
+      * hoodie.simple.index.update.partition.path=true
+      * (ref: SparkHoodieGlobalSimpleIndex.java). Non-global (default):
+      * keys are scoped per partition, same as the reference default.
+      */
+    globalIndex: Boolean = false,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty)

@@ -333,4 +333,45 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.count() === orders.count()) // updates routed, no duplicates
     assert(snap.filter(col("o_orderstatus") === "RP").count() === n)
   }
+
+  test("global index: partition moves keep one row per key; delete needs no partition column") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(globalIndex = true))
+    w.bulkInsert(orders)
+
+    // move keys %10==4 into a new partition value
+    w.upsert(orders.filter(col("o_orderkey") % 10 === 4)
+      .withColumn("o_orderpriority", lit("9-MOVED")))
+    val read = new GraftReadClient(t)
+    val snap1 = read.snapshotData()
+    assert(snap1.count() === orders.count()) // moved, not duplicated
+    assert(snap1.filter(col("o_orderpriority") === "9-MOVED").count() ===
+      orders.filter(col("o_orderkey") % 10 === 4).count())
+    // the old partitions hold no trace of the moved keys
+    assert(snap1.filter(col("o_orderkey") % 10 === 4 &&
+      col("o_orderpriority") =!= "9-MOVED").count() === 0)
+
+    // global delete: key column only, no partition info
+    w.delete(orders.filter(col("o_orderkey") % 10 === 4).select("o_orderkey"))
+    val snap2 = read.snapshotData()
+    assert(snap2.count() === orders.filter(col("o_orderkey") % 10 =!= 4).count())
+    assert(snap2.filter(col("o_orderpriority") === "9-MOVED").count() === 0)
+  }
+
+  test("timestamp keygen: partition path is the formatted event time") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig.copy(
+      partitionFields = Seq("o_orderdate"),
+      partitionTimestampFormat = Some("yyyy-MM-dd")))
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(500))
+    val snap = new GraftReadClient(t).snapshot()
+    val parts = snap.select(MetaColumns.PartitionPath).distinct()
+      .collect().map(_.getString(0))
+    assert(parts.nonEmpty)
+    assert(parts.forall(_.matches("\\d{4}-\\d{2}-\\d{2}")), parts.take(3).mkString(","))
+    // round trip intact
+    assert(snap.count() === 500)
+  }
 }
