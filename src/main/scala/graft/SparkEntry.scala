@@ -528,6 +528,64 @@ object SparkEntry {
           col(graft.core.MetaColumns.PartitionPath).as("part_month"): _*)
     }),
 
+    // DeltaStreamer-equivalent ingest: two runner invocations where the
+    // second RESUMES from the checkpoint stored in the first's commit
+    // metadata, reading only the new source files and applying a SQL
+    // transformer (ref: DeltaSync.java:311-400 checkpoint protocol)
+    "tf_ingest_checkpoint" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_ingest_src", dir)
+      val target = freshDir("tf_ingest_checkpoint", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      // deterministic per-batch mod times (local FS mtime granularity is
+      // not trustworthy inside one test run)
+      def stamp(sub: String, t: Long): Unit = {
+        def walk(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else fs.setTimes(st.getPath, t, t)
+          }
+        walk(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+      }
+      val tableOpts = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice",
+        "target.file.size" -> (4L * 1024 * 1024).toString,
+        "small.file.limit" -> (3L * 1024 * 1024).toString,
+        "compact.inline.max.delta.commits" -> "0")
+      val cfg = IngestConfig(
+        sourcePath = src, targetPath = target, tableOptions = tableOpts)
+
+      orders.write.parquet(s"$src/b1")
+      stamp("b1", 1000000L)
+      require(IngestRunner.runOnce(s, cfg).contains("1000000"),
+        "tf_ingest_checkpoint: first sync did not record its checkpoint")
+
+      orders.filter(col("o_orderkey") % 4 === 0).write.parquet(s"$src/b2")
+      stamp("b2", 2000000L)
+      val cfg2 = cfg.copy(transformerSql = Some(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice + 50.0 AS o_totalprice, o_orderdate, o_orderpriority
+          |FROM source""".stripMargin))
+      require(IngestRunner.runOnce(s, cfg2).contains("2000000"),
+        "tf_ingest_checkpoint: second sync did not advance the checkpoint")
+
+      // checkpoint-resume correctness is oracle-enforced: if the second
+      // sync re-read batch 1, its rows would pass through the +50
+      // transformer too and every non-%4 row would mismatch the oracle
+      val t = GraftTable.load(s, target)
+      val lastMeta = t.timeline.metadataOf(t.timeline.lastCompletedData.get)
+      require(lastMeta.extra.get(IngestRunner.CheckpointKey).contains("2000000"),
+        "tf_ingest_checkpoint: commit metadata lost the checkpoint")
+      // a third poll with no new files is a no-op
+      require(IngestRunner.runOnce(s, cfg).isEmpty,
+        "tf_ingest_checkpoint: idle poll must not sync")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -830,6 +888,9 @@ object SparkEntry {
 
     "tf_read_by_keys" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
+
+    "tf_ingest_checkpoint" -> ordersSelect(
+      "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_global_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -359,6 +359,27 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap2.filter(col("o_orderpriority") === "9-MOVED").count() === 0)
   }
 
+  test("ingest runner: multi-table sync + continuous loop terminate and resume") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val srcA = tmp() + "/srcA"; val srcB = tmp() + "/srcB"
+    val tgtA = tmp() + "/tA"; val tgtB = tmp() + "/tB"
+    val opts = Map(
+      "recordkey.field" -> "o_orderkey",
+      "partitionpath.field" -> "o_orderpriority",
+      "precombine.field" -> "o_totalprice")
+    orders.limit(100).write.parquet(srcA)
+    orders.limit(40).write.parquet(srcB)
+    val cfgs = Seq(
+      IngestConfig(sourcePath = srcA, targetPath = tgtA, tableOptions = opts),
+      IngestConfig(sourcePath = srcB, targetPath = tgtB, tableOptions = opts))
+    val res = IngestRunner.runMulti(spark, cfgs)
+    assert(res.forall(_.nonEmpty))
+    assert(spark.read.format("graft").load(tgtA).count() === 100)
+    assert(spark.read.format("graft").load(tgtB).count() === 40)
+    // continuous: nothing new -> idles out after one poll, zero syncs
+    assert(IngestRunner.runContinuous(spark, cfgs.head, maxRounds = 5) === 0)
+  }
+
   test("timestamp keygen: partition path is the formatted event time") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig.copy(
