@@ -54,6 +54,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case d: DeleteFromTable => GraftDeleteCommand(d)
       case u: UpdateTable     => GraftUpdateCommand(u)
       case m: MergeIntoTable  => GraftMergeCommand(m)
+      case a: AddColumns      => GraftAddColumnsCommand(a)
+      case t: TruncateTable   => GraftTruncateCommand(t)
       case other              => other
     }
 
@@ -89,6 +91,27 @@ private[sql] object GraftSqlUtils {
       "MERGE/UPDATE/DELETE target must be a graft table " +
         "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
     (rel, df)
+  }
+
+  /** The graft relation behind a catalog table name, or None when the
+    * name resolves to something else (the DDL commands pass those
+    * through to stock Spark).
+    */
+  def graftRelationOf(
+      spark: SparkSession, nameParts: Seq[String]): Option[GraftRelation] =
+    try {
+      val df = Shims.ofRows(spark,
+        org.apache.spark.sql.catalyst.analysis.UnresolvedRelation(nameParts))
+      df.queryExecution.analyzed.collectFirst {
+        case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
+          lr.relation.asInstanceOf[GraftRelation]
+      }
+    } catch { case _: Exception => None }
+
+  def tableNameOf(plan: LogicalPlan): Seq[String] = plan match {
+    case u: org.apache.spark.sql.catalyst.analysis.UnresolvedTable =>
+      u.multipartIdentifier
+    case other => sys.error(s"unsupported DDL target: $other")
   }
 
   /** Last name part of an assignment key (`t.price` -> `price`). */
@@ -127,6 +150,58 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
       assigns.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
     new GraftWriteClient(rel.table).upsert(updated)
     Seq.empty
+  }
+}
+
+/** ALTER TABLE t ADD COLUMNS (...) on a graft table → zero-file schema
+  * evolution commit; old rows read the new columns as typed nulls.
+  * Non-graft targets pass through to stock Spark untouched.
+  * (ref: AlterHoodieTableAddColumnsCommand.scala)
+  */
+case class GraftAddColumnsCommand(a: AddColumns) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nameParts = GraftSqlUtils.tableNameOf(a.table)
+    GraftSqlUtils.graftRelationOf(spark, nameParts) match {
+      case None => Shims.ofRows(spark, a).collect().toSeq // not ours
+      case Some(rel) =>
+        val fields = a.columnsToAdd.map { q =>
+          require(q.name.size == 1,
+            s"only top-level columns can be added: ${q.name.mkString(".")}")
+          org.apache.spark.sql.types.StructField(q.name.head, q.dataType, q.nullable)
+        }
+        new GraftWriteClient(rel.table).evolveSchema(fields)
+        // keep the session catalog's stored schema in sync (best effort —
+        // path-only tables have no catalog entry)
+        try {
+          val ident = TableIdentifier(nameParts.last,
+            if (nameParts.size > 1) Some(nameParts(nameParts.size - 2)) else None)
+          spark.sessionState.catalog.alterTableDataSchema(
+            ident, rel.table.storedDataSchema.get)
+        } catch { case _: Exception => () }
+        try spark.catalog.refreshTable(nameParts.mkString("."))
+        catch { case _: Exception => () }
+        Seq.empty
+    }
+  }
+}
+
+/** TRUNCATE TABLE t on a graft table → a replace-commit hiding every
+  * live file group; history stays intact for time travel until cleaned.
+  * (ref: TruncateHoodieTableCommand.scala)
+  */
+case class GraftTruncateCommand(t: TruncateTable) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nameParts = GraftSqlUtils.tableNameOf(t.table)
+    GraftSqlUtils.graftRelationOf(spark, nameParts) match {
+      case None => Shims.ofRows(spark, t).collect().toSeq // not ours
+      case Some(rel) =>
+        val parts = rel.table.view.partitions
+        if (parts.nonEmpty)
+          new GraftWriteClient(rel.table).deletePartitions(parts)
+        try spark.catalog.refreshTable(nameParts.mkString("."))
+        catch { case _: Exception => () }
+        Seq.empty
+    }
   }
 }
 

@@ -134,6 +134,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   def deletePartitions(partitions: Seq[String]): String = {
     val instant = begin(GraftAction.ReplaceCommit)
     val replaced = table.view.groupsInPartitions(partitions.toSet)
+    if (wc.occEnabled) {
+      val touched = replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
+        table.timeline.deleteInstant(instant)
+        throw new ConcurrentWriteConflictException(
+          s"delete_partition ${instant.ts} conflicts with $other; retry")
+      }
+    }
     commit(instant, GraftCommitMetadata(
       instant = instant.ts, action = instant.action, operation = "delete_partition",
       replacedFileIds = replaced, extra = wc.commitExtra))
@@ -342,10 +350,37 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   // =====================================================================
 
   private def begin(action: String): GraftInstant = {
+    // OCC baseline: every data commit visible before this write starts is
+    // not a conflict; anything completing after it is checked at publish
+    occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val ts = InstantTimeGenerator.next()
     val req = table.timeline.createRequested(ts, action)
     table.timeline.transitionToInflight(req)
   }
+
+  /** Timeline position when the current write began (set by begin()). */
+  @volatile private var occBaseTs: String = ""
+
+  /** First concurrently-completed instant whose touched file groups
+    * overlap `touched`, if any — the reference's conflict rule: two
+    * writes conflict iff they wrote or replaced the same file group
+    * (ref: SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115,
+    * TransactionManager.java:49-69; our atomic primitive is the
+    * create-if-absent completed-instant file).
+    */
+  private[graft] def conflictingInstant(
+      baseTs: String,
+      myTs: String,
+      touched: Set[(String, String)]): Option[String] =
+    table.timeline.completedData
+      .filter(i => i.ts > baseTs && i.ts != myTs)
+      .find { i =>
+        val meta = table.timeline.metadataOf(i)
+        val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
+          meta.replacedFileIds.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        (theirs & touched).nonEmpty
+      }
+      .map(_.ts)
 
   private def abort(instant: GraftInstant): Unit = {
     table.timeline.deleteInstant(instant)
@@ -362,6 +397,19 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       written: Seq[WriteFileInfo],
       replaced: Map[String, Seq[String]],
       dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+    if (wc.occEnabled) {
+      val touched = written.map(f => (f.partition, f.fileId)).toSet ++
+        replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
+        // the loser cleans its already-published files and aborts; they
+        // were never referenced by any commit, so readers never saw them
+        written.foreach(f =>
+          table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+        throw new ConcurrentWriteConflictException(
+          s"write ${instant.ts} conflicts with concurrently committed $other " +
+            "on overlapping file groups; retry the write")
+      }
+    }
     val totalRecords = written.map(_.records).sum
     val totalBytes = written.map(_.bytes).sum
     val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
@@ -394,6 +442,27 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     if (wc.inlineClean) {
       new graft.services.TableServices(table, wc).clean(wc.cleanRetainCommits)
     }
+  }
+
+  /** Append new (nullable) columns to the table schema without rewriting
+    * any data: a zero-file commit carrying the evolved schema. Old files
+    * surface the new columns as typed nulls on read; subsequent writes
+    * align to the evolved schema (ref: AlterHoodieTableAddColumnsCommand
+    * — the SQL ALTER TABLE surface over write-side evolution).
+    */
+  def evolveSchema(newFields: Seq[org.apache.spark.sql.types.StructField]): String = {
+    val current = table.storedDataSchema.getOrElse(
+      sys.error("cannot ALTER a table with no commits — write data first"))
+    val dup = newFields.map(_.name).filter(current.fieldNames.contains)
+    require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
+    val evolved = org.apache.spark.sql.types.StructType(
+      current.fields ++ newFields.map(_.copy(nullable = true)))
+    val instant = begin(
+      if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
+    commit(instant, GraftCommitMetadata(
+      instant = instant.ts, action = instant.action,
+      operation = "alter_add_columns", schemaJson = evolved.json))
+    instant.ts
   }
 
   /** Project `df` onto the stored schema order with stored TYPES, null-
@@ -748,6 +817,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     out.toSeq
   }
 }
+
+/** Thrown when the OCC publish check finds an overlapping concurrent
+  * commit; the write was rolled back and can be retried.
+  */
+final class ConcurrentWriteConflictException(msg: String)
+  extends RuntimeException(msg)
 
 object GraftWriteClient {
   /** One insert-assignment bucket: rows whose key-hash fraction falls in

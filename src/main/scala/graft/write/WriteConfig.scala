@@ -35,6 +35,15 @@ final case class WriteConfig(
       * keys are scoped per partition, same as the reference default.
       */
     globalIndex: Boolean = false,
+    /** Optimistic concurrency check: before publishing, fail the write if
+      * a commit that completed after this write began touched an
+      * overlapping file group (ref:
+      * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115).
+      * On by default — the check is one timeline listing; disjoint
+      * writers (pure inserts, different file groups) still commit
+      * concurrently, same as the reference's conflict rule.
+      */
+    occEnabled: Boolean = true,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty)

@@ -24,6 +24,7 @@ class TableFormatSpec extends AnyFunSuite {
     .appName("graft-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -378,6 +379,86 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(tgtB).count() === 40)
     // continuous: nothing new -> idles out after one poll, zero syncs
     assert(IngestRunner.runContinuous(spark, cfgs.head, maxRounds = 5) === 0)
+  }
+
+  test("OCC: overlapping concurrent commit fails the publish; disjoint commits pass") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val c2 = w.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val meta = t.timeline.metadataOf(t.timeline.completedData.last)
+    val touched = meta.files.map(f => (f.partition, f.fileId)).toSet
+    assert(touched.nonEmpty)
+    val c1 = t.timeline.completedData.head.ts
+    // a writer that began BEFORE c2 and touches c2's groups conflicts
+    // (the first overlapping instant after its base is reported)
+    assert(w.conflictingInstant(c1, "99999999999999999", touched).contains(c2))
+    assert(w.conflictingInstant("", "99999999999999999", touched).contains(c1))
+    // one that began after c2, or touches disjoint groups, does not
+    assert(w.conflictingInstant(c2, "99999999999999999", touched).isEmpty)
+    assert(w.conflictingInstant("", "99999999999999999",
+      Set(("nowhere", "nofile"))).isEmpty)
+  }
+
+  test("SQL ALTER TABLE ADD COLUMNS + TRUNCATE on graft tables") {
+    val sparkExt = spark // shared session carries the graft SQL extension
+    val path = tmp() + "/t"
+    sparkExt.read.parquet(s"$sf/orders.parquet").limit(200)
+      .write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS occ_alter_tab")
+    sparkExt.sql(s"CREATE TABLE occ_alter_tab USING graft OPTIONS (path '$path')")
+
+    sparkExt.sql("ALTER TABLE occ_alter_tab ADD COLUMNS (note STRING, score DOUBLE)")
+    val evolved = sparkExt.read.format("graft").load(path)
+    assert(evolved.schema.fieldNames.contains("note"))
+    assert(evolved.schema.fieldNames.contains("score"))
+    // old rows surface typed nulls
+    assert(evolved.filter(col("note").isNull).count() === 200)
+    // a write with the new columns round-trips
+    val upd = sparkExt.read.parquet(s"$sf/orders.parquet").limit(10)
+      .withColumn("note", lit("hi")).withColumn("score", lit(0.5))
+    upd.write.format("graft").option("operation", "upsert").mode("append").save(path)
+    assert(sparkExt.read.format("graft").load(path)
+      .filter(col("note") === "hi").count() === 10)
+
+    sparkExt.sql("TRUNCATE TABLE occ_alter_tab")
+    assert(sparkExt.read.format("graft").load(path).count() === 0)
+    // non-graft passthrough: ALTER on a parquet-backed catalog table
+    sparkExt.sql("DROP TABLE IF EXISTS plain_tab")
+    sparkExt.sql("CREATE TABLE plain_tab (a INT) USING parquet")
+    sparkExt.sql("ALTER TABLE plain_tab ADD COLUMNS (b STRING)")
+    assert(sparkExt.table("plain_tab").schema.fieldNames.toSeq === Seq("a", "b"))
+    sparkExt.sql("DROP TABLE IF EXISTS plain_tab")
+    sparkExt.sql("DROP TABLE IF EXISTS occ_alter_tab")
+  }
+
+  test("bootstrap FULL_RECORD + CLI views + catalog sync") {
+    import graft.utilities.{Bootstrap, CatalogSync, GraftCli}
+    val src = tmp() + "/src"
+    orders.limit(300).write.parquet(src)
+    val path = tmp() + "/t"
+    Bootstrap.fullRecord(spark, src, path, cowConfig, wc)
+    val t = GraftTable.load(spark, path)
+    assert(new GraftReadClient(t).snapshotData().count() === 300)
+
+    val cm = GraftCli.commits(t)
+    assert(cm.count() === 1)
+    assert(cm.select("operation").head.getString(0) === "bulk_insert")
+    assert(GraftCli.files(t).count() > 0)
+    assert(GraftCli.fileGroups(t).count() > 0)
+    assert(GraftCli.partitions(t).count() === 5)
+    assert(GraftCli.pending(t).count() === 0)
+
+    CatalogSync.sync(spark, path, "boot_sync_tab")
+    assert(spark.table("boot_sync_tab").count() === 300)
+    spark.sql("DROP TABLE IF EXISTS boot_sync_tab")
   }
 
   test("timestamp keygen: partition path is the formatted event time") {
