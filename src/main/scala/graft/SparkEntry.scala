@@ -208,7 +208,10 @@ object SparkEntry {
 
     "q_events_latest" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("user_id").orderBy(col("_us").desc, col("event_id").desc)
+      // order by the RAW nanosecond ts (exact long after nanosAsLong) so
+      // the pick matches the oracle's ORDER BY ts DESC bit-for-bit even
+      // if two events collide at microsecond granularity
+      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       events(s, dir)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -726,6 +729,29 @@ object SparkEntry {
        |SELECT id_a, id_b, shared::DOUBLE / (ca.n + cb.n - shared) AS jaccard
        |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
        |WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.6""".stripMargin
+  /** Same exact-Jaccard verify, but candidate generation replicates the
+    * engine's hot-shingle document-frequency cutoff (df <= 100): a pair
+    * ALL of whose shared shingles are ubiquitous is, by design, not a
+    * candidate in either engine — making the oracle semantics identical
+    * to ngramJaccardPairs instead of silently stricter.
+    */
+  private val duckJaccardPairsDfCutoff =
+    s"""WITH d AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         CASE WHEN length(norm) < 5 THEN norm ELSE substr(norm, CAST(i AS INT), 5) END AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, greatest(length(norm)-3, 2))) AS i) t),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |rare AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= 100),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |         FROM sh a JOIN rare r ON a.s = r.s
+       |         JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id),
+       |p AS (SELECT c.id_a, c.id_b, count(*) AS shared
+       |      FROM cand c JOIN sh a ON a.doc_id = c.id_a
+       |      JOIN sh b ON b.doc_id = c.id_b AND b.s = a.s GROUP BY 1, 2)
+       |SELECT id_a, id_b, shared::DOUBLE / (ca.n + cb.n - shared) AS jaccard
+       |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.6""".stripMargin
+
   private val duckTokens = raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
   private def duckStops(l: Seq[String]): String =
     l.map("'" + _ + "'").mkString("[", ", ", "]")
@@ -939,12 +965,13 @@ object SparkEntry {
          |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
          |WHERE n > 1""".stripMargin,
 
-    // exact 5-char-shingle Jaccard pairs >= 0.6 — the independent ground
-    // truth for BOTH near-dup candidate strategies (MinHash+LSH banding
-    // and the inverted-index join); the engines must emit identical pairs
-    // with bit-identical jaccard values (int-set sizes, one double div).
+    // exact 5-char-shingle Jaccard pairs >= 0.6 — independent ground
+    // truth for both near-dup candidate strategies; the engines must emit
+    // identical pairs with bit-identical jaccard values (int-set sizes,
+    // one double div). The inverted-index variant's oracle replicates its
+    // hot-shingle df cutoff so the two define the same candidate space.
     "doc_minhash_pairs" -> duckJaccardPairs,
-    "doc_jaccard_pairs" -> duckJaccardPairs,
+    "doc_jaccard_pairs" -> duckJaccardPairsDfCutoff,
 
     // full independent SimHash recomputation: same md5-derived 60-bit
     // token hashes, same +1/-1 bit votes, same 60-bit signature packing.

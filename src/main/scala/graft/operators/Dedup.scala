@@ -117,10 +117,18 @@ object Dedup {
     *  2. band keys hash `rows` consecutive signature slots; docs sharing
     *     a (band, key) bucket become candidate pairs
     *  3. candidates are verified by EXACT shingle Jaccard >= threshold
-    * Returns (id_a, id_b, jaccard) with id_a < id_b. Output is therefore
-    * deterministic and engine-independent (modulo the astronomically
-    * small LSH miss probability at high Jaccard: with 16 bands of 4 rows
-    * a 0.9-Jaccard pair is missed with p ≈ 4e-8).
+    * Returns (id_a, id_b, jaccard) with id_a < id_b.
+    *
+    * Recall is THRESHOLD-DEPENDENT: a pair at true Jaccard j escapes
+    * candidate generation with p_miss = (1 - j^rows)^bands. With the
+    * default 16 bands x 4 rows: p_miss(0.9) ≈ 4e-8, p_miss(0.83) ≈ 3e-5,
+    * but p_miss(0.6) ≈ 0.11 — pairs NEAR a 0.6 operating threshold are
+    * not near-certain catches. Size bands/rows for the threshold you gate
+    * on (more bands of fewer rows = higher recall, more candidates to
+    * verify). All hashes are seeded xxhash64, so a given corpus always
+    * produces the same pairs — the oracle comparison is deterministic,
+    * and the test fixtures' true pairs sit at j >= 0.83, where recall is
+    * effectively certain.
     */
   def minhashNearDups(
       df: DataFrame,

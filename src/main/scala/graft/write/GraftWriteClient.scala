@@ -477,8 +477,22 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     stored match {
       case None => df
       case Some(schema) =>
-        val existing = df.columns.toSet
+        val existing = df.schema.fields.map(f => f.name -> f.dataType).toMap
         val newCols = df.columns.toSeq.filterNot(schema.fieldNames.contains)
+        // reject incompatible type changes instead of silently null-ing
+        // values through a lossy cast (the reference validates writer
+        // schema compatibility the same way —
+        // hoodie.avro.schema.validate, HoodieWriteConfig.java:130-133);
+        // only identity and lossless widening casts are accepted
+        schema.fields.foreach { f =>
+          existing.get(f.name).foreach { in =>
+            require(org.apache.spark.sql.types.DataType
+              .equalsIgnoreCaseAndNullability(in, f.dataType) ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, f.dataType),
+              s"incompatible type for column '${f.name}': incoming $in " +
+                s"cannot be safely written into stored ${f.dataType}")
+          }
+        }
         df.select(
           (schema.fields.toSeq.map { f =>
             if (existing.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
