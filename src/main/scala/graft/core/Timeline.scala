@@ -79,6 +79,24 @@ object GraftStorage {
   val MetaDirName = ".graft"
 }
 
+/** Java-serializable wrapper for a Hadoop Configuration (which is
+  * Writable but not Serializable) so executor-side tasks can open the
+  * table's FileSystem with the driver's exact settings — required for
+  * distributed commit publication.
+  */
+final class SerializableHadoopConf(@transient var value: Configuration)
+  extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
+}
+
 /** The active timeline: ordered instants parsed from `.graft/` file names.
   * (ref: hudi-common/.../timeline/HoodieTimeline.java:46-84)
   */

@@ -114,6 +114,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   private def publishCompacted(staging: Path, ts: String): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
@@ -129,13 +130,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           val name = s"${fileId}_$ts.parquet"
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
-          val dest = table.storage.dataFilePath(partition, name)
-          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey)
         }
       }
     }
+    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
     out.toSeq
   }
 
@@ -214,6 +215,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   private def publishUngrouped(staging: Path, ts: String): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging)
@@ -228,12 +230,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           val name = s"${fileId}_$ts.parquet"
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
-          val dest = table.storage.dataFilePath(partition, name)
-          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey)
         }
     }
+    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
     out.toSeq
   }
 

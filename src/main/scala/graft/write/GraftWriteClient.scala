@@ -241,32 +241,65 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (table.isMor) Set.empty[(String, String)]
           else updateGroups ++ smallFileGroups
 
-        val oldRows: Option[DataFrame] =
-          if (rewriteGroups.isEmpty) None
-          else {
-            val paths = rewriteGroups.toSeq.flatMap { g =>
-              sliceByGroup.get(g).flatMap(_.base)
-                .map(f => table.storage.dataFilePath(g._1, f.fileName).toString)
-            }
-            if (paths.isEmpty) None
-            else Some(
-              table.readDataFiles(paths)
-                .withColumn(ColKey, col(MetaColumns.RecordKey))
-                .withColumn(ColPart, col(MetaColumns.PartitionPath))
-                .withColumn(ColTargetFile, fileIdOfInputFile))
+        def readOld(groups: Set[(String, String)]): Option[DataFrame] = {
+          val paths = groups.toSeq.flatMap { g =>
+            sliceByGroup.get(g).flatMap(_.base)
+              .map(f => table.storage.dataFilePath(g._1, f.fileName).toString)
           }
-
-        val incoming = assigned
-        val unioned = oldRows match {
-          // allowMissingColumns: evolution-added columns absent from old
-          // base files surface as typed nulls
-          case Some(old) => incoming.unionByName(old, allowMissingColumns = true)
-          case None      => incoming
+          if (paths.isEmpty) None
+          else Some(
+            table.readDataFiles(paths)
+              .withColumn(ColKey, col(MetaColumns.RecordKey))
+              .withColumn(ColPart, col(MetaColumns.PartitionPath))
+              .withColumn(ColTargetFile, fileIdOfInputFile))
         }
 
-        // ---- merge: cluster by (partition, fileGroup); the latest-wins
+        // ---- split the rewrite set: an UPDATE-ONLY group whose base file
+        // cannot be split across scan tasks, with a total incoming slice
+        // under the broadcast budget, merges WITHOUT shuffling its old
+        // rows — broadcast-hash left join straight from the base-file
+        // scan to the rewritten file; only incoming records cross the
+        // network (the reference's MergeHandle streams the old file
+        // inside the writing task the same way,
+        // ref: HoodieMergeHandle.java:280-310). Groups receiving inserts
+        // (their output mixes rows from two sources) and oversized files
+        // fall back to the clustered-shuffle merge. ----
+        val baseBytes: Map[(String, String), Long] = rewriteGroups.toSeq
+          .flatMap(g => sliceByGroup.get(g).flatMap(_.base).map(f => g -> f.bytes))
+          .toMap
+        val updateCounts: Map[(String, String), Long] = profile
+          .filterNot(_.isNullAt(1))
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val maxScanSplit = spark.sessionState.conf.filesMaxPartitionBytes
+        val bcastCandidates =
+          if (table.isMor || operation == "insert") Set.empty[(String, String)]
+          else rewriteGroups.filter(g =>
+            !smallFileGroups.contains(g) && baseBytes.get(g).exists(_ <= maxScanSplit))
+        val bcastRows = bcastCandidates.toSeq.map(updateCounts.getOrElse(_, 0L)).sum
+        val bcastGroups =
+          if (bcastCandidates.nonEmpty && bcastRows * avgSize <= wc.mergeBroadcastMaxBytes)
+            bcastCandidates
+          else Set.empty[(String, String)]
+        val shuffleGroups = rewriteGroups -- bcastGroups
+
+        val fullCols = (MetaColumns.All :+ MetaColumns.IsDeleted) ++ dataCols
+        val bcastIds = bcastGroups.map(_._2)
+        val incS =
+          if (bcastIds.isEmpty) assigned
+          else assigned.filter(!col(ColTargetFile).isInCollection(bcastIds))
+        val incB =
+          if (bcastIds.isEmpty) None
+          else Some(assigned.filter(col(ColTargetFile).isInCollection(bcastIds)))
+
+        // shuffle path: cluster by (partition, fileGroup); the latest-wins
         // window then needs no second shuffle (HashPartitioning(p,g)
-        // satisfies ClusteredDistribution(p,g,key)) ----
+        // satisfies ClusteredDistribution(p,g,key))
+        val unioned = readOld(shuffleGroups) match {
+          // allowMissingColumns: evolution-added columns absent from old
+          // base files surface as typed nulls
+          case Some(old) => incS.unionByName(old, allowMissingColumns = true)
+          case None      => incS
+        }
         val clustered = unioned.repartition(col(ColPart), col(ColTargetFile))
         val merged =
           if (operation == "insert") clustered // no dedup against existing
@@ -283,12 +316,23 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (table.isMor) merged // tombstones live in deltas until compaction
           else merged.filter(!col(MetaColumns.IsDeleted))
 
+        // broadcast path: old rows stay on their scan tasks end-to-end
+        val mergedB: Option[DataFrame] = for {
+          old <- readOld(bcastGroups)
+          inc <- incB
+        } yield broadcastMerge(old, inc, fullCols)
+          .filter(!col(MetaColumns.IsDeleted))
+
         // MOR: updates become delta files of their group, inserts new base
         // groups; COW: everything is a new base file version.
         val deltaGroups: Set[String] =
           if (table.isMor) updateGroups.map(_._2) else Set.empty
 
-        val written = writeGrouped(surviving, dataCols, instant.ts, deltaGroups)
+        stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true)
+        mergedB.foreach(df =>
+          stageGrouped(df, dataCols, instant.ts, deltaGroups, overwrite = false))
+        val written = publishStaged(
+          stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups)
         // A rewritten COW group where every row was tombstoned produces no
         // replacement file; record it as replaced so the old base version
         // is hidden from readers (the reference always emits a new file
@@ -724,20 +768,59 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     updates.unionByName(assignedInserts.select(updates.columns.map(col).toSeq: _*))
   }
 
-  // ---- physical write: staging dir + driver-side publish renames ----
+  /** Merge incoming update rows into the old rows of their file groups
+    * via a broadcast-hash LEFT join keyed (partition, fileGroup, key):
+    * the old side streams from its parquet scan with no shuffle, and the
+    * per-column winner expression reproduces the latest-wins window
+    * semantics exactly — incoming beats stored for "overwrite_latest";
+    * "event_time" keeps the stored row when its precombine value is
+    * strictly larger (nulls rank last, ties go to the newer commit).
+    * Precondition (guaranteed by the caller's group split): every key of
+    * a merged group has exactly one old row, and at most one incoming row
+    * after pre-combine.
+    */
+  private def broadcastMerge(
+      old: DataFrame, inc: DataFrame, fullCols: Seq[String]): DataFrame = {
+    val In = "_g_in_"
+    val keyCols = Seq(ColKey, ColPart, ColTargetFile)
+    val incR = inc.select(
+      keyCols.map(col) ++ fullCols.map(c => col(c).as(In + c)): _*)
+    // evolution-added columns absent from old base files -> typed nulls
+    val oldFull = fullCols.foldLeft(old)((d, c) =>
+      if (d.columns.contains(c)) d
+      else d.withColumn(c, lit(null).cast(inc.schema(c).dataType)))
+    val joined = oldFull.join(broadcast(incR), keyCols, "left")
+    val present = col(In + MetaColumns.CommitTime).isNotNull
+    val wins = (cfg.payloadClass, cfg.precombineField) match {
+      case ("event_time", Some(pc)) =>
+        val nPc = col(In + pc)
+        val oPc = col(pc)
+        (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
+          (nPc.isNull && oPc.isNull)
+      case _ => lit(true)
+    }
+    val takeNew = present && wins
+    joined.select(keyCols.map(col) ++ fullCols.map(c =>
+      when(takeNew, col(In + c)).otherwise(col(c)).as(c)): _*)
+  }
+
+  // ---- physical write: staging dir + distributed publish renames ----
 
   private def stagingDir(instantTs: String): Path =
     new Path(table.storage.tempDir, instantTs)
 
-  /** Write rows that carry an assigned file group: one parquet file per
-    * (partition, fileId). Rows were already clustered by these columns, so
-    * the partitioned write produces exactly one file per group.
+  /** Stage rows that carry an assigned file group: one parquet file per
+    * (partition, fileId). Rows arrive either clustered by these columns
+    * (shuffle path) or scan-aligned one-group-per-task (broadcast path),
+    * so the partitioned write produces exactly one file per group —
+    * publishStaged enforces that invariant.
     */
-  private def writeGrouped(
+  private def stageGrouped(
       df: DataFrame,
       dataCols: Seq[String],
       instantTs: String,
-      deltaGroups: Set[String]): Seq[WriteFileInfo] = {
+      deltaGroups: Set[String],
+      overwrite: Boolean): Unit = {
     val staging = stagingDir(instantTs)
     val fileCols = MetaColumns.All :+ MetaColumns.IsDeleted
     val suffixCol =
@@ -751,10 +834,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .withColumn(StageFileCol, col(ColTargetFile))
       .select((fileCols ++ dataCols ++ Seq(StagePartCol, StageFileCol)).map(col): _*)
     out.write
-      .mode(SaveMode.Overwrite)
+      .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .partitionBy(StagePartCol, StageFileCol)
       .parquet(staging.toString)
-    publishStaged(staging, instantTs, groupedByFile = true, deltaGroups)
   }
 
   /** Write rows without a pre-assigned group (bulk loads): each staged
@@ -779,10 +861,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
   /** Move staged files into the table layout with their final
     * `{fileId}_{instant}[.delta].parquet` names and collect stats.
-    * O(files-written) driver renames — the commit protocol itself.
-    * Record counts come from ONE distributed job over the staging dir
-    * (not per-file driver footer reads, which would serialize a
-    * 1500-task write's commit behind thousands of driver round-trips).
+    * The rename PLAN is computed on the driver; execution fans out to
+    * executors above a small threshold (object-store rename = copy, so a
+    * 1500-file commit published serially would serialize the whole write
+    * behind the driver — ref: the reference finalizes write stats
+    * executor-side for the same reason). Record counts come from ONE
+    * distributed job over the staging dir.
     */
   private def publishStaged(
       staging: Path,
@@ -793,6 +877,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     if (!fs.exists(staging)) return Seq.empty
     val counts = stagedFileCounts(spark, staging)
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     var newGroupSeq = 0
 
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
@@ -821,13 +906,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           val isDelta = deltaGroups.contains(id)
           val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
           val stats = counts.getOrElse(st.getPath.toUri.getPath, FileStats(0L, "", ""))
-          val dest = table.storage.dataFilePath(partition, name)
-          require(table.storage.rename(st.getPath, dest), s"rename failed: $dest")
+          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
             stats.minKey, stats.maxKey)
         }
       }
     }
+    executeRenames(spark, table.storage, renames.toSeq)
     out.toSeq
   }
 }
@@ -918,6 +1003,43 @@ object GraftWriteClient {
         if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
           e.getMessage.contains("Unable to infer schema") => Map.empty
     }
+
+  /** Publish renames below this count run as a driver loop (job-launch
+    * overhead beats parallelism for small commits).
+    */
+  val ParallelRenameThreshold = 32
+
+  /** Execute a batch of publish renames: driver loop for small commits,
+    * one distributed job for large ones — on object stores rename is a
+    * copy, and a 1500-file commit must not serialize it behind the
+    * driver. Any failed rename fails the job and therefore the commit
+    * (the instant is still inflight at this point, so a partial publish
+    * is invisible to readers and cleaned by rollback).
+    */
+  def executeRenames(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.core.GraftStorage,
+      pairs: Seq[(Path, Path)]): Unit = {
+    if (pairs.isEmpty) return
+    if (pairs.size <= ParallelRenameThreshold) {
+      pairs.foreach { case (src, dst) =>
+        require(storage.rename(src, dst), s"rename failed: $src -> $dst")
+      }
+    } else {
+      val conf = new graft.core.SerializableHadoopConf(storage.fs.getConf)
+      val strs = pairs.map { case (s, d) => (s.toString, d.toString) }
+      val slices = math.min(strs.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(strs, slices).foreach { case (s, d) =>
+        val src = new Path(s)
+        val dst = new Path(d)
+        val fs = dst.getFileSystem(conf.value)
+        val parent = dst.getParent
+        if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        if (!fs.rename(src, dst))
+          throw new java.io.IOException(s"rename failed: $s -> $d")
+      }
+    }
+  }
 
   /** Scheme-less, percent-decoded path for cross-keying input_file_name
     * output with FileStatus paths.

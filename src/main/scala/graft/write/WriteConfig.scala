@@ -44,6 +44,14 @@ final case class WriteConfig(
       * concurrently, same as the reference's conflict rule.
       */
     occEnabled: Boolean = true,
+    /** COW update merges avoid shuffling the OLD base-file rows when the
+      * incoming update slice for the affected groups fits under this
+      * broadcast budget: old rows stream straight from their parquet scan
+      * into a broadcast-hash left join and back out to their rewritten
+      * file — only the incoming records ever cross the network. Above the
+      * budget the merge falls back to the clustered-shuffle plan.
+      */
+    mergeBroadcastMaxBytes: Long = 32L * 1024 * 1024,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty)

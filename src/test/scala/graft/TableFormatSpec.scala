@@ -461,6 +461,46 @@ class TableFormatSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS boot_sync_tab")
   }
 
+  test("distributed publish: a many-file commit renames in one executor job") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(targetFileSizeBytes = 2048))
+    w.bulkInsert(orders) // tiny target size -> well above the rename threshold
+    val files = t.view.latestSlices(None).flatMap(_.base)
+    assert(files.size > GraftWriteClient.ParallelRenameThreshold,
+      s"need >${GraftWriteClient.ParallelRenameThreshold} files, got ${files.size}")
+    val got = new GraftReadClient(t).snapshotData()
+    assert(got.count() === orders.count())
+    assert(got.select(orders.columns.map(col).toSeq: _*).exceptAll(orders).count() === 0)
+  }
+
+  test("event_time payload: stale incoming loses to stored, via both merge paths") {
+    // mergeBroadcastMaxBytes=0 forces the clustered-shuffle merge;
+    // the default budget takes the broadcast-join path — semantics must
+    // be identical
+    for (budget <- Seq(0L, 32L * 1024 * 1024)) {
+      val path = tmp()
+      val t = GraftTable.create(spark, path,
+        cowConfig.copy(payloadClass = "event_time"))
+      val w = new GraftWriteClient(t, wc.copy(mergeBroadcastMaxBytes = budget))
+      w.bulkInsert(orders)
+      // stale: LOWER precombine (o_totalprice) than stored -> stored wins
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") - 1.0)
+        .withColumn("o_orderstatus", lit("STALE")))
+      // fresh: higher precombine -> incoming wins
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+        .withColumn("o_orderstatus", lit("FRESH")))
+      val got = new GraftReadClient(t).snapshotData()
+      assert(got.count() === orders.count(), s"budget=$budget")
+      assert(got.filter(col("o_orderstatus") === "STALE").count() === 0,
+        s"budget=$budget: stale row overwrote a fresher stored row")
+      assert(got.filter(col("o_orderstatus") === "FRESH").count() ===
+        orders.filter(col("o_orderkey") % 3 === 1).count(), s"budget=$budget")
+    }
+  }
+
   test("timestamp keygen: partition path is the formatted event time") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig.copy(
