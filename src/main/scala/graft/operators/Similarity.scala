@@ -37,44 +37,95 @@ object Similarity {
       .limit(k)
   }
 
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * xxhash64 folded into [-0.5, 0.5).
+  /** splitmix64 finalizer — the deterministic seed for hyperplane
+    * components (identical on driver and executors, no Spark evaluation
+    * needed to reproduce it).
     */
-  private def planeComponent(plane: Column, dim: Column): Column =
-    (pmod(xxhash64(plane, dim), lit(1000L)).cast("double") / 1000.0) - 0.5
+  private def splitmix64(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
 
-  /** LSH bucket id: sign bits of `numPlanes` random-hyperplane dot
-    * products packed into a long.
+  /** Deterministic hyperplane component for (plane, dim) in [-0.5, 0.5).
+    * A plan-time CONSTANT: the hot path multiplies stored floats by
+    * literals instead of evaluating hash expressions per element.
     */
-  def lshBucket(vec: Column, numPlanes: Int): Column =
-    aggregate(
-      sequence(lit(0), lit(numPlanes - 1)),
-      lit(0L),
-      (acc, p) => {
-        val proj = aggregate(
-          zip_with(vec, sequence(lit(0), size(vec) - 1),
-            (x, d) => x.cast("double") * planeComponent(p, d)),
-          lit(0.0), (a, v) => a + v)
-        acc + when(proj > 0, call_function("shiftleft", lit(1L), p)).otherwise(lit(0L))
-      })
+  def planeComponent(plane: Int, dim: Int): Double =
+    (java.lang.Math.floorMod(
+      splitmix64(plane.toLong * 1000003L + dim), 1000L).toDouble / 1000.0) - 0.5
+
+  /** LSH bucket id of a `dim`-element vector column: sign bits of
+    * `numPlanes` hyperplane projections packed into a long, as a fully
+    * UNROLLED expression tree (planes x dim constant multiply-adds).
+    * Spark does not codegen higher-order array functions, so the previous
+    * aggregate∘zip_with formulation ran interpreted per row — the
+    * unrolled tree stays inside whole-stage codegen and needs no
+    * per-element hash evaluation. Left-assoc addition matches
+    * [[queryBucket]]'s driver-side fold bit-for-bit.
+    */
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    (0 until numPlanes).map { p =>
+      val proj = (0 until dim)
+        .map(d => element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket of a constant query vector — pure driver arithmetic, same
+    * fold order as [[lshBucket]].
+    */
+  def queryBucket(query: Seq[Double], numPlanes: Int): Long =
+    (0 until numPlanes).map { p =>
+      val proj = query.zipWithIndex
+        .map { case (x, d) => x * planeComponent(p, d) }
+        .foldLeft(0.0)(_ + _)
+      if (proj > 0) 1L << p else 0L
+    }.sum
+
+  /** Materialize the LSH bucket as a real column — THE 100 TB path: at
+    * ingest time the corpus is written with its bucket (ideally
+    * bucketed/partitioned by it on storage), and queries prune on the
+    * stored value instead of recomputing projections per query
+    * (see [[annTopKPrebucketed]]).
+    */
+  def withLshBucket(
+      df: DataFrame, vecCol: String, numPlanes: Int,
+      bucketCol: String = "lsh_bucket"): DataFrame = {
+    val dim = vectorDim(df, vecCol)
+    df.withColumn(bucketCol, lshBucket(col(vecCol), numPlanes, dim))
+  }
+
+  private def vectorDim(df: DataFrame, vecCol: String): Int =
+    df.select(size(col(vecCol))).head.getInt(0)
 
   /** Approximate nearest neighbors: restrict the cosine scan to the
     * query's hyperplane bucket (plus probes differing in one bit —
-    * multi-probe LSH), then exact-rank within candidates. At scale this
-    * turns a full-corpus scan into a bucket-pruned one; the bucket column
-    * can be precomputed and partition-pruned on storage.
+    * multi-probe LSH), then exact-rank within candidates. Buckets are
+    * computed inline here; at scale, store them once with
+    * [[withLshBucket]] and query through [[annTopKPrebucketed]].
     */
   def annTopK(
       df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
+    val bucketed = withLshBucket(df, vecCol, numPlanes, "_bucket")
+    annTopKPrebucketed(bucketed, vecCol, idCol, "_bucket", query, k, numPlanes)
+  }
+
+  /** ANN over a corpus whose bucket column is already stored: the scan
+    * filters on the bucket value (pushed to parquet / pruned on storage
+    * layout), computes exact cosine only within the probed buckets, and
+    * exact-ranks the survivors.
+    */
+  def annTopKPrebucketed(
+      df: DataFrame, vecCol: String, idCol: String, bucketCol: String,
+      query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
     val q = typedLit(query)
-    val bucketed = df.withColumn("_bucket", lshBucket(col(vecCol), numPlanes))
-    val qBucket = bucketed.sparkSession.range(1)
-      .select(lshBucket(q, numPlanes).as("b")).head.getLong(0)
+    val qBucket = queryBucket(query, numPlanes)
     // multi-probe: exact bucket + all 1-bit flips
     val probes = qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
-    bucketed
-      .filter(col("_bucket").isin(probes: _*))
+    df.filter(col(bucketCol).isin(probes: _*))
       .select(col(idCol), cosine(col(vecCol), q).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
@@ -93,8 +144,9 @@ object Similarity {
   def cosineNearDups(
       df: DataFrame, vecCol: String, idCol: String,
       threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
+    val dim = vectorDim(df, vecCol)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), numPlanes))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
     val probes = sigs.withColumn("bucket",
       explode(array(col("bucket") +:
         (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))

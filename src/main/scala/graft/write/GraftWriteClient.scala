@@ -83,6 +83,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     runKeyedWrite(df, "upsert", tag = true,
       dedupIncoming = wc.combineBeforeUpsert, deleteOp = false)
 
+  /** Upsert of records the caller guarantees already deduplicated: the
+    * pre-combine pass is skipped (the reference additionally carries
+    * pre-resolved file locations on its records; our location tag is a
+    * manifest-pruned join rather than per-record state, so it always
+    * runs). (ref: SparkRDDWriteClient.java:162-170 upsertPreppedRecords)
+    */
+  def upsertPrepped(df: DataFrame): String =
+    runKeyedWrite(df, "upsert_prepped", tag = true,
+      dedupIncoming = false, deleteOp = false)
+
   /** Insert without update routing; still packs small files; duplicates
     * allowed. (ref: SparkRDDWriteClient.java:172-196)
     */
@@ -833,7 +843,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .withColumn(StagePartCol, col(ColPart))
       .withColumn(StageFileCol, col(ColTargetFile))
       .select((fileCols ++ dataCols ++ Seq(StagePartCol, StageFileCol)).map(col): _*)
-    out.write
+    // SortedMergeHandle: in-task sort, no shuffle — each staged file
+    // comes out key-ordered
+    val sorted =
+      if (wc.sortedWrite)
+        out.sortWithinPartitions(
+          col(StagePartCol), col(StageFileCol), col(MetaColumns.RecordKey))
+      else out
+    sorted.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .partitionBy(StagePartCol, StageFileCol)
       .parquet(staging.toString)

@@ -52,6 +52,12 @@ final case class WriteConfig(
       * budget the merge falls back to the clustered-shuffle plan.
       */
     mergeBroadcastMaxBytes: Long = 32L * 1024 * 1024,
+    /** Keep every written file sorted by record key (the SortedMergeHandle
+      * behavior, ref: HoodieSortedMergeHandle.java): one extra in-task
+      * sort per staged file, no shuffle; sorted files tighten min/max
+      * range pruning and enable merge-sorted downstream reads.
+      */
+    sortedWrite: Boolean = false,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty)

@@ -501,6 +501,43 @@ class TableFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("upsertPrepped skips precombine; sortedWrite keeps files key-ordered") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(sortedWrite = true))
+    w.bulkInsert(orders.limit(400))
+    w.upsertPrepped(orders.limit(400)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    val read = new GraftReadClient(t)
+    assert(read.snapshotData().count() === 400)
+    // every rewritten file is sorted by record key
+    val slices = t.view.latestSlices(None)
+    slices.flatMap(_.base).foreach { f =>
+      val part = slices.find(_.base.contains(f)).get.partition
+      val keys = spark.read
+        .parquet(t.storage.dataFilePath(part, f.fileName).toString)
+        .select(MetaColumns.RecordKey).collect().map(_.getString(0)).toSeq
+      assert(keys === keys.sorted, s"file ${f.fileName} not key-sorted")
+    }
+  }
+
+  test("ANN: stored-bucket path returns the same neighbors as inline bucketing") {
+    import graft.operators.Similarity
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = emb.orderBy("vec_id").select("embedding").head
+      .getSeq[Float](0).map(_.toDouble).toSeq
+    val inline = Similarity.annTopK(emb, "embedding", "vec_id", q, 20, numPlanes = 8)
+      .collect().map(_.getLong(0)).toSeq
+    // materialize the bucket (the at-ingest path), then query prebucketed
+    val stored = Similarity.withLshBucket(emb, "embedding", numPlanes = 8)
+    assert(stored.schema.fieldNames.contains("lsh_bucket"))
+    val pre = Similarity.annTopKPrebucketed(
+      stored, "embedding", "vec_id", "lsh_bucket", q, 20, numPlanes = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(pre === inline)
+    assert(pre.nonEmpty)
+  }
+
   test("timestamp keygen: partition path is the formatted event time") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig.copy(
