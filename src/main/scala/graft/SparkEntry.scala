@@ -82,7 +82,8 @@ object SparkEntry {
     targetFileSizeBytes = 4L * 1024 * 1024,
     smallFileLimitBytes = 3L * 1024 * 1024,
     defaultRecordSizeBytes = 64,
-    inlineCompactDeltaCommits = 0)
+    inlineCompactDeltaCommits = 0,
+    bloomExpectedEntries = 8192)
 
   private def cowOrders(name: String, s: SparkSession, sfDir: String): (GraftTable, GraftWriteClient, DataFrame) = {
     val orders = T(s, sfDir, "orders")

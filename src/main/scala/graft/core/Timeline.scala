@@ -29,6 +29,10 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
   val metaDir: Path = new Path(basePath, GraftStorage.MetaDirName)
   val archiveDir: Path = new Path(metaDir, "archived")
   val tempDir: Path = new Path(metaDir, ".temp")
+  /** Per-commit key-bloom sidecars: `blooms/<instant>` parquet dirs. */
+  val bloomsDir: Path = new Path(metaDir, "blooms")
+
+  def bloomSidecar(instantTs: String): Path = new Path(bloomsDir, instantTs)
 
   def exists(p: Path): Boolean = fs.exists(p)
 

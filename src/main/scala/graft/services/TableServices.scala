@@ -115,8 +115,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+    val blooms = scala.collection.mutable.ArrayBuffer[GraftWriteClient.BloomSidecarRow]()
     if (!fs.exists(staging)) return Seq.empty
-    val counts = GraftWriteClient.stagedFileCounts(spark, staging)
+    val counts = GraftWriteClient.stagedFileCounts(spark, staging,
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -131,12 +133,15 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+          if (stats.bloom.nonEmpty)
+            blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey)
         }
       }
     }
     GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
+    GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
     out.toSeq
   }
 
@@ -216,9 +221,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+    val blooms = scala.collection.mutable.ArrayBuffer[GraftWriteClient.BloomSidecarRow]()
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
-    val counts = GraftWriteClient.stagedFileCounts(spark, staging)
+    val counts = GraftWriteClient.stagedFileCounts(spark, staging,
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -231,11 +238,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+          if (stats.bloom.nonEmpty)
+            blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey)
         }
     }
     GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
+    GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
     out.toSeq
   }
 
@@ -319,6 +329,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName))
           deleted += s"${f.partition}/${f.fileName}"
         }
+        // the commit's bloom sidecar dies with its files
+        table.storage.delete(table.storage.bloomSidecar(instantTs), recursive = true)
       case _ => // pending instant: wipe staging only
         table.storage.delete(
           new Path(table.storage.tempDir, instantTs), recursive = true)

@@ -167,7 +167,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .withColumn(ColPart, partExpr)
     // pruning is sound for the anti-join too: a pruned file cannot
     // contain any incoming key, so it can never produce a match
-    val idx = keyIndex(Some(incomingBounds(withKeys)))
+    val (bounds, nIncoming) = incomingStats(withKeys)
+    val idx = keyIndex(Some(withKeys), Some(bounds), nIncoming = nIncoming)
     withKeys.join(idx, Seq(ColKey, ColPart), "left_anti")
       .drop(ColKey, ColPart)
   }
@@ -213,10 +214,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // SparkHoodieBloomIndex.java:110-140 for the range prune).
       // Global mode joins on the key alone and routes partition moves
       // (ref: SparkHoodieGlobalSimpleIndex.java). ----
+      // the bloom probe uses the PRE-dedup frame: same distinct key set,
+      // no extra evaluation of the pre-combine window shuffle
       val tagged0 =
-        if (tag && wc.globalIndex) tagGlobal(deduped, deleteOp)
+        if (tag && wc.globalIndex) tagGlobal(deduped, prepared, deleteOp)
         else if (tag) {
-          val idx = keyIndex(Some(incomingBounds(deduped)))
+          val (bounds, nIncoming) = incomingStats(deduped)
+          val idx = keyIndex(Some(prepared), Some(bounds), nIncoming = nIncoming)
           deduped.join(idx, Seq(ColKey, ColPart), "left")
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
       // deletes for keys that don't exist are no-ops
@@ -598,8 +602,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * routed to wherever the key lives
     * (ref: GlobalAvroDeleteKeyGenerator.java).
     */
-  private def tagGlobal(deduped: DataFrame, deleteOp: Boolean): DataFrame = {
-    val idx = keyIndex(Some(globalBounds(deduped)), global = true)
+  private def tagGlobal(
+      deduped: DataFrame, probe: DataFrame, deleteOp: Boolean): DataFrame = {
+    val (gBounds, nIncoming) = globalBounds(deduped)
+    val idx = keyIndex(Some(probe), Some(gBounds), global = true,
+      nIncoming = nIncoming)
       .withColumnRenamed(ColPart, ColIdxPart)
     val j = deduped.join(idx, Seq(ColKey), "left")
     val samePart = col(ColIdxPart).isNull || col(ColIdxPart) === col(ColPart)
@@ -622,22 +629,27 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     }
   }
 
-  /** Single table-wide key range of the batch (global-index prune). */
-  private def globalBounds(df: DataFrame): Map[String, (String, String)] = {
-    val r = df.agg(min(ColKey), max(ColKey)).head
-    if (r.isNullAt(0)) Map.empty
-    else Map(GlobalBoundKey -> (r.getString(0), r.getString(1)))
+  /** Single table-wide key range + row count of the batch (global-index
+    * prune and bloom density gate).
+    */
+  private def globalBounds(df: DataFrame): (Map[String, (String, String)], Long) = {
+    val r = df.agg(min(ColKey), max(ColKey), count(lit(1))).head
+    if (r.isNullAt(0)) (Map.empty, 0L)
+    else (Map(GlobalBoundKey -> (r.getString(0), r.getString(1))), r.getLong(2))
   }
 
-  /** Per-partition [min, max] record-key bounds of the incoming batch —
-    * one small aggregate (replaces the former touched-partitions
-    * distinct), feeding the index range prune.
+  /** Per-partition [min, max] record-key bounds of the incoming batch
+    * plus its total row count — one small aggregate (replaces the former
+    * touched-partitions distinct), feeding the index range prune and the
+    * bloom-probe density gate.
     */
-  private def incomingBounds(df: DataFrame): Map[String, (String, String)] =
-    df.groupBy(ColPart).agg(min(ColKey).as("_mn"), max(ColKey).as("_mx"))
+  private def incomingStats(df: DataFrame): (Map[String, (String, String)], Long) = {
+    val rows = df.groupBy(ColPart)
+      .agg(min(ColKey).as("_mn"), max(ColKey).as("_mx"), count(lit(1)).as("_c"))
       .collect()
-      .map(r => r.getString(0) -> (r.getString(1), r.getString(2)))
-      .toMap
+    (rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap,
+      rows.map(_.getLong(3)).sum)
+  }
 
   /** Latest-slice files that may contain keys of the incoming batch: a
     * file is skipped when its commit-recorded [minKey, maxKey] cannot
@@ -651,6 +663,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private[graft] def indexCandidatePaths(
       bounds: Map[String, (String, String)],
       global: Boolean = false): Seq[String] =
+    indexCandidateFiles(bounds, global).map(_.path)
+
+  private[graft] def indexCandidateFiles(
+      bounds: Map[String, (String, String)],
+      global: Boolean): Seq[CandidateFile] =
     table.view.latestSlices(None)
       .filter(s => global || bounds.contains(s.partition))
       .flatMap { s =>
@@ -662,9 +679,60 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             (s.base.toSeq ++ s.deltas)
               .filter(f => f.minKey.isEmpty || f.maxKey.isEmpty ||
                 (utf8Lte(f.minKey, inMax) && utf8Lte(inMin, f.maxKey)))
-              .map(f => table.storage.dataFilePath(s.partition, f.fileName).toString)
+              .map(f => CandidateFile(s.partition, f.fileName,
+                table.storage.dataFilePath(s.partition, f.fileName).toString,
+                f.records))
         }
       }
+
+  /** Second prune stage after the range prune: drop candidate files whose
+    * key bloom proves they contain NO incoming key. This is the prune
+    * that survives uniformly-distributed keys, where every file's
+    * [min,max] spans the whole key space and range pruning keeps
+    * everything (ref: SparkHoodieBloomIndex.java:110-140 + the
+    * bucketized bloom-check step :230-283). Probing is a distributed
+    * narrow job over the incoming (partition, key) projection against
+    * broadcast blooms; files from commits without sidecars are always
+    * scanned, so the prune is sound by construction.
+    */
+  private[graft] def bloomPruneCandidates(
+      probe: DataFrame,
+      cands: Seq[CandidateFile],
+      global: Boolean,
+      incomingRows: Long = 0L): Seq[CandidateFile] = {
+    if (!wc.bloomIndexEnabled || cands.isEmpty) return cands
+    // density gate: n uniformly-spread keys over F candidate files hit
+    // ~F·(1-e^(-n/F)) of them, so once n is a small multiple of F nearly
+    // every file is touched and probing is pure overhead. Blooms pay in
+    // the trickle-update regime (n ≲ F), which is exactly where rewriting
+    // amplification hurts most at scale.
+    if (incomingRows > 2L * cands.size) return cands
+    val bloomMap = loadBlooms(spark, table.storage, cands.map(_.fileName))
+    if (bloomMap.isEmpty) return cands
+    val (withB, withoutB) = cands.partition(c => bloomMap.contains(c.fileName))
+    val byPart: Map[String, Seq[(String, Array[Byte])]] = withB
+      .groupBy(c => if (global) "" else c.partition)
+      .view.mapValues(_.map(c => c.fileName -> bloomMap(c.fileName))).toMap
+    val bc = spark.sparkContext.broadcast(byPart)
+    import spark.implicits._
+    val partKey = if (global) lit("") else col(ColPart)
+    val hits = probe.select(partKey.as("p"), col(ColKey).as("k"))
+      .as[(String, String)]
+      .mapPartitions { it =>
+        val cache = scala.collection.mutable.Map[
+          String, org.apache.spark.util.sketch.BloomFilter]()
+        def bloomOf(name: String, bytes: Array[Byte]) =
+          cache.getOrElseUpdate(name,
+            org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes)))
+        it.flatMap { case (p, k) =>
+          bc.value.getOrElse(p, Seq.empty).iterator
+            .filter { case (n, b) => bloomOf(n, b).mightContainString(k) }
+            .map(_._1)
+        }
+      }.distinct().collect().toSet
+    withoutB ++ withB.filter(c => hits(c.fileName))
+  }
 
   /** Key -> file-group index: project 2 meta columns + the physical file
     * from the range-pruned candidate files. A pure columnar scan of 2
@@ -672,10 +740,15 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * (ref: SparkHoodieSimpleIndex.java:109-118)
     */
   private def keyIndex(
+      probe: Option[DataFrame],
       bounds: Option[Map[String, (String, String)]],
-      global: Boolean = false): DataFrame = {
+      global: Boolean = false,
+      nIncoming: Long = 0L): DataFrame = {
     val paths = bounds match {
-      case Some(b) => indexCandidatePaths(b, global)
+      case Some(b) =>
+        val cands = indexCandidateFiles(b, global)
+        probe.map(bloomPruneCandidates(_, cands, global, nIncoming))
+          .getOrElse(cands).map(_.path)
       case None =>
         table.view.latestSlices(None).flatMap { s =>
           (s.base.toSeq ++ s.deltas).map(f =>
@@ -892,9 +965,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       deltaGroups: Set[String]): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     if (!fs.exists(staging)) return Seq.empty
-    val counts = stagedFileCounts(spark, staging)
+    val counts = stagedFileCounts(spark, staging,
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
+    val blooms = scala.collection.mutable.ArrayBuffer[BloomSidecarRow]()
     var newGroupSeq = 0
 
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
@@ -924,12 +999,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
           val stats = counts.getOrElse(st.getPath.toUri.getPath, FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+          if (stats.bloom.nonEmpty) blooms += BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
             stats.minKey, stats.maxKey)
         }
       }
     }
     executeRenames(spark, table.storage, renames.toSeq)
+    writeBloomSidecar(spark, table.storage, instantTs, blooms.toSeq)
     out.toSeq
   }
 }
@@ -947,6 +1024,10 @@ object GraftWriteClient {
     */
   final case class InsertRange(
       partition: String, lo: Double, hi: Double, fileId: String, existing: Boolean)
+
+  /** One index-scan candidate after range pruning. */
+  final case class CandidateFile(
+      partition: String, fileName: String, path: String, records: Long = 0L)
 
   // transient planning columns (never persisted)
   val ColKey = "_g_key"
@@ -970,8 +1051,76 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
-  /** Per-file write statistics: record count + record-key range. */
-  final case class FileStats(records: Long, minKey: String, maxKey: String)
+  /** Per-file write statistics: record count, record-key range, and the
+    * serialized key bloom filter (empty when bloom indexing is off).
+    */
+  final case class FileStats(
+      records: Long, minKey: String, maxKey: String,
+      bloom: Array[Byte] = Array.empty)
+
+  /** Distributed per-file key-bloom builder (merge-combinable, so it runs
+    * as one agg expression inside the staged-stats job). Spark's public
+    * sketch BloomFilter is the same family the reference persists in
+    * parquet footers (ref: HoodieDynamicBoundedBloomFilter).
+    */
+  final class KeyBloomAggregator(expected: Long, fpp: Double)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      String, org.apache.spark.util.sketch.BloomFilter, Array[Byte]] {
+    import org.apache.spark.util.sketch.BloomFilter
+    override def zero: BloomFilter = BloomFilter.create(expected, fpp)
+    override def reduce(b: BloomFilter, k: String): BloomFilter = {
+      b.putString(k); b
+    }
+    override def merge(a: BloomFilter, b: BloomFilter): BloomFilter =
+      a.mergeInPlace(b)
+    override def finish(b: BloomFilter): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      b.writeTo(out)
+      out.toByteArray
+    }
+    override def bufferEncoder =
+      org.apache.spark.sql.Encoders.javaSerialization(classOf[BloomFilter])
+    override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
+  }
+
+  /** One sidecar row: physical file name -> serialized key bloom. */
+  final case class BloomSidecarRow(file_name: String, bloom: Array[Byte])
+
+  /** Write the per-commit bloom sidecar (driver-side; the blooms were
+    * aggregated distributed and are small relative to the data written).
+    */
+  def writeBloomSidecar(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.core.GraftStorage,
+      instantTs: String,
+      blooms: Seq[BloomSidecarRow]): Unit = {
+    if (blooms.isEmpty) return
+    import spark.implicits._
+    blooms.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(storage.bloomSidecar(instantTs).toString)
+  }
+
+  /** Blooms of the given files, keyed by file name, loaded from the
+    * sidecars of the instants the file names encode. Files from commits
+    * predating bloom sidecars simply have no entry (and are always
+    * scanned).
+    */
+  def loadBlooms(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.core.GraftStorage,
+      fileNames: Seq[String]): Map[String, Array[Byte]] = {
+    val instants = fileNames
+      .map(graft.core.FileSystemView.instantOfFileName).distinct
+    val paths = instants.map(storage.bloomSidecar)
+      .filter(storage.exists).map(_.toString)
+    if (paths.isEmpty) return Map.empty
+    val wanted = fileNames.toSet
+    spark.read.parquet(paths: _*)
+      .filter(col("file_name").isin(fileNames: _*))
+      .collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
+      .toMap.filter { case (n, _) => wanted(n) }
+  }
 
   /** a <= b under unsigned UTF-8 byte order — the ordering Spark's
     * UTF8String min/max used to produce the stored key ranges.
@@ -1002,18 +1151,29 @@ object GraftWriteClient {
     * legitimate empty write, not an error.
     */
   def stagedFileCounts(
-      spark: org.apache.spark.sql.SparkSession, staging: Path): Map[String, FileStats] =
+      spark: org.apache.spark.sql.SparkSession,
+      staging: Path,
+      bloomExpected: Long = 0L,
+      bloomFpp: Double = 0.01): Map[String, FileStats] =
     try {
+      val base = Seq(
+        count(lit(1)).as("_n"),
+        min(col(MetaColumns.RecordKey)).as("_mn"),
+        max(col(MetaColumns.RecordKey)).as("_mx"))
+      val aggs =
+        if (bloomExpected <= 0) base
+        else base :+ udaf(new KeyBloomAggregator(bloomExpected, bloomFpp),
+          org.apache.spark.sql.Encoders.STRING)
+          .apply(col(MetaColumns.RecordKey)).as("_bf")
       spark.read.parquet(staging.toString)
         .groupBy(input_file_name().as("_f"))
-        .agg(
-          count(lit(1)).as("_n"),
-          min(col(MetaColumns.RecordKey)).as("_mn"),
-          max(col(MetaColumns.RecordKey)).as("_mx"))
+        .agg(aggs.head, aggs.tail: _*)
         .collect()
         .map(r => decodedPath(r.getString(0)) ->
           FileStats(r.getLong(1), Option(r.getString(2)).getOrElse(""),
-            Option(r.getString(3)).getOrElse("")))
+            Option(r.getString(3)).getOrElse(""),
+            if (bloomExpected <= 0) Array.empty[Byte]
+            else Option(r.getAs[Array[Byte]](4)).getOrElse(Array.empty[Byte])))
         .toMap
     } catch {
       case e: org.apache.spark.sql.AnalysisException

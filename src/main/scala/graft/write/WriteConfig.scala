@@ -58,6 +58,19 @@ final case class WriteConfig(
       * range pruning and enable merge-sorted downstream reads.
       */
     sortedWrite: Boolean = false,
+    /** Per-file key bloom filters: built during the commit-stats job,
+      * stored as a per-commit sidecar, consulted by the index tag scan to
+      * skip files that cannot contain any incoming key — the prune that
+      * still works when uniformly-distributed (UUID-like) keys defeat
+      * min/max range pruning (ref: SparkHoodieBloomIndex.java:70-299,
+      * bloom sizing HoodieIndexConfig.java:56-58).
+      */
+    bloomIndexEnabled: Boolean = true,
+    /** Bloom sizing: expected keys per file / false-positive rate. An
+      * undersized filter only degrades the prune rate, never correctness.
+      */
+    bloomExpectedEntries: Long = 60000L,
+    bloomFpp: Double = 0.01,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty)

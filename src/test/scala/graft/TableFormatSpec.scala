@@ -49,7 +49,8 @@ class TableFormatSpec extends AnyFunSuite {
     smallFileLimitBytes = 200 * 1024,
     defaultRecordSizeBytes = 64,
     parallelism = 4,
-    inlineCompactDeltaCommits = 0)
+    inlineCompactDeltaCommits = 0,
+    bloomExpectedEntries = 2048)
 
   test("COW: bulk_insert -> snapshot round trip") {
     val path = tmp()
@@ -536,6 +537,43 @@ class TableFormatSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(pre === inline)
     assert(pre.nonEmpty)
+  }
+
+  test("bloom index: prunes candidate files when key ranges cannot") {
+    val path = tmp()
+    // UNSORTED bulk load of an unpartitioned table: every file's [min,max]
+    // key range spans the whole space, so range pruning keeps everything —
+    // exactly the regime blooms are for
+    val t = GraftTable.create(spark, path, cowConfig.copy(partitionFields = Seq.empty))
+    val w = new GraftWriteClient(t, wc.copy(
+      bulkInsertSortMode = "none", targetFileSizeBytes = 8 * 1024))
+    w.bulkInsert(orders)
+    val all = t.view.latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas)
+    assert(all.size > 5, s"need several files, got ${all.size}")
+
+    val bounds = Map("" -> (
+      all.map(_.minKey).min, all.map(_.maxKey).max))
+    val cands = w.indexCandidateFiles(bounds, global = false)
+    assert(cands.size === all.size) // range prune keeps everything
+
+    // probe with 3 existing keys -> bloom keeps only the files that can
+    // contain them (plus fpp noise), a strict subset
+    val probe = orders.limit(3)
+      .select(col("o_orderkey").cast("string").as(GraftWriteClient.ColKey))
+      .withColumn(GraftWriteClient.ColPart, lit(""))
+    val pruned = w.bloomPruneCandidates(probe, cands, global = false)
+    assert(pruned.size < cands.size,
+      s"bloom should prune: ${pruned.size}/${cands.size}")
+    assert(pruned.nonEmpty)
+
+    // and the upsert driven through the pruned index stays correct
+    val threeKeys = orders.limit(3).select("o_orderkey")
+      .collect().map(_.getLong(0)).toSeq
+    w.upsert(orders.filter(col("o_orderkey").isin(threeKeys: _*))
+      .withColumn("o_orderstatus", lit("BL")))
+    val got = new GraftReadClient(t).snapshotData()
+    assert(got.count() === orders.count())
+    assert(got.filter(col("o_orderstatus") === "BL").count() === 3)
   }
 
   test("timestamp keygen: partition path is the formatted event time") {
