@@ -244,7 +244,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
         // ---- insert bucket assignment: fill small files first, then new
         // groups (ref: UpsertPartitioner.java:101-296) ----
-        val packSmall = !table.isMor && !deleteOp
+        // COW packs small base files; MOR routes small inserts into DELTA
+        // files of existing under-filled groups (ref:
+        // SparkUpsertDeltaCommitPartitioner.java) — both avoid a sea of
+        // tiny file groups from trickle inserts
+        val packSmall = !deleteOp
         val ranges = assignInsertRanges(insertCounts, slices, avgSize, packSmall, instant.ts)
         val assigned = assignInserts(tagged, ranges)
 
@@ -337,10 +341,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         } yield broadcastMerge(old, inc, fullCols)
           .filter(!col(MetaColumns.IsDeleted))
 
-        // MOR: updates become delta files of their group, inserts new base
-        // groups; COW: everything is a new base file version.
+        // MOR: updates AND small-packed inserts become delta files of
+        // their group, remaining inserts open new base groups; COW:
+        // everything is a new base file version.
         val deltaGroups: Set[String] =
-          if (table.isMor) updateGroups.map(_._2) else Set.empty
+          if (table.isMor) updateGroups.map(_._2) ++ smallFileGroups.map(_._2)
+          else Set.empty
 
         stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true)
         mergedB.foreach(df =>
@@ -800,14 +806,20 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         assignedSoFar += take; remaining -= take
       }
       if (packSmall) {
+        // slice size counts deltas too: a MOR group with a small base but
+        // heavy delta debt is NOT a packing target (ref: the delta-commit
+        // partitioner picks the smallest file SLICE)
+        def sliceBytes(s: graft.core.FileSlice): Long =
+          s.base.map(_.bytes).getOrElse(0L) + s.deltas.map(_.bytes).sum
         val small = slices
-          .filter(s => s.partition == part && s.deltas.isEmpty &&
-            s.base.exists(_.bytes < wc.smallFileLimitBytes))
-          .sortBy(_.base.map(_.bytes).getOrElse(0L))
+          .filter(s => s.partition == part && s.base.isDefined &&
+            (table.isMor || s.deltas.isEmpty) &&
+            sliceBytes(s) < wc.smallFileLimitBytes)
+          .sortBy(sliceBytes)
         small.foreach { s =>
           if (remaining > 0) {
             val cap = math.max(0L,
-              (wc.targetFileSizeBytes - s.base.map(_.bytes).getOrElse(0L)) / avgSize)
+              (wc.targetFileSizeBytes - sliceBytes(s)) / avgSize)
             val take = math.min(cap, remaining)
             if (take > 0) add(take, s.fileId, existing = true)
           }

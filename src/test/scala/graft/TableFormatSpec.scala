@@ -576,6 +576,31 @@ class TableFormatSpec extends AnyFunSuite {
     assert(got.filter(col("o_orderstatus") === "BL").count() === 3)
   }
 
+  test("MOR: small inserts append as delta files instead of opening new groups") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(500))
+    val groupsBefore = t.view.latestSlices(None).map(_.fileId).toSet
+    assert(groupsBefore.nonEmpty)
+    // brand-new keys, small batch -> routed into existing groups' deltas
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    w.upsert(orders.limit(100)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey) + 1)
+      .withColumn("o_orderstatus", lit("DNEW")))
+    val slices = t.view.latestSlices(None)
+    assert(slices.map(_.fileId).toSet === groupsBefore,
+      "small MOR inserts must not open new file groups")
+    assert(slices.exists(_.deltas.nonEmpty), "expected delta files")
+    val got = new GraftReadClient(t).snapshotData()
+    assert(got.count() === 600)
+    assert(got.filter(col("o_orderstatus") === "DNEW").count() === 100)
+    // compaction folds the inserted deltas into the base files
+    new TableServices(t, wc).compact()
+    val after = new GraftReadClient(t).readOptimized()
+    assert(after.count() === 600)
+  }
+
   test("timestamp keygen: partition path is the formatted event time") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig.copy(
