@@ -51,8 +51,11 @@ final class GraftReadClient(val table: GraftTable) {
     * MOR: base+delta merge per slice
     * (ref: MergeOnReadSnapshotRelation.scala:59-222).
     */
-  def snapshot(asOf: Option[String] = None): DataFrame = {
-    val slices = table.view.latestSlices(asOf)
+  def snapshot(asOf: Option[String] = None): DataFrame =
+    snapshotFromSlices(table.view.latestSlices(asOf), asOf)
+
+  private def snapshotFromSlices(
+      slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
     if (!table.isMor) {
       val paths = slices.flatMap(s => s.base.map(f => basePath(s, f)))
       readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf))
@@ -159,11 +162,47 @@ final class GraftReadClient(val table: GraftTable) {
   }
 
   /** Point lookup: rows whose key is in `keys` — a broadcast semi-join
-    * against the snapshot. (ref: HoodieReadClient.java:138-196)
+    * against the snapshot, restricted up front to the file GROUPS whose
+    * manifest key ranges / sidecar blooms can contain any requested key.
+    * Both prunes run on the driver (the keys are already here), so a
+    * point read on a million-group table plans in O(groups) and scans
+    * O(matching groups). Pruning is group-granular: a kept MOR group
+    * still reads its full slice, so the latest-wins merge stays correct.
+    * (ref: HoodieReadClient.java:138-196)
     */
   def readByKeys(keys: Seq[String]): DataFrame = {
     import spark.implicits._
+    import graft.write.GraftWriteClient.utf8Lte
     val k = keys.toDF(MetaColumns.RecordKey)
-    snapshot(None).join(broadcast(k), Seq(MetaColumns.RecordKey), "left_semi")
+    val slices = table.view.latestSlices(None)
+    val kMin = keys.reduceOption((a, b) => if (utf8Lte(a, b)) a else b)
+    val kMax = keys.reduceOption((a, b) => if (utf8Lte(a, b)) b else a)
+    val ranged = (kMin, kMax) match {
+      case (Some(lo), Some(hi)) =>
+        slices.filter(s => (s.base.toSeq ++ s.deltas).exists(f =>
+          f.minKey.isEmpty || f.maxKey.isEmpty ||
+            (utf8Lte(f.minKey, hi) && utf8Lte(lo, f.maxKey))))
+      case _ => slices
+    }
+    val blooms = graft.write.GraftWriteClient.loadBlooms(
+      spark, table.storage,
+      ranged.flatMap(s => (s.base.toSeq ++ s.deltas).map(_.fileName)))
+    val pruned =
+      if (blooms.isEmpty) ranged
+      else {
+        val cache = scala.collection.mutable.Map[
+          String, org.apache.spark.util.sketch.BloomFilter]()
+        def hit(fileName: String): Boolean = blooms.get(fileName) match {
+          case None => true // no sidecar for this file: must scan
+          case Some(bytes) =>
+            val bf = cache.getOrElseUpdate(fileName,
+              org.apache.spark.util.sketch.BloomFilter.readFrom(
+                new java.io.ByteArrayInputStream(bytes)))
+            keys.exists(bf.mightContainString)
+        }
+        ranged.filter(s => (s.base.toSeq ++ s.deltas).exists(f => hit(f.fileName)))
+      }
+    snapshotFromSlices(pruned, None)
+      .join(broadcast(k), Seq(MetaColumns.RecordKey), "left_semi")
   }
 }

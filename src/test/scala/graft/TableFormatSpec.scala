@@ -601,6 +601,22 @@ class TableFormatSpec extends AnyFunSuite {
     assert(after.count() === 600)
   }
 
+  test("readByKeys: point lookups return exact rows after range+bloom group pruning") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig.copy(partitionFields = Seq.empty))
+    val w = new GraftWriteClient(t, wc.copy(
+      bulkInsertSortMode = "none", targetFileSizeBytes = 8 * 1024))
+    w.bulkInsert(orders)
+    val read = new GraftReadClient(t)
+    val keys = Seq("12", "777", "1399")
+    val got = read.readByKeys(keys)
+    assert(got.count() === 3)
+    assert(got.select("o_orderkey").collect().map(_.getLong(0)).toSet ===
+      Set(12L, 777L, 1399L))
+    // a key that does not exist returns nothing
+    assert(read.readByKeys(Seq("99999999")).count() === 0)
+  }
+
   test("timestamp keygen: partition path is the formatted event time") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig.copy(
