@@ -63,10 +63,7 @@ final class GraftReadClient(val table: GraftTable) {
       val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
       val cleanDf = readFiles(
         baseOnly.flatMap(s => s.base.map(f => basePath(s, f))))
-      val mergedDf = readFiles(
-        withDeltas.flatMap(s =>
-          (s.base.toSeq ++ s.deltas).map(f => basePath(s, f)))
-      ).map(mergeLatestPerGroup)
+      val mergedDf = mergeDirtyGroups(withDeltas)
       (cleanDf, mergedDf) match {
         case (Some(a), Some(b)) => dropTombstones(a).unionByName(b)
         case (Some(a), None)    => dropTombstones(a)
@@ -74,6 +71,76 @@ final class GraftReadClient(val table: GraftTable) {
         case _                  => emptyFrame(asOf)
       }
     }
+  }
+
+  /** Merge the file groups that have delta files. Two plans:
+    *
+    * BROADCAST (delta volume under Spark's broadcast threshold — the
+    * normal case, since compaction bounds delta debt): deltas reduce to
+    * their latest row per key with a small window, then the base rows
+    * STREAM from their scan through a broadcast-hash left join picking
+    * the payload-aware winner per key; delta-only keys (inserts routed to
+    * logs, keys deleted-then-reinserted) come from an anti-join against
+    * the narrow base-key projection. The full base rows never shuffle —
+    * at scale, MOR read amplification is bounded by delta size, not
+    * group size (the reference's merged-log-scanner + base iterator has
+    * the same locality, HoodieMergeOnReadRDD.scala:196-305).
+    *
+    * SHUFFLE fallback (delta debt above the threshold): cluster
+    * base∪deltas by (partition, fileGroup) and run the latest-wins
+    * window — one shuffle, reused by the window.
+    */
+  private def mergeDirtyGroups(withDeltas: Seq[FileSlice]): Option[DataFrame] = {
+    if (withDeltas.isEmpty) return None
+    val basePaths = withDeltas.flatMap(s => s.base.map(f => basePath(s, f)))
+    val deltaPaths = withDeltas.flatMap(s => s.deltas.map(f => basePath(s, f)))
+    val deltaBytes = withDeltas.flatMap(_.deltas).map(_.bytes).sum
+    val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (deltaPaths.isEmpty)
+      return readFiles(basePaths).map(dropTombstones)
+    if (basePaths.isEmpty || budget <= 0 || deltaBytes > budget)
+      return readFiles(basePaths ++ deltaPaths).map(mergeLatestPerGroup)
+
+    val g = "_g_group"
+    val base = table.readDataFiles(basePaths)
+      .withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+    val deltas = table.readDataFiles(deltaPaths)
+      .withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+    val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
+
+    // 1. latest delta row per key (small input: delta files only)
+    val w = Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(mergeOrder(deltas): _*)
+    val dLatest = deltas
+      .withColumn("_g_rank", row_number().over(w))
+      .filter(col("_g_rank") === 1)
+      .drop("_g_rank")
+
+    // 2. base rows stream through a broadcast join; per-column winner
+    val In = "_g_in_"
+    val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
+    val dR = dLatest.select(
+      keyCols.map(col) ++ dataCols.map(c => col(c).as(In + c)): _*)
+    val joined = base.join(broadcast(dR), keyCols, "left")
+    val present = col(In + MetaColumns.CommitTime).isNotNull
+    val wins = (cfg.payloadClass, cfg.precombineField) match {
+      case ("event_time", Some(pc)) if base.columns.contains(pc) =>
+        val nPc = col(In + pc)
+        val oPc = col(pc)
+        (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
+          (nPc.isNull && oPc.isNull)
+      case _ => lit(true)
+    }
+    val takeNew = present && wins
+    val mergedBase = joined.select(keyCols.map(col) ++ dataCols.map(c =>
+      when(takeNew, col(In + c)).otherwise(col(c)).as(c)): _*)
+
+    // 3. delta-only keys: anti-join against the NARROW base-key projection
+    val inserts = dLatest.join(base.select(keyCols.map(col): _*),
+      keyCols, "left_anti")
+
+    Some(dropTombstones(mergedBase.unionByName(inserts).drop(g)))
   }
 
   /** Read-optimized view: base files only (MOR reads skip the log merge).

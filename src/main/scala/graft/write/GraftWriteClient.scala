@@ -104,6 +104,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * (ref: SparkRDDWriteClient.java:248-253, SparkDeleteHelper.java —
     * delete is an upsert of empty payloads; ours is a merge that drops
     * tombstoned rows at rewrite.)
+    *
+    * Under the "event_time" payload a tombstone competes on the
+    * precombine value like any other record: a delete batch WITHOUT the
+    * precombine column carries a null ordering and loses to any stored
+    * row that has one (the reference's DefaultHoodieRecordPayload rule);
+    * include the precombine column in `df` to make the delete effective.
     */
   def delete(df: DataFrame): String =
     runKeyedWrite(df, "delete", tag = true, dedupIncoming = true, deleteOp = true)
