@@ -700,6 +700,17 @@ object SparkEntry {
       graft.operators.Multimodal.imageMeta(
         T(s, dir, "documents").select(col("doc_id"),
           encode(col("text"), "utf-8").as("payload")))
+    }),
+
+    // frame sampling over video-like payloads: evenly spaced frame rows
+    // per payload (decode stubbed deterministically; the explode shape,
+    // offsets and schema are the real extractor's)
+    "mm_frame_sample" -> ((s, dir) => {
+      graft.operators.Multimodal.sampleFrames(
+        T(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("payload")), n = 4)
+        .select(col("doc_id"), col("frame_index"),
+          hex(col("frame_bytes")).as("frame_hex")) // hex: oracle-comparable
     })
   )
 
@@ -1024,6 +1035,17 @@ object SparkEntry {
         |  64 + octet_length(encode(text)) % 256 AS width,
         |  64 + (octet_length(encode(text)) * 7) % 256 AS height,
         |  1 + octet_length(encode(text)) % 8 AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      """WITH x AS (
+        |  SELECT doc_id, encode(text) AS payload,
+        |    octet_length(encode(text)) AS len,
+        |    1 + octet_length(encode(text)) % 8 AS frames
+        |  FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
+        |  substring(hex(payload), CAST((i * len) // frames AS INT) * 2 + 1,
+        |    CAST(least(16, len - (i * len) // frames) AS INT) * 2) AS frame_hex
+        |FROM x, LATERAL (SELECT unnest(range(least(4, frames))) AS i) t""".stripMargin
   )
 }
