@@ -721,6 +721,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     if (incomingRows > 2L * cands.size) return cands
     val bloomMap = loadBlooms(spark, table.storage, cands.map(_.fileName))
     if (bloomMap.isEmpty) return cands
+    // safety valve: probing broadcasts the candidate blooms to executors;
+    // past ~256 MB the broadcast costs more than the scans it might save
+    if (bloomMap.valuesIterator.map(_.length.toLong).sum > 256L * 1024 * 1024)
+      return cands
     val (withB, withoutB) = cands.partition(c => bloomMap.contains(c.fileName))
     val byPart: Map[String, Seq[(String, Array[Byte])]] = withB
       .groupBy(c => if (global) "" else c.partition)
