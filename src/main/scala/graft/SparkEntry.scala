@@ -616,6 +616,15 @@ object SparkEntry {
         TextFunctions.stopwordRatio(text).as("stopword_ratio"))
     }),
 
+    // token budgeting: whitespace tokens + BPE-pretokenizer subword
+    // tokens (the two counts a corpus-sizing pipeline actually uses)
+    "doc_token_counts" -> ((s, dir) => {
+      T(s, dir, "documents").select(
+        col("doc_id"),
+        TextFunctions.tokenCount(col("text")).cast("long").as("n_ws_tokens"),
+        TextFunctions.bpeTokenCount(col("text")).cast("long").as("n_subword_tokens"))
+    }),
+
     "doc_lang_id" -> ((s, dir) => {
       T(s, dir, "documents").select(
         col("doc_id"), TextFunctions.langId(col("text")).as("lang_pred"))
@@ -953,6 +962,13 @@ object SparkEntry {
          |  len(list_filter(string_split($duckNorm, ' '), t -> list_contains($enS, t)))::DOUBLE
          |    / greatest(n_tokens, 1) AS stopword_ratio
          |FROM (SELECT doc_id, text, $duckTokens AS n_tokens, length(text) AS len_chars FROM documents)""".stripMargin,
+
+    "doc_token_counts" ->
+      s"""SELECT doc_id, $duckTokens AS n_ws_tokens,
+         |  len(regexp_extract_all(text,
+         |    '''(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+'))
+         |    AS n_subword_tokens
+         |FROM documents""".stripMargin,
 
     "doc_lang_id" ->
       s"""SELECT doc_id,

@@ -27,6 +27,20 @@ object TextFunctions {
 
   def charCount(c: Column): Column = length(c)
 
+  /** BPE-style pretokenizer pattern (GPT-2 family), simplified to the
+    * subset RE2 also supports (no lookahead): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs, whitespace
+    * runs. Counting its matches approximates subword-tokenizer token
+    * counts well enough for corpus budgeting without shipping a
+    * vocabulary.
+    */
+  val BpeTokenPattern: String =
+    "'(s|t|re|ve|m|ll|d)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Approximate subword token count via the BPE pretokenizer regex. */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpeTokenPattern))
+
   /** ASCII-letter chars / total chars. */
   def alphaRatio(c: Column): Column =
     regexp_count(c, lit("[A-Za-z]")).cast("double") / greatest(length(c), lit(1))
