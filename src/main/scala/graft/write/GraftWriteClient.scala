@@ -1137,9 +1137,14 @@ object GraftWriteClient {
       .filter(storage.exists).map(_.toString)
     if (paths.isEmpty) return Map.empty
     val wanted = fileNames.toSet
-    spark.read.parquet(paths: _*)
-      .filter(col("file_name").isin(fileNames: _*))
-      .collect()
+    // push the name filter only while the literal list stays plan-sized;
+    // large candidate sets read the (small) sidecars whole and filter
+    // after collect
+    val sidecars = spark.read.parquet(paths: _*)
+    val filtered =
+      if (fileNames.size <= 1000) sidecars.filter(col("file_name").isin(fileNames: _*))
+      else sidecars
+    filtered.collect()
       .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
       .toMap.filter { case (n, _) => wanted(n) }
   }
