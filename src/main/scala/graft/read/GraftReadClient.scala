@@ -118,23 +118,9 @@ final class GraftReadClient(val table: GraftTable) {
       .drop("_g_rank")
 
     // 2. base rows stream through a broadcast join; per-column winner
-    val In = "_g_in_"
     val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
-    val dR = dLatest.select(
-      keyCols.map(col) ++ dataCols.map(c => col(c).as(In + c)): _*)
-    val joined = base.join(broadcast(dR), keyCols, "left")
-    val present = col(In + MetaColumns.CommitTime).isNotNull
-    val wins = (cfg.payloadClass, cfg.precombineField) match {
-      case ("event_time", Some(pc)) if base.columns.contains(pc) =>
-        val nPc = col(In + pc)
-        val oPc = col(pc)
-        (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
-          (nPc.isNull && oPc.isNull)
-      case _ => lit(true)
-    }
-    val takeNew = present && wins
-    val mergedBase = joined.select(keyCols.map(col) ++ dataCols.map(c =>
-      when(takeNew, col(In + c)).otherwise(col(c)).as(c)): _*)
+    val mergedBase = graft.write.MergeKernel.broadcastWinner(
+      base, dLatest, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
 
     // 3. delta-only keys: anti-join against the NARROW base-key projection
     val inserts = dLatest.join(base.select(keyCols.map(col): _*),

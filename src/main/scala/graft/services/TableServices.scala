@@ -1,7 +1,7 @@
 package graft.services
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.{DataFrame, SaveMode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -49,38 +49,88 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val instant = table.timeline.transitionToInflight(
       table.timeline.createRequested(ts, GraftAction.Commit))
     try {
-      val paths = chosen.flatMap(s =>
-        (s.base.toSeq ++ s.deltas).map(f =>
-          table.storage.dataFilePath(s.partition, f.fileName).toString))
-      val df = table.readDataFiles(paths)
-        .withColumn(GraftWriteClient.ColTargetFile, GraftWriteClient.fileIdOfInputFile)
-
-      // latest-wins per key within each file group; tombstones dropped for
-      // good once compacted into the base file
-      val order = mergeOrderCols(df.columns.toSeq)
-      val w = Window
-        .partitionBy(
-          col(MetaColumns.PartitionPath),
-          col(GraftWriteClient.ColTargetFile),
-          col(MetaColumns.RecordKey))
-        .orderBy(order: _*)
-      val merged = df
-        .repartition(col(MetaColumns.PartitionPath), col(GraftWriteClient.ColTargetFile))
-        .withColumn("_g_rank", row_number().over(w))
-        .filter(col("_g_rank") === 1)
-        .drop("_g_rank")
-        .filter(!col(MetaColumns.IsDeleted))
-        .withColumn(MetaColumns.FileName,
-          concat(col(GraftWriteClient.ColTargetFile), lit("_" + ts + ".parquet")))
-
       val staging = new Path(table.storage.tempDir, ts)
-      merged
+      val g = GraftWriteClient.ColTargetFile
+
+      def pathsOf(ss: Seq[FileSlice], withDeltas: Boolean): Seq[String] =
+        ss.flatMap(s =>
+          (s.base.toSeq ++ (if (withDeltas) s.deltas else Seq.empty)).map(f =>
+            table.storage.dataFilePath(s.partition, f.fileName).toString))
+
+      /** Shuffle plan: cluster base∪deltas by (partition, group), window
+        * to the latest row per key.
+        */
+      def windowMerged(ss: Seq[FileSlice]): DataFrame = {
+        val df = table.readDataFiles(pathsOf(ss, withDeltas = true))
+          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+        val w = Window
+          .partitionBy(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey))
+          .orderBy(mergeOrderCols(df.columns.toSeq): _*)
+        df.repartition(col(MetaColumns.PartitionPath), col(g))
+          .withColumn("_g_rank", row_number().over(w))
+          .filter(col("_g_rank") === 1)
+          .drop("_g_rank")
+      }
+
+      def stage(df: DataFrame, overwrite: Boolean): Unit = df
+        .filter(!col(MetaColumns.IsDeleted))
+        .withColumn(MetaColumns.FileName, concat(col(g), lit("_" + ts + ".parquet")))
         .withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
-        .withColumn(GraftWriteClient.StageFileCol, col(GraftWriteClient.ColTargetFile))
-        .drop(GraftWriteClient.ColTargetFile)
-        .write.mode(SaveMode.Overwrite)
+        .withColumn(GraftWriteClient.StageFileCol, col(g))
+        .drop(g)
+        .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
         .partitionBy(GraftWriteClient.StagePartCol, GraftWriteClient.StageFileCol)
         .parquet(staging.toString)
+
+      // Like the MOR snapshot read, compaction avoids shuffling the base
+      // rows when the delta debt fits the broadcast threshold: deltas
+      // reduce to their latest row per key, base rows stream through the
+      // shared broadcast winner kernel, and only groups whose deltas
+      // introduce NEW keys (which would land in a different task than
+      // their group's base rows and break the one-file-per-group write)
+      // fall back to the clustered-window plan.
+      val deltaBytes = chosen.flatMap(_.deltas).map(_.bytes).sum
+      val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+      val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
+      val bcastOk = budget > 0 && deltaBytes <= budget &&
+        chosen.forall(s => s.base.exists(_.bytes <= maxSplit))
+      if (!bcastOk) {
+        stage(windowMerged(chosen), overwrite = true)
+      } else {
+        val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
+        val base = table.readDataFiles(pathsOf(chosen, withDeltas = false))
+          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+        val deltas = table.readDataFiles(
+          chosen.flatMap(s => s.deltas.map(f =>
+            table.storage.dataFilePath(s.partition, f.fileName).toString)))
+          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+        val w = Window.partitionBy(keyCols.map(col): _*)
+          .orderBy(mergeOrderCols(deltas.columns.toSeq): _*)
+        val dLatest = deltas
+          .withColumn("_g_rank", row_number().over(w))
+          .filter(col("_g_rank") === 1)
+          .drop("_g_rank")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val insertGroupIds = dLatest
+          .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .select(g).distinct().collect().map(_.getString(0)).toSet
+        val (shufChosen, bcastChosen) =
+          chosen.partition(s => insertGroupIds.contains(s.fileId))
+        val first =
+          if (bcastChosen.nonEmpty) {
+            val bIds = bcastChosen.map(_.fileId)
+            val dataCols = base.columns.filterNot(keyCols.contains).toSeq
+            val mergedB = graft.write.MergeKernel.broadcastWinner(
+              base.filter(col(g).isInCollection(bIds)),
+              dLatest.filter(col(g).isInCollection(bIds)),
+              keyCols, dataCols,
+              table.config.payloadClass, table.config.precombineField)
+            stage(mergedB, overwrite = true)
+            false
+          } else true
+        if (shufChosen.nonEmpty) stage(windowMerged(shufChosen), overwrite = first)
+        dLatest.unpersist()
+      }
 
       val written = publishCompacted(staging, ts)
       // A chosen group whose every row was tombstoned produces no new base

@@ -885,29 +885,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * after pre-combine.
     */
   private def broadcastMerge(
-      old: DataFrame, inc: DataFrame, fullCols: Seq[String]): DataFrame = {
-    val In = "_g_in_"
-    val keyCols = Seq(ColKey, ColPart, ColTargetFile)
-    val incR = inc.select(
-      keyCols.map(col) ++ fullCols.map(c => col(c).as(In + c)): _*)
-    // evolution-added columns absent from old base files -> typed nulls
-    val oldFull = fullCols.foldLeft(old)((d, c) =>
-      if (d.columns.contains(c)) d
-      else d.withColumn(c, lit(null).cast(inc.schema(c).dataType)))
-    val joined = oldFull.join(broadcast(incR), keyCols, "left")
-    val present = col(In + MetaColumns.CommitTime).isNotNull
-    val wins = (cfg.payloadClass, cfg.precombineField) match {
-      case ("event_time", Some(pc)) =>
-        val nPc = col(In + pc)
-        val oPc = col(pc)
-        (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
-          (nPc.isNull && oPc.isNull)
-      case _ => lit(true)
-    }
-    val takeNew = present && wins
-    joined.select(keyCols.map(col) ++ fullCols.map(c =>
-      when(takeNew, col(In + c)).otherwise(col(c)).as(c)): _*)
-  }
+      old: DataFrame, inc: DataFrame, fullCols: Seq[String]): DataFrame =
+    MergeKernel.broadcastWinner(
+      old, inc, Seq(ColKey, ColPart, ColTargetFile), fullCols,
+      cfg.payloadClass, cfg.precombineField)
 
   // ---- physical write: staging dir + distributed publish renames ----
 
