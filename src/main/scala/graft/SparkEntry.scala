@@ -711,6 +711,15 @@ object SparkEntry {
           encode(col("text"), "utf-8").as("payload")))
     }),
 
+    // feature extraction: binary payload -> unnested pseudo-embedding
+    // (digest-derived stub; one encoder session per partition — the real
+    // encoder's batch shape), feeding the Similarity operators
+    "mm_features" -> ((s, dir) => {
+      graft.operators.Multimodal.extractFeatures(
+        T(s, dir, "documents").select(col("doc_id"),
+          encode(col("text"), "utf-8").as("payload")), dim = 4)
+    }),
+
     // frame sampling over video-like payloads: evenly spaced frame rows
     // per payload (decode stubbed deterministically; the explode shape,
     // offsets and schema are the real extractor's)
@@ -1052,6 +1061,16 @@ object SparkEntry {
         |  64 + (octet_length(encode(text)) * 7) % 256 AS height,
         |  1 + octet_length(encode(text)) % 8 AS n_frames
         |FROM documents""".stripMargin,
+
+    "mm_features" ->
+      """WITH h AS (SELECT doc_id, md5(text) AS hx FROM documents)
+        |SELECT doc_id, CAST(i AS BIGINT) AS feat_idx,
+        |  CAST(list_sum(list_transform(range(0, 4), j ->
+        |    (strpos('0123456789abcdef',
+        |       substr(hx, CAST(i * 4 + 1 + j AS INT), 1)) - 1)
+        |      * (CAST(1 AS BIGINT) << CAST(4 * (3 - j) AS INT))))
+        |    AS DOUBLE) / 65535.0 AS feat_value
+        |FROM h, LATERAL (SELECT unnest(range(4)) AS i) t""".stripMargin,
 
     "mm_frame_sample" ->
       """WITH x AS (

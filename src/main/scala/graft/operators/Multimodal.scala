@@ -44,6 +44,33 @@ object Multimodal {
       .toDF()
   }
 
+  /** STUB feature extractor: a deterministic pseudo-embedding derived
+    * from the payload digest — one encoder "session" per partition (the
+    * MessageDigest instance), payloads streamed through it, rows out as
+    * (doc_id, feat_idx, feat_value). Replace the digest derivation with a
+    * real encoder (CLIP/wav2vec via FFI) — the batch shape, binary-in /
+    * vector-out signature, and unnested output (joinable into the
+    * Similarity operators) stay identical.
+    */
+  def extractFeatures(df: DataFrame, dim: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("doc_id").cast("long"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        // real impl: val encoder = Encoder.open()  (amortized per partition)
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, bytes) =>
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          (0 until math.min(dim, 8)).map { i =>
+            val v = Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16).toDouble / 65535.0
+            (id, i.toLong, v)
+          }
+        }
+      }
+      .toDF("doc_id", "feat_idx", "feat_value")
+  }
+
   /** Frame-sampling stub for video-like payloads: emits `n` evenly spaced
     * (doc_id, frame_index, frame_bytes) rows per payload — the explode
     * shape of a real frame extractor.
