@@ -78,16 +78,40 @@ object GraftCli {
     "commits" -> commits, "files" -> files, "filegroups" -> fileGroups,
     "partitions" -> partitions, "savepoints" -> savepoints, "pending" -> pending)
 
-  /** `GraftCli <commits|files|filegroups|partitions|savepoints|pending> <tablePath>` */
+  /** Standalone service runners — the reference ships these as separate
+    * spark jobs (ref: hudi-utilities/.../HoodieCompactor.java,
+    * HoodieCleaner.java, HoodieClusteringJob.java); here they are thin
+    * subcommands over [[graft.services.TableServices]].
+    */
+  private val services: Map[String, GraftTable => Option[String]] = Map(
+    "compact" -> (t => new graft.services.TableServices(t).compact()),
+    "clean" -> (t => new graft.services.TableServices(t).clean()),
+    "cluster" -> (t => new graft.services.TableServices(t).cluster()),
+    "archive" -> (t => new graft.services.TableServices(t).archive()))
+
+  private def usage: String =
+    s"usage: GraftCli <${(commands.keys ++ services.keys).toSeq.sorted.mkString("|")}> <tablePath>"
+
+  /** `GraftCli <command> <tablePath>` — inspection commands print a
+    * DataFrame; service commands run the maintenance action and print the
+    * resulting instant.
+    */
   def main(args: Array[String]): Unit = {
-    require(args.length == 2 && commands.contains(args(0)),
-      s"usage: GraftCli <${commands.keys.toSeq.sorted.mkString("|")}> <tablePath>")
+    require(
+      args.length == 2 && (commands.contains(args(0)) || services.contains(args(0))),
+      usage)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    commands(args(0))(GraftTable.load(spark, args(1))).show(200, truncate = false)
+    val table = GraftTable.load(spark, args(1))
+    commands.get(args(0)) match {
+      case Some(cmd) => cmd(table).show(200, truncate = false)
+      case None =>
+        val r = services(args(0))(table)
+        println(s"${args(0)}: ${r.getOrElse("nothing to do")}")
+    }
     spark.stop()
   }
 }

@@ -632,4 +632,34 @@ class TableFormatSpec extends AnyFunSuite {
     // round trip intact
     assert(snap.count() === 500)
   }
+
+  test("snapshot exporter: columnar handoff and graft re-materialization") {
+    import graft.utilities.SnapshotExporter
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(400))
+    // delete some keys so the snapshot differs from the raw load
+    w.delete(orders.limit(50).select(col("o_orderkey"), col("o_orderpriority")))
+    val expect = new GraftReadClient(t).snapshotData()
+    val nExpect = expect.count()
+    assert(nExpect === 350)
+
+    // columnar export: partition-preserving plain parquet, no meta columns
+    val out = tmp() + "/export"
+    SnapshotExporter.exportColumnar(spark, path, out)
+    val exported = spark.read.parquet(out)
+    assert(exported.columns.forall(!_.startsWith("_graft")))
+    assert(exported.count() === nExpect)
+    assert(exported.select("o_orderkey").exceptAll(expect.select("o_orderkey")).count() === 0)
+    // partition layout preserved on disk
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("o_orderpriority=")))
+
+    // graft re-materialization: fresh one-commit table, same content
+    val out2 = tmp() + "/export_graft"
+    SnapshotExporter.exportAsGraft(spark, path, out2)
+    val t2 = GraftTable.load(spark, out2)
+    assert(t2.timeline.completedData.size === 1)
+    assert(new GraftReadClient(t2).snapshotData().count() === nExpect)
+  }
 }
