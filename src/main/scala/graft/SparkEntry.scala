@@ -602,6 +602,20 @@ object SparkEntry {
       r.dataOnly(r.readByKeys(keys)).select(ordersCols.map(col): _*)
     }),
 
+    // snapshot export: write + delete, then hand off the live snapshot as
+    // plain partitioned parquet and read THAT back — proves the exported
+    // dataset is the table's exact current content, meta-free
+    // (ref: HoodieSnapshotExporter.java --output-format parquet)
+    "tf_export" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_export", s, dir)
+      w.bulkInsert(orders)
+      w.delete(orders.filter(col("o_orderkey") % 6 === 2)
+        .select("o_orderkey", "o_orderpriority"))
+      val out = freshDir("tf_export_out", dir)
+      graft.utilities.SnapshotExporter.exportColumnar(s, t.basePath, out)
+      s.read.parquet(out).select(ordersCols.map(col): _*)
+    }),
+
     // ---------------- text analysis ----------------
 
     "doc_text_stats" -> ((s, dir) => {
@@ -944,6 +958,9 @@ object SparkEntry {
 
     "tf_read_by_keys" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
+
+    "tf_export" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderkey % 6 <> 2"),
 
     "tf_ingest_checkpoint" -> ordersSelect(
       "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice"),
