@@ -633,6 +633,86 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.count() === 500)
   }
 
+  test("incremental pull skips compaction and clustering rewrites") {
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders.limit(400))
+    w.upsert(orders.limit(60).withColumn("o_totalprice", col("o_totalprice") + 9.0))
+    // compaction + clustering rewrite every row physically...
+    assert(new TableServices(t, wc).compact().isDefined)
+    assert(new TableServices(t, wc).cluster(Seq("o_orderkey")).isDefined)
+    // ...but incremental since the bulk load must surface ONLY the 60
+    // upserted keys (service rewrites are not new data)
+    val inc = new GraftReadClient(t)
+    val pulled = inc.dataOnly(inc.incremental(c1))
+    assert(pulled.count() === 60)
+    assert(pulled.filter(col("o_totalprice") === col("o_totalprice")).count() === 60)
+    // and a fresh upsert AFTER the services is still pulled incrementally
+    val c3 = t.timeline.lastCompletedData.get.ts
+    w.upsert(orders.limit(10).withColumn("o_totalprice", lit(1.0)))
+    assert(inc.dataOnly(inc.incremental(c3)).count() === 10)
+  }
+
+  test("schema evolution survives MOR compaction and clustering") {
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(400))
+    // delta commit carries a NEW column: base files lack it, deltas have it
+    w.upsert(orders.limit(80).withColumn("note", lit("v2")))
+    val preCompact = new GraftReadClient(t).snapshotData()
+    assert(preCompact.filter(col("note") === "v2").count() === 80)
+    assert(preCompact.filter(col("note").isNull).count() === 320)
+
+    // compaction merges mixed-schema base+delta files; evolved column and
+    // typed nulls must survive into the new base files
+    assert(new TableServices(t, wc).compact().isDefined)
+    val r = new GraftReadClient(t)
+    val post = r.snapshotData()
+    assert(post.count() === 400)
+    assert(post.filter(col("note") === "v2").count() === 80)
+    assert(r.dataOnly(r.readOptimized()).filter(col("note") === "v2").count() === 80)
+
+    // clustering rewrites whole groups — same invariant
+    assert(new TableServices(t, wc).cluster(Seq("o_orderkey")).isDefined)
+    val clustered = new GraftReadClient(t).snapshotData()
+    assert(clustered.count() === 400)
+    assert(clustered.filter(col("note") === "v2").count() === 80)
+  }
+
+  test("full-tombstone edge: deleting every row of a group replaces it everywhere") {
+    // COW: deleting a whole partition's rows must drop its groups from
+    // the live view (no empty/stale base files linger)
+    val cPath = tmp() + "/cow"
+    val ct = GraftTable.create(spark, cPath, cowConfig)
+    val cw = new GraftWriteClient(ct, wc)
+    cw.bulkInsert(orders)
+    val gone = "1-URGENT"
+    cw.delete(orders.filter(col("o_orderpriority") === gone)
+      .select("o_orderkey", "o_orderpriority"))
+    val cSnap = new GraftReadClient(ct).snapshotData()
+    assert(cSnap.filter(col("o_orderpriority") === gone).count() === 0)
+    assert(ct.view.latestSlices(None).forall(_.partition != gone))
+
+    // MOR: tombstone ALL rows via delta, compact — the chosen groups write
+    // no base file and must land in replacedFileIds so BOTH snapshot and
+    // read-optimized views drop them (the stale-base hole ADVICE flagged)
+    val mPath = tmp() + "/mor"
+    val mt = GraftTable.create(spark, mPath, morConfig)
+    val mw = new GraftWriteClient(mt, wc)
+    mw.bulkInsert(orders.limit(500))
+    mw.delete(orders.limit(500).select("o_orderkey", "o_orderpriority"))
+    val ts = new TableServices(mt, wc).compact()
+    assert(ts.isDefined)
+    val meta = mt.timeline.metadataOf(mt.timeline.completed.last)
+    assert(meta.replacedFileIds.values.map(_.size).sum > 0)
+    val mr = new GraftReadClient(mt)
+    assert(mr.snapshotData().count() === 0)
+    assert(mr.dataOnly(mr.readOptimized()).count() === 0)
+    assert(mt.view.latestSlices(None).isEmpty)
+  }
+
   test("snapshot exporter: columnar handoff and graft re-materialization") {
     import graft.utilities.SnapshotExporter
     val path = tmp() + "/t"
