@@ -29,7 +29,47 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * bounded by `targetIOBytes`. Returns the compaction instant, or None
     * if nothing to compact.
     */
+  /** Service-side OCC, the same file-group conflict rule as the write
+    * path (ref: SimpleConcurrentFileWritesConflictResolutionStrategy
+    * .java:44-115): a data commit that completed AFTER this service built
+    * its view and touches a chosen group conflicts. For compaction only
+    * racers whose instant orders BELOW the compaction instant are fatal —
+    * they would be shadowed by the new base, whereas a delta with a newer
+    * instant simply layers on top of it. A replace-style service
+    * (clustering) kills the whole group, so ANY racer is fatal there.
+    */
+  private[graft] def serviceConflict(
+      baseTs: String,
+      myTs: String,
+      touched: Set[(String, String)],
+      olderOnly: Boolean): Option[String] =
+    table.timeline.completedData
+      .filter(i => i.ts > baseTs && i.ts != myTs && (!olderOnly || i.ts < myTs))
+      .find { i =>
+        val meta = table.timeline.metadataOf(i)
+        val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
+          meta.replacedFileIds.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        (theirs & touched).nonEmpty
+      }
+      .map(_.ts)
+
+  /** Abort a service whose publish raced a conflicting commit: the files
+    * it already moved into the table were never referenced by any commit,
+    * so deleting them is invisible to readers.
+    */
+  private def abortConflicted(
+      op: String, ts: String, written: Seq[WriteFileInfo], other: String): Nothing = {
+    written.foreach(f =>
+      table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+    throw new graft.write.ConcurrentWriteConflictException(
+      s"$op $ts conflicts with concurrently committed $other " +
+        "on overlapping file groups; retry")
+  }
+
   def compact(targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] = {
+    // OCC snapshot floor: read BEFORE building the view, so a commit that
+    // lands between the two reads conservatively conflicts
+    val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val view = table.view
     val candidates = view.latestSlices(None)
       .filter(_.deltas.nonEmpty)
@@ -133,6 +173,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
 
       val written = publishCompacted(staging, ts)
+      if (wc.occEnabled) {
+        val touched = chosen.map(s => (s.partition, s.fileId)).toSet
+        serviceConflict(occBaseTs, ts, touched, olderOnly = true)
+          .foreach(other => abortConflicted("compact", ts, written, other))
+      }
       // A chosen group whose every row was tombstoned produces no new base
       // file; record it as replaced so the stale base version is hidden
       // from read-optimized readers and the group stops being a compaction
@@ -218,6 +263,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * right-sized new groups. `sortColumns` empty = record-key order.
     */
   def cluster(sortColumns: Seq[String] = Seq.empty): Option[String] = {
+    val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val view = table.view
     val candidates = view.latestSlices(None).filter(s =>
       s.deltas.isEmpty && s.base.exists(_.bytes < wc.smallFileLimitBytes))
@@ -247,6 +293,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .parquet(staging.toString)
 
       val written = publishUngrouped(staging, ts)
+      if (wc.occEnabled) {
+        val touched = chosen.map(s => (s.partition, s.fileId)).toSet
+        serviceConflict(occBaseTs, ts, touched, olderOnly = false)
+          .foreach(other => abortConflicted("cluster", ts, written, other))
+      }
       val replaced = chosen.groupBy(_.partition).view
         .mapValues(_.map(_.fileId).distinct.toSeq).toMap
       val totalRecords = written.map(_.records).sum

@@ -633,6 +633,30 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.count() === 500)
   }
 
+  test("service OCC: a racing data commit on chosen groups aborts the service") {
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders.limit(400))
+    val c2 = w.upsert(orders.limit(50)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val svc = new TableServices(t, wc)
+    val touched = t.view.latestSlices(None).map(s => (s.partition, s.fileId)).toSet
+
+    // c2 completed after a floor of c1 and touches these groups -> conflict
+    assert(svc.serviceConflict(c1, "99999999999999999", touched, olderOnly = false)
+      .contains(c2))
+    // compaction rule: a racer NEWER than the service instant layers
+    // safely (delta on top of the new base) and is not fatal
+    assert(svc.serviceConflict(c1, c1, touched, olderOnly = true).isEmpty)
+    // disjoint groups never conflict
+    assert(svc.serviceConflict(c1, "99999999999999999",
+      Set(("nope", "nope")), olderOnly = false).isEmpty)
+    // and the serial path keeps working: view floor == last commit -> no
+    // conflict, compact succeeds
+    assert(svc.compact().isDefined)
+  }
+
   test("incremental pull skips compaction and clustering rewrites") {
     val path = tmp() + "/t"
     val t = GraftTable.create(spark, path, morConfig)
