@@ -532,6 +532,28 @@ object SparkEntry {
           col(graft.core.MetaColumns.PartitionPath).as("part_month"): _*)
     }),
 
+    // composite mixed-type keygen: partition path joins a raw field and a
+    // month-formatted timestamp field (ref: CustomAvroKeyGenerator's
+    // `field1:simple,field2:timestamp` spec); the derived path is
+    // surfaced and oracle-checked
+    "tf_custom_keygen" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_custom_keygen", dir),
+        GraftTableConfig(
+          tableName = "orders", tableType = GraftTableType.Cow,
+          recordKeyFields = Seq("o_orderkey"),
+          partitionFields = Seq("o_orderpriority:simple", "o_orderdate:timestamp"),
+          precombineField = Some("o_totalprice"),
+          partitionTimestampFormat = Some("yyyy-MM")))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 13.0))
+      new GraftReadClient(t).snapshot()
+        .select(ordersCols.map(col) :+
+          col(graft.core.MetaColumns.PartitionPath).as("part_path"): _*)
+    }),
+
     // DeltaStreamer-equivalent ingest: two runner invocations where the
     // second RESUMES from the checkpoint stored in the first's commit
     // metadata, reading only the new source files and applying a SQL
@@ -977,6 +999,13 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 2 = 1 THEN o_totalprice + 11.0 ELSE o_totalprice END AS o_totalprice,
         |  o_orderdate, o_orderpriority,
         |  strftime(o_orderdate, '%Y-%m') AS part_month
+        |FROM orders""".stripMargin,
+
+    "tf_custom_keygen" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 3 = 2 THEN o_totalprice + 13.0 ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  o_orderpriority || '/' || strftime(o_orderdate, '%Y-%m') AS part_path
         |FROM orders""".stripMargin,
 
     "doc_text_stats" ->

@@ -116,6 +116,12 @@ final case class GraftTableConfig(
     tableName: String,
     tableType: String,                    // "cow" | "mor"
     recordKeyFields: Seq[String],
+    /** Partition fields; an entry may carry a per-field type suffix
+      * `name:timestamp` (format the field through
+      * [[partitionTimestampFormat]]) or `name:simple` (raw value, the
+      * default) — the composite mixed-type partitioning of the
+      * reference's CustomAvroKeyGenerator (`field1:simple,field2:timestamp`).
+      */
     partitionFields: Seq[String] = Seq.empty,
     precombineField: Option[String] = None,
     payloadClass: String = "overwrite_latest",
@@ -123,9 +129,18 @@ final case class GraftTableConfig(
       * formatted through this date pattern instead of its raw value —
       * epoch seconds and timestamp/date columns both work. The most
       * common real-world partitioning (daily/monthly buckets from an
-      * event time; ref: TimestampBasedAvroKeyGenerator.java).
+      * event time; ref: TimestampBasedAvroKeyGenerator.java). With
+      * several partition fields the format applies to the `:timestamp`
+      * suffixed ones.
       */
-    partitionTimestampFormat: Option[String] = None)
+    partitionTimestampFormat: Option[String] = None) {
+
+  /** Partition fields with any `:type` suffix stripped — the DATA columns
+    * partitioning derives from (what exporters/readers reference).
+    */
+  def partitionSourceFields: Seq[String] =
+    partitionFields.map(_.takeWhile(_ != ':'))
+}
 
 object GraftTableType {
   val Cow = "cow"

@@ -29,7 +29,7 @@ object SnapshotExporter {
     val table = GraftTable.load(spark, tablePath)
     val rc = new GraftReadClient(table)
     val df = rc.snapshotData(asOf)
-    val parts = table.config.partitionFields
+    val parts = table.config.partitionSourceFields
     val w = df.write.mode("overwrite").format(format)
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).save(outputDir)
   }

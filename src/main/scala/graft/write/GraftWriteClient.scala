@@ -36,13 +36,22 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     concat_ws(":", cfg.recordKeyFields.map(f => col(f).cast("string")): _*)
   private def partExpr: Column =
     (cfg.partitionFields, cfg.partitionTimestampFormat) match {
-      case (Seq(f), Some(fmt)) =>
+      case (Seq(f), Some(fmt)) if !f.contains(':') =>
         // timestamp-based keygen: epoch seconds or timestamp/date column
         // -> formatted bucket (ref: TimestampBasedAvroKeyGenerator.java)
         date_format(col(f).cast("timestamp"), fmt)
       case (fields, _) if fields.isEmpty => lit("")
-      case (fields, _) =>
-        concat_ws("/", fields.map(f => col(f).cast("string")): _*)
+      case (fields, fmtOpt) =>
+        // composite partitioning with optional per-field `:timestamp` /
+        // `:simple` type suffixes (ref: CustomAvroKeyGenerator)
+        concat_ws("/", fields.map { spec =>
+          spec.split(':') match {
+            case Array(f, "timestamp") => date_format(
+              col(f).cast("timestamp"), fmtOpt.getOrElse("yyyy-MM-dd"))
+            case Array(f, _) => col(f).cast("string")
+            case _ => col(spec).cast("string")
+          }
+        }: _*)
     }
 
   /** Deterministic content-hash tiebreak so merges are reproducible even
