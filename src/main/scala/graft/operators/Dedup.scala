@@ -147,9 +147,16 @@ object Dedup {
     // corpora spill-safe.
     val shingles = docShingles(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one STRING hash per shingle, then derive the `numHashes` family by
+    // re-hashing the resulting 8-byte long per seed — the string bytes
+    // (the dominant per-row cost, O(shingle length) each) are consumed
+    // once instead of numHashes times; recall characteristics are
+    // unchanged (seeded xxhash64 over a 64-bit input is still a uniform
+    // independent family, and candidates are exact-verified anyway)
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
     val minAggs = (0 until numHashes).map(i =>
-      min(xxhash64(col("s"), lit(i))).as(s"_h$i"))
+      min(xxhash64(col("h"), lit(i))).as(s"_h$i"))
     val sigs = exploded.groupBy("id")
       .agg(minAggs.head, minAggs.tail: _*)
       .select(col("id") +: (0 until bands).map { b =>
