@@ -446,6 +446,58 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     ts
   }
 
+  /** Lazily roll back writes that began but never completed — the
+    * crashed-writer cleanup the reference runs as heartbeat-expired
+    * rollback (ref: HoodieHeartbeatClient.java +
+    * BaseHoodieWriteClient rollbackFailedWrites, listing-based strategy
+    * AbstractMarkerBasedRollbackStrategy.java). A pending data instant
+    * older than `olderThanMillis` is dead: its staging directory, any
+    * data files it already moved into the table (they carry its instant
+    * in their names and are invisible to readers, who resolve files from
+    * commit manifests only), and its timeline files are removed. The
+    * orphan sweep is the ONLY listing-based path in the engine — an
+    * explicit maintenance op, never on the read/write path. Returns the
+    * instants rolled back.
+    */
+  def rollbackFailedWrites(olderThanMillis: Long = 10 * 60 * 1000L): Seq[String] = {
+    val tl = table.timeline
+    val fmt = new java.text.SimpleDateFormat("yyyyMMddHHmmssSSS")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    fmt.setLenient(true)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    // an instant pending in both requested and inflight state shows up
+    // once per state file — roll the instant back once
+    val dead = tl.pending.distinctBy(_.ts).filter { i =>
+      GraftAction.DataActions.contains(i.action) &&
+        (try fmt.parse(i.ts.take(17)).getTime < cutoff
+        catch { case _: java.text.ParseException => false })
+    }
+    if (dead.isEmpty) return Seq.empty
+    val fs = table.storage.fs
+    def dataFiles(dir: Path): Seq[Path] =
+      if (!fs.exists(dir)) Seq.empty
+      else fs.listStatus(dir).toSeq.flatMap { st =>
+        val n = st.getPath.getName
+        if (n == GraftStorage.MetaDirName || n.startsWith(".")) Seq.empty
+        else if (st.isDirectory) dataFiles(st.getPath)
+        else Seq(st.getPath)
+      }
+    lazy val allFiles = dataFiles(table.storage.basePath)
+    dead.map { i =>
+      allFiles.filter(_.getName.contains(s"_${i.ts}."))
+        .foreach(p => table.storage.delete(p))
+      table.storage.delete(new Path(table.storage.tempDir, i.ts), recursive = true)
+      table.storage.delete(table.storage.bloomSidecar(i.ts), recursive = true)
+      tl.instants.filter(_.ts == i.ts).foreach(tl.deleteInstant)
+      val ts = InstantTimeGenerator.next()
+      val r = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Rollback))
+      tl.transitionToCompleted(r, GraftCommitMetadata(
+        instant = ts, action = GraftAction.Rollback, operation = "rollback_failed",
+        extra = Map("rolled_back_instant" -> i.ts)))
+      i.ts
+    }
+  }
+
   /** Pin an instant against cleaning. (ref: SavepointActionExecutor.java) */
   def savepoint(instantTs: String): Unit = {
     val tl = table.timeline

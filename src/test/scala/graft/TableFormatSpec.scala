@@ -633,6 +633,38 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.count() === 500)
   }
 
+  test("rollbackFailedWrites reclaims crashed writers, spares live ones") {
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(300))
+    val before = new GraftReadClient(t).snapshotData().count()
+
+    // simulate a writer that died mid-flight long ago: pending instant,
+    // a staged leftover, and a published-but-never-committed orphan file
+    val tl = t.timeline
+    val deadTs = "20200101000000000"
+    tl.transitionToInflight(tl.createRequested(deadTs, GraftAction.Commit))
+    val staging = new org.apache.hadoop.fs.Path(t.storage.tempDir, deadTs)
+    t.storage.fs.mkdirs(staging)
+    t.storage.overwrite(new org.apache.hadoop.fs.Path(staging, "part.parquet"), "x")
+    val somePart = t.view.partitions.head
+    val orphan = t.storage.dataFilePath(somePart, s"deadf11e_$deadTs.parquet")
+    t.storage.overwrite(orphan, "orphan")
+    // and a RECENT pending instant that must be left alone
+    val liveTs = InstantTimeGenerator.next()
+    tl.transitionToInflight(tl.createRequested(liveTs, GraftAction.Commit))
+
+    val rolled = new TableServices(t, wc).rollbackFailedWrites(60 * 1000L)
+    assert(rolled === Seq(deadTs))
+    assert(!t.storage.exists(orphan))
+    assert(!t.storage.exists(staging))
+    assert(tl.pending.map(_.ts).distinct === Seq(liveTs))
+    assert(new GraftReadClient(t).snapshotData().count() === before)
+    // cleanup the live pending instant for a tidy table
+    tl.instants.filter(_.ts == liveTs).foreach(tl.deleteInstant)
+  }
+
   test("service OCC: a racing data commit on chosen groups aborts the service") {
     val path = tmp() + "/t"
     val t = GraftTable.create(spark, path, morConfig)
