@@ -87,7 +87,12 @@ object GraftCli {
     "compact" -> (t => new graft.services.TableServices(t).compact()),
     "clean" -> (t => new graft.services.TableServices(t).clean()),
     "cluster" -> (t => new graft.services.TableServices(t).cluster()),
-    "archive" -> (t => new graft.services.TableServices(t).archive()))
+    "archive" -> (t => new graft.services.TableServices(t).archive()),
+    "rollback_failed" -> (t => new graft.services.TableServices(t)
+      .rollbackFailedWrites() match {
+        case Seq() => None
+        case ts => Some(ts.mkString(","))
+      }))
 
   private def usage: String =
     s"usage: GraftCli <${(commands.keys ++ services.keys).toSeq.sorted.mkString("|")}> <tablePath>"
