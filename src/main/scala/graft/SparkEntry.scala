@@ -671,6 +671,16 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // deterministic stratified downsampling: membership is a pure
+    // function of the key (md5 bucket), so the sample is reproducible
+    // across reruns, retries, and engines — rand()-based sampling is not
+    "doc_sample_stratified" -> ((s, dir) => {
+      graft.operators.Sampling.stratifiedSample(
+        T(s, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.3, "de" -> 0.6), defaultFraction = 1.0)
+        .select("doc_id", "lang")
+    }),
+
     "doc_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
         shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.6)
@@ -1047,6 +1057,15 @@ object SparkEntry {
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
          |WHERE n > 1""".stripMargin,
+
+    // same md5-bucket membership function, recomputed independently
+    "doc_sample_stratified" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE CAST(list_sum(list_transform(range(1,16), i ->
+        |    (strpos('0123456789abcdef',
+        |       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))-1)::UBIGINT
+        |      * (1::UBIGINT << CAST((15-i)*4 AS INT)))) AS UBIGINT) % 10000
+        |  < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 6000 ELSE 10000 END""".stripMargin,
 
     // exact 5-char-shingle Jaccard pairs >= 0.6 — independent ground
     // truth for both near-dup candidate strategies; the engines must emit
