@@ -1,5 +1,6 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -20,6 +21,11 @@ import org.apache.spark.sql.types._
   * to the left-assoc fold of the expression-tree versions — so results
   * are bit-for-bit unchanged.
   *
+  * Null semantics (all three expressions, eval AND generated code):
+  * a NULL input array, an array whose length differs from the expected
+  * dimension, or an array containing a NULL element yields NULL — the
+  * same propagation the `zip_with`-based Column formulation has.
+  *
   * Reference behavior: hyperplane-LSH bucketing mirrors the banding
   * candidate generation the reference applies to record keys
   * (hudi bloom-index min/max pruning) transposed to vector space; the
@@ -29,7 +35,9 @@ import org.apache.spark.sql.types._
 object VectorExpressions {
 
   /** splitmix64 finalizer — deterministic hyperplane seed, identical on
-    * driver and executors with no Spark evaluation needed.
+    * driver and executors with no Spark evaluation needed. SINGLE source
+    * of truth: `Similarity` delegates here, so buckets stored at ingest
+    * and buckets computed by [[LshBucketExpr]] can never diverge.
     */
   def splitmix64(z0: Long): Long = {
     var z = z0 + 0x9E3779B97F4A7C15L
@@ -50,6 +58,42 @@ object VectorExpressions {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  private[functions] def checkVectorType(
+      dt: DataType, what: String, pretty: String): TypeCheckResult = dt match {
+    case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$pretty requires $what to be array<float> or array<double>, got ${other.sql}")
+  }
+
+  /** `true` iff the first `n` elements are readable (array long enough,
+    * no null elements) — the shared null gate for eval paths.
+    */
+  private[functions] def readable(arr: ArrayData, n: Int): Boolean = {
+    if (arr.numElements() != n) return false
+    var d = 0
+    while (d < n) {
+      if (arr.isNullAt(d)) return false
+      d += 1
+    }
+    true
+  }
+
+  /** Generated-code fragment: sets `okVar` false if `arr` is not exactly
+    * `n` elements of non-null data. Mirrors [[readable]].
+    */
+  private[functions] def genReadable(
+      ctx: CodegenContext, arr: String, n: String, okVar: String): String = {
+    val d = ctx.freshName("d")
+    s"""
+      |boolean $okVar = ($arr.numElements() == $n);
+      |if ($okVar) {
+      |  for (int $d = 0; $d < $n; $d++) {
+      |    if ($arr.isNullAt($d)) { $okVar = false; break; }
+      |  }
+      |}
+      |""".stripMargin
+  }
 }
 
 /** LSH bucket id of a vector column: sign bits of `numPlanes` hyperplane
@@ -61,7 +105,11 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, dim: Int)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+  override def nullable: Boolean = true
   override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVectorType(child.dataType, "its input", prettyName)
 
   @transient private lazy val mat: Array[Array[Double]] =
     VectorExpressions.planeMatrix(numPlanes, dim)
@@ -70,6 +118,7 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, dim: Int)
 
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
+    if (!VectorExpressions.readable(arr, dim)) return null
     var bucket = 0L
     var p = 0
     while (p < numPlanes) {
@@ -93,19 +142,25 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, dim: Int)
     val bucket = ctx.freshName("bucket")
     val proj = ctx.freshName("proj")
     val row = ctx.freshName("row")
+    val ok = ctx.freshName("ok")
     val p = ctx.freshName("p")
     val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, arr => s"""
-      |long $bucket = 0L;
-      |for (int $p = 0; $p < $numPlanes; $p++) {
-      |  double $proj = 0.0;
-      |  double[] $row = $matRef[$p];
-      |  for (int $d = 0; $d < $dim; $d++) {
-      |    $proj += ((double) $arr.$getter($d)) * $row[$d];
+      |${VectorExpressions.genReadable(ctx, arr, dim.toString, ok)}
+      |if (!$ok) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  long $bucket = 0L;
+      |  for (int $p = 0; $p < $numPlanes; $p++) {
+      |    double $proj = 0.0;
+      |    double[] $row = $matRef[$p];
+      |    for (int $d = 0; $d < $dim; $d++) {
+      |      $proj += ((double) $arr.$getter($d)) * $row[$d];
+      |    }
+      |    if ($proj > 0.0) $bucket += (1L << $p);
       |  }
-      |  if ($proj > 0.0) $bucket += (1L << $p);
+      |  ${ev.value} = $bucket;
       |}
-      |${ev.value} = $bucket;
       |""".stripMargin)
   }
 
@@ -123,7 +178,11 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
     extends UnaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_const"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVectorType(child.dataType, "its input", prettyName)
 
   @transient private lazy val q: Array[Double] = query.toArray
   @transient private lazy val qNorm: Double = {
@@ -137,6 +196,7 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
   override protected def nullSafeEval(input: Any): Any = {
     val arr = input.asInstanceOf[ArrayData]
     val n = q.length
+    if (!VectorExpressions.readable(arr, n)) return null
     var dot = 0.0
     var na = 0.0
     var d = 0
@@ -154,17 +214,23 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
     val getter = if (isFloat) "getFloat" else "getDouble"
     val dot = ctx.freshName("dot")
     val na = ctx.freshName("na")
+    val ok = ctx.freshName("ok")
     val x = ctx.freshName("x")
     val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, arr => s"""
-      |double $dot = 0.0;
-      |double $na = 0.0;
-      |for (int $d = 0; $d < ${q.length}; $d++) {
-      |  double $x = (double) $arr.$getter($d);
-      |  $dot += $x * $qRef[$d];
-      |  $na += $x * $x;
+      |${VectorExpressions.genReadable(ctx, arr, q.length.toString, ok)}
+      |if (!$ok) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double $dot = 0.0;
+      |  double $na = 0.0;
+      |  for (int $d = 0; $d < ${q.length}; $d++) {
+      |    double $x = (double) $arr.$getter($d);
+      |    $dot += $x * $qRef[$d];
+      |    $na += $x * $x;
+      |  }
+      |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * $qNorm);
       |}
-      |${ev.value} = $dot / (java.lang.Math.sqrt($na) * $qNorm);
       |""".stripMargin)
   }
 
@@ -173,14 +239,23 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
 }
 
 /** Cosine similarity of two vector columns in one generated pass.
-  * Same guarded formula and accumulation order as the Column version:
-  * dot/(sqrt(na) * max(sqrt(nb), 1e-12)).
+  * Same guarded formula, accumulation order, and null-on-length-mismatch
+  * propagation as the `zip_with`-based Column version:
+  * dot/(sqrt(na) * max(sqrt(nb), 1e-12)); NULL if the arrays differ in
+  * length or contain NULL elements.
   */
 case class CosineColsExpr(left: Expression, right: Expression)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
   override def prettyName: String = "cosine_cols"
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val l = VectorExpressions.checkVectorType(left.dataType, "its left input", prettyName)
+    if (l != TypeCheckResult.TypeCheckSuccess) l
+    else VectorExpressions.checkVectorType(right.dataType, "its right input", prettyName)
+  }
 
   @transient private lazy val leftFloat =
     VectorExpressions.isFloatArray(left.dataType)
@@ -190,7 +265,8 @@ case class CosineColsExpr(left: Expression, right: Expression)
   override protected def nullSafeEval(a0: Any, b0: Any): Any = {
     val a = a0.asInstanceOf[ArrayData]
     val b = b0.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (!VectorExpressions.readable(b, n) || !VectorExpressions.readable(a, n)) return null
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var d = 0
     while (d < n) {
@@ -209,23 +285,31 @@ case class CosineColsExpr(left: Expression, right: Expression)
     val na = ctx.freshName("na")
     val nb = ctx.freshName("nb")
     val n = ctx.freshName("n")
+    val okA = ctx.freshName("okA")
+    val okB = ctx.freshName("okB")
     val x = ctx.freshName("x")
     val y = ctx.freshName("y")
     val d = ctx.freshName("d")
     nullSafeCodeGen(ctx, ev, (a, b) => s"""
-      |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-      |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-      |for (int $d = 0; $d < $n; $d++) {
-      |  double $x = (double) $a.$ga($d);
-      |  double $y = (double) $b.$gb($d);
-      |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+      |int $n = $a.numElements();
+      |${VectorExpressions.genReadable(ctx, a, n, okA)}
+      |${VectorExpressions.genReadable(ctx, b, n, okB)}
+      |if (!$okA || !$okB) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+      |  for (int $d = 0; $d < $n; $d++) {
+      |    double $x = (double) $a.$ga($d);
+      |    double $y = (double) $b.$gb($d);
+      |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+      |  }
+      |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+      |    java.lang.Math.max(java.lang.Math.sqrt($nb), 1e-12));
       |}
-      |${ev.value} = $dot / (java.lang.Math.sqrt($na) *
-      |  java.lang.Math.max(java.lang.Math.sqrt($nb), 1e-12));
       |""".stripMargin)
   }
 
-  override protected def withNewChildInternal(
+  override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }

@@ -2,27 +2,46 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.graft.Shims
+
+import graft.functions.{CosineColsExpr, CosineConstExpr, LshBucketExpr, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
   * (random-hyperplane) variant as the 100 TB scale path.
   *
-  * Dot products are `aggregate`/`zip_with` expression trees (codegen'd,
-  * no UDF). Hyperplanes are derived from `xxhash64(plane, dim)` so the
+  * Hot-path arithmetic runs through the native Catalyst expressions in
+  * [[graft.functions.VectorExpressions]] — tight generated loops that
+  * stay inside whole-stage codegen (the `aggregate`/`zip_with` and
+  * unrolled-tree formulations both fall back to interpreted evaluation;
+  * the unrolled 512-term LSH tree was a measured 21× regression).
+  * Hyperplanes are derived from a splitmix64 of (plane, dim) so the
   * whole pipeline is deterministic with zero driver-side randomness.
   */
 object Similarity {
 
-  /** Sequential double-precision dot product of two array columns. */
+  /** Sequential double-precision dot product of two array columns —
+    * the `functions._` formulation, kept for composability in plans
+    * that need the raw dot product (not on the hot paths).
+    */
   def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
+  /** Cosine similarity of two vector columns: one generated pass over
+    * both arrays (dot, |a|², |b|² accumulated together). NULL if the
+    * lengths differ or an element is NULL, like the zip_with version.
+    */
   def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * greatest(norm(b), lit(1e-12)))
+    Shims.column(CosineColsExpr(Shims.expression(a), Shims.expression(b)))
+
+  /** Cosine similarity against a CONSTANT query vector — |q| is folded
+    * in on the driver, the scan does one multiply-add loop per row.
+    */
+  def cosineToQuery(a: Column, query: Seq[Double]): Column =
+    Shims.column(CosineConstExpr(Shims.expression(a), query))
 
   /** Exact top-k by cosine similarity to a constant query vector.
     * One narrow scan + a k-row total ordering (TakeOrderedAndProject —
@@ -30,48 +49,28 @@ object Similarity {
     */
   def bruteForceTopK(
       df: DataFrame, vecCol: String, idCol: String,
-      query: Seq[Double], k: Int): DataFrame = {
-    val q = typedLit(query)
-    df.select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      query: Seq[Double], k: Int): DataFrame =
+    df.select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
-  }
-
-  /** splitmix64 finalizer — the deterministic seed for hyperplane
-    * components (identical on driver and executors, no Spark evaluation
-    * needed to reproduce it).
-    */
-  private def splitmix64(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
 
   /** Deterministic hyperplane component for (plane, dim) in [-0.5, 0.5).
-    * A plan-time CONSTANT: the hot path multiplies stored floats by
-    * literals instead of evaluating hash expressions per element.
+    * Delegates to [[VectorExpressions.planeComponent]] — the single
+    * source of truth shared with [[LshBucketExpr]], so buckets stored at
+    * ingest and buckets computed at query time can never diverge.
     */
   def planeComponent(plane: Int, dim: Int): Double =
-    (java.lang.Math.floorMod(
-      splitmix64(plane.toLong * 1000003L + dim), 1000L).toDouble / 1000.0) - 0.5
+    VectorExpressions.planeComponent(plane, dim)
 
   /** LSH bucket id of a `dim`-element vector column: sign bits of
-    * `numPlanes` hyperplane projections packed into a long, as a fully
-    * UNROLLED expression tree (planes x dim constant multiply-adds).
-    * Spark does not codegen higher-order array functions, so the previous
-    * aggregate∘zip_with formulation ran interpreted per row — the
-    * unrolled tree stays inside whole-stage codegen and needs no
-    * per-element hash evaluation. Left-assoc addition matches
-    * [[queryBucket]]'s driver-side fold bit-for-bit.
+    * `numPlanes` hyperplane projections packed into a long, computed by
+    * [[LshBucketExpr]] — a tight generated planes×dims loop over a
+    * referenced constant matrix, fully inside whole-stage codegen.
+    * Sequential accumulation matches [[queryBucket]]'s driver-side fold
+    * bit-for-bit.
     */
   def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
-    (0 until numPlanes).map { p =>
-      val proj = (0 until dim)
-        .map(d => element_at(vec, d + 1).cast("double") * lit(planeComponent(p, d)))
-        .reduce(_ + _)
-      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    Shims.column(LshBucketExpr(Shims.expression(vec), numPlanes, dim))
 
   /** Bucket of a constant query vector — pure driver arithmetic, same
     * fold order as [[lshBucket]].
@@ -88,13 +87,14 @@ object Similarity {
     * ingest time the corpus is written with its bucket (ideally
     * bucketed/partitioned by it on storage), and queries prune on the
     * stored value instead of recomputing projections per query
-    * (see [[annTopKPrebucketed]]).
+    * (see [[annTopKPrebucketed]]). Pass `dim` when the caller knows it;
+    * the default probes the first row (one tiny Spark job).
     */
   def withLshBucket(
       df: DataFrame, vecCol: String, numPlanes: Int,
-      bucketCol: String = "lsh_bucket"): DataFrame = {
-    val dim = vectorDim(df, vecCol)
-    df.withColumn(bucketCol, lshBucket(col(vecCol), numPlanes, dim))
+      bucketCol: String = "lsh_bucket", dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(df, vecCol)
+    df.withColumn(bucketCol, lshBucket(col(vecCol), numPlanes, d))
   }
 
   private def vectorDim(df: DataFrame, vecCol: String): Int =
@@ -103,13 +103,14 @@ object Similarity {
   /** Approximate nearest neighbors: restrict the cosine scan to the
     * query's hyperplane bucket (plus probes differing in one bit —
     * multi-probe LSH), then exact-rank within candidates. Buckets are
-    * computed inline here; at scale, store them once with
-    * [[withLshBucket]] and query through [[annTopKPrebucketed]].
+    * computed inline here (dim comes from the query vector — no probe
+    * job); at scale, store them once with [[withLshBucket]] and query
+    * through [[annTopKPrebucketed]].
     */
   def annTopK(
       df: DataFrame, vecCol: String, idCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
-    val bucketed = withLshBucket(df, vecCol, numPlanes, "_bucket")
+    val bucketed = withLshBucket(df, vecCol, numPlanes, "_bucket", dim = query.size)
     annTopKPrebucketed(bucketed, vecCol, idCol, "_bucket", query, k, numPlanes)
   }
 
@@ -121,12 +122,11 @@ object Similarity {
   def annTopKPrebucketed(
       df: DataFrame, vecCol: String, idCol: String, bucketCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
-    val q = typedLit(query)
     val qBucket = queryBucket(query, numPlanes)
     // multi-probe: exact bucket + all 1-bit flips
     val probes = qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
     df.filter(col(bucketCol).isin(probes: _*))
-      .select(col(idCol), cosine(col(vecCol), q).as("sim"))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)
   }
@@ -139,14 +139,15 @@ object Similarity {
     * >= threshold — precision is always exact, bucketing affects recall
     * only. The join stays an equi-join (never all-pairs): candidate
     * volume is (numPlanes+1)·Σ bucket_size², bounded at scale by the
-    * bucket granularity, not the corpus size.
+    * bucket granularity, not the corpus size. Pass `dim` when known to
+    * skip the one-row probe job.
     */
   def cosineNearDups(
       df: DataFrame, vecCol: String, idCol: String,
-      threshold: Double = 0.95, numPlanes: Int = 12): DataFrame = {
-    val dim = vectorDim(df, vecCol)
+      threshold: Double = 0.95, numPlanes: Int = 12, dim: Int = -1): DataFrame = {
+    val d = if (dim > 0) dim else vectorDim(df, vecCol)
     val sigs = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", lshBucket(col("v"), numPlanes, dim))
+      .withColumn("bucket", lshBucket(col("v"), numPlanes, d))
     val probes = sigs.withColumn("bucket",
       explode(array(col("bucket") +:
         (0 until numPlanes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)))

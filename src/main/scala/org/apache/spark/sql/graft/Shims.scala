@@ -25,6 +25,12 @@ object Shims {
   def column(e: Expression): Column =
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
 
+  /** The Catalyst expression behind a user-facing Column (inverse of
+    * [[column]]).
+    */
+  def expression(c: Column): Expression =
+    org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
   /** Rebind a streaming micro-batch DataFrame as a batch DataFrame so the
     * batch writer can run normal actions on it (the standard V1 sink
     * pattern — the incremental plan's rows are re-wrapped, not copied).

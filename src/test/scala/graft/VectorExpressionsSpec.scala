@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.VectorExpressions
+import graft.operators.Similarity
+
+/** Parity + null-semantics checks for the native vector expressions
+  * against the reference `functions._` formulations they replaced
+  * (aggregate∘zip_with cosine, unrolled multiply-add LSH tree), on both
+  * the codegen and interpreted evaluation paths.
+  */
+class VectorExpressionsSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-vec-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  private val dim = 16
+  private val numPlanes = 6
+
+  private def vec(seed: Int): Seq[Float] =
+    (0 until dim).map(d =>
+      (java.lang.Math.floorMod(
+        VectorExpressions.splitmix64(seed * 7919L + d), 2001L) - 1000).toFloat / 1000f)
+
+  private def corpus: DataFrame =
+    (0 until 50).map(i => (i.toLong, vec(i))).toDF("id", "v")
+
+  /** The pre-round-8 Column formulations, kept here as the parity oracle. */
+  private def cosineColumns = {
+    import org.apache.spark.sql.Column
+    (a: Column, b: Column) => {
+      val dot = aggregate(
+        zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v)
+      def nrm(c: Column) = sqrt(aggregate(
+        zip_with(c, c, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, v) => acc + v))
+      dot / (nrm(a) * greatest(nrm(b), lit(1e-12)))
+    }
+  }
+
+  private def lshBucketUnrolled(vecCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until numPlanes).map { p =>
+      val proj = (0 until dim)
+        .map(d => element_at(vecCol, d + 1).cast("double") *
+          lit(VectorExpressions.planeComponent(p, d)))
+        .reduce(_ + _)
+      when(proj > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  private def withCodegen[A](on: Boolean)(f: => A): A = {
+    val key = "spark.sql.codegen.wholeStage"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, on.toString)
+    // CODEGEN_ONLY vs NO_CODEGEN forces the expression's doGenCode/eval paths
+    val factoryKey = "spark.sql.codegen.factoryMode"
+    val prevFactory = spark.conf.get(factoryKey, "FALLBACK")
+    spark.conf.set(factoryKey, if (on) "CODEGEN_ONLY" else "NO_CODEGEN")
+    try f finally {
+      spark.conf.set(key, prev)
+      spark.conf.set(factoryKey, prevFactory)
+    }
+  }
+
+  for (codegen <- Seq(true, false)) {
+    val mode = if (codegen) "codegen" else "interpreted"
+
+    test(s"cosine_cols matches the zip_with formulation bit-for-bit [$mode]") {
+      withCodegen(codegen) {
+        val paired = corpus.as("a").crossJoin(corpus.limit(5).as("b"))
+          .select($"a.id".as("ia"), $"b.id".as("ib"), $"a.v".as("va"), $"b.v".as("vb"))
+        val got = paired
+          .select($"ia", $"ib", Similarity.cosine($"va", $"vb").as("c"))
+          .orderBy("ia", "ib").collect().map(_.getDouble(2))
+        val want = paired
+          .select($"ia", $"ib", cosineColumns($"va", $"vb").as("c"))
+          .orderBy("ia", "ib").collect().map(_.getDouble(2))
+        assert(got.length === want.length)
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.lang.Double.doubleToLongBits(g) ===
+            java.lang.Double.doubleToLongBits(w))
+        }
+      }
+    }
+
+    test(s"cosine_const matches cosine_cols against a literal query [$mode]") {
+      withCodegen(codegen) {
+        val q = vec(3).map(_.toDouble)
+        val got = corpus
+          .select($"id", Similarity.cosineToQuery($"v", q).as("c"))
+          .orderBy("id").collect().map(_.getDouble(1))
+        val want = corpus
+          .select($"id", Similarity.cosine($"v", typedLit(q.map(_.toFloat))).as("c"))
+          .orderBy("id").collect().map(_.getDouble(1))
+        got.zip(want).foreach { case (g, w) =>
+          assert(java.lang.Double.doubleToLongBits(g) ===
+            java.lang.Double.doubleToLongBits(w))
+        }
+      }
+    }
+
+    test(s"lsh_bucket matches the unrolled expression tree and queryBucket [$mode]") {
+      withCodegen(codegen) {
+        val got = corpus
+          .select($"id", Similarity.lshBucket($"v", numPlanes, dim).as("b"))
+          .orderBy("id").collect().map(_.getLong(1))
+        val want = corpus
+          .select($"id", lshBucketUnrolled($"v").as("b"))
+          .orderBy("id").collect().map(_.getLong(1))
+        assert(got.toSeq === want.toSeq)
+        // driver-side queryBucket agrees with the executor-side expression
+        val driver = (0 until 50).map(i =>
+          Similarity.queryBucket(vec(i).map(_.toDouble), numPlanes))
+        assert(got.toSeq === driver)
+      }
+    }
+
+    test(s"null semantics: short / null-element / null vectors yield NULL [$mode]") {
+      withCodegen(codegen) {
+        val rows = Seq(
+          (1L, Some(vec(1).map(Option(_)))),                       // clean
+          (2L, Some(vec(2).take(dim - 1).map(Option(_)))),         // short
+          (3L, Some(vec(3).map(Option(_)).updated(4, None))),      // null element
+          (4L, None)                                               // null array
+        ).toDF("id", "v")
+        val q = vec(0).map(_.toDouble)
+        val got = rows.select($"id",
+            Similarity.lshBucket($"v", numPlanes, dim).as("b"),
+            Similarity.cosineToQuery($"v", q).as("cq"),
+            Similarity.cosine($"v", typedLit(vec(0))).as("cc"))
+          .orderBy("id").collect()
+        def nulls(r: Row) = (r.isNullAt(1), r.isNullAt(2), r.isNullAt(3))
+        assert(nulls(got(0)) === ((false, false, false)))
+        assert(nulls(got(1)) === ((true, true, true)))
+        assert(nulls(got(2)) === ((true, true, true)))
+        assert(nulls(got(3)) === ((true, true, true)))
+      }
+    }
+  }
+
+  test("non-array input fails at analysis time, not execution time") {
+    val df = Seq((1L, "oops")).toDF("id", "v")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(Similarity.lshBucket($"v", numPlanes, dim)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("ann plan: bucket filter + cosine stay inside WholeStageCodegen") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_vec_").toString
+    corpus.write.mode("overwrite").parquet(dir)
+    val onDisk = spark.read.parquet(dir)
+    val q = vec(0).map(_.toDouble)
+    val df = Similarity.annTopK(onDisk, "v", "id", q, 10, numPlanes)
+    val plan = df.queryExecution.executedPlan.toString
+    // "*(n)" is the WholeStageCodegen stage marker: the Filter holding the
+    // lsh_bucket predicate and the cosine projection must both carry it
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"bucket filter not codegen'd:\n$plan")
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      s"cosine projection not codegen'd:\n$plan")
+    // nothing interpreted should be pushed into the parquet reader itself
+    assert(plan.contains("PushedFilters: []"), s"unexpected pushdown:\n$plan")
+  }
+}
