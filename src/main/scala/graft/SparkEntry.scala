@@ -739,6 +739,42 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // THE 100 TB ANN path end to end: the corpus is written ONCE with its
+    // LSH bucket materialized as the graft table's partition column, so a
+    // query prunes on storage layout — each data file holds a single
+    // bucket value (min==max in the parquet footer), and the multi-probe
+    // IN-filter skips every non-probed file without reading a row. The
+    // per-query cost is O(probed buckets), not O(corpus); no projections
+    // are recomputed at query time. Same planted-copies oracle as
+    // emb_ann_topk (ref pattern: bloom-index stored-stats pruning,
+    // SparkHoodieBloomIndex.java:110-140, transposed to vectors).
+    "emb_ann_prebucketed" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val minId = emb.agg(min("vec_id")).head.getLong(0)
+      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      val qf = qRow.getSeq[Float](0)
+      val q = qf.map(_.toDouble).toSeq
+      val copies = s.range(60).select(
+        (col("id") + lit(1000000L)).as("vec_id"),
+        typedLit(qf).as("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      val bucketed = Similarity.withLshBucket(
+        aug, "embedding", numPlanes = 8, dim = q.size)
+      val t = GraftTable.create(s, freshDir("emb_ann_prebucketed", dir),
+        GraftTableConfig(tableName = "emb_idx", tableType = GraftTableType.Cow,
+          recordKeyFields = Seq("vec_id"), partitionFields = Seq("lsh_bucket"),
+          precombineField = None))
+      new GraftWriteClient(t, testWc).bulkInsert(bucketed)
+      // manifest-level partition pruning: only the 9 probed bucket dirs
+      // are even listed; non-probed partitions cost zero I/O and zero
+      // tasks. The in-scan bucket filter below stays as a second guard.
+      val probes = Similarity.probeBuckets(q, 8).map(_.toString).toSet
+      val stored = new GraftReadClient(t).snapshotData(None, probes.contains)
+      Similarity.annTopKPrebucketed(
+        stored, "embedding", "vec_id", "lsh_bucket", q, 50, numPlanes = 8)
+        .select("vec_id")
+    }),
+
     "emb_near_dups" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val copies = emb.filter(col("vec_id") % 25 === 0)
@@ -1100,6 +1136,19 @@ object SparkEntry {
         |LIMIT 50""".stripMargin,
 
     "emb_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings
+        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL
+        |        SELECT 1000000 + i AS vec_id, (SELECT qv FROM q) AS embedding
+        |        FROM range(60) r(i))
+        |SELECT vec_id FROM aug, q
+        |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+        |LIMIT 50""".stripMargin,
+
+    // identical result contract to emb_ann_topk: the stored-bucket path
+    // must return exactly what the exact brute-force ranking returns
+    "emb_ann_prebucketed" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings
         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
         |aug AS (SELECT vec_id, embedding FROM embeddings

@@ -114,6 +114,15 @@ object Similarity {
     annTopKPrebucketed(bucketed, vecCol, idCol, "_bucket", query, k, numPlanes)
   }
 
+  /** The multi-probe set for a query: its exact bucket plus every 1-bit
+    * flip. Exposed so callers can prune storage (partition dirs, file
+    * manifests) on these values before the scan even starts.
+    */
+  def probeBuckets(query: Seq[Double], numPlanes: Int): Seq[Long] = {
+    val qBucket = queryBucket(query, numPlanes)
+    qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
+  }
+
   /** ANN over a corpus whose bucket column is already stored: the scan
     * filters on the bucket value (pushed to parquet / pruned on storage
     * layout), computes exact cosine only within the probed buckets, and
@@ -122,9 +131,7 @@ object Similarity {
   def annTopKPrebucketed(
       df: DataFrame, vecCol: String, idCol: String, bucketCol: String,
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
-    val qBucket = queryBucket(query, numPlanes)
-    // multi-probe: exact bucket + all 1-bit flips
-    val probes = qBucket +: (0 until numPlanes).map(b => qBucket ^ (1L << b))
+    val probes = probeBuckets(query, numPlanes)
     df.filter(col(bucketCol).isin(probes: _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
       .orderBy(col("sim").desc, col(idCol))

@@ -204,6 +204,18 @@ final class GraftReadClient(val table: GraftTable) {
 
   def snapshotData(asOf: Option[String] = None): DataFrame = dataOnly(snapshot(asOf))
 
+  /** Snapshot restricted to the partitions `keep` accepts — pruning at
+    * the manifest/file-list level, so excluded partitions cost nothing:
+    * no paths listed, no footers read, no tasks scheduled. This is the
+    * scale path for any query carrying a partition-key predicate (e.g.
+    * multi-probe LSH ANN over a bucket-partitioned corpus); a filter on
+    * the returned frame only gets footer-stats skipping AFTER every
+    * latest file is already in the scan.
+    */
+  def snapshotData(asOf: Option[String], keep: String => Boolean): DataFrame =
+    dataOnly(snapshotFromSlices(
+      table.view.latestSlices(asOf).filter(s => keep(s.partition)), asOf))
+
   /** Zero-row frame carrying the full stored schema so downstream column
     * references still resolve on an empty table.
     */

@@ -537,6 +537,27 @@ class TableFormatSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSeq
     assert(pre === inline)
     assert(pre.nonEmpty)
+
+    // bucket-partitioned graft table + manifest-level partition pruning:
+    // only the probed partitions' files enter the scan
+    val path = tmp()
+    val t = GraftTable.create(spark, path, GraftTableConfig(
+      tableName = "emb_idx", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("vec_id"), partitionFields = Seq("lsh_bucket"),
+      precombineField = None))
+    new GraftWriteClient(t, wc).bulkInsert(stored)
+    val probes = Similarity.probeBuckets(q, 8).map(_.toString).toSet
+    val read = new GraftReadClient(t)
+    val pruned = read.snapshotData(None, probes.contains)
+    val prunedParts = t.view.latestSlices(None)
+      .map(_.partition).distinct.filter(probes.contains)
+    assert(pruned.inputFiles.length <= prunedParts.size * 4,
+      s"scan lists ${pruned.inputFiles.length} files for ${prunedParts.size} probed partitions")
+    assert(pruned.inputFiles.length < read.snapshotData().inputFiles.length)
+    val viaPruned = Similarity.annTopKPrebucketed(
+      pruned, "embedding", "vec_id", "lsh_bucket", q, 20, numPlanes = 8)
+      .collect().map(_.getLong(0)).toSeq
+    assert(viaPruned === inline)
   }
 
   test("bloom index: prunes candidate files when key ranges cannot") {
