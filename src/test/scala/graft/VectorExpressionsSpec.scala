@@ -14,10 +14,15 @@ import graft.operators.Similarity
   */
 class VectorExpressionsSpec extends AnyFunSuite {
 
+  // Must mirror TableFormatSpec's session config exactly: suites share one
+  // JVM-wide default session via getOrCreate, and whichever suite runs
+  // first fixes the extension list for both.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-vec-test")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
