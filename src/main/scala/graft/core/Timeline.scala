@@ -134,9 +134,12 @@ final class GraftTimeline(storage: GraftStorage) {
 
   // --- state transitions ----------------------------------------------
 
-  def createRequested(ts: String, action: String): GraftInstant = {
+  /** `content` defaults to an empty body; service plans (compaction) put
+    * their serialized plan here so the requested instant IS the plan file.
+    */
+  def createRequested(ts: String, action: String, content: String = "{}"): GraftInstant = {
     val i = GraftInstant(ts, action, GraftState.Requested)
-    storage.createImmutable(new Path(storage.metaDir, i.fileName), "{}")
+    storage.createImmutable(new Path(storage.metaDir, i.fileName), content)
     i
   }
 

@@ -23,11 +23,19 @@ object GraftAction {
   val Rollback = "rollback"
   val Savepoint = "savepoint"
   val Restore = "restore"
+  /** A scheduled-but-not-yet-executed compaction plan. Only ever exists in
+    * requested/inflight state — execution completes as a [[Commit]], the
+    * same state machine as the reference's compaction instants
+    * (ref: HoodieTimeline.java COMPACTION_ACTION → COMMIT_ACTION on
+    * completion, ScheduleCompactionActionExecutor).
+    */
+  val Compaction = "compaction"
   /** Actions that add/replace data files and participate in views. */
   val DataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit)
   /** Every valid instant action (file-name validation). */
   val All: Set[String] =
-    Set(Commit, DeltaCommit, ReplaceCommit, Clean, Rollback, Savepoint, Restore)
+    Set(Commit, DeltaCommit, ReplaceCommit, Clean, Rollback, Savepoint, Restore,
+      Compaction)
 }
 
 object GraftState {
@@ -109,6 +117,19 @@ final case class GraftCommitMetadata(
     schemaJson: String = "",
     extra: Map[String, String] = Map.empty)
 
+/** A persisted compaction plan — the content of a
+  * `<ts>.compaction.requested` instant file. Freezes the chosen file
+  * slices and the OCC snapshot floor at schedule time so a separate
+  * process (or a later run) can execute the merge exactly as planned
+  * (ref: HoodieCompactionPlan.avsc + ScheduleCompactionActionExecutor;
+  * the request/execute split that lets a long compaction be handed to a
+  * second runner).
+  */
+final case class CompactionPlan(
+    instant: String,
+    baseTs: String, // OCC floor: last completed data instant at schedule time
+    slices: Seq[FileSlice])
+
 /** Table-level config stored at `<base>/.graft/table_config.json`.
   * (ref: hudi-common/.../table/HoodieTableConfig.java)
   */
@@ -173,4 +194,7 @@ object Json {
 
   def readTableConfig(s: String): GraftTableConfig =
     JsonMethods.parse(s).extract[GraftTableConfig]
+
+  def readCompactionPlan(s: String): CompactionPlan =
+    JsonMethods.parse(s).extract[CompactionPlan]
 }

@@ -66,13 +66,28 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         "on overlapping file groups; retry")
   }
 
-  def compact(targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] = {
+  def compact(targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] =
+    scheduleCompaction(targetIOBytes).flatMap(executeCompaction)
+
+  /** Plan a compaction and persist it as a `<ts>.compaction.requested`
+    * instant WITHOUT executing it — the chosen slices and the OCC floor
+    * are frozen in the plan so any TableServices instance (a separate
+    * runner, a later session) can execute it. Returns the plan instant,
+    * or None when nothing needs compacting.
+    * (ref: ScheduleCompactionActionExecutor + HoodieCompactionPlan.avsc)
+    */
+  def scheduleCompaction(
+      targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] = {
     // OCC snapshot floor: read BEFORE building the view, so a commit that
     // lands between the two reads conservatively conflicts
     val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val view = table.view
+    // groups already claimed by a pending plan are not re-planned
+    val claimed = pendingCompactionPlans
+      .flatMap(_.slices.map(s => (s.partition, s.fileId))).toSet
     val candidates = view.latestSlices(None)
       .filter(_.deltas.nonEmpty)
+      .filterNot(s => claimed.contains((s.partition, s.fileId)))
       .sortBy(s => -s.deltas.map(_.bytes).sum)
     if (candidates.isEmpty) return None
 
@@ -86,8 +101,39 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     }
 
     val ts = InstantTimeGenerator.next()
-    val instant = table.timeline.transitionToInflight(
-      table.timeline.createRequested(ts, GraftAction.Commit))
+    table.timeline.createRequested(ts, GraftAction.Compaction,
+      Json.write(CompactionPlan(ts, occBaseTs, chosen)))
+    Some(ts)
+  }
+
+  /** Scheduled-but-unexecuted compaction plans, oldest first. */
+  def pendingCompactionPlans: Seq[CompactionPlan] =
+    table.timeline.pending
+      .filter(i => i.action == GraftAction.Compaction &&
+        i.state == GraftState.Requested)
+      .sortBy(_.ts)
+      .map(i => Json.readCompactionPlan(
+        table.storage.readString(new Path(table.storage.metaDir, i.fileName))))
+
+  /** Execute a previously scheduled plan. Completes as a `commit` instant
+    * at the PLAN's timestamp (the reference's compaction state machine:
+    * compaction.requested → compaction.inflight → commit), so delta
+    * commits that landed after scheduling order above the new base file
+    * and stay visible. On failure the requested plan survives for retry.
+    */
+  def executeCompaction(planTs: String): Option[String] = {
+    val requested = GraftInstant(planTs, GraftAction.Compaction, GraftState.Requested)
+    val reqPath = new Path(table.storage.metaDir, requested.fileName)
+    require(table.storage.exists(reqPath), s"no scheduled compaction $planTs")
+    val plan = Json.readCompactionPlan(table.storage.readString(reqPath))
+    val chosen = plan.slices
+    if (chosen.isEmpty) { table.timeline.deleteInstant(requested); return None }
+    val occBaseTs = plan.baseTs
+    val ts = planTs
+    // a retry after a crashed execute finds the stale inflight marker
+    table.storage.delete(new Path(table.storage.metaDir,
+      requested.copy(state = GraftState.Inflight).fileName))
+    table.timeline.transitionToInflight(requested)
     try {
       val staging = new Path(table.storage.tempDir, ts)
       val g = GraftWriteClient.ColTargetFile
@@ -189,18 +235,31 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
       val totalRecords = written.map(_.records).sum
       val totalBytes = written.map(_.bytes).sum
-      table.timeline.transitionToCompleted(instant, GraftCommitMetadata(
-        instant = ts, action = GraftAction.Commit, operation = "compact",
-        files = written,
-        replacedFileIds = replacedMap,
-        totalRecords = totalRecords,
-        avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-        schemaJson = lastSchemaJson))
+      table.timeline.transitionToCompleted(
+        GraftInstant(ts, GraftAction.Commit, GraftState.Inflight),
+        GraftCommitMetadata(
+          instant = ts, action = GraftAction.Commit, operation = "compact",
+          files = written,
+          replacedFileIds = replacedMap,
+          totalRecords = totalRecords,
+          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+          schemaJson = lastSchemaJson))
+      // the executed plan's markers die with the completion
+      table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
       Some(ts)
     } catch {
+      case e: graft.write.ConcurrentWriteConflictException =>
+        // the plan lost its race permanently (the conflicting commit is
+        // durable) — discard it; a re-schedule sees the new state
+        table.timeline.deleteInstant(requested)
+        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        throw e
       case e: Throwable =>
-        table.timeline.deleteInstant(instant)
+        // keep the requested plan on the timeline for a retry; only the
+        // inflight marker and staging output are swept
+        table.storage.delete(new Path(table.storage.metaDir,
+          requested.copy(state = GraftState.Inflight).fileName))
         table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
         throw e
     }

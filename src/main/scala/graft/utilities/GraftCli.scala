@@ -85,6 +85,15 @@ object GraftCli {
     */
   private val services: Map[String, GraftTable => Option[String]] = Map(
     "compact" -> (t => new graft.services.TableServices(t).compact()),
+    // request/execute split: schedule persists a compaction plan instant;
+    // execute runs the oldest pending plan (possibly from another process)
+    "compact_schedule" -> (t =>
+      new graft.services.TableServices(t).scheduleCompaction()),
+    "compact_execute" -> { t =>
+      val svc = new graft.services.TableServices(t)
+      svc.pendingCompactionPlans.headOption
+        .flatMap(p => svc.executeCompaction(p.instant))
+    },
     "clean" -> (t => new graft.services.TableServices(t).clean()),
     "cluster" -> (t => new graft.services.TableServices(t).cluster()),
     "archive" -> (t => new graft.services.TableServices(t).archive()),

@@ -819,4 +819,51 @@ class TableFormatSpec extends AnyFunSuite {
     assert(t2.timeline.completedData.size === 1)
     assert(new GraftReadClient(t2).snapshotData().count() === nExpect)
   }
+
+  test("compaction schedule/execute split: plan persisted, executed by a second client") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val updates = orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+    w.upsert(updates)
+
+    // schedule in one client: plan instant on the timeline, nothing executed
+    val planTs = new TableServices(t, wc).scheduleCompaction().get
+    assert(t.view.latestSlices(None).exists(_.deltas.nonEmpty)) // deltas untouched
+    assert(t.timeline.pending.exists(i =>
+      i.ts == planTs && i.action == GraftAction.Compaction))
+    // re-scheduling finds nothing: every dirty group is claimed by the plan
+    assert(new TableServices(t, wc).scheduleCompaction().isEmpty)
+
+    // a delta commit AFTER scheduling layers above the planned base
+    val lateUpdates = orders.filter(col("o_orderkey") % 10 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+    w.upsert(lateUpdates)
+
+    // execute from a SEPARATE TableServices over a fresh table handle
+    val t2 = GraftTable.load(spark, path)
+    val svc2 = new TableServices(t2, wc)
+    val plan = svc2.pendingCompactionPlans.head
+    assert(plan.instant === planTs && plan.slices.nonEmpty)
+    assert(svc2.executeCompaction(planTs).contains(planTs))
+    // plan markers are gone; the completion is a commit at the plan ts
+    assert(!t2.timeline.pending.exists(_.action == GraftAction.Compaction))
+    assert(t2.timeline.completed.exists(i =>
+      i.ts == planTs && i.action == GraftAction.Commit))
+    // the late delta commit survived compaction (ts orders above the base)
+    assert(t2.view.latestSlices(None).exists(_.deltas.nonEmpty))
+
+    // latest commit wins: the late +1000 update (computed from the
+    // original price) shadows the planned +5 update for keys in both sets
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 10 === 0, col("o_totalprice") + 1000.0)
+        .when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice")))
+    val snap = new GraftReadClient(t2).snapshotData()
+    assert(snap.count() === orders.count())
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+  }
 }
