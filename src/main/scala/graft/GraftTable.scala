@@ -17,9 +17,49 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
   val storage = new GraftStorage(new Path(basePath), spark.sessionState.newHadoopConf())
   val timeline = new GraftTimeline(storage)
 
-  lazy val config: GraftTableConfig =
-    Json.readTableConfig(
-      storage.readString(new Path(storage.metaDir, GraftTable.ConfigFile)))
+  @volatile private var _config: GraftTableConfig = _
+
+  def config: GraftTableConfig = {
+    if (_config == null)
+      _config = Json.readTableConfig(
+        storage.readString(new Path(storage.metaDir, GraftTable.ConfigFile)))
+    _config
+  }
+
+  /** Persist an updated table config (DDL like RENAME COLUMN; single
+    * writer, like the reference's table-config updates).
+    */
+  private[graft] def updateConfig(c: GraftTableConfig): Unit = {
+    storage.overwrite(new Path(storage.metaDir, GraftTable.ConfigFile), Json.write(c))
+    _config = c
+  }
+
+  // --- logical/physical column mapping (RENAME COLUMN support) ---------
+  // Files and the stored schema always carry PHYSICAL names; the
+  // config.columnRenames map turns them into the user-visible logical
+  // names at the read boundary and back at the write boundary.
+
+  /** Physical → logical: applied to every frame leaving a read path. */
+  def logicalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    config.columnRenames.foldLeft(df) { case (d, (phys, logical)) =>
+      if (d.columns.contains(phys)) d.withColumnRenamed(phys, logical) else d
+    }
+
+  /** Logical → physical: applied to every incoming frame before writing. */
+  def delogicalize(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    config.columnRenames.foldLeft(df) { case (d, (phys, logical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, phys) else d
+    }
+
+  /** The user-visible name of a physical column. */
+  def logicalNameOf(physical: String): String =
+    config.columnRenames.getOrElse(physical, physical)
+
+  /** Rename physical fields to their logical names in a schema. */
+  def logicalizeSchema(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    if (config.columnRenames.isEmpty) s
+    else org.apache.spark.sql.types.StructType(
+      s.fields.map(f => f.copy(name = logicalNameOf(f.name))))
 
   def isMor: Boolean = config.tableType == GraftTableType.Mor
 

@@ -154,7 +154,17 @@ final case class GraftTableConfig(
       * several partition fields the format applies to the `:timestamp`
       * suffixed ones.
       */
-    partitionTimestampFormat: Option[String] = None) {
+    partitionTimestampFormat: Option[String] = None,
+    /** Column renames as physical name (what parquet files and the stored
+      * schema carry, forever) → current logical name (what users see).
+      * ALTER TABLE RENAME COLUMN only updates this map — no file is ever
+      * rewritten, and files written before AND after the rename stay
+      * byte-compatible (they all use the physical name). The simplified
+      * form of Delta's column-mapping "name" mode; the reference instead
+      * rewrites the Avro schema in place
+      * (ref: AlterHoodieTableChangeColumnCommand.scala).
+      */
+    columnRenames: Map[String, String] = Map.empty) {
 
   /** Partition fields with any `:type` suffix stripped — the DATA columns
     * partitioning derives from (what exporters/readers reference).

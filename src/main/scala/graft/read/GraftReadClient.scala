@@ -54,7 +54,15 @@ final class GraftReadClient(val table: GraftTable) {
   def snapshot(asOf: Option[String] = None): DataFrame =
     snapshotFromSlices(table.view.latestSlices(asOf), asOf)
 
+  /** All merging happens on PHYSICAL column names (what files carry);
+    * the rename map is applied once, as the frame leaves the read path
+    * (see GraftTableConfig.columnRenames).
+    */
   private def snapshotFromSlices(
+      slices: Seq[FileSlice], asOf: Option[String]): DataFrame =
+    table.logicalize(physicalSnapshotFromSlices(slices, asOf))
+
+  private def physicalSnapshotFromSlices(
       slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
     if (!table.isMor) {
       val paths = slices.flatMap(s => s.base.map(f => basePath(s, f)))
@@ -135,7 +143,8 @@ final class GraftReadClient(val table: GraftTable) {
   def readOptimized(asOf: Option[String] = None): DataFrame = {
     val paths = table.view.latestSlices(asOf)
       .flatMap(s => s.base.map(f => basePath(s, f)))
-    readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf))
+    table.logicalize(
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf)))
   }
 
   /** Incremental view: records written in commits with
@@ -151,13 +160,13 @@ final class GraftReadClient(val table: GraftTable) {
       table.timeline.metadataOf(i).files
         .map(f => table.storage.dataFilePath(f.partition, f.fileName).toString)
     }
-    readFiles(files.distinct) match {
+    table.logicalize(readFiles(files.distinct) match {
       case None => emptyFrame(None)
       case Some(df) =>
         val band = df.filter(
           col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
         mergeLatestPerKey(band)
-    }
+    })
   }
 
   /** MOR snapshot merge: cluster dirty rows by their FILE GROUP first

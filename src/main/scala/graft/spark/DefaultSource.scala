@@ -317,7 +317,8 @@ object GraftRelation {
       case Some(full) =>
         val dropped = (if (includeMeta) Seq.empty[String] else graft.core.MetaColumns.All) :+
           graft.core.MetaColumns.IsDeleted
-        StructType(full.filterNot(f => dropped.contains(f.name)))
+        table.logicalizeSchema(
+          StructType(full.filterNot(f => dropped.contains(f.name))))
       case None => mkDf().schema // empty table: zero-row plan, cheap
     }
     new GraftRelation(sqlContext, table, () => mkDf(), schema)

@@ -55,6 +55,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case u: UpdateTable     => GraftUpdateCommand(u)
       case m: MergeIntoTable  => GraftMergeCommand(m)
       case a: AddColumns      => GraftAddColumnsCommand(a)
+      case r: RenameColumn    => GraftRenameColumnCommand(r)
+      case c: AlterColumns    => GraftAlterColumnsCommand(c)
       case t: TruncateTable   => GraftTruncateCommand(t)
       case other              => other
     }
@@ -114,6 +116,23 @@ private[sql] object GraftSqlUtils {
     case other => sys.error(s"unsupported DDL target: $other")
   }
 
+  /** Best-effort: keep the session catalog's stored schema in sync with
+    * the table's (logical) schema after a DDL change — path-only tables
+    * have no catalog entry, so failures are swallowed.
+    */
+  def refreshCatalogSchema(
+      spark: SparkSession, nameParts: Seq[String], table: graft.GraftTable): Unit = {
+    try {
+      val ident = TableIdentifier(nameParts.last,
+        if (nameParts.size > 1) Some(nameParts(nameParts.size - 2)) else None)
+      table.storedDataSchema.foreach(s =>
+        spark.sessionState.catalog.alterTableDataSchema(
+          ident, table.logicalizeSchema(s)))
+    } catch { case _: Exception => () }
+    try spark.catalog.refreshTable(nameParts.mkString("."))
+    catch { case _: Exception => () }
+  }
+
   /** Last name part of an assignment key (`t.price` -> `price`). */
   def keyName(e: Expression): String = e match {
     case u: UnresolvedAttribute => u.nameParts.last
@@ -170,16 +189,56 @@ case class GraftAddColumnsCommand(a: AddColumns) extends LeafRunnableCommand {
           org.apache.spark.sql.types.StructField(q.name.head, q.dataType, q.nullable)
         }
         new GraftWriteClient(rel.table).evolveSchema(fields)
-        // keep the session catalog's stored schema in sync (best effort —
-        // path-only tables have no catalog entry)
-        try {
-          val ident = TableIdentifier(nameParts.last,
-            if (nameParts.size > 1) Some(nameParts(nameParts.size - 2)) else None)
-          spark.sessionState.catalog.alterTableDataSchema(
-            ident, rel.table.storedDataSchema.get)
-        } catch { case _: Exception => () }
-        try spark.catalog.refreshTable(nameParts.mkString("."))
-        catch { case _: Exception => () }
+        GraftSqlUtils.refreshCatalogSchema(spark, nameParts, rel.table)
+        Seq.empty
+    }
+  }
+}
+
+/** ALTER TABLE t RENAME COLUMN a TO b on a graft table → config-level
+  * rename (files keep their physical column name; see
+  * GraftWriteClient.renameColumn). Non-graft targets pass through.
+  * (ref: AlterHoodieTableChangeColumnCommand.scala)
+  */
+case class GraftRenameColumnCommand(r: RenameColumn) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nameParts = GraftSqlUtils.tableNameOf(r.table)
+    GraftSqlUtils.graftRelationOf(spark, nameParts) match {
+      case None => Shims.ofRows(spark, r).collect().toSeq // not ours
+      case Some(rel) =>
+        require(r.column.name.size == 1,
+          s"only top-level columns can be renamed: ${r.column.name.mkString(".")}")
+        new GraftWriteClient(rel.table).renameColumn(r.column.name.head, r.newName)
+        GraftSqlUtils.refreshCatalogSchema(spark, nameParts, rel.table)
+        Seq.empty
+    }
+  }
+}
+
+/** ALTER TABLE t ALTER COLUMN c TYPE <widerType> on a graft table → a
+  * zero-file commit carrying the widened schema (see
+  * GraftWriteClient.changeColumnType). Only TYPE changes are
+  * intercepted; comment/position/default changes on graft tables are
+  * rejected rather than silently dropped. Non-graft targets pass
+  * through.
+  */
+case class GraftAlterColumnsCommand(a: AlterColumns) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nameParts = GraftSqlUtils.tableNameOf(a.table)
+    GraftSqlUtils.graftRelationOf(spark, nameParts) match {
+      case None => Shims.ofRows(spark, a).collect().toSeq // not ours
+      case Some(rel) =>
+        val w = new GraftWriteClient(rel.table)
+        a.specs.foreach { spec =>
+          require(spec.column.name.size == 1,
+            s"only top-level columns can be altered: ${spec.column.name.mkString(".")}")
+          require(spec.newDataType.isDefined &&
+            spec.newPosition.isEmpty && spec.newDefaultExpression.isEmpty,
+            "graft supports ALTER COLUMN ... TYPE only " +
+              "(position/default changes are not supported)")
+          w.changeColumnType(spec.column.name.head, spec.newDataType.get)
+        }
+        GraftSqlUtils.refreshCatalogSchema(spark, nameParts, rel.table)
         Seq.empty
     }
   }

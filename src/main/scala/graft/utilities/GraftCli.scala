@@ -101,7 +101,13 @@ object GraftCli {
       .rollbackFailedWrites() match {
         case Seq() => None
         case ts => Some(ts.mkString(","))
-      }))
+      }),
+    "catalog_sync" -> { t =>
+      val rs = CatalogSync.sync(t.spark, t.basePath, t.config.tableName)
+      Some(rs.map(r => s"${r.table}(created=${r.created}," +
+        s"schemaUpdated=${r.schemaUpdated},newPartitions=${r.newPartitions.size})")
+        .mkString(", "))
+    })
 
   private def usage: String =
     s"usage: GraftCli <${(commands.keys ++ services.keys).toSeq.sorted.mkString("|")}> <tablePath>"
@@ -130,16 +136,93 @@ object GraftCli {
   }
 }
 
-/** Register a graft table in the session catalog so plain SQL reaches it
-  * — the metastore-sync equivalent for Spark's own catalog
-  * (ref: hudi-sync/.../HiveSyncTool.java; partition registration is
-  * unnecessary here because graft reads resolve files from the commit
-  * manifest, not from catalog partitions).
+/** Catalog sync: push a graft table's state into the Spark session
+  * catalog after commits, mirroring the reference HiveSyncTool's loop
+  * (ref: hudi-sync/hudi-hive-sync/.../HiveSyncTool.java:144-255):
+  * create the table entry if absent (a MOR table registers a
+  * snapshot/read-optimized pair, the reference's `_rt`/`_ro` suffix
+  * convention), diff + evolve the catalog schema against the latest
+  * commit's (logical) schema, then incrementally register partitions
+  * written since the last sync — tracked, like the reference, by a
+  * `last commit time synced` table property
+  * (ref: HoodieHiveClient.getLastCommitTimeSynced /
+  * getPartitionsWrittenToSince). Because graft READS resolve files from
+  * the commit manifest (never from catalog partitions), the partition
+  * registry is catalog metadata for external tools — correctness never
+  * depends on it, which is exactly the property that makes the sync
+  * safe to run lazily.
   */
 object CatalogSync {
-  def sync(spark: SparkSession, tablePath: String, tableName: String): Unit = {
-    spark.sql(s"CREATE TABLE IF NOT EXISTS $tableName USING graft " +
-      s"OPTIONS (path '$tablePath')")
-    spark.catalog.refreshTable(tableName)
+
+  /** Table property: last commit instant pushed to the catalog. */
+  val LastSyncProp = "graft.last.sync.instant"
+  /** Table property: comma-joined partitions registered so far. */
+  val PartitionsProp = "graft.synced.partitions"
+
+  final case class SyncResult(
+      table: String,
+      created: Boolean,
+      schemaUpdated: Boolean,
+      newPartitions: Seq[String])
+
+  /** Sync `tablePath` into the session catalog as `tableName` (plus
+    * `<tableName>_ro` for MOR). Idempotent; call after each commit or
+    * in batches — the instant/partition diff picks up from the last run.
+    */
+  def sync(spark: SparkSession, tablePath: String, tableName: String): Seq[SyncResult] = {
+    val t = GraftTable.load(spark, tablePath)
+    val snapshot = syncOne(spark, t, tablePath, tableName, "snapshot")
+    if (t.isMor)
+      Seq(snapshot, syncOne(spark, t, tablePath, tableName + "_ro", "read_optimized"))
+    else Seq(snapshot)
+  }
+
+  private def syncOne(
+      spark: SparkSession,
+      t: GraftTable,
+      path: String,
+      name: String,
+      queryType: String): SyncResult = {
+    val catalog = spark.sessionState.catalog
+    val ident = spark.sessionState.sqlParser.parseTableIdentifier(name)
+    val existed = catalog.tableExists(ident)
+    if (!existed)
+      spark.sql(s"CREATE TABLE $name USING graft " +
+        s"OPTIONS (path '$path', `query.type` '$queryType')")
+
+    // schema diff: evolve the catalog entry to the latest commit's
+    // logical schema (covers ADD/RENAME/CHANGE column since last sync)
+    val wanted = t.storedDataSchema.map(t.logicalizeSchema)
+    val schemaUpdated = existed && wanted.exists { s =>
+      val current = catalog.getTableMetadata(ident).dataSchema
+      val differs =
+        current.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq !=
+          s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+      if (differs) {
+        // external catalog directly: a RENAME drops the old name, which
+        // SessionCatalog.alterTableDataSchema refuses
+        spark.sharedState.externalCatalog.alterTableDataSchema(
+          ident.database.getOrElse(catalog.getCurrentDatabase), ident.table, s)
+      }
+      differs
+    }
+
+    // incremental partition sync: partitions touched by commits after
+    // the last synced instant (ref: getPartitionsWrittenToSince)
+    val meta = catalog.getTableMetadata(ident)
+    val lastSynced = meta.properties.getOrElse(LastSyncProp, "")
+    val known = meta.properties.get(PartitionsProp)
+      .map(_.split(',').filter(_.nonEmpty).toSet).getOrElse(Set.empty[String])
+    val touched = t.timeline.completedData.filter(_.ts > lastSynced)
+      .flatMap(i => t.timeline.metadataOf(i).files.map(_.partition))
+      .distinct.filter(_.nonEmpty)
+    val fresh = touched.filterNot(known)
+    val latest = t.timeline.lastCompletedData.map(_.ts).getOrElse(lastSynced)
+    catalog.alterTable(meta.copy(properties = meta.properties ++ Map(
+      LastSyncProp -> latest,
+      PartitionsProp -> (known ++ fresh).toSeq.sorted.mkString(","))))
+    spark.catalog.refreshTable(name)
+    SyncResult(name, created = !existed, schemaUpdated = schemaUpdated,
+      newPartitions = fresh)
   }
 }

@@ -532,7 +532,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   def evolveSchema(newFields: Seq[org.apache.spark.sql.types.StructField]): String = {
     val current = table.storedDataSchema.getOrElse(
       sys.error("cannot ALTER a table with no commits — write data first"))
-    val dup = newFields.map(_.name).filter(current.fieldNames.contains)
+    // a new column may collide with a physical name (files still carry
+    // it) or a logical name (users still see it) — both are taken
+    val taken = current.fieldNames.toSet ++
+      current.fieldNames.map(table.logicalNameOf)
+    val dup = newFields.map(_.name).filter(taken.contains)
     require(dup.isEmpty, s"column(s) already exist: ${dup.mkString(", ")}")
     val evolved = org.apache.spark.sql.types.StructType(
       current.fields ++ newFields.map(_.copy(nullable = true)))
@@ -544,6 +548,81 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     instant.ts
   }
 
+  /** Rename a column without rewriting any file: files keep their
+    * PHYSICAL column name forever; the table config's rename map turns
+    * it into the new logical name at the read boundary and back at the
+    * write boundary (simplified Delta column-mapping "name" mode; the
+    * reference rewrites the Avro schema instead —
+    * ref: AlterHoodieTableChangeColumnCommand.scala). Key, partition and
+    * precombine columns are rejected: their values are baked into record
+    * keys and partition paths. A zero-file commit records the rename on
+    * the timeline.
+    */
+  def renameColumn(oldName: String, newName: String): String = {
+    val stored = table.storedDataSchema.getOrElse(
+      sys.error("cannot ALTER a table with no commits — write data first"))
+    val tcfg = table.config
+    val logicalNames = stored.fieldNames.map(table.logicalNameOf).toSeq
+    require(logicalNames.exists(_.equalsIgnoreCase(oldName)),
+      s"no such column: $oldName")
+    require(!logicalNames.exists(_.equalsIgnoreCase(newName)) &&
+      !stored.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column already exists: $newName")
+    val protectedCols = (tcfg.recordKeyFields ++ tcfg.partitionSourceFields ++
+      tcfg.precombineField.toSeq).map(_.toLowerCase).toSet
+    require(!protectedCols.contains(oldName.toLowerCase),
+      s"cannot rename key/partition/precombine column '$oldName'")
+    val phys = stored.fieldNames
+      .find(f => table.logicalNameOf(f).equalsIgnoreCase(oldName)).get
+    val renames =
+      if (phys == newName) tcfg.columnRenames - phys
+      else tcfg.columnRenames + (phys -> newName)
+    table.updateConfig(tcfg.copy(columnRenames = renames))
+    val instant = begin(
+      if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
+    commit(instant, GraftCommitMetadata(
+      instant = instant.ts, action = instant.action,
+      operation = "alter_rename_column", schemaJson = stored.json,
+      extra = Map("renamed_from" -> oldName, "renamed_to" -> newName)))
+    instant.ts
+  }
+
+  /** Widen a column's type without rewriting any file: a zero-file
+    * commit carries the widened schema, and every read already pins
+    * `spark.read.schema(stored)`, which Spark's parquet readers resolve
+    * against narrower footers (int→long, float→double, int→decimal …).
+    * Only lossless widenings (`Cast.canUpCast`) are accepted; key and
+    * partition columns are rejected because their STRING rendering is
+    * baked into record keys and partition paths (int 5 widened to
+    * decimal renders "5.0" — a silent key change).
+    * (ref: AlterHoodieTableChangeColumnCommand.scala's Avro
+    * compatibility check, re-expressed over Catalyst Cast rules)
+    */
+  def changeColumnType(name: String, newType: org.apache.spark.sql.types.DataType): String = {
+    val stored = table.storedDataSchema.getOrElse(
+      sys.error("cannot ALTER a table with no commits — write data first"))
+    val tcfg = table.config
+    val phys = stored.fieldNames
+      .find(f => table.logicalNameOf(f).equalsIgnoreCase(name))
+      .getOrElse(sys.error(s"no such column: $name"))
+    val protectedCols =
+      (tcfg.recordKeyFields ++ tcfg.partitionSourceFields).map(_.toLowerCase).toSet
+    require(!protectedCols.contains(name.toLowerCase),
+      s"cannot change type of key/partition column '$name'")
+    val cur = stored(phys).dataType
+    require(org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(cur, newType),
+      s"cannot change column '$name' from $cur to $newType: only lossless " +
+        "widening conversions are supported")
+    val evolved = org.apache.spark.sql.types.StructType(stored.fields.map(f =>
+      if (f.name == phys) f.copy(dataType = newType) else f))
+    val instant = begin(
+      if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
+    commit(instant, GraftCommitMetadata(
+      instant = instant.ts, action = instant.action,
+      operation = "alter_change_column", schemaJson = evolved.json))
+    instant.ts
+  }
+
   /** Project `df` onto the stored schema order with stored TYPES, null-
     * filling missing columns (schema evolution: new columns appended;
     * delete batches may carry keys only). Typed casts are what keep MOR
@@ -552,10 +631,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * validates compatibility (hoodie.avro.schema.validate,
     * HoodieWriteConfig.java:130-133).
     */
-  private def alignSchema(df: DataFrame, stored: Option[org.apache.spark.sql.types.StructType]): DataFrame =
+  private def alignSchema(df0: DataFrame, stored: Option[org.apache.spark.sql.types.StructType]): DataFrame =
     stored match {
-      case None => df
+      case None => df0
       case Some(schema) =>
+        // incoming frames use logical column names; files store physical
+        val df = table.delogicalize(df0)
         val existing = df.schema.fields.map(f => f.name -> f.dataType).toMap
         val newCols = df.columns.toSeq.filterNot(schema.fieldNames.contains)
         // reject incompatible type changes instead of silently null-ing

@@ -820,6 +820,126 @@ class TableFormatSpec extends AnyFunSuite {
     assert(new GraftReadClient(t2).snapshotData().count() === nExpect)
   }
 
+  test("ALTER TABLE RENAME COLUMN + ALTER COLUMN TYPE: zero-file, old files read correctly") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.limit(200).write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS rename_tab")
+    sparkExt.sql(s"CREATE TABLE rename_tab USING graft OPTIONS (path '$path')")
+    val filesBefore = GraftTable.load(spark, path).view
+      .latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas).map(_.fileName).toSet
+
+    // rename: no file rewritten, values from pre-rename files intact
+    sparkExt.sql("ALTER TABLE rename_tab RENAME COLUMN o_orderstatus TO status")
+    val t1 = GraftTable.load(spark, path)
+    val filesAfter = t1.view
+      .latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas).map(_.fileName).toSet
+    assert(filesAfter === filesBefore) // zero-file DDL
+    val renamed = new GraftReadClient(t1).snapshotData()
+    assert(renamed.columns.contains("status") && !renamed.columns.contains("o_orderstatus"))
+    assert(renamed.filter(col("status").isNull).count() === 0) // old files read through the map
+    assert(renamed.select("status").exceptAll(
+      orders.limit(200).select("o_orderstatus")).count() === 0)
+
+    // upsert WITH the new name: lands in the physical column, reads back merged
+    val upd = orders.limit(20)
+      .withColumnRenamed("o_orderstatus", "status")
+      .withColumn("status", lit("Z"))
+    upd.write.format("graft").option("operation", "upsert").mode("append").save(path)
+    val afterUpsert = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(afterUpsert.filter(col("status") === "Z").count() === 20)
+    assert(afterUpsert.count() === 200)
+    // SQL sees the logical name end to end
+    sparkExt.catalog.refreshTable("rename_tab")
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM rename_tab WHERE status = 'Z'").head.getLong(0) === 20)
+
+    // type change: widen o_custkey bigint -> decimal(20,0), zero files written
+    val expectCustSum = afterUpsert.agg(sum("o_custkey")).head.getLong(0)
+    sparkExt.sql("ALTER TABLE rename_tab ALTER COLUMN o_custkey TYPE DECIMAL(20,0)")
+    val t2 = GraftTable.load(spark, path)
+    val snap2 = new GraftReadClient(t2).snapshotData()
+    assert(snap2.schema("o_custkey").dataType ===
+      org.apache.spark.sql.types.DecimalType(20, 0))
+    assert(snap2.count() === 200) // narrow-footer files read through wide schema
+    assert(snap2.agg(sum("o_custkey")).head.getDecimal(0).longValue === expectCustSum)
+
+    // rejected: lossy narrowing, key/partition columns, unknown columns
+    intercept[Exception] {
+      sparkExt.sql("ALTER TABLE rename_tab ALTER COLUMN o_totalprice TYPE INT")
+    }
+    intercept[Exception] {
+      sparkExt.sql("ALTER TABLE rename_tab RENAME COLUMN o_orderkey TO id")
+    }
+    intercept[Exception] {
+      sparkExt.sql("ALTER TABLE rename_tab RENAME COLUMN nope TO whatever")
+    }
+    sparkExt.sql("DROP TABLE IF EXISTS rename_tab")
+  }
+
+  test("catalog sync: create, schema diff, incremental partition registration") {
+    import graft.utilities.CatalogSync
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val parts = orders.select("o_orderpriority").distinct()
+      .collect().map(_.getString(0)).sorted
+    w.bulkInsert(orders.filter(col("o_orderpriority") =!= parts.last))
+
+    spark.sql("DROP TABLE IF EXISTS sync_tab")
+    val r1 = CatalogSync.sync(spark, path, "sync_tab")
+    assert(r1.size === 1 && r1.head.created)
+    assert(r1.head.newPartitions.size === parts.size - 1)
+    assert(spark.table("sync_tab").count() ===
+      orders.filter(col("o_orderpriority") =!= parts.last).count())
+
+    // a later write adds a NEW partition; it appears after re-sync
+    w.upsert(orders.filter(col("o_orderpriority") === parts.last))
+    val r2 = CatalogSync.sync(spark, path, "sync_tab")
+    assert(!r2.head.created && r2.head.newPartitions.size === 1)
+    assert(spark.table("sync_tab").count() === orders.count())
+    val props = spark.sessionState.catalog
+      .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier("sync_tab"))
+      .properties
+    assert(props(CatalogSync.PartitionsProp).split(',').length === parts.length)
+    assert(props(CatalogSync.LastSyncProp) === t.timeline.lastCompletedData.get.ts)
+    // idempotent: nothing new on a third run
+    val r3 = CatalogSync.sync(spark, path, "sync_tab")
+    assert(!r3.head.schemaUpdated && r3.head.newPartitions.isEmpty)
+
+    // schema evolution flows into the catalog entry on re-sync
+    new GraftWriteClient(GraftTable.load(spark, path), wc)
+      .renameColumn("o_orderstatus", "status2")
+    val r4 = CatalogSync.sync(spark, path, "sync_tab")
+    assert(r4.head.schemaUpdated)
+    assert(spark.table("sync_tab").columns.contains("status2"))
+
+    // MOR registers a snapshot + read-optimized pair
+    val morPath = tmp() + "/m"
+    val mt = GraftTable.create(spark, morPath, morConfig)
+    val mw = new GraftWriteClient(mt, wc)
+    mw.bulkInsert(orders.limit(100))
+    mw.upsert(orders.limit(20).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    spark.sql("DROP TABLE IF EXISTS sync_mor")
+    spark.sql("DROP TABLE IF EXISTS sync_mor_ro")
+    val rm = CatalogSync.sync(spark, morPath, "sync_mor")
+    assert(rm.map(_.table) === Seq("sync_mor", "sync_mor_ro"))
+    assert(spark.table("sync_mor").count() === 100)
+    // read-optimized entry skips the delta merge (pre-update values)
+    assert(spark.table("sync_mor_ro")
+      .join(orders.limit(20).select(col("o_orderkey"),
+        (col("o_totalprice") + 1.0).as("bumped")), "o_orderkey")
+      .filter(col("o_totalprice") === col("bumped")).count() === 0)
+    spark.sql("DROP TABLE IF EXISTS sync_tab")
+    spark.sql("DROP TABLE IF EXISTS sync_mor")
+    spark.sql("DROP TABLE IF EXISTS sync_mor_ro")
+  }
+
   test("compaction schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
