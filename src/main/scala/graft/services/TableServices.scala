@@ -9,6 +9,76 @@ import graft.GraftTable
 import graft.core._
 import graft.write.{GraftWriteClient, WriteConfig}
 
+/** Pluggable compaction candidate selection — which dirty file slices a
+  * scheduled run takes, and in what order
+  * (ref: hudi-client/hudi-client-common/.../compact/strategy/
+  * CompactionStrategy.java and its five shipped orderings).
+  */
+trait CompactionStrategy {
+  /** Order + filter the dirty slices for one run; `targetIOBytes` bounds
+    * total (read base + deltas + write base) volume where the strategy
+    * honors it.
+    */
+  def orderAndFilter(slices: Seq[FileSlice], targetIOBytes: Long): Seq[FileSlice]
+}
+
+object CompactionStrategy {
+
+  private def ioOf(s: FileSlice): Long =
+    s.base.map(_.bytes).getOrElse(0L) * 2 + s.deltas.map(_.bytes).sum
+
+  private def boundByIO(ss: Seq[FileSlice], target: Long): Seq[FileSlice] = {
+    var budget = target
+    ss.takeWhile { s => val ok = budget > 0; budget -= ioOf(s); ok }
+  }
+
+  /** Default: largest delta debt first, IO-bounded — pays down the most
+    * read amplification per IO spent
+    * (ref: LogFileSizeBasedCompactionStrategy.java).
+    */
+  object LogFileSizeBased extends CompactionStrategy {
+    override def orderAndFilter(ss: Seq[FileSlice], target: Long): Seq[FileSlice] =
+      boundByIO(ss.sortBy(s => -s.deltas.map(_.bytes).sum), target)
+  }
+
+  /** Keep discovery order, stop at the IO bound
+    * (ref: BoundedIOCompactionStrategy.java).
+    */
+  object BoundedIO extends CompactionStrategy {
+    override def orderAndFilter(ss: Seq[FileSlice], target: Long): Seq[FileSlice] =
+      boundByIO(ss, target)
+  }
+
+  /** Everything, no bound (ref: UnBoundedCompactionStrategy.java). */
+  object Unbounded extends CompactionStrategy {
+    override def orderAndFilter(ss: Seq[FileSlice], target: Long): Seq[FileSlice] = ss
+  }
+
+  /** Latest partitions first (lexicographic partition-path order — date
+    * partitions sort correctly), capped at `targetPartitions` per run,
+    * no IO bound within them
+    * (ref: DayBasedCompactionStrategy.java — last-in-first-compacted).
+    */
+  final case class DayBased(targetPartitions: Int = 10) extends CompactionStrategy {
+    override def orderAndFilter(ss: Seq[FileSlice], target: Long): Seq[FileSlice] = {
+      val keep = ss.map(_.partition).distinct
+        .sorted(Ordering[String].reverse).take(targetPartitions).toSet
+      ss.filter(s => keep(s.partition))
+        .sortBy(s => (s.partition, -s.deltas.map(_.bytes).sum))(
+          Ordering.Tuple2(Ordering[String].reverse, Ordering[Long]))
+    }
+  }
+
+  /** Latest partitions first AND IO-bounded
+    * (ref: BoundedPartitionAwareCompactionStrategy.java).
+    */
+  final case class BoundedPartitionAware(targetPartitions: Int = 10)
+    extends CompactionStrategy {
+    override def orderAndFilter(ss: Seq[FileSlice], target: Long): Seq[FileSlice] =
+      boundByIO(DayBased(targetPartitions).orderAndFilter(ss, target), target)
+  }
+}
+
 /** Maintenance operators: compaction, clustering, cleaning, archiving,
   * rollback, savepoint, restore.
   * (ref: hudi-client/hudi-client-common/.../table/action/{compact,cluster,
@@ -66,8 +136,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         "on overlapping file groups; retry")
   }
 
-  def compact(targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] =
-    scheduleCompaction(targetIOBytes).flatMap(executeCompaction)
+  def compact(
+      targetIOBytes: Long = 500L * 1024 * 1024 * 1024,
+      strategy: CompactionStrategy = CompactionStrategy.LogFileSizeBased): Option[String] =
+    scheduleCompaction(targetIOBytes, strategy).flatMap(executeCompaction)
 
   /** Plan a compaction and persist it as a `<ts>.compaction.requested`
     * instant WITHOUT executing it — the chosen slices and the OCC floor
@@ -77,7 +149,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * (ref: ScheduleCompactionActionExecutor + HoodieCompactionPlan.avsc)
     */
   def scheduleCompaction(
-      targetIOBytes: Long = 500L * 1024 * 1024 * 1024): Option[String] = {
+      targetIOBytes: Long = 500L * 1024 * 1024 * 1024,
+      strategy: CompactionStrategy = CompactionStrategy.LogFileSizeBased): Option[String] = {
     // OCC snapshot floor: read BEFORE building the view, so a commit that
     // lands between the two reads conservatively conflicts
     val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
@@ -88,17 +161,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val candidates = view.latestSlices(None)
       .filter(_.deltas.nonEmpty)
       .filterNot(s => claimed.contains((s.partition, s.fileId)))
-      .sortBy(s => -s.deltas.map(_.bytes).sum)
     if (candidates.isEmpty) return None
 
-    // IO-bound selection: read (base + deltas) + write (~base size)
-    var budget = targetIOBytes
-    val chosen = candidates.takeWhile { s =>
-      val io = s.base.map(_.bytes).getOrElse(0L) * 2 + s.deltas.map(_.bytes).sum
-      val ok = budget > 0
-      budget -= io
-      ok
-    }
+    val chosen = strategy.orderAndFilter(candidates, targetIOBytes)
+    if (chosen.isEmpty) return None
 
     val ts = InstantTimeGenerator.next()
     table.timeline.createRequested(ts, GraftAction.Compaction,
@@ -320,11 +386,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
   /** Rewrite file groups smaller than `smallFileLimitBytes` into sorted,
     * right-sized new groups. `sortColumns` empty = record-key order.
+    * `recentPartitions` limits the plan to the N latest partitions
+    * (lexicographic partition-path order) — the reference's
+    * recent-days clustering plan strategy
+    * (ref: SparkRecentDaysClusteringPlanStrategy.java).
     */
-  def cluster(sortColumns: Seq[String] = Seq.empty): Option[String] = {
+  def cluster(
+      sortColumns: Seq[String] = Seq.empty,
+      recentPartitions: Option[Int] = None): Option[String] = {
     val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val view = table.view
-    val candidates = view.latestSlices(None).filter(s =>
+    val all = view.latestSlices(None)
+    val inScope = recentPartitions match {
+      case None => all
+      case Some(n) =>
+        val keep = all.map(_.partition).distinct
+          .sorted(Ordering[String].reverse).take(n).toSet
+        all.filter(s => keep(s.partition))
+    }
+    val candidates = inScope.filter(s =>
       s.deltas.isEmpty && s.base.exists(_.bytes < wc.smallFileLimitBytes))
     // clustering only pays off when it consolidates multiple groups
     val byPartition = candidates.groupBy(_.partition).filter(_._2.size > 1)

@@ -882,6 +882,53 @@ class TableFormatSpec extends AnyFunSuite {
     sparkExt.sql("DROP TABLE IF EXISTS rename_tab")
   }
 
+  test("compaction strategies: DayBased targets latest partitions; cluster honors recentPartitions") {
+    import graft.services.CompactionStrategy
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    // dirty every partition
+    w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val allParts = t.view.latestSlices(None).map(_.partition).distinct.sorted
+    assert(allParts.size === 5)
+    val svc = new TableServices(t, wc)
+
+    // DayBased(2): only the two lexicographically-latest partitions chosen
+    val planTs = svc.scheduleCompaction(
+      strategy = CompactionStrategy.DayBased(targetPartitions = 2)).get
+    val plan = svc.pendingCompactionPlans.head
+    assert(plan.slices.map(_.partition).distinct.toSet ===
+      allParts.takeRight(2).toSet)
+    assert(svc.executeCompaction(planTs).nonEmpty)
+    // the latest two partitions are clean; older ones still carry deltas
+    val after = t.view.latestSlices(None)
+    assert(after.filter(s => allParts.takeRight(2).contains(s.partition))
+      .forall(_.deltas.isEmpty))
+    assert(after.filter(s => allParts.take(3).contains(s.partition))
+      .exists(_.deltas.nonEmpty))
+
+    // BoundedIO with a tiny budget compacts exactly one slice
+    val p2 = svc.scheduleCompaction(targetIOBytes = 1L,
+      strategy = CompactionStrategy.BoundedIO).get
+    assert(svc.pendingCompactionPlans.head.slices.size === 1)
+    assert(svc.executeCompaction(p2).nonEmpty)
+    // Unbounded sweeps the rest
+    assert(svc.compact(strategy = CompactionStrategy.Unbounded).nonEmpty)
+    assert(t.view.latestSlices(None).forall(_.deltas.isEmpty))
+
+    // clustering restricted to the newest partition leaves others alone
+    val groupsBefore = t.view.latestSlices(None)
+      .groupBy(_.partition).view.mapValues(_.size).toMap
+    val ts = svc.cluster(recentPartitions = Some(1))
+    if (ts.nonEmpty) {
+      val groupsAfter = t.view.latestSlices(None)
+        .groupBy(_.partition).view.mapValues(_.size).toMap
+      allParts.init.foreach(p =>
+        assert(groupsAfter.get(p) === groupsBefore.get(p)))
+    }
+  }
+
   test("catalog sync: create, schema diff, incremental partition registration") {
     import graft.utilities.CatalogSync
     val path = tmp() + "/t"
