@@ -104,6 +104,45 @@ object IngestRunner {
     Some(newCkpt.toString)
   }
 
+  /** Table-to-table incremental ETL: pull the SOURCE graft table's
+    * commits after the stored checkpoint (checkpoint = last pulled
+    * source instant), optionally transform, and write into the target —
+    * the reference's HoodieIncrSource, which chains an incremental read
+    * into a DeltaStreamer write so downstream tables stay in sync
+    * without rescanning the source
+    * (ref: hudi-utilities/.../sources/HoodieIncrSource.java).
+    * `cfg.sourcePath` must be a graft table base path; `sourceFormat`
+    * is ignored. Returns the new checkpoint (the last source instant
+    * pulled), or None when the source has nothing new. Like the
+    * reference source, hard deletes do not flow downstream (the
+    * incremental view drops tombstones); model replicated deletes as
+    * soft-delete columns in the data.
+    */
+  def runIncrementalOnce(spark: SparkSession, cfg: IngestConfig): Option[String] = {
+    require(GraftTable.exists(spark, cfg.sourcePath),
+      s"incremental ingest source is not a graft table: ${cfg.sourcePath}")
+    val src = GraftTable.load(spark, cfg.sourcePath)
+    val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
+    val latest = src.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    if (latest.isEmpty || latest <= ckpt) return None
+    val read = new graft.read.GraftReadClient(src)
+    val raw = read.dataOnly(read.incremental(ckpt, Some(latest)))
+    val batch = cfg.transformerSql match {
+      case Some(sql) =>
+        raw.createOrReplaceTempView("source")
+        spark.sql(sql)
+      case None => raw
+    }
+    GraftWriter.write(
+      spark, SaveMode.Append,
+      cfg.tableOptions ++ Map(
+        GraftOptions.Path -> cfg.targetPath,
+        GraftOptions.Operation -> cfg.operation),
+      batch,
+      extra = Map(CheckpointKey -> latest))
+    Some(latest)
+  }
+
   /** Continuous mode: poll-and-sync until `maxRounds` syncs ran or
     * `maxIdleRounds` consecutive polls found nothing
     * (ref: HoodieDeltaStreamer --continuous sync loop,

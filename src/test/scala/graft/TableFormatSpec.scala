@@ -382,6 +382,53 @@ class TableFormatSpec extends AnyFunSuite {
     assert(IngestRunner.runContinuous(spark, cfgs.head, maxRounds = 5) === 0)
   }
 
+  test("ingest runner: table-to-table incremental ETL with instant checkpoints") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val srcPath = tmp() + "/src"
+    val tgtPath = tmp() + "/tgt"
+    val src = GraftTable.create(spark, srcPath, cowConfig)
+    val sw = new GraftWriteClient(src, wc)
+    sw.bulkInsert(orders.limit(100))
+    val cfg = IngestConfig(
+      sourcePath = srcPath, targetPath = tgtPath,
+      transformerSql = Some(
+        "SELECT *, o_totalprice * 2 AS doubled FROM source"),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+
+    // first sync pulls the full initial commit
+    val c1 = IngestRunner.runIncrementalOnce(spark, cfg)
+    assert(c1.contains(src.timeline.lastCompletedData.get.ts))
+    val tgt1 = spark.read.format("graft").load(tgtPath)
+    assert(tgt1.count() === 100)
+    assert(tgt1.filter(col("doubled") =!= col("o_totalprice") * 2).count() === 0)
+
+    // nothing new: no-op, checkpoint unchanged
+    assert(IngestRunner.runIncrementalOnce(spark, cfg).isEmpty)
+
+    // source evolves: an update + an insert; only the delta flows through
+    val maxKey = orders.limit(100).agg(max("o_orderkey")).head.getLong(0)
+    sw.upsert(orders.limit(10)
+      .withColumn("o_totalprice", col("o_totalprice") + 500.0)
+      .unionByName(orders.limit(5)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey))))
+    val c2 = IngestRunner.runIncrementalOnce(spark, cfg)
+    assert(c2.contains(src.timeline.lastCompletedData.get.ts))
+    val tgt2 = spark.read.format("graft").load(tgtPath)
+    assert(tgt2.count() === 105)
+    // the 10 updated keys carry source-side +500 values in the target
+    val got = tgt2.join(orders.limit(10).select("o_orderkey"), "o_orderkey")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val expectUpd = orders.limit(10)
+      .select(col("o_orderkey"), (col("o_totalprice") + 500.0).as("o_totalprice"))
+    assert(got.exceptAll(expectUpd).count() === 0)
+    assert(expectUpd.exceptAll(got).count() === 0)
+    // idempotent again after catching up
+    assert(IngestRunner.runIncrementalOnce(spark, cfg).isEmpty)
+  }
+
   test("OCC: overlapping concurrent commit fails the publish; disjoint commits pass") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
