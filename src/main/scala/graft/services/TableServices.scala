@@ -535,10 +535,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
     val ts = InstantTimeGenerator.next()
     val instant = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Clean))
-    // (at cluster scale this delete fans out via foreachPartition; driver
-    // loop is fine for the file counts a single clean touches)
-    deletable.foreach(f =>
-      table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+    // small cleans delete driver-side; large ones fan out over executors
+    GraftWriteClient.executeDeletes(spark, table.storage,
+      deletable.map(f => table.storage.dataFilePath(f.partition, f.fileName)).toSeq)
     tl.transitionToCompleted(instant, GraftCommitMetadata(
       instant = ts, action = GraftAction.Clean, operation = "clean",
       deletedFiles = deletable.map(f => s"${f.partition}/${f.fileName}").toSeq))

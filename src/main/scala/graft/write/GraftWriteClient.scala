@@ -1316,6 +1316,29 @@ object GraftWriteClient {
     }
   }
 
+  /** Delete files driver-side below [[ParallelRenameThreshold]], fanned
+    * out over executors above it — a large clean (thousands of obsolete
+    * versions) must not serialize on driver round-trips to object
+    * storage, mirroring [[executeRenames]].
+    */
+  def executeDeletes(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.core.GraftStorage,
+      paths: Seq[Path]): Unit = {
+    if (paths.isEmpty) return
+    if (paths.size <= ParallelRenameThreshold) {
+      paths.foreach(p => storage.delete(p))
+    } else {
+      val conf = new graft.core.SerializableHadoopConf(storage.fs.getConf)
+      val strs = paths.map(_.toString)
+      val slices = math.min(strs.size, spark.sparkContext.defaultParallelism)
+      spark.sparkContext.parallelize(strs, slices).foreach { s =>
+        val p = new Path(s)
+        p.getFileSystem(conf.value).delete(p, false)
+      }
+    }
+  }
+
   /** Scheme-less, percent-decoded path for cross-keying input_file_name
     * output with FileStatus paths.
     */
