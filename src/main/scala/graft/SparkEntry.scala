@@ -612,6 +612,42 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // table-to-table incremental ETL: source commits flow into a
+    // downstream graft table through instant checkpoints
+    // (ref: hudi-utilities/.../sources/HoodieIncrSource.java)
+    "tf_incr_etl" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner}
+      val (srcT, sw, orders) = cowOrders("tf_incr_etl_src", s, dir)
+      val target = freshDir("tf_incr_etl", dir)
+      val tableOpts = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice",
+        "target.file.size" -> (4L * 1024 * 1024).toString,
+        "small.file.limit" -> (3L * 1024 * 1024).toString,
+        "compact.inline.max.delta.commits" -> "0")
+      sw.bulkInsert(orders)
+      val cfg = IngestConfig(
+        sourcePath = srcT.basePath, targetPath = target, tableOptions = tableOpts)
+      require(IngestRunner.runIncrementalOnce(s, cfg).nonEmpty,
+        "tf_incr_etl: first incremental sync pulled nothing")
+
+      // source evolves; ONLY the delta may flow through the second sync —
+      // its +100 transformer poisons any re-read of batch-1 rows, so
+      // checkpoint resume is oracle-enforced
+      sw.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 20.0))
+      val cfg2 = cfg.copy(transformerSql = Some(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice + 100.0 AS o_totalprice, o_orderdate, o_orderpriority
+          |FROM source""".stripMargin))
+      require(IngestRunner.runIncrementalOnce(s, cfg2).nonEmpty,
+        "tf_incr_etl: second incremental sync pulled nothing")
+      require(IngestRunner.runIncrementalOnce(s, cfg).isEmpty,
+        "tf_incr_etl: idle sync must be a no-op")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -1032,6 +1068,9 @@ object SparkEntry {
 
     "tf_ingest_checkpoint" -> ordersSelect(
       "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_incr_etl" -> ordersSelect(
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 120.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_global_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
