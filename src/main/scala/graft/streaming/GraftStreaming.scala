@@ -103,9 +103,11 @@ final class GraftStreamSource(
 object GraftStreamSource {
   def schemaOf(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
     val table = GraftTable.load(spark, path)
-    StructType(table.storedFileSchema
+    // logical names: batches come from the read client, which applies
+    // the rename map — the declared schema must match
+    table.logicalizeSchema(StructType(table.storedFileSchema
       .getOrElse(sys.error(s"graft table at $path has no commits yet — " +
         "the streaming source needs at least one commit to derive a schema"))
-      .filterNot(_.name == MetaColumns.IsDeleted))
+      .filterNot(_.name == MetaColumns.IsDeleted)))
   }
 }
