@@ -14,6 +14,10 @@ import graft.spark.{GraftOptions, GraftWriter}
   * @param transformerSql SQL over the temp view `source` applied to each
   *                       batch before writing (ref: the reference's
   *                       SqlQueryBasedTransformer)
+  * @param transformers   additional SQL transformers applied IN ORDER
+  *                       after `transformerSql`, each seeing the previous
+  *                       output as the view `source` (ref: the
+  *                       reference's ChainedTransformer)
   * @param targetPath     graft table base path (created on first run)
   * @param operation      write operation per batch (default upsert)
   * @param tableOptions   graft datasource options (recordkey.field, ...)
@@ -22,6 +26,7 @@ final case class IngestConfig(
     sourcePath: String,
     sourceFormat: String = "parquet",
     transformerSql: Option[String] = None,
+    transformers: Seq[String] = Seq.empty,
     targetPath: String,
     operation: String = "upsert",
     tableOptions: Map[String, String] = Map.empty)
@@ -46,6 +51,18 @@ object IngestRunner {
     * (ref: DeltaSync CHECKPOINT_KEY).
     */
   val CheckpointKey = "ingest.checkpoint"
+
+  /** Apply the config's transformer chain: `transformerSql` first, then
+    * each of `transformers` in order, every step reading the previous
+    * output as the temp view `source`
+    * (ref: SqlQueryBasedTransformer + ChainedTransformer).
+    */
+  private def transform(
+      spark: SparkSession, cfg: IngestConfig, raw: DataFrame): DataFrame =
+    (cfg.transformerSql.toSeq ++ cfg.transformers).foldLeft(raw) { (df, sql) =>
+      df.createOrReplaceTempView("source")
+      spark.sql(sql)
+    }
 
   /** The checkpoint of the last commit that recorded one, read newest
     * first from the target's timeline (ref: DeltaSync.java:311-355).
@@ -88,12 +105,7 @@ object IngestRunner {
 
     val raw = spark.read.format(cfg.sourceFormat)
       .load(fresh.map(_.getPath.toString): _*)
-    val batch = cfg.transformerSql match {
-      case Some(sql) =>
-        raw.createOrReplaceTempView("source")
-        spark.sql(sql)
-      case None => raw
-    }
+    val batch = transform(spark, cfg, raw)
     GraftWriter.write(
       spark, SaveMode.Append,
       cfg.tableOptions ++ Map(
@@ -127,12 +139,7 @@ object IngestRunner {
     if (latest.isEmpty || latest <= ckpt) return None
     val read = new graft.read.GraftReadClient(src)
     val raw = read.dataOnly(read.incremental(ckpt, Some(latest)))
-    val batch = cfg.transformerSql match {
-      case Some(sql) =>
-        raw.createOrReplaceTempView("source")
-        spark.sql(sql)
-      case None => raw
-    }
+    val batch = transform(spark, cfg, raw)
     GraftWriter.write(
       spark, SaveMode.Append,
       cfg.tableOptions ++ Map(
@@ -173,4 +180,26 @@ object IngestRunner {
     */
   def runMulti(spark: SparkSession, cfgs: Seq[IngestConfig]): Seq[Option[String]] =
     cfgs.map(runOnce(spark, _))
+
+  /** Flatten nested struct columns into top-level columns named
+    * `outer_inner` (recursively), leaving scalar/array/map columns
+    * untouched — the reference's FlatteningTransformer, as a plain
+    * DataFrame transform usable standalone or before a SQL transformer
+    * chain (ref: hudi-utilities/.../transform/FlatteningTransformer.java,
+    * which generates the same aliased projection in SQL).
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    import org.apache.spark.sql.functions.col
+    def expand(prefix: String, schema: StructType): Seq[(String, String)] =
+      schema.fields.toSeq.flatMap { f =>
+        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
+        val alias = path.replace(".", "_")
+        f.dataType match {
+          case s: StructType => expand(path, s)
+          case _             => Seq((path, alias))
+        }
+      }
+    df.select(expand("", df.schema).map { case (p, a) => col(p).as(a) }: _*)
+  }
 }

@@ -382,6 +382,38 @@ class TableFormatSpec extends AnyFunSuite {
     assert(IngestRunner.runContinuous(spark, cfgs.head, maxRounds = 5) === 0)
   }
 
+  test("ingest runner: chained transformers and struct flattening") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    // flatten: nested structs become outer_inner columns, scalars untouched
+    val nested = spark.sql(
+      """SELECT 1L AS id,
+        |  named_struct('a', 10, 'b', named_struct('c', 'x')) AS s,
+        |  array(1, 2) AS arr""".stripMargin)
+    val flat = IngestRunner.flatten(nested)
+    assert(flat.columns.toSeq === Seq("id", "s_a", "s_b_c", "arr"))
+    assert(flat.head.getInt(1) === 10 && flat.head.getString(2) === "x")
+
+    // chained SQL transformers apply in order (each sees the previous)
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    orders.limit(50).write.parquet(src)
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      transformerSql = Some(
+        "SELECT *, o_totalprice * 2 AS doubled FROM source"),
+      transformers = Seq(
+        "SELECT *, doubled + 1 AS doubled_plus FROM source",
+        "SELECT * FROM source WHERE o_orderkey % 2 = 0"),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+    assert(IngestRunner.runOnce(spark, cfg).nonEmpty)
+    val out = spark.read.format("graft").load(tgt)
+    assert(out.count() === orders.limit(50).filter(col("o_orderkey") % 2 === 0).count())
+    assert(out.filter(col("doubled_plus") =!= col("o_totalprice") * 2 + 1).count() === 0)
+  }
+
   test("ingest runner: table-to-table incremental ETL with instant checkpoints") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
