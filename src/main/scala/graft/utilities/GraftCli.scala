@@ -74,9 +74,48 @@ object GraftCli {
       .toDF("instant", "action", "state")
   }
 
+  /** Per-commit write amplification: records written / incoming records
+    * for keyed writes that record the incoming count (bulk loads write
+    * 1:1 and report NaN). (ref: hudi-cli/.../commands/StatsCommand.java
+    * writeAmplificationStats)
+    */
+  def stats(table: GraftTable): DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    table.timeline.completed
+      .filter(i => graft.core.GraftAction.DataActions.contains(i.action))
+      .map { i =>
+        val m = table.timeline.metadataOf(i)
+        val incoming = m.extra.get(
+          graft.write.GraftWriteClient.IncomingRecordsKey).map(_.toLong)
+        val amp = incoming.filter(_ > 0)
+          .map(in => m.totalRecords.toDouble / in).getOrElse(Double.NaN)
+        (i.ts, m.operation, incoming.getOrElse(-1L), m.totalRecords, amp)
+      }.toDF("instant", "operation", "incoming_records",
+        "records_written", "write_amplification")
+  }
+
+  /** File-size distribution of live files, per partition plus an ALL
+    * row. (ref: StatsCommand.fileSizeStats histogram)
+    */
+  def fileSizes(table: GraftTable): DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sizes = table.view.latestSlices(None)
+      .flatMap(s => (s.base.toSeq ++ s.deltas).map(f => (s.partition, f.bytes)))
+      .toDF("partition", "bytes")
+    def agg(df: DataFrame) = df.groupBy("partition").agg(
+      count("*").as("n_files"), min("bytes").as("min_bytes"),
+      expr("percentile_approx(bytes, 0.5)").as("p50_bytes"),
+      avg("bytes").as("avg_bytes"), max("bytes").as("max_bytes"))
+    agg(sizes).unionByName(agg(sizes.withColumn("partition", lit("ALL"))))
+  }
+
   private val commands: Map[String, GraftTable => DataFrame] = Map(
     "commits" -> commits, "files" -> files, "filegroups" -> fileGroups,
-    "partitions" -> partitions, "savepoints" -> savepoints, "pending" -> pending)
+    "partitions" -> partitions, "savepoints" -> savepoints, "pending" -> pending,
+    "stats" -> stats, "filesizes" -> fileSizes)
 
   /** Standalone service runners — the reference ships these as separate
     * spark jobs (ref: hudi-utilities/.../HoodieCompactor.java,

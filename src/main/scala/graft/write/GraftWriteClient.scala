@@ -378,7 +378,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         val replacedMap = vanished.groupBy(_._1).map {
           case (p, gs) => p -> gs.map(_._2).toSeq
         }
-        finishCommit(instant, operation, written, replaced = replacedMap, dataSchema)
+        // incoming row count falls out of the workload profile for free;
+        // recorded so `stats` can report write amplification per commit
+        // (ref: hudi-cli StatsCommand write-amp = written / upserted)
+        finishCommit(instant, operation, written, replaced = replacedMap, dataSchema,
+          extraMeta = Map(GraftWriteClient.IncomingRecordsKey ->
+            profile.map(_.getLong(2)).sum.toString))
       } finally tagged.unpersist()
     } catch {
       case e: Throwable => abort(instant); throw e
@@ -475,7 +480,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       operation: String,
       written: Seq[WriteFileInfo],
       replaced: Map[String, Seq[String]],
-      dataSchema: org.apache.spark.sql.types.StructType): Unit = {
+      dataSchema: org.apache.spark.sql.types.StructType,
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     if (wc.occEnabled) {
       val touched = written.map(f => (f.partition, f.fileId)).toSet ++
         replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
@@ -501,7 +507,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       totalRecords = totalRecords,
       avgRecordSize = avg,
       schemaJson = dataSchema.json,
-      extra = wc.commitExtra))
+      extra = wc.commitExtra ++ extraMeta))
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 
@@ -1129,6 +1135,10 @@ object GraftWriteClient {
   /** Synthetic bounds-map key carrying the table-wide range (global index). */
   val GlobalBoundKey = " global"
   val ColTargetFile = "_g_target_file"
+  /** Commit-metadata extra key: incoming row count of a keyed write,
+    * recorded for write-amplification stats.
+    */
+  val IncomingRecordsKey = "incoming.records"
   val ColRank = "_g_rank"
   val ColHashFrac = "_g_hash_frac"
   val ColDeleteFlag = "_g_delete_flag"
