@@ -255,6 +255,23 @@ object SparkEntry {
       snap(t)
     }),
 
+    // overwrite_non_defaults payload: null incoming fields fall back to
+    // the stored value — an overwrite_latest run would null o_orderstatus
+    // for updated keys and fail this oracle
+    // (ref: OverwriteNonDefaultsWithLatestAvroPayload.java)
+    "tf_payload_non_defaults" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_payload_non_defaults", dir),
+        ordersTableConfig(GraftTableType.Cow)
+          .copy(payloadClass = "overwrite_non_defaults"))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .withColumn("o_orderstatus", lit(null).cast("string")))
+      snap(t)
+    }),
+
     "tf_incremental" -> ((s, dir) => {
       val (t, w, orders) = cowOrders("tf_incremental", s, dir)
       val c1 = w.bulkInsert(orders)
@@ -982,6 +999,9 @@ object SparkEntry {
     "tf_delete" -> (ordersSelect("o_totalprice") + " WHERE o_orderkey % 10 <> 3"),
 
     "tf_precombine" -> ordersSelect("o_totalprice"),
+
+    "tf_payload_non_defaults" -> ordersSelect(
+      "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_incremental" ->
       (ordersSelect("o_totalprice + 500.0 AS o_totalprice") + " WHERE o_orderkey % 4 = 1"),

@@ -116,14 +116,12 @@ final class GraftReadClient(val table: GraftTable) {
       .withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
     val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
 
-    // 1. latest delta row per key (small input: delta files only)
-    val w = Window
-      .partitionBy(keyCols.map(col): _*)
-      .orderBy(mergeOrder(deltas): _*)
-    val dLatest = deltas
-      .withColumn("_g_rank", row_number().over(w))
-      .filter(col("_g_rank") === 1)
-      .drop("_g_rank")
+    // 1. latest delta row per key (small input: delta files only);
+    // non-defaults payloads fold fields across delta versions and carry
+    // the tombstone barrier for the join below
+    val dLatest = graft.write.MergeKernel.collapseVersions(
+      deltas, keyCols.map(col), mergeOrder(deltas), cfg.payloadClass,
+      "_g_rank", withBarrier = true)
 
     // 2. base rows stream through a broadcast join; per-column winner
     val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
@@ -131,8 +129,8 @@ final class GraftReadClient(val table: GraftTable) {
       base, dLatest, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
 
     // 3. delta-only keys: anti-join against the NARROW base-key projection
-    val inserts = dLatest.join(base.select(keyCols.map(col): _*),
-      keyCols, "left_anti")
+    val inserts = dLatest.drop(graft.write.MergeKernel.TombBarrier)
+      .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
 
     Some(dropTombstones(mergedBase.unionByName(inserts).drop(g)))
   }
@@ -181,26 +179,20 @@ final class GraftReadClient(val table: GraftTable) {
   private def mergeLatestPerGroup(df: DataFrame): DataFrame = {
     val g = "_g_group"
     val withG = df.withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
-    val w = Window
-      .partitionBy(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey))
-      .orderBy(mergeOrder(df): _*)
     dropTombstones(
-      withG.repartition(col(MetaColumns.PartitionPath), col(g))
-        .withColumn("_g_rank", row_number().over(w))
-        .filter(col("_g_rank") === 1)
-        .drop("_g_rank", g))
+      graft.write.MergeKernel.collapseVersions(
+        withG.repartition(col(MetaColumns.PartitionPath), col(g)),
+        Seq(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey)),
+        mergeOrder(df), cfg.payloadClass, "_g_rank")
+        .drop(g))
   }
 
   /** Dedup to latest row per (partition, key) and drop tombstones. */
-  private def mergeLatestPerKey(df: DataFrame): DataFrame = {
-    val w = Window
-      .partitionBy(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey))
-      .orderBy(mergeOrder(df): _*)
+  private def mergeLatestPerKey(df: DataFrame): DataFrame =
     dropTombstones(
-      df.withColumn("_g_rank", row_number().over(w))
-        .filter(col("_g_rank") === 1)
-        .drop("_g_rank"))
-  }
+      graft.write.MergeKernel.collapseVersions(df,
+        Seq(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey)),
+        mergeOrder(df), cfg.payloadClass, "_g_rank"))
 
   private def dropTombstones(df: DataFrame): DataFrame =
     if (df.columns.contains(MetaColumns.IsDeleted))

@@ -215,13 +215,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       def windowMerged(ss: Seq[FileSlice]): DataFrame = {
         val df = table.readDataFiles(pathsOf(ss, withDeltas = true))
           .withColumn(g, GraftWriteClient.fileIdOfInputFile)
-        val w = Window
-          .partitionBy(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey))
-          .orderBy(mergeOrderCols(df.columns.toSeq): _*)
-        df.repartition(col(MetaColumns.PartitionPath), col(g))
-          .withColumn("_g_rank", row_number().over(w))
-          .filter(col("_g_rank") === 1)
-          .drop("_g_rank")
+        graft.write.MergeKernel.collapseVersions(
+          df.repartition(col(MetaColumns.PartitionPath), col(g)),
+          Seq(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey)),
+          mergeOrderCols(df.columns.toSeq), table.config.payloadClass, "_g_rank")
       }
 
       def stage(df: DataFrame, overwrite: Boolean): Unit = df
@@ -256,12 +253,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           chosen.flatMap(s => s.deltas.map(f =>
             table.storage.dataFilePath(s.partition, f.fileName).toString)))
           .withColumn(g, GraftWriteClient.fileIdOfInputFile)
-        val w = Window.partitionBy(keyCols.map(col): _*)
-          .orderBy(mergeOrderCols(deltas.columns.toSeq): _*)
-        val dLatest = deltas
-          .withColumn("_g_rank", row_number().over(w))
-          .filter(col("_g_rank") === 1)
-          .drop("_g_rank")
+        val dLatest = graft.write.MergeKernel.collapseVersions(
+          deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
+          table.config.payloadClass, "_g_rank", withBarrier = true)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val insertGroupIds = dLatest
           .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")

@@ -336,15 +336,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         val clustered = unioned.repartition(col(ColPart), col(ColTargetFile))
         val merged =
           if (operation == "insert") clustered // no dedup against existing
-          else {
-            val w = Window
-              .partitionBy(col(ColPart), col(ColTargetFile), col(ColKey))
-              .orderBy(mergeOrder(dataCols): _*)
-            clustered
-              .withColumn(ColRank, row_number().over(w))
-              .filter(col(ColRank) === 1)
-              .drop(ColRank)
-          }
+          else MergeKernel.collapseVersions(clustered,
+            Seq(col(ColPart), col(ColTargetFile), col(ColKey)),
+            mergeOrder(dataCols), cfg.payloadClass, ColRank)
         val surviving =
           if (table.isMor) merged // tombstones live in deltas until compaction
           else merged.filter(!col(MetaColumns.IsDeleted))

@@ -1,26 +1,94 @@
 package graft.write
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** The shared broadcast merge kernel: `old` rows stream from their scan
-  * through a broadcast-hash LEFT join against the (already
-  * latest-per-key) `inc` rows, and a per-column winner expression
-  * reproduces the latest-wins window semantics — incoming beats stored
-  * for "overwrite_latest"; "event_time" keeps the stored row when its
-  * precombine value is strictly larger (nulls rank last, ties go to the
-  * incoming side, which is by construction the newer commit).
+import graft.core.MetaColumns
+
+/** The shared merge kernels used by the COW update write path, the MOR
+  * snapshot read, and MOR compaction — one implementation so the paths
+  * stay semantically identical with each other (pinned by the
+  * both-paths test).
   *
-  * Used by the COW update write path, the MOR snapshot read, and MOR
-  * compaction — one implementation so the three stay semantically
-  * identical with the clustered-window fallback (pinned by the
-  * both-paths test). Preconditions: at most one `inc` row per key; every
-  * `inc` key that has no `old` row must be handled by the CALLER (the
-  * broadcast left join only emits old-side rows).
+  * Payload semantics (ref: OverwriteWithLatestAvroPayload.java:50-66,
+  * DefaultHoodieRecordPayload.java:55-75,
+  * OverwriteNonDefaultsWithLatestAvroPayload.java):
+  *   - "overwrite_latest": the row from the newest commit wins whole.
+  *   - "event_time": the row with the larger precombine value wins whole
+  *     (nulls rank last; ties go to the newer commit).
+  *   - "overwrite_non_defaults": the newest commit wins the row, but a
+  *     data field that is null (= default) in the winner falls back to
+  *     the newest OLDER version's non-null value — the pairwise
+  *     "only overwrite with non-default fields" combine folded over
+  *     versions. A tombstone is a barrier: versions at or below the
+  *     newest tombstone never contribute fields (a delete + re-insert
+  *     must not resurrect pre-delete values, exactly like the
+  *     reference's merge handle where the stored record is gone).
   */
 private[graft] object MergeKernel {
 
-  /** @param valueCols every non-key column; `old` columns missing from it
+  /** Marker column emitted by [[collapseVersions]] when the collapsed
+    * history contained a tombstone — consumed by [[broadcastWinner]] to
+    * stop stored-row fields from leaking through a delete.
+    */
+  val TombBarrier = "_g_tomb_barrier"
+
+  private def isDataCol(c: String): Boolean =
+    !MetaColumns.AllWithDeleted.contains(c) && !c.startsWith("_g")
+
+  /** Collapse multiple versions of each key to one row. `partCols`
+    * clusters versions of one key; `order` ranks them NEWEST FIRST.
+    * Default payloads keep the rank-1 row whole; "overwrite_non_defaults"
+    * additionally folds each data column to its newest non-null value
+    * above the tombstone barrier. With `withBarrier` the output carries
+    * [[TombBarrier]] (drop it before unioning with plain frames).
+    */
+  def collapseVersions(
+      df: DataFrame,
+      partCols: Seq[Column],
+      order: Seq[Column],
+      payloadClass: String,
+      rankCol: String,
+      withBarrier: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(partCols: _*).orderBy(order: _*)
+    if (payloadClass != "overwrite_non_defaults") {
+      df.withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) === 1)
+        .drop(rankCol)
+    } else {
+      val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tomb =
+        if (df.columns.contains(MetaColumns.IsDeleted))
+          col(MetaColumns.IsDeleted).cast("int")
+        else lit(0)
+      // rows at or below the newest tombstone (scanning newest-first)
+      // contribute nothing; the newest row itself keeps its own values
+      val cumTomb = "_g_cum_tomb"
+      val masked = df.withColumn(cumTomb, sum(tomb).over(cum))
+      val folded = masked.columns.filter(isDataCol).foldLeft(masked) { (d, c) =>
+        d.withColumn(c,
+          first(when(col(cumTomb) === 0, col(c)), ignoreNulls = true).over(full))
+      }
+      val withB =
+        if (withBarrier)
+          folded.withColumn(TombBarrier, max(tomb).over(full) > 0)
+        else folded
+      withB.withColumn(rankCol, row_number().over(w))
+        .filter(col(rankCol) === 1)
+        .drop(rankCol, cumTomb)
+    }
+  }
+
+  /** Broadcast merge: `old` rows stream from their scan through a
+    * broadcast-hash LEFT join against the (already latest-per-key) `inc`
+    * rows, and per-column winner expressions reproduce the payload
+    * semantics. Preconditions: at most one `inc` row per key; every
+    * `inc` key that has no `old` row must be handled by the CALLER (the
+    * broadcast left join only emits old-side rows).
+    *
+    * @param valueCols every non-key column; `old` columns missing from it
     *                  are null-filled with the incoming side's type
     *                  (schema evolution).
     */
@@ -32,8 +100,10 @@ private[graft] object MergeKernel {
       payloadClass: String,
       precombineField: Option[String]): DataFrame = {
     val In = "_g_in_"
+    val barrierIn = inc.columns.contains(TombBarrier)
     val incR = inc.select(
-      keyCols.map(col) ++ valueCols.map(c => col(c).as(In + c)): _*)
+      keyCols.map(col) ++ valueCols.map(c => col(c).as(In + c)) ++
+        (if (barrierIn) Seq(col(TombBarrier).as(In + TombBarrier)) else Seq.empty): _*)
     val oldFull = valueCols.foldLeft(old)((d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(inc.schema(c).dataType)))
@@ -48,7 +118,16 @@ private[graft] object MergeKernel {
       case _ => lit(true)
     }
     val takeNew = present && wins
-    joined.select(keyCols.map(col) ++ valueCols.map(c =>
-      when(takeNew, col(In + c)).otherwise(col(c)).as(c)): _*)
+    val nonDefaults = payloadClass == "overwrite_non_defaults"
+    val barrier =
+      if (barrierIn) coalesce(col(In + TombBarrier), lit(false)) else lit(false)
+    def winner(c: String): Column = {
+      val newVal =
+        if (nonDefaults && isDataCol(c))
+          when(barrier, col(In + c)).otherwise(coalesce(col(In + c), col(c)))
+        else col(In + c)
+      when(takeNew, newVal).otherwise(col(c)).as(c)
+    }
+    joined.select(keyCols.map(col) ++ valueCols.map(winner): _*)
   }
 }

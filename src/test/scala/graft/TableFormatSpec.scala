@@ -961,6 +961,80 @@ class TableFormatSpec extends AnyFunSuite {
     sparkExt.sql("DROP TABLE IF EXISTS rename_tab")
   }
 
+  test("overwrite_non_defaults payload: null fields fall back, tombstones bar resurrection") {
+    val pcfg = cowConfig.copy(payloadClass = "overwrite_non_defaults")
+
+    // COW: updates carrying nulls keep the stored values for those fields
+    val path = tmp()
+    val t = GraftTable.create(spark, path, pcfg)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    // nulls in o_orderstatus + o_orderdate; real values in o_totalprice;
+    // plus new keys to force the shuffle path alongside broadcast groups
+    val upd = orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+      .withColumn("o_orderdate", lit(null).cast("timestamp"))
+      .unionByName(orders.limit(7)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1)))
+    w.upsert(upd)
+    val read = new GraftReadClient(t)
+    val snap = read.snapshotData()
+    assert(snap.count() === orders.count() + 7)
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1000.0)
+        .otherwise(col("o_totalprice")))
+    // stored o_orderstatus/o_orderdate survive the null update
+    val existing = snap.filter(col("o_orderkey") <= maxKey)
+    assert(existing.filter(col("o_orderstatus").isNull ||
+      col("o_orderdate").isNull).count() === 0)
+    assert(existing.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(existing).count() === 0)
+
+    // MOR: the fold works across delta layers and survives compaction
+    val mpath = tmp()
+    val mt = GraftTable.create(spark, mpath, pcfg.copy(tableType = GraftTableType.Mor))
+    val mw = new GraftWriteClient(mt, wc)
+    mw.bulkInsert(orders)
+    mw.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0)
+      .withColumn("o_orderstatus", lit(null).cast("string")))
+    mw.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", lit(null).cast("double"))
+      .withColumn("o_orderstatus", lit("Z")))
+    val mexpect = orders
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 50.0)
+          .otherwise(col("o_totalprice")))
+      .withColumn("o_orderstatus",
+        when(col("o_orderkey") % 4 === 0, lit("Z")).otherwise(col("o_orderstatus")))
+    val mread = new GraftReadClient(mt)
+    val msnap = mread.snapshotData()
+    assert(msnap.exceptAll(mexpect).count() === 0)
+    assert(mexpect.exceptAll(msnap).count() === 0)
+    assert(new TableServices(mt, wc).compact().nonEmpty)
+    val msnap2 = mread.snapshotData()
+    assert(msnap2.exceptAll(mexpect).count() === 0)
+    assert(mexpect.exceptAll(msnap2).count() === 0)
+
+    // tombstone barrier: delete then re-insert with nulls must NOT
+    // resurrect pre-delete values (MOR: all three live as delta layers)
+    val delKeys = orders.filter(col("o_orderkey") % 4 === 0).limit(20)
+      .select("o_orderkey", "o_orderpriority")
+    mw.delete(delKeys)
+    mw.upsert(orders.filter(col("o_orderkey") % 4 === 0).limit(20)
+      .withColumn("o_orderstatus", lit(null).cast("string"))
+      .withColumn("o_totalprice", col("o_totalprice") + 9999.0))
+    val reborn = mread.snapshotData()
+      .join(delKeys.select("o_orderkey"), "o_orderkey")
+    assert(reborn.count() === 20)
+    // o_orderstatus was null in the re-insert and 'Z' before the delete:
+    // the barrier keeps it null
+    assert(reborn.filter(col("o_orderstatus").isNotNull).count() === 0)
+    assert(reborn.filter(col("o_totalprice") < 9000.0).count() === 0)
+  }
+
   test("compaction strategies: DayBased targets latest partitions; cluster honors recentPartitions") {
     import graft.services.CompactionStrategy
     val path = tmp()
