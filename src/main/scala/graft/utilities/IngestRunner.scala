@@ -2,6 +2,7 @@ package graft.utilities
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, upper}
 
 import graft.GraftTable
 import graft.spark.{GraftOptions, GraftWriter}
@@ -21,6 +22,14 @@ import graft.spark.{GraftOptions, GraftWriter}
   * @param targetPath     graft table base path (created on first run)
   * @param operation      write operation per batch (default upsert)
   * @param tableOptions   graft datasource options (recordkey.field, ...)
+  * @param cdcOpColumn    CDC apply mode: name of the op column in the
+  *                       source (I/U/D convention of change-capture
+  *                       feeds). Rows with op D delete their key, I/U
+  *                       upsert, all in ONE mixed commit per batch; the
+  *                       op column itself is not stored (ref: the
+  *                       reference's AWSDmsTransformer +
+  *                       AWSDmsAvroPayload OP_FIELD handling — a missing
+  *                       op column means insert)
   */
 final case class IngestConfig(
     sourcePath: String,
@@ -29,7 +38,8 @@ final case class IngestConfig(
     transformers: Seq[String] = Seq.empty,
     targetPath: String,
     operation: String = "upsert",
-    tableOptions: Map[String, String] = Map.empty)
+    tableOptions: Map[String, String] = Map.empty,
+    cdcOpColumn: Option[String] = None)
 
 /** DeltaStreamer-equivalent ingest runner: source -> transformer ->
   * upsert, with the resume checkpoint stored IN the commit metadata so a
@@ -51,6 +61,37 @@ object IngestRunner {
     * (ref: DeltaSync CHECKPOINT_KEY).
     */
   val CheckpointKey = "ingest.checkpoint"
+
+  /** Write one synced batch. Plain mode dispatches through the
+    * datasource writer; CDC mode turns op-D rows into keyed deletes and
+    * everything else into upserts, committed together (the graft
+    * mergeWrite commit — no per-op partitioning of the batch). A batch
+    * without the op column is plain inserts, like the reference
+    * transformer that adds `Op = I` when absent.
+    */
+  private def writeBatch(
+      spark: SparkSession, cfg: IngestConfig, batch: DataFrame, ckpt: String): Unit =
+    cfg.cdcOpColumn.filter(batch.columns.contains) match {
+      case None =>
+        GraftWriter.write(
+          spark, SaveMode.Append,
+          cfg.tableOptions ++ Map(
+            GraftOptions.Path -> cfg.targetPath,
+            GraftOptions.Operation -> cfg.operation),
+          batch,
+          extra = Map(CheckpointKey -> ckpt))
+      case Some(op) =>
+        val del = "_g_cdc_delete"
+        val marked = batch
+          .withColumn(del, upper(col(op).cast("string")) === "D")
+          .drop(op)
+        val table = GraftTable.getOrCreate(spark, cfg.targetPath,
+          GraftOptions.tableConfig(cfg.targetPath, cfg.tableOptions))
+        new graft.write.GraftWriteClient(table,
+          GraftOptions.writeConfig(cfg.tableOptions)
+            .copy(commitExtra = Map(CheckpointKey -> ckpt)))
+          .mergeWrite(marked, del)
+    }
 
   /** Apply the config's transformer chain: `transformerSql` first, then
     * each of `transformers` in order, every step reading the previous
@@ -106,13 +147,7 @@ object IngestRunner {
     val raw = spark.read.format(cfg.sourceFormat)
       .load(fresh.map(_.getPath.toString): _*)
     val batch = transform(spark, cfg, raw)
-    GraftWriter.write(
-      spark, SaveMode.Append,
-      cfg.tableOptions ++ Map(
-        GraftOptions.Path -> cfg.targetPath,
-        GraftOptions.Operation -> cfg.operation),
-      batch,
-      extra = Map(CheckpointKey -> newCkpt.toString))
+    writeBatch(spark, cfg, batch, newCkpt.toString)
     Some(newCkpt.toString)
   }
 
@@ -140,13 +175,7 @@ object IngestRunner {
     val read = new graft.read.GraftReadClient(src)
     val raw = read.dataOnly(read.incremental(ckpt, Some(latest)))
     val batch = transform(spark, cfg, raw)
-    GraftWriter.write(
-      spark, SaveMode.Append,
-      cfg.tableOptions ++ Map(
-        GraftOptions.Path -> cfg.targetPath,
-        GraftOptions.Operation -> cfg.operation),
-      batch,
-      extra = Map(CheckpointKey -> latest))
+    writeBatch(spark, cfg, batch, latest)
     Some(latest)
   }
 

@@ -414,6 +414,51 @@ class TableFormatSpec extends AnyFunSuite {
     assert(out.filter(col("doubled_plus") =!= col("o_totalprice") * 2 + 1).count() === 0)
   }
 
+  test("ingest runner: CDC apply mode turns op-D rows into deletes") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    val base = orders.limit(100)
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamp(sub: String, ts: Long): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+        .filter(_.isFile).foreach(s => fs.setTimes(s.getPath, ts, ts))
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt, cdcOpColumn = Some("Op"),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+
+    // batch 1: all inserts (op I)
+    base.withColumn("Op", lit("I")).write.parquet(s"$src/b1")
+    stamp("b1", 1000000L)
+    assert(IngestRunner.runOnce(spark, cfg).contains("1000000"))
+    val t1 = spark.read.format("graft").load(tgt)
+    assert(t1.count() === 100)
+    assert(!t1.columns.contains("Op")) // op column not stored
+
+    // batch 2: mixed updates + deletes in one file
+    val upd = base.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+      .withColumn("Op", lit("U"))
+    // delete set disjoint from the update set (odd keys only)
+    val delCond = col("o_orderkey") % 5 === 1 && col("o_orderkey") % 2 =!= 0
+    val del = base.filter(delCond).withColumn("Op", lit("D"))
+    upd.unionByName(del).write.parquet(s"$src/b2")
+    stamp("b2", 2000000L)
+    assert(IngestRunner.runOnce(spark, cfg).contains("2000000"))
+    val t2 = spark.read.format("graft").load(tgt)
+    assert(t2.filter(delCond).count() === 0) // deleted
+    assert(t2.count() === base.filter(!delCond).count())
+    // updated rows carry the new price
+    assert(t2.filter(col("o_orderkey") % 2 === 0)
+      .join(base.select(col("o_orderkey"),
+        (col("o_totalprice") + 7.0).as("want")), "o_orderkey")
+      .filter(col("o_totalprice") =!= col("want")).count() === 0)
+  }
+
   test("ingest runner: table-to-table incremental ETL with instant checkpoints") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
