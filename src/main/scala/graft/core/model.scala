@@ -30,12 +30,18 @@ object GraftAction {
     * completion, ScheduleCompactionActionExecutor).
     */
   val Compaction = "compaction"
+  /** A scheduled-but-not-yet-executed clustering plan; execution
+    * completes as a [[ReplaceCommit]] (ref: the reference's requested
+    * replacecommit carrying HoodieClusteringPlan,
+    * SparkRecentDaysClusteringPlanStrategy + ClusteringPlanActionExecutor).
+    */
+  val Clustering = "clustering"
   /** Actions that add/replace data files and participate in views. */
   val DataActions: Set[String] = Set(Commit, DeltaCommit, ReplaceCommit)
   /** Every valid instant action (file-name validation). */
   val All: Set[String] =
     Set(Commit, DeltaCommit, ReplaceCommit, Clean, Rollback, Savepoint, Restore,
-      Compaction)
+      Compaction, Clustering)
 }
 
 object GraftState {
@@ -130,6 +136,16 @@ final case class CompactionPlan(
     baseTs: String, // OCC floor: last completed data instant at schedule time
     slices: Seq[FileSlice])
 
+/** A persisted clustering plan — the content of a
+  * `<ts>.clustering.requested` instant file; same request/execute split
+  * as [[CompactionPlan]] (ref: HoodieClusteringPlan.avsc).
+  */
+final case class ClusteringPlan(
+    instant: String,
+    baseTs: String,
+    sortColumns: Seq[String],
+    slices: Seq[FileSlice])
+
 /** Table-level config stored at `<base>/.graft/table_config.json`.
   * (ref: hudi-common/.../table/HoodieTableConfig.java)
   */
@@ -207,4 +223,7 @@ object Json {
 
   def readCompactionPlan(s: String): CompactionPlan =
     JsonMethods.parse(s).extract[CompactionPlan]
+
+  def readClusteringPlan(s: String): ClusteringPlan =
+    JsonMethods.parse(s).extract[ClusteringPlan]
 }

@@ -387,10 +387,23 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     */
   def cluster(
       sortColumns: Seq[String] = Seq.empty,
+      recentPartitions: Option[Int] = None): Option[String] =
+    scheduleClustering(sortColumns, recentPartitions).flatMap(executeClustering)
+
+  /** Plan a clustering run and persist it as a `<ts>.clustering.requested`
+    * instant without executing — the same request/execute split as
+    * compaction (ref: the reference's requested replacecommit carrying
+    * HoodieClusteringPlan). Returns the plan instant, or None when there
+    * is nothing worth consolidating.
+    */
+  def scheduleClustering(
+      sortColumns: Seq[String] = Seq.empty,
       recentPartitions: Option[Int] = None): Option[String] = {
     val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
     val view = table.view
     val all = view.latestSlices(None)
+    val claimed = pendingClusteringPlans
+      .flatMap(_.slices.map(s => (s.partition, s.fileId))).toSet
     val inScope = recentPartitions match {
       case None => all
       case Some(n) =>
@@ -399,23 +412,53 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         all.filter(s => keep(s.partition))
     }
     val candidates = inScope.filter(s =>
-      s.deltas.isEmpty && s.base.exists(_.bytes < wc.smallFileLimitBytes))
+      s.deltas.isEmpty && s.base.exists(_.bytes < wc.smallFileLimitBytes) &&
+        !claimed.contains((s.partition, s.fileId)))
     // clustering only pays off when it consolidates multiple groups
     val byPartition = candidates.groupBy(_.partition).filter(_._2.size > 1)
     if (byPartition.isEmpty) return None
     val chosen = byPartition.values.flatten.toSeq
+    val ts = InstantTimeGenerator.next()
+    table.timeline.createRequested(ts, GraftAction.Clustering,
+      Json.write(ClusteringPlan(ts, occBaseTs, sortColumns, chosen)))
+    Some(ts)
+  }
+
+  /** Scheduled-but-unexecuted clustering plans, oldest first. */
+  def pendingClusteringPlans: Seq[ClusteringPlan] =
+    table.timeline.pending
+      .filter(i => i.action == GraftAction.Clustering &&
+        i.state == GraftState.Requested)
+      .sortBy(_.ts)
+      .map(i => Json.readClusteringPlan(
+        table.storage.readString(new Path(table.storage.metaDir, i.fileName))))
+
+  /** Execute a scheduled clustering plan; completes as a replacecommit at
+    * the plan's timestamp. ANY data commit that raced onto a chosen group
+    * is fatal (the rewrite would shadow it) — the plan is discarded and
+    * a re-schedule sees the new state; other failures keep the plan for
+    * retry.
+    */
+  def executeClustering(planTs: String): Option[String] = {
+    val requested = GraftInstant(planTs, GraftAction.Clustering, GraftState.Requested)
+    val reqPath = new Path(table.storage.metaDir, requested.fileName)
+    require(table.storage.exists(reqPath), s"no scheduled clustering $planTs")
+    val plan = Json.readClusteringPlan(table.storage.readString(reqPath))
+    val chosen = plan.slices
+    if (chosen.isEmpty) { table.timeline.deleteInstant(requested); return None }
+    val occBaseTs = plan.baseTs
+    val ts = planTs
     val paths = chosen.flatMap(s => s.base.map(f =>
       table.storage.dataFilePath(s.partition, f.fileName).toString))
     val df = table.readDataFiles(paths)
     val sortCols =
-      if (sortColumns.nonEmpty) sortColumns.map(col)
+      if (plan.sortColumns.nonEmpty) plan.sortColumns.map(col)
       else Seq(col(MetaColumns.RecordKey))
-
-    val ts = InstantTimeGenerator.next()
-    val instant = table.timeline.transitionToInflight(
-      table.timeline.createRequested(ts, GraftAction.ReplaceCommit))
+    table.storage.delete(new Path(table.storage.metaDir,
+      requested.copy(state = GraftState.Inflight).fileName))
+    table.timeline.transitionToInflight(requested)
     try {
-      val avg = view.avgRecordSize(wc.defaultRecordSizeBytes)
+      val avg = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val staging = new Path(table.storage.tempDir, ts)
       df.withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
         .repartition(col(GraftWriteClient.StagePartCol))
@@ -435,17 +478,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .mapValues(_.map(_.fileId).distinct.toSeq).toMap
       val totalRecords = written.map(_.records).sum
       val totalBytes = written.map(_.bytes).sum
-      table.timeline.transitionToCompleted(instant, GraftCommitMetadata(
-        instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
-        files = written, replacedFileIds = replaced,
-        totalRecords = totalRecords,
-        avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-        schemaJson = lastSchemaJson))
+      table.timeline.transitionToCompleted(
+        GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight),
+        GraftCommitMetadata(
+          instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
+          files = written, replacedFileIds = replaced,
+          totalRecords = totalRecords,
+          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+          schemaJson = lastSchemaJson))
+      table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
       Some(ts)
     } catch {
+      case e: graft.write.ConcurrentWriteConflictException =>
+        table.timeline.deleteInstant(requested)
+        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        throw e
       case e: Throwable =>
-        table.timeline.deleteInstant(instant)
+        table.storage.delete(new Path(table.storage.metaDir,
+          requested.copy(state = GraftState.Inflight).fileName))
         table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
         throw e
     }

@@ -135,6 +135,13 @@ object GraftCli {
     },
     "clean" -> (t => new graft.services.TableServices(t).clean()),
     "cluster" -> (t => new graft.services.TableServices(t).cluster()),
+    "cluster_schedule" -> (t =>
+      new graft.services.TableServices(t).scheduleClustering()),
+    "cluster_execute" -> { t =>
+      val svc = new graft.services.TableServices(t)
+      svc.pendingClusteringPlans.headOption
+        .flatMap(p => svc.executeClustering(p.instant))
+    },
     "archive" -> (t => new graft.services.TableServices(t).archive()),
     "rollback_failed" -> (t => new graft.services.TableServices(t)
       .rollbackFailedWrites() match {

@@ -1185,6 +1185,35 @@ class TableFormatSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS sync_mor_ro")
   }
 
+  test("clustering schedule/execute split: plan persisted, executed by a second client") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders) // small target size -> many small groups
+    val groupsBefore = t.view.latestSlices(None).size
+    assert(groupsBefore > 1)
+
+    val planTs = new TableServices(t, wc).scheduleClustering().get
+    // nothing rewritten yet; plan on the timeline; re-schedule finds nothing
+    assert(t.view.latestSlices(None).size === groupsBefore)
+    assert(t.timeline.pending.exists(i =>
+      i.ts == planTs && i.action == GraftAction.Clustering))
+    assert(new TableServices(t, wc).scheduleClustering().isEmpty)
+
+    val t2 = GraftTable.load(spark, path)
+    val svc2 = new TableServices(t2, wc)
+    assert(svc2.pendingClusteringPlans.head.instant === planTs)
+    assert(svc2.executeClustering(planTs).contains(planTs))
+    assert(!t2.timeline.pending.exists(_.action == GraftAction.Clustering))
+    assert(t2.timeline.completed.exists(i =>
+      i.ts == planTs && i.action == GraftAction.ReplaceCommit))
+    // consolidated and content-identical
+    assert(t2.view.latestSlices(None).size < groupsBefore)
+    val snap = new GraftReadClient(t2).snapshotData()
+    assert(snap.exceptAll(orders).count() === 0)
+    assert(orders.exceptAll(snap).count() === 0)
+  }
+
   test("compaction schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
