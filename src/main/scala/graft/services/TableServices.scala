@@ -187,13 +187,35 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * commits that landed after scheduling order above the new base file
     * and stay visible. On failure the requested plan survives for retry.
     */
+  /** A plan is stale when a chosen group no longer exists or its base
+    * file changed since scheduling (a racing clustering / overwrite /
+    * compaction) — executing it would read dead files or shadow newer
+    * data. `deltasToo` also invalidates on new delta files (clustering
+    * plans: a rewrite would shadow them; compaction plans tolerate them —
+    * newer deltas simply layer above the compacted base).
+    */
+  private def planIsStale(chosen: Seq[FileSlice], deltasToo: Boolean): Boolean = {
+    val current = table.view.latestSlices(None)
+      .map(s => (s.partition, s.fileId) -> s).toMap
+    chosen.exists { s =>
+      current.get((s.partition, s.fileId)) match {
+        case None => true
+        case Some(cur) =>
+          cur.base.map(_.fileName) != s.base.map(_.fileName) ||
+            (deltasToo && cur.deltas.map(_.fileName) != s.deltas.map(_.fileName))
+      }
+    }
+  }
+
   def executeCompaction(planTs: String): Option[String] = {
     val requested = GraftInstant(planTs, GraftAction.Compaction, GraftState.Requested)
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
     require(table.storage.exists(reqPath), s"no scheduled compaction $planTs")
     val plan = Json.readCompactionPlan(table.storage.readString(reqPath))
     val chosen = plan.slices
-    if (chosen.isEmpty) { table.timeline.deleteInstant(requested); return None }
+    if (chosen.isEmpty || planIsStale(chosen, deltasToo = false)) {
+      table.timeline.deleteInstant(requested); return None
+    }
     val occBaseTs = plan.baseTs
     val ts = planTs
     // a retry after a crashed execute finds the stale inflight marker
@@ -445,7 +467,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     require(table.storage.exists(reqPath), s"no scheduled clustering $planTs")
     val plan = Json.readClusteringPlan(table.storage.readString(reqPath))
     val chosen = plan.slices
-    if (chosen.isEmpty) { table.timeline.deleteInstant(requested); return None }
+    if (chosen.isEmpty || planIsStale(chosen, deltasToo = true)) {
+      table.timeline.deleteInstant(requested); return None
+    }
     val occBaseTs = plan.baseTs
     val ts = planTs
     val paths = chosen.flatMap(s => s.base.map(f =>

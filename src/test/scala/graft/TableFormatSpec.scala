@@ -1214,6 +1214,27 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("stale service plans are discarded, not executed against dead files") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val svc = new TableServices(t, wc)
+    val planTs = svc.scheduleClustering().get
+    // a racing upsert rewrites chosen groups' base files (COW)
+    w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    // the plan is stale: discarded, nothing executed, no files touched
+    assert(svc.executeClustering(planTs).isEmpty)
+    assert(!t.timeline.pending.exists(_.action == GraftAction.Clustering))
+    val snap = new GraftReadClient(t).snapshotData()
+    val expect = orders.withColumn("o_totalprice", col("o_totalprice") + 2.0)
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+    // a fresh schedule against the new state works
+    val p2 = svc.scheduleClustering()
+    p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
+  }
+
   test("compaction schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
