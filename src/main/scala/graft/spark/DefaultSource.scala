@@ -132,6 +132,8 @@ object GraftOptions {
   val Parallelism = "parallelism"
   val BulkInsertSortMode = "bulk_insert.sort.mode"
   val InlineCompactDeltaCommits = "compact.inline.max.delta.commits"
+  val InlineClusterCommits = "cluster.inline.max.commits"
+  val InsertDropDups = "insert.drop.duplicates"
   val InlineClean = "clean.automatic"
   val CleanRetainCommits = "clean.retain.commits"
   /** Global index: keys unique table-wide, updates may move partitions. */
@@ -155,6 +157,10 @@ object GraftOptions {
         parameters.getOrElse(BulkInsertSortMode, base.bulkInsertSortMode),
       inlineCompactDeltaCommits = parameters.get(InlineCompactDeltaCommits)
         .map(_.toInt).getOrElse(base.inlineCompactDeltaCommits),
+      inlineClusterCommits = parameters.get(InlineClusterCommits)
+        .map(_.toInt).getOrElse(base.inlineClusterCommits),
+      insertDropDups = parameters.get(InsertDropDups)
+        .map(_.toBoolean).getOrElse(base.insertDropDups),
       inlineClean =
         parameters.get(InlineClean).map(_.toBoolean).getOrElse(base.inlineClean),
       cleanRetainCommits = parameters.get(CleanRetainCommits)

@@ -106,7 +106,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * allowed. (ref: SparkRDDWriteClient.java:172-196)
     */
   def insert(df: DataFrame): String =
-    runKeyedWrite(df, "insert", tag = false,
+    runKeyedWrite(
+      if (wc.insertDropDups) filterExists(df) else df,
+      "insert", tag = false,
       dedupIncoming = wc.combineBeforeInsert, deleteOp = false)
 
   /** Delete by key: `df` needs the record-key (+ partition) columns.
@@ -516,6 +518,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         .count(i => i.action == GraftAction.DeltaCommit && i.ts > lastCompaction)
       if (deltasSince >= wc.inlineCompactDeltaCommits) {
         new graft.services.TableServices(table, wc).compact()
+      }
+    }
+    if (wc.inlineClusterCommits > 0) {
+      val tl = table.timeline
+      val lastReplace = tl.completedData
+        .filter(_.action == GraftAction.ReplaceCommit)
+        .lastOption.map(_.ts).getOrElse("")
+      val commitsSince = tl.completedData.count(_.ts > lastReplace)
+      if (commitsSince >= wc.inlineClusterCommits) {
+        new graft.services.TableServices(table, wc).cluster()
       }
     }
     if (wc.inlineClean) {

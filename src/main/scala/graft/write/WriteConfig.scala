@@ -20,6 +20,17 @@ final case class WriteConfig(
     parallelism: Int = 0,
     /** MOR: run inline compaction after this many delta commits; 0 = off. */
     inlineCompactDeltaCommits: Int = 5,
+    /** Run inline clustering after this many data commits since the last
+      * replace-commit; 0 = off (ref: hoodie.clustering.inline +
+      * hoodie.clustering.inline.max.commits, HoodieClusteringConfig).
+      */
+    inlineClusterCommits: Int = 0,
+    /** insert(): silently drop incoming records whose key already exists
+      * in the table (ref: hoodie.datasource.write.insert.drop.duplicates,
+      * DataSourceOptions INSERT_DROP_DUPS — implemented as the
+      * filterExists anti-join before the write).
+      */
+    insertDropDups: Boolean = false,
     /** Run inline clean after each commit; retains `cleanRetainCommits`. */
     inlineClean: Boolean = false,
     cleanRetainCommits: Int = 10,

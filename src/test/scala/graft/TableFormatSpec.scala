@@ -1214,6 +1214,43 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("insert.drop.duplicates and inline clustering trigger") {
+    // drop-dups: a second insert of overlapping keys keeps the ORIGINAL rows
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(insertDropDups = true))
+    w.bulkInsert(orders.limit(100))
+    val maxKey = orders.limit(100).agg(max("o_orderkey")).head.getLong(0)
+    val overlap = orders.limit(50) // 50 existing keys, changed price
+      .withColumn("o_totalprice", col("o_totalprice") + 999.0)
+      .unionByName(orders.limit(10)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1)))
+    w.insert(overlap)
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === 110) // 100 original + 10 new, 50 dups dropped
+    // existing keys keep their ORIGINAL rows (the +999 dups were dropped)
+    assert(snap.filter(col("o_orderkey") <= maxKey)
+      .exceptAll(orders.limit(100)).count() === 0)
+
+    // inline clustering fires after N commits and consolidates small groups
+    val cpath = tmp()
+    val ct = GraftTable.create(spark, cpath, cowConfig)
+    val cw = new GraftWriteClient(ct,
+      wc.copy(inlineClusterCommits = 3,
+        targetFileSizeBytes = 8 * 1024, smallFileLimitBytes = 6 * 1024))
+    cw.bulkInsert(orders.limit(200))
+    cw.insert(orders.limit(40)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(10000)))
+    assert(!ct.timeline.completedData.exists(_.action == GraftAction.ReplaceCommit))
+    cw.insert(orders.limit(40)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(20000)))
+    // third commit crossed the threshold -> a replacecommit clustering ran
+    assert(ct.timeline.completedData.exists(i =>
+      i.action == GraftAction.ReplaceCommit &&
+        ct.timeline.metadataOf(i).operation == "cluster"))
+    assert(new GraftReadClient(ct).snapshotData().count() === 280)
+  }
+
   test("stale service plans are discarded, not executed against dead files") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
