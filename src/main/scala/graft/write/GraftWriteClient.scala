@@ -467,9 +467,18 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 
-  private def commit(instant: GraftInstant, meta: GraftCommitMetadata): Unit =
+  private def commit(instant: GraftInstant, meta: GraftCommitMetadata): Unit = {
     table.timeline.transitionToCompleted(
       instant.copy(state = GraftState.Inflight), meta)
+    // the commit is durable at this point — callback failures must not
+    // unwind it (ref: HoodieWriteCommitCallback fire-after-commit contract)
+    wc.commitCallback.foreach { cb =>
+      try cb(table.basePath, meta)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] commit callback failed for ${meta.instant}: $e")
+      }
+    }
+  }
 
   private def finishCommit(
       instant: GraftInstant,

@@ -84,4 +84,12 @@ final case class WriteConfig(
     bloomFpp: Double = 0.01,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
-    commitExtra: Map[String, String] = Map.empty)
+    commitExtra: Map[String, String] = Map.empty,
+    /** Post-commit hook invoked on the driver after every successful data
+      * commit of this writer, with the table base path and the commit
+      * metadata (ref: HoodieWriteCommitCallback.java — the seam behind
+      * the reference's HTTP/Kafka commit notifications). The commit is
+      * already durable when the callback runs; a callback failure is
+      * logged and swallowed, never unwinds the commit.
+      */
+    commitCallback: Option[(String, graft.core.GraftCommitMetadata) => Unit] = None)

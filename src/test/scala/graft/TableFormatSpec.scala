@@ -1214,6 +1214,27 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("commit callback fires after durable commits; failures never unwind them") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val seen = scala.collection.mutable.ArrayBuffer[(String, String)]()
+    val w = new GraftWriteClient(t, wc.copy(commitCallback = Some {
+      (base, meta) => seen += ((base, meta.operation))
+    }))
+    w.bulkInsert(orders.limit(100))
+    w.upsert(orders.limit(10).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    assert(seen.map(_._2) === Seq("bulk_insert", "upsert"))
+    assert(seen.forall(_._1 == path))
+
+    // a throwing callback does not fail the write
+    val w2 = new GraftWriteClient(t, wc.copy(commitCallback = Some {
+      (_, _) => sys.error("callback boom")
+    }))
+    w2.upsert(orders.limit(5).withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    assert(t.timeline.completedData.size === 3) // commit landed anyway
+    assert(new GraftReadClient(t).snapshotData().count() === 100)
+  }
+
   test("insert.drop.duplicates and inline clustering trigger") {
     // drop-dups: a second insert of overlapping keys keeps the ORIGINAL rows
     val path = tmp()
