@@ -1214,6 +1214,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("SQL MERGE/UPDATE resolve renamed columns through the logical mapping") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.limit(100).write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS mr_tab")
+    sparkExt.sql(s"CREATE TABLE mr_tab USING graft OPTIONS (path '$path')")
+    sparkExt.sql("ALTER TABLE mr_tab RENAME COLUMN o_orderstatus TO status")
+    sparkExt.catalog.refreshTable("mr_tab")
+
+    // UPDATE through the logical name
+    sparkExt.sql("UPDATE mr_tab SET status = 'X' WHERE o_orderkey % 4 = 0")
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM mr_tab WHERE status = 'X'").head.getLong(0) ===
+      orders.limit(100).filter(col("o_orderkey") % 4 === 0).count())
+
+    // MERGE assigning the logical name
+    sparkExt.sql(
+      """MERGE INTO mr_tab t
+        |USING (SELECT 0 AS k, 'M' AS s) src ON t.o_orderkey = src.k
+        |WHEN MATCHED THEN UPDATE SET status = src.s""".stripMargin)
+    assert(sparkExt.sql(
+      "SELECT status FROM mr_tab WHERE o_orderkey = 0").head.getString(0) === "M")
+    // physical column name still backs the files
+    val t = GraftTable.load(spark, path)
+    assert(t.storedDataSchema.get.fieldNames.contains("o_orderstatus"))
+    sparkExt.sql("DROP TABLE IF EXISTS mr_tab")
+  }
+
   test("commit callback fires after durable commits; failures never unwind them") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
