@@ -74,6 +74,19 @@ object GraftCli {
       .toDF("instant", "action", "state")
   }
 
+  /** Archived timeline instants (ref: HoodieArchivedTimeline + the CLI's
+    * `commits show archived`).
+    */
+  def archived(table: GraftTable): DataFrame = {
+    val spark = table.spark
+    import spark.implicits._
+    table.timeline.archivedInstants
+      .map { i =>
+        val m = table.timeline.archivedMetadataOf(i)
+        (i.ts, i.action, m.operation, m.files.size.toLong, m.totalRecords)
+      }.toDF("instant", "action", "operation", "n_files", "total_records")
+  }
+
   /** Per-commit write amplification: records written / incoming records
     * for keyed writes that record the incoming count (bulk loads write
     * 1:1 and report NaN). (ref: hudi-cli/.../commands/StatsCommand.java
@@ -115,7 +128,7 @@ object GraftCli {
   private val commands: Map[String, GraftTable => DataFrame] = Map(
     "commits" -> commits, "files" -> files, "filegroups" -> fileGroups,
     "partitions" -> partitions, "savepoints" -> savepoints, "pending" -> pending,
-    "stats" -> stats, "filesizes" -> fileSizes)
+    "archived" -> archived, "stats" -> stats, "filesizes" -> fileSizes)
 
   /** Standalone service runners — the reference ships these as separate
     * spark jobs (ref: hudi-utilities/.../HoodieCompactor.java,

@@ -46,7 +46,11 @@ object SnapshotExporter {
       asOf: Option[String] = None): String = {
     val table = GraftTable.load(spark, tablePath)
     val df = new GraftReadClient(table).snapshotData(asOf)
-    val target = GraftTable.create(spark, outputDir, table.config)
+    // the snapshot carries LOGICAL column names, which become the new
+    // table's physical names — copying the rename map would remap them
+    // back to the source's old physical names on the next write
+    val target = GraftTable.create(spark, outputDir,
+      table.config.copy(columnRenames = Map.empty))
     new graft.write.GraftWriteClient(target).bulkInsert(df)
   }
 }
