@@ -32,24 +32,43 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
   // ---- key generation (ref: hudi-client-common/.../keygen/*KeyGenerator;
   // pure Column expressions, no custom Expression needed) ----
+  /** A null or empty record-key component fails the write row-side —
+    * concat_ws would silently SKIP it and alias distinct records onto one
+    * key (ref: KeyGenUtils.getRecordKey throws HoodieKeyException on
+    * null/empty key parts).
+    */
   private def keyExpr: Column =
-    concat_ws(":", cfg.recordKeyFields.map(f => col(f).cast("string")): _*)
+    concat_ws(":", cfg.recordKeyFields.map { f =>
+      when(col(f).isNull || col(f).cast("string") === "", raise_error(concat(
+        lit(s"record key field '$f' is null or empty for key "),
+        concat_ws(":", cfg.recordKeyFields.map(k => col(k).cast("string")): _*))))
+        .otherwise(col(f).cast("string"))
+    }: _*)
+
+  /** Null/empty partition components route to the `default` partition —
+    * concat_ws would silently DROP the component and collapse the path
+    * depth, mixing partitions (ref: KeyGenUtils.getPartitionPath null →
+    * DEFAULT_PARTITION_PATH "default").
+    */
+  private def defaulted(c: Column): Column =
+    coalesce(nullif(c, lit("")), lit("default"))
+
   private def partExpr: Column =
     (cfg.partitionFields, cfg.partitionTimestampFormat) match {
       case (Seq(f), Some(fmt)) if !f.contains(':') =>
         // timestamp-based keygen: epoch seconds or timestamp/date column
         // -> formatted bucket (ref: TimestampBasedAvroKeyGenerator.java)
-        date_format(col(f).cast("timestamp"), fmt)
+        defaulted(date_format(col(f).cast("timestamp"), fmt))
       case (fields, _) if fields.isEmpty => lit("")
       case (fields, fmtOpt) =>
         // composite partitioning with optional per-field `:timestamp` /
         // `:simple` type suffixes (ref: CustomAvroKeyGenerator)
         concat_ws("/", fields.map { spec =>
           spec.split(':') match {
-            case Array(f, "timestamp") => date_format(
-              col(f).cast("timestamp"), fmtOpt.getOrElse("yyyy-MM-dd"))
-            case Array(f, _) => col(f).cast("string")
-            case _ => col(spec).cast("string")
+            case Array(f, "timestamp") => defaulted(date_format(
+              col(f).cast("timestamp"), fmtOpt.getOrElse("yyyy-MM-dd")))
+            case Array(f, _) => defaulted(col(f).cast("string"))
+            case _ => defaulted(col(spec).cast("string"))
           }
         }: _*)
     }
