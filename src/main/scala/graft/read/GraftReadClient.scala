@@ -153,6 +153,19 @@ final class GraftReadClient(val table: GraftTable) {
   def incremental(beginTs: String, endTs: Option[String] = None): DataFrame = {
     val end = endTs.getOrElse(
       table.timeline.lastCompletedData.map(_.ts).getOrElse(beginTs))
+    // Commits archived out of the active timeline would be silently
+    // missing from the per-commit file-list path (their metadata is gone
+    // from `.graft/`). Rows keep their ORIGINAL _graft_commit_time
+    // through compaction and clustering rewrites, so the latest-version
+    // band over the snapshot is a correct fallback — same result set,
+    // one full-snapshot scan instead of a touched-files scan (the
+    // full-table-scan fallback the reference exposes for incremental
+    // reads that outrun the active timeline).
+    val archivedInRange = table.timeline.archivedInstants.exists(i =>
+      GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end)
+    if (archivedInRange)
+      return snapshot(Some(end)).filter(
+        col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
     val instants = table.timeline.dataInstantsBetween(beginTs, end)
     val files = instants.flatMap { i =>
       table.timeline.metadataOf(i).files

@@ -1214,6 +1214,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("incremental reads spanning archived commits fall back to a snapshot band") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders.limit(200))
+    // 12 update commits, then archive most of the timeline away
+    for (i <- 1 to 12)
+      w.upsert(orders.limit(200).filter(col("o_orderkey") % 12 === i % 12)
+        .withColumn("o_totalprice", col("o_totalprice") + i * 10.0))
+    val midTs = t.timeline.completedData(4).ts
+    val svc = new TableServices(t, wc)
+    assert(svc.archive(minCommits = 3, maxCommits = 5).nonEmpty)
+    assert(t.timeline.completedData.size < 13) // early commits archived
+    val read = new GraftReadClient(t)
+
+    // from-beginning pull despite archived early commits = full snapshot
+    val all = read.dataOnly(read.incremental(""))
+    val snap = read.snapshotData()
+    assert(all.count() === 200)
+    assert(all.exceptAll(snap).count() === 0)
+    assert(snap.exceptAll(all).count() === 0)
+
+    // a checkpoint inside the archived range still yields exactly the
+    // keys whose latest version is newer than it
+    val sinceMid = read.dataOnly(read.incremental(midTs))
+    val expectKeys = read.snapshot()
+      .filter(col(MetaColumns.CommitTime) > midTs)
+      .select("o_orderkey").distinct()
+    assert(sinceMid.select("o_orderkey").distinct().exceptAll(expectKeys).count() === 0)
+    assert(expectKeys.exceptAll(sinceMid.select("o_orderkey").distinct()).count() === 0)
+    assert(c1.nonEmpty)
+  }
+
   test("SQL MERGE/UPDATE resolve renamed columns through the logical mapping") {
     val sparkExt = spark
     val path = tmp() + "/t"
