@@ -250,9 +250,17 @@ object GraftWriter {
 class GraftRelation private (
     val sqlContext: SQLContext,
     val table: GraftTable,
+    /** The datasource/catalog OPTIONS this relation was resolved with —
+      * writer-affecting options (index.global, sizing, inline services)
+      * must reach SQL DML writers too, not only the path-based API.
+      */
+    val parameters: Map[String, String],
     mkDf: () => DataFrame,
     override val schema: StructType)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
+
+  /** Writer config derived from the relation's options. */
+  def writeConfig: WriteConfig = GraftOptions.writeConfig(parameters)
 
   override def needConversion: Boolean = false
 
@@ -277,7 +285,7 @@ class GraftRelation private (
     * operation, OVERWRITE to insert_overwrite_table)
     */
   override def insert(data: DataFrame, overwrite: Boolean): Unit = {
-    val writer = new GraftWriteClient(table)
+    val writer = new GraftWriteClient(table, writeConfig)
     if (overwrite) writer.insertOverwriteTable(data) else writer.insert(data)
   }
 }
@@ -327,7 +335,7 @@ object GraftRelation {
           StructType(full.filterNot(f => dropped.contains(f.name))))
       case None => mkDf().schema // empty table: zero-row plan, cheap
     }
-    new GraftRelation(sqlContext, table, () => mkDf(), schema)
+    new GraftRelation(sqlContext, table, parameters, () => mkDf(), schema)
   }
 
   /** sources.Filter → Column; None = not pushable (Spark re-applies all

@@ -151,7 +151,7 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
       case Literal.TrueLiteral => df
       case cond                => df.filter(Shims.column(cond))
     }
-    new GraftWriteClient(rel.table).delete(filtered)
+    new GraftWriteClient(rel.table, rel.writeConfig).delete(filtered)
     Seq.empty
   }
 }
@@ -167,7 +167,7 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
       GraftSqlUtils.keyName(a.key).toLowerCase -> Shims.column(a.value)).toMap
     val updated = filtered.select(filtered.columns.toSeq.map(c =>
       assigns.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
-    new GraftWriteClient(rel.table).upsert(updated)
+    new GraftWriteClient(rel.table, rel.writeConfig).upsert(updated)
     Seq.empty
   }
 }
@@ -188,7 +188,7 @@ case class GraftAddColumnsCommand(a: AddColumns) extends LeafRunnableCommand {
             s"only top-level columns can be added: ${q.name.mkString(".")}")
           org.apache.spark.sql.types.StructField(q.name.head, q.dataType, q.nullable)
         }
-        new GraftWriteClient(rel.table).evolveSchema(fields)
+        new GraftWriteClient(rel.table, rel.writeConfig).evolveSchema(fields)
         GraftSqlUtils.refreshCatalogSchema(spark, nameParts, rel.table)
         Seq.empty
     }
@@ -208,7 +208,7 @@ case class GraftRenameColumnCommand(r: RenameColumn) extends LeafRunnableCommand
       case Some(rel) =>
         require(r.column.name.size == 1,
           s"only top-level columns can be renamed: ${r.column.name.mkString(".")}")
-        new GraftWriteClient(rel.table).renameColumn(r.column.name.head, r.newName)
+        new GraftWriteClient(rel.table, rel.writeConfig).renameColumn(r.column.name.head, r.newName)
         GraftSqlUtils.refreshCatalogSchema(spark, nameParts, rel.table)
         Seq.empty
     }
@@ -228,7 +228,7 @@ case class GraftAlterColumnsCommand(a: AlterColumns) extends LeafRunnableCommand
     GraftSqlUtils.graftRelationOf(spark, nameParts) match {
       case None => Shims.ofRows(spark, a).collect().toSeq // not ours
       case Some(rel) =>
-        val w = new GraftWriteClient(rel.table)
+        val w = new GraftWriteClient(rel.table, rel.writeConfig)
         a.specs.foreach { spec =>
           require(spec.column.name.size == 1,
             s"only top-level columns can be altered: ${spec.column.name.mkString(".")}")
@@ -256,7 +256,7 @@ case class GraftTruncateCommand(t: TruncateTable) extends LeafRunnableCommand {
       case Some(rel) =>
         val parts = rel.table.view.partitions
         if (parts.nonEmpty)
-          new GraftWriteClient(rel.table).deletePartitions(parts)
+          new GraftWriteClient(rel.table, rel.writeConfig).deletePartitions(parts)
         try spark.catalog.refreshTable(nameParts.mkString("."))
         catch { case _: Exception => () }
         Seq.empty
@@ -370,7 +370,7 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
       .withColumn(DelCol, col(OpCol) === "d")
       .drop(OpCol)
 
-    new GraftWriteClient(rel.table).mergeWrite(result, DelCol)
+    new GraftWriteClient(rel.table, rel.writeConfig).mergeWrite(result, DelCol)
     Seq.empty
   }
 }

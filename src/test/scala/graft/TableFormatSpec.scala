@@ -1214,6 +1214,33 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("SQL DML honors writer options from the catalog entry (global index)") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.limit(100).write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("index.global", "true")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS gidx_tab")
+    sparkExt.sql(s"CREATE TABLE gidx_tab USING graft " +
+      s"OPTIONS (path '$path', `index.global` 'true')")
+
+    // UPDATE that changes the partition value must MOVE the record
+    // (global index); a default-config writer would duplicate it instead
+    sparkExt.sql(
+      "UPDATE gidx_tab SET o_orderpriority = '9-MOVED' WHERE o_orderkey = 1")
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM gidx_tab WHERE o_orderkey = 1").head.getLong(0) === 1)
+    assert(sparkExt.sql(
+      "SELECT o_orderpriority FROM gidx_tab WHERE o_orderkey = 1")
+      .head.getString(0) === "9-MOVED")
+    assert(sparkExt.table("gidx_tab").count() === 100)
+    sparkExt.sql("DROP TABLE IF EXISTS gidx_tab")
+  }
+
   test("incremental reads spanning archived commits fall back to a snapshot band") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
