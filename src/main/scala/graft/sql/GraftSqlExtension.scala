@@ -92,6 +92,14 @@ private[sql] object GraftSqlUtils {
     }.getOrElse(sys.error(
       "MERGE/UPDATE/DELETE target must be a graft table " +
         "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
+    // DML reads the target and writes the result back: through a
+    // read-optimized or incremental entry it would read STALE/partial
+    // rows and commit them as current (resurrecting pre-compaction
+    // values). Only snapshot relations are writable.
+    val qt = rel.parameters.getOrElse("query.type", "snapshot")
+    require(qt == "snapshot",
+      s"MERGE/UPDATE/DELETE requires a snapshot relation; this table entry " +
+        s"reads as '$qt' — run DML against the snapshot table instead")
     (rel, df)
   }
 
@@ -165,8 +173,12 @@ case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
     val filtered = update.condition.map(c => df.filter(Shims.column(c))).getOrElse(df)
     val assigns: Map[String, Column] = update.assignments.map(a =>
       GraftSqlUtils.keyName(a.key).toLowerCase -> Shims.column(a.value)).toMap
+    // assignments cast to the target column's type, as SQL UPDATE
+    // semantics require (a bare 7.5 parses as DECIMAL(2,1))
     val updated = filtered.select(filtered.columns.toSeq.map(c =>
-      assigns.getOrElse(c.toLowerCase, col(c)).as(c)): _*)
+      assigns.get(c.toLowerCase)
+        .map(_.cast(filtered.schema(c).dataType))
+        .getOrElse(col(c)).as(c)): _*)
     new GraftWriteClient(rel.table, rel.writeConfig).upsert(updated)
     Seq.empty
   }
@@ -301,6 +313,10 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
     }.getOrElse(sys.error(
       "MERGE INTO target must be a graft table " +
         "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
+    val qt = rel.parameters.getOrElse("query.type", "snapshot")
+    require(qt == "snapshot",
+      s"MERGE/UPDATE/DELETE requires a snapshot relation; this table entry " +
+        s"reads as '$qt' — run DML against the snapshot table instead")
 
     val tAttrs = joinNode.left.output.filterNot(_.name == TMark)
     val sAttrs = joinNode.right.output.filterNot(_.name == SMark)

@@ -1214,6 +1214,30 @@ class TableFormatSpec extends AnyFunSuite {
     assert(orders.exceptAll(snap).count() === 0)
   }
 
+  test("DML against a read-optimized catalog entry is rejected") {
+    import graft.utilities.CatalogSync
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(50))
+    w.upsert(orders.limit(10).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    spark.sql("DROP TABLE IF EXISTS dmlro_tab")
+    spark.sql("DROP TABLE IF EXISTS dmlro_tab_ro")
+    CatalogSync.sync(spark, path, "dmlro_tab")
+    // writing through the stale read-optimized view would resurrect
+    // pre-compaction values; it must fail loudly
+    val e = intercept[Exception] {
+      spark.sql("UPDATE dmlro_tab_ro SET o_totalprice = 0 WHERE o_orderkey = 1")
+    }
+    assert(e.getMessage.contains("snapshot"))
+    // the snapshot entry stays writable
+    spark.sql("UPDATE dmlro_tab SET o_totalprice = 7.5 WHERE o_orderkey = 1")
+    assert(spark.sql("SELECT o_totalprice FROM dmlro_tab WHERE o_orderkey = 1")
+      .head.getDouble(0) === 7.5)
+    spark.sql("DROP TABLE IF EXISTS dmlro_tab")
+    spark.sql("DROP TABLE IF EXISTS dmlro_tab_ro")
+  }
+
   test("SQL DML honors writer options from the catalog entry (global index)") {
     val sparkExt = spark
     val path = tmp() + "/t"
