@@ -201,8 +201,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       current.get((s.partition, s.fileId)) match {
         case None => true
         case Some(cur) =>
-          cur.base.map(_.fileName) != s.base.map(_.fileName) ||
-            (deltasToo && cur.deltas.map(_.fileName) != s.deltas.map(_.fileName))
+          cur.base.map(_.fileName) != s.base.map(_.fileName) || {
+            val curDeltas = cur.deltas.map(_.fileName)
+            if (deltasToo) curDeltas != s.deltas.map(_.fileName)
+            // compaction tolerates NEW deltas layering above the plan,
+            // but every planned input must still exist — a rolled-back
+            // delta makes the plan unexecutable, so discard it
+            else !s.deltas.map(_.fileName).toSet.subsetOf(curDeltas.toSet)
+          }
       }
     }
   }
@@ -376,7 +382,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
       }
     }
-    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
+    // overwrite: a retry at the plan's fixed timestamp may find final
+    // files from a crashed prior attempt — unreferenced by any commit
+    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
     GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
     out.toSeq
   }
@@ -553,7 +561,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
             isDelta = false, stats.minKey, stats.maxKey)
         }
     }
-    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq)
+    // overwrite: deterministic fileIds (plan ts + seq) make a retry hit
+    // the same destinations a crashed prior attempt already moved
+    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
     GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
     out.toSeq
   }
@@ -618,6 +628,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   // (ref: rollback/ action executors; AbstractHoodieWriteClient.java:504-627)
   // =====================================================================
 
+  /** Discard pending compaction/clustering plans that reference any of
+    * the `deleted` data files (`partition/fileName` form) — they can
+    * never execute once their inputs are gone. The reference instead
+    * refuses rollback while a compaction is pending; discarding is
+    * equivalent and also releases the file groups the plan had claimed,
+    * so scheduleCompaction can re-plan them against the post-rollback
+    * state.
+    */
+  private def discardPlansReferencing(deleted: Set[String]): Unit = {
+    def refs(ss: Seq[FileSlice]): Boolean =
+      ss.exists(s => (s.base.toSeq ++ s.deltas)
+        .exists(f => deleted.contains(s"${s.partition}/${f.fileName}")))
+    (pendingCompactionPlans.filter(p => refs(p.slices))
+        .map(p => GraftInstant(p.instant, GraftAction.Compaction, GraftState.Requested)) ++
+      pendingClusteringPlans.filter(p => refs(p.slices))
+        .map(p => GraftInstant(p.instant, GraftAction.Clustering, GraftState.Requested)))
+      .foreach(table.timeline.deleteInstant) // sweeps all state files
+  }
+
   /** Undo one instant: physically delete the files it added and remove it
     * from the timeline. Only the latest data instant (or a pending one)
     * can be rolled back.
@@ -639,6 +668,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
         // the commit's bloom sidecar dies with its files
         table.storage.delete(table.storage.bloomSidecar(instantTs), recursive = true)
+        // pending service plans whose inputs just vanished are dead
+        discardPlansReferencing(deleted.toSet)
       case _ => // pending instant: wipe staging only
         table.storage.delete(
           new Path(table.storage.tempDir, instantTs), recursive = true)

@@ -617,13 +617,17 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val renames =
       if (phys == newName) tcfg.columnRenames - phys
       else tcfg.columnRenames + (phys -> newName)
-    table.updateConfig(tcfg.copy(columnRenames = renames))
+    // Timeline first, config second: the timeline is the source of truth
+    // for DDL ordering, so a failure between the two steps leaves a
+    // commit without an applied rename (harmless; re-run the ALTER) —
+    // never a live rename that no commit records.
     val instant = begin(
       if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
     commit(instant, GraftCommitMetadata(
       instant = instant.ts, action = instant.action,
       operation = "alter_rename_column", schemaJson = stored.json,
       extra = Map("renamed_from" -> oldName, "renamed_to" -> newName)))
+    table.updateConfig(tcfg.copy(columnRenames = renames))
     instant.ts
   }
 
@@ -1335,13 +1339,22 @@ object GraftWriteClient {
     * (the instant is still inflight at this point, so a partial publish
     * is invisible to readers and cleaned by rollback).
     */
+  /** `overwrite` tolerates an existing destination by deleting it first —
+    * ONLY for service publishes retrying at a fixed plan timestamp, where
+    * a leftover `${fileId}_${planTs}.parquet` from a crashed prior
+    * attempt is referenced by no commit (the plan completes only after
+    * every rename). Data-commit publishes keep the strict mode: an
+    * existing destination there is a real invariant violation.
+    */
   def executeRenames(
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.core.GraftStorage,
-      pairs: Seq[(Path, Path)]): Unit = {
+      pairs: Seq[(Path, Path)],
+      overwrite: Boolean = false): Unit = {
     if (pairs.isEmpty) return
     if (pairs.size <= ParallelRenameThreshold) {
       pairs.foreach { case (src, dst) =>
+        if (overwrite && storage.exists(dst)) storage.delete(dst)
         require(storage.rename(src, dst), s"rename failed: $src -> $dst")
       }
     } else {
@@ -1354,6 +1367,7 @@ object GraftWriteClient {
         val fs = dst.getFileSystem(conf.value)
         val parent = dst.getParent
         if (parent != null && !fs.exists(parent)) fs.mkdirs(parent)
+        if (overwrite && fs.exists(dst)) fs.delete(dst, false)
         if (!fs.rename(src, dst))
           throw new java.io.IOException(s"rename failed: $s -> $d")
       }

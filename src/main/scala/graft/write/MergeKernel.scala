@@ -34,8 +34,21 @@ private[graft] object MergeKernel {
     */
   val TombBarrier = "_g_tomb_barrier"
 
+  /** Engine bookkeeping columns that may ride through a merge frame.
+    * Matched EXACTLY — a user data column that merely starts with "_g"
+    * (say `_growth`) must still participate in the
+    * overwrite_non_defaults field fold.
+    */
+  private val internalCols: Set[String] = Set(
+    TombBarrier, "_g_cum_tomb", "_g_group",
+    GraftWriteClient.ColKey, GraftWriteClient.ColPart,
+    GraftWriteClient.ColIdxPart, GraftWriteClient.ColTargetFile,
+    GraftWriteClient.ColRank, GraftWriteClient.ColHashFrac,
+    GraftWriteClient.ColDeleteFlag,
+    GraftWriteClient.StagePartCol, GraftWriteClient.StageFileCol)
+
   private def isDataCol(c: String): Boolean =
-    !MetaColumns.AllWithDeleted.contains(c) && !c.startsWith("_g")
+    !MetaColumns.AllWithDeleted.contains(c) && !internalCols.contains(c)
 
   /** Collapse multiple versions of each key to one row. `partCols`
     * clusters versions of one key; `order` ranks them NEWEST FIRST.

@@ -1410,6 +1410,78 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("rollback discards pending plans that reference the rolled-back files") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    w.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    val lastTs = w.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    val svc = new TableServices(t, wc)
+    svc.scheduleCompaction().get
+    // rolling back the latest delta commit deletes a file the plan reads;
+    // the plan must die with it instead of wedging on a missing input
+    svc.rollback(lastTs)
+    assert(!t.timeline.pending.exists(_.action == GraftAction.Compaction))
+    // the groups are no longer claimed: a fresh plan sees the remaining
+    // delta and executes cleanly
+    val p2 = svc.scheduleCompaction().get
+    assert(svc.executeCompaction(p2).contains(p2))
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice")))
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+  }
+
+  test("compaction publish retries over leftovers of a crashed prior attempt") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    w.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    val svc = new TableServices(t, wc)
+    val planTs = svc.scheduleCompaction().get
+    // a prior execute crashed after publishing: final files at the plan's
+    // fixed timestamp exist but no commit references them
+    val s = svc.pendingCompactionPlans.head.slices.head
+    t.storage.overwrite(
+      t.storage.dataFilePath(s.partition, s"${s.fileId}_$planTs.parquet"), "junk")
+    // the retry must overwrite the orphan, not wedge on the rename
+    assert(svc.executeCompaction(planTs).contains(planTs))
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice")))
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+  }
+
+  test("overwrite_non_defaults treats a user column starting with _g as data") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path,
+      cowConfig.copy(payloadClass = "overwrite_non_defaults"))
+    val w = new GraftWriteClient(t, wc)
+    val src = orders.withColumn("_growth", col("o_totalprice") * lit(0.1))
+    w.bulkInsert(src)
+    // an update carrying a null _growth must fall back to the stored
+    // value — the column is user data despite its engine-ish name
+    w.upsert(src.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("_growth", lit(null).cast("double"))
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.filter(col("_growth").isNull).count() === 0)
+    val expect = src.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+        .otherwise(col("o_totalprice")))
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+  }
+
   test("compaction schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
