@@ -15,7 +15,7 @@ object Bench {
     "q_events_daily", "q_events_latest", "q_events_sessions",
     "tf_upsert", "tf_delete", "tf_mor_snapshot", "tf_mor_compact",
     "doc_text_stats", "doc_dedup_exact", "doc_minhash_pairs",
-    "emb_topk_cosine", "emb_ann_topk", "emb_ann_prebucketed")
+    "emb_topk_cosine", "emb_ann_topk", "emb_ann_prebucketed", "emb_ivf_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

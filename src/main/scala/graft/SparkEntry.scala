@@ -828,6 +828,29 @@ object SparkEntry {
         .select("vec_id")
     }),
 
+    // IVF coarse-quantizer ANN — the second scale path next to LSH:
+    // deterministic centroid seeds (16 smallest vec_ids), one Lloyd
+    // refinement pass (the real distributed k-means step), probe the 2
+    // nearest cells, exact-rank inside them. Same planted-copies
+    // contract as emb_ann_topk: the 60 exact copies of the query vector
+    // land in the query's own cell under ANY centroids, so the result
+    // must equal the exact brute-force top-50 the oracle computes.
+    "emb_ivf_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val minId = emb.agg(min("vec_id")).head.getLong(0)
+      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      val qf = qRow.getSeq[Float](0)
+      val q = qf.map(_.toDouble).toSeq
+      val copies = s.range(60).select(
+        (col("id") + lit(1000000L)).as("vec_id"),
+        typedLit(qf).as("embedding"))
+      val aug = emb.select("vec_id", "embedding").unionByName(copies)
+      val seeds = Similarity.seedCentroids(emb, "embedding", "vec_id", 16)
+      val centroids = Similarity.lloydRefine(emb, "embedding", seeds, iters = 1)
+      Similarity.ivfTopK(aug, "embedding", "vec_id", q, 50, centroids, nProbe = 2)
+        .select("vec_id")
+    }),
+
     "emb_near_dups" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val copies = emb.filter(col("vec_id") % 25 === 0)
@@ -1208,6 +1231,19 @@ object SparkEntry {
     // identical result contract to emb_ann_topk: the stored-bucket path
     // must return exactly what the exact brute-force ranking returns
     "emb_ann_prebucketed" ->
+      """WITH q AS (SELECT embedding AS qv FROM embeddings
+        |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
+        |aug AS (SELECT vec_id, embedding FROM embeddings
+        |        UNION ALL
+        |        SELECT 1000000 + i AS vec_id, (SELECT qv FROM q) AS embedding
+        |        FROM range(60) r(i))
+        |SELECT vec_id FROM aug, q
+        |ORDER BY list_cosine_similarity(embedding, qv) DESC, vec_id
+        |LIMIT 50""".stripMargin,
+
+    // same exact-top-50 contract: the IVF probe set must surface every
+    // planted copy, so the approximate path has to match the exact rank
+    "emb_ivf_topk" ->
       """WITH q AS (SELECT embedding AS qv FROM embeddings
         |           WHERE vec_id = (SELECT min(vec_id) FROM embeddings)),
         |aug AS (SELECT vec_id, embedding FROM embeddings

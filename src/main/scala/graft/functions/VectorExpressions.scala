@@ -54,6 +54,20 @@ object VectorExpressions {
   def planeMatrix(numPlanes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(numPlanes, dim)(planeComponent)
 
+  /** Centroids scaled by their inverse norms — the single source of the
+    * IVF scoring matrix, shared by [[IvfCellExpr]] (executors) and
+    * `Similarity.ivfCellOf` (driver) so cell assignment is bit-for-bit
+    * identical on both sides.
+    */
+  def scaledCentroids(centroids: Seq[Seq[Double]]): Array[Array[Double]] =
+    centroids.map { c =>
+      val a = c.toArray
+      var s = 0.0; var d = 0
+      while (d < a.length) { s += a(d) * a(d); d += 1 }
+      val inv = 1.0 / math.max(math.sqrt(s), 1e-12)
+      a.map(_ * inv)
+    }.toArray
+
   private[functions] def isFloatArray(dt: DataType): Boolean = dt match {
     case ArrayType(FloatType, _) => true
     case _ => false
@@ -160,6 +174,91 @@ case class LshBucketExpr(child: Expression, numPlanes: Int, dim: Int)
       |    if ($proj > 0.0) $bucket += (1L << $p);
       |  }
       |  ${ev.value} = $bucket;
+      |}
+      |""".stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IVF coarse-quantizer cell of a vector column: the index of the
+  * centroid with the largest cosine similarity (ties go to the lowest
+  * index). Since the row vector's own norm is a common factor across
+  * centroids, the argmax needs only dot(a, c_k) / |c_k| — the inverse
+  * centroid norms are folded in driver-side, and the generated code is
+  * one K×dim multiply-add loop over a referenced constant matrix, fully
+  * inside whole-stage codegen. Must stay bit-for-bit identical to the
+  * driver-side twin `Similarity.ivfCellOf` (same accumulation order),
+  * so cells stored at ingest and query-time probe cells never diverge.
+  */
+case class IvfCellExpr(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = true
+  override def prettyName: String = "ivf_cell"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    VectorExpressions.checkVectorType(child.dataType, "its input", prettyName)
+
+  private def dim: Int = centroids.head.size
+
+  /** Centroids scaled by their inverse norms — argmax of the plain dot
+    * product against these equals argmax of cosine.
+    */
+  @transient private lazy val mat: Array[Array[Double]] =
+    VectorExpressions.scaledCentroids(centroids)
+  @transient private lazy val isFloat =
+    VectorExpressions.isFloatArray(child.dataType)
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (!VectorExpressions.readable(arr, dim)) return null
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var k = 0
+    while (k < mat.length) {
+      val row = mat(k)
+      var dot = 0.0
+      var d = 0
+      while (d < dim) {
+        val x = if (isFloat) arr.getFloat(d).toDouble else arr.getDouble(d)
+        dot += x * row(d)
+        d += 1
+      }
+      if (dot > bestScore) { bestScore = dot; best = k }
+      k += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val matRef = ctx.addReferenceObj("ivfCentroids", mat, "double[][]")
+    val getter = if (isFloat) "getFloat" else "getDouble"
+    val best = ctx.freshName("best")
+    val bestScore = ctx.freshName("bestScore")
+    val dot = ctx.freshName("dot")
+    val row = ctx.freshName("row")
+    val ok = ctx.freshName("ok")
+    val k = ctx.freshName("k")
+    val d = ctx.freshName("d")
+    nullSafeCodeGen(ctx, ev, arr => s"""
+      |${VectorExpressions.genReadable(ctx, arr, dim.toString, ok)}
+      |if (!$ok) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  int $best = 0;
+      |  double $bestScore = Double.NEGATIVE_INFINITY;
+      |  for (int $k = 0; $k < ${mat.length}; $k++) {
+      |    double $dot = 0.0;
+      |    double[] $row = $matRef[$k];
+      |    for (int $d = 0; $d < $dim; $d++) {
+      |      $dot += ((double) $arr.$getter($d)) * $row[$d];
+      |    }
+      |    if ($dot > $bestScore) { $bestScore = $dot; $best = $k; }
+      |  }
+      |  ${ev.value} = $best;
       |}
       |""".stripMargin)
   }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Shims
 
-import graft.functions.{CosineColsExpr, CosineConstExpr, LshBucketExpr, VectorExpressions}
+import graft.functions.{CosineColsExpr, CosineConstExpr, IvfCellExpr, LshBucketExpr, VectorExpressions}
 
 /** Similarity search over an embedding column (`array<float>`):
   * brute-force cosine top-k as the exact baseline, and an LSH-bucketed
@@ -133,6 +133,140 @@ object Similarity {
       query: Seq[Double], k: Int, numPlanes: Int = 8): DataFrame = {
     val probes = probeBuckets(query, numPlanes)
     df.filter(col(bucketCol).isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  // ---------------- IVF (coarse-quantizer) ANN ----------------
+  // The second scale path next to hyperplane LSH: partition the corpus
+  // into K cells around centroid vectors, probe only the nProbe cells
+  // nearest the query, exact-rank within them. Per-query cost is
+  // O(probed cells), and like the LSH bucket the cell id can be
+  // materialized as a storage partition column so pruning happens at the
+  // file-manifest level. Centroid seeding is DETERMINISTIC (a fixed set
+  // of corpus vectors) so the same pipeline is reproducible across
+  // engines and retries; [[lloydRefine]] is the standard k-means
+  // refinement for production recall (ref pattern: the reference's
+  // bloom-index range pruning — prune candidates on stored coarse
+  // structure, verify exactly; SparkHoodieBloomIndex.java:110-140).
+
+  /** Deterministic centroid seeds: the embeddings of the `k` smallest
+    * `idCol` values. At 100 TB this is a k-row TakeOrdered, not a scan
+    * collect; production quality comes from [[lloydRefine]] afterwards.
+    */
+  def seedCentroids(
+      df: DataFrame, vecCol: String, idCol: String, k: Int): Seq[Seq[Double]] =
+    df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+      .collect().toSeq
+      .map(_.getSeq[Any](1).map {
+        case f: Float  => f.toDouble
+        case d: Double => d
+      }.toSeq)
+
+  /** Standard Lloyd iterations over the corpus: assign every vector to
+    * its cell, recompute each cell's mean per dimension. Fully
+    * distributed (posexplode + groupBy — two shuffles per iteration over
+    * (cell, dim) keys, result is K×dim rows collected to the driver);
+    * a cell that loses all members keeps its previous centroid.
+    */
+  def lloydRefine(
+      df: DataFrame, vecCol: String,
+      centroids: Seq[Seq[Double]], iters: Int = 2): Seq[Seq[Double]] = {
+    var cs = centroids
+    val dim = cs.head.size
+    for (_ <- 0 until iters) {
+      val means = df
+        .select(ivfCell(col(vecCol), cs).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+        .collect()
+        .groupBy(_.getInt(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+        }
+      cs = cs.indices.map(k => means.getOrElse(k, cs(k)))
+    }
+    cs
+  }
+
+  /** IVF cell of a vector column: argmax-cosine centroid index, computed
+    * by [[IvfCellExpr]] — one generated K×dim loop, ties to the lowest
+    * index, bit-for-bit identical to [[ivfCellOf]].
+    */
+  def ivfCell(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    Shims.column(IvfCellExpr(Shims.expression(vec), centroids))
+
+  /** Driver-side twin of [[ivfCell]] for constant vectors. */
+  def ivfCellOf(v: Seq[Double], centroids: Seq[Seq[Double]]): Int = {
+    val mat = VectorExpressions.scaledCentroids(centroids)
+    var best = 0
+    var bestScore = Double.NegativeInfinity
+    var k = 0
+    while (k < mat.length) {
+      val row = mat(k)
+      var dot = 0.0
+      var d = 0
+      while (d < row.length) { dot += v(d) * row(d); d += 1 }
+      if (dot > bestScore) { bestScore = dot; best = k }
+      k += 1
+    }
+    best
+  }
+
+  /** The `nProbe` cells nearest the query, best first (ties to the
+    * lowest index) — pure driver arithmetic, same scoring as the stored
+    * cells. Exposed so callers can prune storage on the values.
+    */
+  def ivfProbeCells(
+      query: Seq[Double], centroids: Seq[Seq[Double]], nProbe: Int): Seq[Int] = {
+    val mat = VectorExpressions.scaledCentroids(centroids)
+    mat.indices
+      .map { k =>
+        val row = mat(k)
+        var dot = 0.0
+        var d = 0
+        while (d < row.length) { dot += query(d) * row(d); d += 1 }
+        (k, dot)
+      }
+      .sortBy { case (k, s) => (-s, k) }
+      .take(nProbe).map(_._1)
+  }
+
+  /** Materialize the IVF cell as a real column — written as a partition
+    * or cluster column at ingest, it prunes queries on storage layout
+    * exactly like [[withLshBucket]].
+    */
+  def withIvfCell(
+      df: DataFrame, vecCol: String, centroids: Seq[Seq[Double]],
+      cellCol: String = "ivf_cell"): DataFrame =
+    df.withColumn(cellCol, ivfCell(col(vecCol), centroids))
+
+  /** IVF ANN top-k: restrict the exact cosine scan to the `nProbe`
+    * nearest cells, computed inline. At scale, store the cell with
+    * [[withIvfCell]] and query through [[ivfTopKPrestored]].
+    */
+  def ivfTopK(
+      df: DataFrame, vecCol: String, idCol: String,
+      query: Seq[Double], k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    val probes = ivfProbeCells(query, centroids, nProbe)
+    df.filter(ivfCell(col(vecCol), centroids).isin(probes: _*))
+      .select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
+      .orderBy(col("sim").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** IVF ANN over a corpus whose cell column is already stored: the scan
+    * filters on the stored value (pushed down / pruned on layout) and
+    * never recomputes assignments at query time.
+    */
+  def ivfTopKPrestored(
+      df: DataFrame, vecCol: String, idCol: String, cellCol: String,
+      query: Seq[Double], k: Int,
+      centroids: Seq[Seq[Double]], nProbe: Int = 2): DataFrame = {
+    val probes = ivfProbeCells(query, centroids, nProbe)
+    df.filter(col(cellCol).isin(probes: _*))
       .select(col(idCol), cosineToQuery(col(vecCol), query).as("sim"))
       .orderBy(col("sim").desc, col(idCol))
       .limit(k)

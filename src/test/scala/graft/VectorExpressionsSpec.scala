@@ -129,6 +129,26 @@ class VectorExpressionsSpec extends AnyFunSuite {
       }
     }
 
+    test(s"ivf_cell matches the driver-side twin; null gates hold [$mode]") {
+      withCodegen(codegen) {
+        val centroids = Seq(101, 102, 103, 104).map(s => vec(s).map(_.toDouble))
+        val got = corpus
+          .select($"id", Similarity.ivfCell($"v", centroids).as("c"))
+          .orderBy("id").collect().map(_.getInt(1))
+        val want = (0 until 50).map(i =>
+          Similarity.ivfCellOf(vec(i).map(_.toDouble), centroids))
+        assert(got.toSeq === want)
+        val rows = Seq(
+          (1L, Some(vec(1).map(Option(_)))),
+          (2L, Some(vec(2).take(dim - 1).map(Option(_)))),
+          (3L, None)).toDF("id", "v")
+        val nn = rows
+          .select($"id", Similarity.ivfCell($"v", centroids).as("c"))
+          .orderBy("id").collect()
+        assert(!nn(0).isNullAt(1) && nn(1).isNullAt(1) && nn(2).isNullAt(1))
+      }
+    }
+
     test(s"null semantics: short / null-element / null vectors yield NULL [$mode]") {
       withCodegen(codegen) {
         val rows = Seq(
@@ -158,6 +178,31 @@ class VectorExpressionsSpec extends AnyFunSuite {
       df.select(Similarity.lshBucket($"v", numPlanes, dim)).collect()
     }
     assert(e.getMessage.toLowerCase.contains("array"))
+  }
+
+  test("ivf topk: planted copies are exact top-k under seeded and refined centroids") {
+    val qv = vec(7)
+    val copies = (0 until 8).map(i => (1000L + i, qv)).toDF("id", "v")
+    val aug = corpus.union(copies)
+    val q = qv.map(_.toDouble)
+    val seeds = Similarity.seedCentroids(corpus, "v", "id", 5)
+    val refined = Similarity.lloydRefine(corpus, "v", seeds, iters = 2)
+    assert(refined.size === seeds.size && refined.head.size === dim)
+    // 9 rows carry cosine exactly 1.0 (id 7 + the 8 copies), and exact
+    // copies share the query's cell under ANY centroid set, so both the
+    // inline and the prestored IVF paths must equal the exact ranking
+    val want = Similarity.bruteForceTopK(aug, "v", "id", q, 9)
+      .select("id").collect().map(_.getLong(0)).toSeq
+    for (cs <- Seq(seeds, refined)) {
+      val got = Similarity.ivfTopK(aug, "v", "id", q, 9, cs, nProbe = 2)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got === want)
+      val stored = Similarity.withIvfCell(aug, "v", cs)
+      val got2 = Similarity
+        .ivfTopKPrestored(stored, "v", "id", "ivf_cell", q, 9, cs, nProbe = 2)
+        .select("id").collect().map(_.getLong(0)).toSeq
+      assert(got2 === want)
+    }
   }
 
   test("ann plan: bucket filter + cosine stay inside WholeStageCodegen") {
