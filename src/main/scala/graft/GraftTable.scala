@@ -101,7 +101,15 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     * Delta-style checkpoint written at archive time so that view
     * construction stays O(active timeline), not O(table history).
     */
-  def view: FileSystemView = {
+  def view: FileSystemView = viewAt(None)
+
+  /** The file-system view as of `maxTs` (inclusive) — commits newer than
+    * the cap are excluded. Used by archiving to checkpoint the state AT
+    * the archive boundary: a manifest must never reference files of
+    * still-active commits, or a later rollback of those commits would
+    * leave the manifest pointing at deleted files.
+    */
+  private[graft] def viewAt(maxTs: Option[String]): FileSystemView = {
     val manifests = storage
       .listNames(storage.archiveDir)
       .filter(_.endsWith(".manifest"))
@@ -125,9 +133,13 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     }
     val afterTs = manifests.lastOption.map(_.stripSuffix(".manifest")).getOrElse("")
     val active = timeline.completedData
-      .filter(_.ts > afterTs)
+      .filter(i => i.ts > afterTs && maxTs.forall(i.ts <= _))
       .map(i => (i, timeline.metadataOf(i)))
-    new FileSystemView(base ++ active)
+    val cappedBase = maxTs match {
+      case Some(cap) => base.filter(_._1.ts <= cap)
+      case None      => base
+    }
+    new FileSystemView(cappedBase ++ active)
   }
 
   def dataFilePaths(files: Seq[WriteFileInfo]): Seq[String] =

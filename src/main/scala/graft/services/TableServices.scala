@@ -750,6 +750,15 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     */
   def restore(instantTs: String): Unit = {
     val tl = table.timeline
+    // every commit above the target must still be on the active timeline
+    // — archived commits cannot be rolled back, so a silent partial
+    // restore would land on the archive boundary instead of the target
+    val lastArchived = table.storage.listNames(table.storage.archiveDir)
+      .filter(_.endsWith(".manifest")).sorted.lastOption
+      .map(_.stripSuffix(".manifest"))
+    require(lastArchived.forall(_ <= instantTs),
+      s"cannot restore to $instantTs: commits up to ${lastArchived.getOrElse("")} " +
+        "are archived and can no longer be rolled back")
     tl.completedData.filter(_.ts > instantTs).reverse.foreach(i => rollback(i.ts))
     val ts = InstantTimeGenerator.next()
     val i = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Restore))
@@ -768,15 +777,26 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val tl = table.timeline
     // savepoints stay on the active timeline — archiving one would lose
     // the cleaner's savepoint floor protection
+    val savepoints = tl.completed.filter(_.action == GraftAction.Savepoint).map(_.ts)
     val completed = tl.completed.filterNot(_.action == GraftAction.Savepoint)
     if (completed.size <= maxCommits) return None
+    // never archive past the OLDEST savepoint: restore(sp) must be able
+    // to roll back every commit above it, and rollback only works on the
+    // active timeline (the reference equivalently keeps instants beyond
+    // the earliest savepoint out of the archive candidates)
+    val spFloor = savepoints.minOption
     val toArchive = completed.dropRight(minCommits)
+      .filter(i => spFloor.forall(i.ts < _))
     if (toArchive.isEmpty) return None
 
-    // checkpoint the view BEFORE removing instants: all live files as a
-    // synthetic manifest (Delta-checkpoint pattern)
+    // checkpoint the view AT THE ARCHIVE BOUNDARY before removing
+    // instants (Delta-checkpoint pattern). The cap matters: files of
+    // still-active commits must not enter the manifest, or a later
+    // rollback of those commits would delete files the manifest still
+    // references.
     val archiveTs = toArchive.last.ts
-    val liveFiles = table.view.latestSlices(None).flatMap(s => s.base.toSeq ++ s.deltas)
+    val liveFiles = table.viewAt(Some(archiveTs)).latestSlices(None)
+      .flatMap(s => s.base.toSeq ++ s.deltas)
     val manifest = GraftCommitMetadata(
       instant = archiveTs, action = GraftAction.Commit, operation = "manifest",
       files = liveFiles,

@@ -1410,6 +1410,47 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("archive honors the savepoint floor; rollback/restore stay correct after archiving") {
+    def totalOf(t: GraftTable): Double = new GraftReadClient(t)
+      .snapshotData().agg(sum("o_totalprice")).head.getDouble(0)
+
+    // savepoint floor: nothing above the oldest savepoint is archived,
+    // so restore(sp) can still roll back every commit above it
+    val pa = tmp()
+    val ta = GraftTable.create(spark, pa, cowConfig)
+    val wa = new GraftWriteClient(ta, wc)
+    wa.bulkInsert(orders)
+    val svcA = new TableServices(ta, wc)
+    val spTs = ta.timeline.completedData.last.ts
+    svcA.savepoint(spTs)
+    val expected = totalOf(ta)
+    for (i <- 1 to 14)
+      wa.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    assert(svcA.archive(minCommits = 5, maxCommits = 10).isEmpty) // all above the savepoint
+    svcA.restore(spTs)
+    assert(math.abs(totalOf(ta) - expected) < 1e-6)
+
+    // manifest cap: the checkpoint written at archive time must not
+    // reference files of still-active commits, or rolling one back
+    // leaves the view pointing at deleted files
+    val pb = tmp()
+    val tb = GraftTable.create(spark, pb, cowConfig)
+    val wb = new GraftWriteClient(tb, wc)
+    wb.bulkInsert(orders)
+    for (i <- 1 to 14)
+      wb.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    val svcB = new TableServices(tb, wc)
+    assert(svcB.archive(minCommits = 5, maxCommits = 10).nonEmpty)
+    val want = totalOf(tb) - 50.0 // rolling back the +14 pass re-exposes +13
+    svcB.rollback(tb.timeline.completedData.last.ts)
+    assert(math.abs(totalOf(tb) - want) < 1e-6)
+
+    // a restore target below the archive boundary fails loudly instead
+    // of silently landing on the boundary state
+    val e = intercept[IllegalArgumentException] { svcB.restore("0") }
+    assert(e.getMessage.contains("archived"))
+  }
+
   test("rollback discards pending plans that reference the rolled-back files") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
