@@ -101,6 +101,15 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     * Delta-style checkpoint written at archive time so that view
     * construction stays O(active timeline), not O(table history).
     */
+  /** Timestamp of the newest archive checkpoint, if any. The manifest
+    * only carries the LATEST file version per group as of this boundary,
+    * so point-in-time reads below it are not reconstructible.
+    */
+  def archiveBoundary: Option[String] =
+    storage.listNames(storage.archiveDir)
+      .filter(_.endsWith(".manifest"))
+      .sorted.lastOption.map(_.stripSuffix(".manifest"))
+
   def view: FileSystemView = viewAt(None)
 
   /** The file-system view as of `maxTs` (inclusive) — commits newer than

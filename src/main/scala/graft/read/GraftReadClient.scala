@@ -58,9 +58,21 @@ final class GraftReadClient(val table: GraftTable) {
     * the rename map is applied once, as the frame leaves the read path
     * (see GraftTableConfig.columnRenames).
     */
+  /** Point-in-time reads below the archive checkpoint would silently
+    * miss every group rewritten before the boundary (the manifest keeps
+    * only the latest version per group) — fail loudly instead.
+    */
+  private def checkAsOf(asOf: Option[String]): Unit =
+    for (ts <- asOf; b <- table.archiveBoundary)
+      require(ts >= b,
+        s"time travel to $ts predates the archive checkpoint $b: older " +
+          s"file versions are not reconstructible; earliest supported instant is $b")
+
   private def snapshotFromSlices(
-      slices: Seq[FileSlice], asOf: Option[String]): DataFrame =
+      slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
+    checkAsOf(asOf)
     table.logicalize(physicalSnapshotFromSlices(slices, asOf))
+  }
 
   private def physicalSnapshotFromSlices(
       slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
@@ -139,6 +151,7 @@ final class GraftReadClient(val table: GraftTable) {
     * (ref: DataSourceOptions.scala QUERY_TYPE_READ_OPTIMIZED)
     */
   def readOptimized(asOf: Option[String] = None): DataFrame = {
+    checkAsOf(asOf)
     val paths = table.view.latestSlices(asOf)
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
@@ -160,7 +173,9 @@ final class GraftReadClient(val table: GraftTable) {
     // band over the snapshot is a correct fallback — same result set,
     // one full-snapshot scan instead of a touched-files scan (the
     // full-table-scan fallback the reference exposes for incremental
-    // reads that outrun the active timeline).
+    // reads that outrun the active timeline). An `end` below the archive
+    // checkpoint itself is rejected by the snapshot's asOf guard — that
+    // state is not reconstructible.
     val archivedInRange = table.timeline.archivedInstants.exists(i =>
       GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end)
     if (archivedInRange)

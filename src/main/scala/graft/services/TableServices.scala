@@ -753,9 +753,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     // every commit above the target must still be on the active timeline
     // — archived commits cannot be rolled back, so a silent partial
     // restore would land on the archive boundary instead of the target
-    val lastArchived = table.storage.listNames(table.storage.archiveDir)
-      .filter(_.endsWith(".manifest")).sorted.lastOption
-      .map(_.stripSuffix(".manifest"))
+    val lastArchived = table.archiveBoundary
     require(lastArchived.forall(_ <= instantTs),
       s"cannot restore to $instantTs: commits up to ${lastArchived.getOrElse("")} " +
         "are archived and can no longer be rolled back")

@@ -1449,6 +1449,17 @@ class TableFormatSpec extends AnyFunSuite {
     // of silently landing on the boundary state
     val e = intercept[IllegalArgumentException] { svcB.restore("0") }
     assert(e.getMessage.contains("archived"))
+
+    // time travel below the checkpoint is not reconstructible (groups
+    // rewritten before the boundary keep only their latest version in
+    // the manifest) — loud failure, not silently missing rows
+    val boundary = tb.archiveBoundary.get
+    val e2 = intercept[IllegalArgumentException] {
+      new GraftReadClient(tb).snapshotData(Some("0")).count()
+    }
+    assert(e2.getMessage.contains("archive checkpoint"))
+    // at or above the boundary, time travel still works
+    assert(new GraftReadClient(tb).snapshotData(Some(boundary)).count() === orders.count())
   }
 
   test("rollback discards pending plans that reference the rolled-back files") {
