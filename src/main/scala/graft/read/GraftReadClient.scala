@@ -242,8 +242,25 @@ final class GraftReadClient(val table: GraftTable) {
     * latest file is already in the scan.
     */
   def snapshotData(asOf: Option[String], keep: String => Boolean): DataFrame =
-    dataOnly(snapshotFromSlices(
-      table.view.latestSlices(asOf).filter(s => keep(s.partition)), asOf))
+    dataOnly(snapshot(asOf, keep))
+
+  /** Snapshot (meta columns included) restricted to partitions `keep`
+    * accepts — the manifest-level pruning entry used by the SQL relation
+    * when a query constrains every partition field.
+    */
+  def snapshot(asOf: Option[String], keep: String => Boolean): DataFrame =
+    snapshotFromSlices(
+      table.view.latestSlices(asOf).filter(s => keep(s.partition)), asOf)
+
+  /** Read-optimized view restricted to partitions `keep` accepts. */
+  def readOptimized(asOf: Option[String], keep: String => Boolean): DataFrame = {
+    checkAsOf(asOf)
+    val paths = table.view.latestSlices(asOf)
+      .filter(s => keep(s.partition))
+      .flatMap(s => s.base.map(f => basePath(s, f)))
+    table.logicalize(
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf)))
+  }
 
   /** Zero-row frame carrying the full stored schema so downstream column
     * references still resolve on an empty table.

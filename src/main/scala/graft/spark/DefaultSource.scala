@@ -255,7 +255,7 @@ class GraftRelation private (
       * must reach SQL DML writers too, not only the path-based API.
       */
     val parameters: Map[String, String],
-    mkDf: () => DataFrame,
+    mkDf: Option[Set[String]] => DataFrame,
     override val schema: StructType)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
@@ -273,7 +273,7 @@ class GraftRelation private (
     // relation — Spark's catalog caches resolved relations, and a write
     // between resolution and scan (SQL DML, INSERT INTO, a concurrent
     // writer) must be visible to the next query
-    val df = mkDf()
+    val df = mkDf(GraftRelation.partitionCandidates(table.config, filters))
     val filtered = filters.flatMap(GraftRelation.translateFilter)
       .foldLeft(df)((d, c) => d.filter(c))
     val projected = filtered.select(requiredColumns.toSeq.map(col): _*)
@@ -301,14 +301,16 @@ object GraftRelation {
     val includeMeta = parameters.get(IncludeMetaFields).map(_.toBoolean)
       .getOrElse(queryType == "incremental")
 
-    def mkDf(): DataFrame = {
+    def mkDf(partitions: Option[Set[String]]): DataFrame = {
       val read = new GraftReadClient(table)
+      val keep: String => Boolean = p => partitions.forall(_.contains(p))
       val df = queryType match {
         case "snapshot" =>
-          read.snapshot(parameters.get(AsOfInstant))
+          read.snapshot(parameters.get(AsOfInstant), keep)
         case "read_optimized" =>
-          read.readOptimized(parameters.get(AsOfInstant))
+          read.readOptimized(parameters.get(AsOfInstant), keep)
         case "incremental" =>
+          // partition pruning does not apply: the band is commit-based
           read.incremental(
             parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
         case other =>
@@ -333,9 +335,57 @@ object GraftRelation {
           graft.core.MetaColumns.IsDeleted
         table.logicalizeSchema(
           StructType(full.filterNot(f => dropped.contains(f.name))))
-      case None => mkDf().schema // empty table: zero-row plan, cheap
+      case None => mkDf(None).schema // empty table: zero-row plan, cheap
     }
-    new GraftRelation(sqlContext, table, parameters, () => mkDf(), schema)
+    new GraftRelation(sqlContext, table, parameters, mkDf, schema)
+  }
+
+  /** Manifest-level partition pruning for the SQL scan: when the query's
+    * pushed filters pin every partition source field with EqualTo /
+    * EqualNullSafe / In, render the candidate partition-path strings with
+    * the writer's exact rules (null/empty → 'default', composite fields
+    * joined by '/'). The result is a SUPERSET-sound prune — Spark
+    * re-applies every filter above the relation, so a None (no pruning)
+    * is always safe; timestamp-formatted fields and value types whose
+    * string rendering could diverge from Catalyst's cast are left
+    * unpruned. At scale this skips listing, footers, and tasks for every
+    * non-matching partition (the reference prunes the same way through
+    * HiveConf partition predicates).
+    */
+  def partitionCandidates(
+      cfg: GraftTableConfig, filters: Array[Filter]): Option[Set[String]] = {
+    if (cfg.partitionFields.isEmpty) return None
+    // single-field timestamp keygen formats the value — not mappable here
+    if (cfg.partitionTimestampFormat.isDefined && cfg.partitionFields.size == 1 &&
+      !cfg.partitionFields.head.contains(':')) return None
+
+    def render(v: Any): Option[String] = v match {
+      case null => Some("default")
+      case s: String => Some(if (s.isEmpty) "default" else s)
+      case _: Int | _: Long | _: Short | _: Byte | _: Boolean => Some(v.toString)
+      case _ => None // float/timestamp renderings can diverge — skip
+    }
+
+    val perField: Seq[Option[Seq[String]]] = cfg.partitionFields.map { spec =>
+      val parts = spec.split(':')
+      if (parts.length > 1 && parts(1) == "timestamp") None
+      else {
+        val f = parts(0)
+        filters.collectFirst {
+          case EqualTo(a, v) if a.equalsIgnoreCase(f)       => Seq(v)
+          case EqualNullSafe(a, v) if a.equalsIgnoreCase(f) => Seq(v)
+          case In(a, vs) if a.equalsIgnoreCase(f)           => vs.toSeq
+        }.flatMap { vs =>
+          val rendered = vs.map(render)
+          if (rendered.forall(_.isDefined)) Some(rendered.flatten) else None
+        }
+      }
+    }
+    if (perField.exists(_.isEmpty)) None
+    else Some(perField.map(_.get)
+      .foldLeft(Seq(""))((acc, vs) =>
+        for (a <- acc; v <- vs) yield if (a.isEmpty) v else a + "/" + v)
+      .toSet)
   }
 
   /** sources.Filter → Column; None = not pushable (Spark re-applies all

@@ -1410,6 +1410,40 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("SQL partition predicates prune at the manifest, not just the scan") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS prune_tab")
+    sparkExt.sql(s"CREATE TABLE prune_tab USING graft OPTIONS (path '$path')")
+    val expect = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    assert(expect > 0)
+
+    // physically remove every OTHER partition's data: if the relation
+    // listed them, the pruned query below would fail on missing paths —
+    // succeeding proves the file list never contained them
+    val t = GraftTable.load(spark, path)
+    t.view.latestSlices(None).filter(_.partition != "1-URGENT").foreach(s =>
+      (s.base.toSeq ++ s.deltas).foreach(f =>
+        t.storage.delete(t.storage.dataFilePath(s.partition, f.fileName))))
+
+    val pruned = sparkExt.sql(
+      "SELECT count(*) FROM prune_tab WHERE o_orderpriority = '1-URGENT'")
+    assert(pruned.head.getLong(0) === expect)
+    // multi-value IN over one partition still prunes
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM prune_tab WHERE o_orderpriority IN ('1-URGENT')")
+      .head.getLong(0) === expect)
+    // the unpruned scan DOES list the deleted partitions — and fails
+    intercept[Exception] { sparkExt.sql("SELECT count(*) FROM prune_tab").collect() }
+    sparkExt.sql("DROP TABLE IF EXISTS prune_tab")
+  }
+
   test("archive honors the savepoint floor; rollback/restore stay correct after archiving") {
     def totalOf(t: GraftTable): Double = new GraftReadClient(t)
       .snapshotData().agg(sum("o_totalprice")).head.getDouble(0)
