@@ -71,9 +71,12 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     * evolution columns are always correctly typed.
     */
   def storedDataSchema: Option[org.apache.spark.sql.types.StructType] = {
-    val active = timeline.completedData.lastOption
+    // newest data commit CARRYING a schema — metadata-only commits
+    // (delete_partition, truncate) legitimately have none, and must not
+    // make the table schemaless
+    val active = timeline.completedData.reverseIterator
       .map(i => timeline.metadataOf(i).schemaJson)
-      .filter(_.nonEmpty)
+      .find(_.nonEmpty)
     lazy val archived = storage
       .listNames(storage.archiveDir)
       .filter(_.endsWith(".manifest"))

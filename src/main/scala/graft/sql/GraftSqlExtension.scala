@@ -58,6 +58,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       case r: RenameColumn    => GraftRenameColumnCommand(r)
       case c: AlterColumns    => GraftAlterColumnsCommand(c)
       case t: TruncateTable   => GraftTruncateCommand(t)
+      case p: DropPartitions  => GraftDropPartitionsCommand(p)
       case other              => other
     }
 
@@ -269,6 +270,46 @@ case class GraftTruncateCommand(t: TruncateTable) extends LeafRunnableCommand {
         val parts = rel.table.view.partitions
         if (parts.nonEmpty)
           new GraftWriteClient(rel.table, rel.writeConfig).deletePartitions(parts)
+        try spark.catalog.refreshTable(nameParts.mkString("."))
+        catch { case _: Exception => () }
+        Seq.empty
+    }
+  }
+}
+
+/** ALTER TABLE t DROP PARTITION (p='v'[, ...]) on a graft table → a
+  * replace-commit hiding the partition's file groups, the SQL surface
+  * over deletePartitions. Every partition field must be pinned (graft
+  * partition paths are the rendered field values joined by '/'); the
+  * user supplies values as stored — for timestamp-keygen partitions
+  * that is the formatted bucket. Non-graft targets pass through.
+  * (ref: AlterHoodieTableDropPartitionCommand.scala)
+  */
+case class GraftDropPartitionsCommand(d: DropPartitions) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    val nameParts = GraftSqlUtils.tableNameOf(d.child)
+    GraftSqlUtils.graftRelationOf(spark, nameParts) match {
+      case None => Shims.ofRows(spark, d).collect().toSeq // not ours
+      case Some(rel) =>
+        val srcFields = rel.table.config.partitionSourceFields
+        require(srcFields.nonEmpty, "table is not partitioned")
+        val paths = d.parts.map {
+          case org.apache.spark.sql.catalyst.analysis.UnresolvedPartitionSpec(spec, _) =>
+            val norm = spec.map { case (k, v) => k.toLowerCase -> v }
+            require(norm.keySet == srcFields.map(_.toLowerCase).toSet,
+              s"DROP PARTITION must pin every partition field " +
+                s"(${srcFields.mkString(", ")}), got (${spec.keys.mkString(", ")})")
+            srcFields.map(f => Option(norm(f.toLowerCase))
+              .filter(_.nonEmpty).getOrElse("default")).mkString("/")
+          case other => sys.error(s"unsupported partition spec: $other")
+        }
+        val existing = rel.table.view.partitions.toSet
+        val missing = paths.filterNot(existing)
+        require(d.ifExists || missing.isEmpty,
+          s"partition(s) not found: ${missing.mkString(", ")}")
+        val present = paths.filter(existing)
+        if (present.nonEmpty)
+          new GraftWriteClient(rel.table, rel.writeConfig).deletePartitions(present)
         try spark.catalog.refreshTable(nameParts.mkString("."))
         catch { case _: Exception => () }
         Seq.empty

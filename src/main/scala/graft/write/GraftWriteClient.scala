@@ -190,7 +190,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     }
     commit(instant, GraftCommitMetadata(
       instant = instant.ts, action = instant.action, operation = "delete_partition",
-      replacedFileIds = replaced, extra = wc.commitExtra))
+      replacedFileIds = replaced, extra = wc.commitExtra,
+      // metadata-only commit: carry the schema forward so the table
+      // never reads as schemaless
+      schemaJson = table.storedDataSchema.map(_.json).getOrElse("")))
     instant.ts
   }
 

@@ -1410,6 +1410,36 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("SQL ALTER TABLE DROP PARTITION hides the partition under a replace-commit") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS droppart_tab")
+    sparkExt.sql(s"CREATE TABLE droppart_tab USING graft OPTIONS (path '$path')")
+    val before = orders.count()
+    val urgent = orders.filter(col("o_orderpriority") === "1-URGENT").count()
+    sparkExt.sql("ALTER TABLE droppart_tab DROP PARTITION (o_orderpriority = '1-URGENT')")
+    assert(sparkExt.sql("SELECT count(*) FROM droppart_tab").head.getLong(0) === before - urgent)
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM droppart_tab WHERE o_orderpriority = '1-URGENT'")
+      .head.getLong(0) === 0)
+    // files are hidden, not deleted: time travel still sees the partition
+    val t = GraftTable.load(spark, path)
+    val firstTs = t.timeline.completedData.head.ts
+    assert(new GraftReadClient(t).snapshotData(Some(firstTs)).count() === before)
+    // IF EXISTS tolerates unknown partitions; without it they're an error
+    sparkExt.sql("ALTER TABLE droppart_tab DROP IF EXISTS PARTITION (o_orderpriority = 'nope')")
+    intercept[Exception] {
+      sparkExt.sql("ALTER TABLE droppart_tab DROP PARTITION (o_orderpriority = 'nope')")
+    }
+    sparkExt.sql("DROP TABLE IF EXISTS droppart_tab")
+  }
+
   test("SQL partition predicates prune at the manifest, not just the scan") {
     val sparkExt = spark
     val path = tmp() + "/t"
