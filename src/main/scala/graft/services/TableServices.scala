@@ -398,10 +398,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       col(MetaColumns.CommitSeqno).desc)
   }
 
+  /** Newest commit schema — walks past metadata-only commits with no
+    * schemaJson (same rule as GraftTable.storedDataSchema).
+    */
   private def lastSchemaJson: String =
-    table.timeline.completedData.lastOption
-      .map(i => table.timeline.metadataOf(i).schemaJson)
-      .getOrElse("")
+    table.storedDataSchema.map(_.json).getOrElse("")
 
   // =====================================================================
   // Clustering: sort-rewrite small file groups for locality, committed as
