@@ -1410,6 +1410,66 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("operation chain: upserts, deletes, services, savepoint and restore compose") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    val svc = new TableServices(t, wc)
+    val rc = new GraftReadClient(t)
+    def check(expect: DataFrame, clue: String): Unit = {
+      val snap = rc.snapshotData()
+      assert(snap.exceptAll(expect).count() === 0, s"$clue: extra rows")
+      assert(expect.exceptAll(snap).count() === 0, s"$clue: missing rows")
+    }
+
+    w.bulkInsert(orders)
+    w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    val m1 = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice")))
+    check(m1, "after upsert")
+    val spTs = t.timeline.completedData.last.ts
+    svc.savepoint(spTs)
+
+    w.delete(orders.filter(col("o_orderkey") % 10 === 1)
+      .select("o_orderkey", "o_orderpriority"))
+    val m2 = m1.filter(col("o_orderkey") % 10 =!= 1)
+    assert(svc.compact().nonEmpty)
+    check(m2, "after delete+compact")
+
+    w.upsert(orders.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    // incoming prices are computed from the ORIGINAL orders frame, so a
+    // key hit by both upserts ends at original+7, not original+12
+    val m3 = orders.filter(col("o_orderkey") % 10 =!= 1)
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 4 === 0, col("o_totalprice") + 7.0)
+          .when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 5.0)
+          .otherwise(col("o_totalprice")))
+    w.deletePartitions(Seq("1-URGENT"))
+    val m4 = m3.filter(col("o_orderpriority") =!= "1-URGENT")
+    svc.cluster()
+    // clean respects the savepoint floor — restore below must still work
+    svc.clean(retainCommits = 1)
+    check(m4, "after partition drop + cluster + clean")
+
+    // restore to the savepoint unwinds every later commit — including
+    // the compaction, the partition drop, and the clustering rewrite
+    svc.restore(spTs)
+    check(m1, "after restore")
+
+    // the table keeps working: write, compact, read
+    w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+    assert(svc.compact().nonEmpty)
+    val m5 = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 11.0)
+        .when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 5.0)
+        .otherwise(col("o_totalprice")))
+    check(m5, "after post-restore upsert + compact")
+  }
+
   test("SQL ALTER TABLE DROP PARTITION hides the partition under a replace-commit") {
     val sparkExt = spark
     val path = tmp() + "/t"
