@@ -762,6 +762,17 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // corpus-level vocabulary statistics: top-100 word bigrams — one
+    // map-side-combined hash aggregation over the exploded n-grams, then
+    // a k-row total ordering (TakeOrderedAndProject, no full sort)
+    "doc_top_ngrams" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      docs.select(explode(TextFunctions.wordNgrams(col("text"), 2)).as("ngram"))
+        .groupBy("ngram").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("ngram"))
+        .limit(100)
+    }),
+
     // ---------------- similarity search ----------------
 
     "emb_topk_cosine" -> ((s, dir) => {
@@ -1175,6 +1186,16 @@ object SparkEntry {
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
          |WHERE n > 1""".stripMargin,
+
+    // same normalization, 1-indexed list bigrams; the (cnt DESC, ngram)
+    // ordering makes the top-100 cut deterministic on both engines
+    "doc_top_ngrams" ->
+      s"""WITH toks AS (SELECT string_split($duckNorm, ' ') AS ts FROM documents),
+         |grams AS (SELECT unnest(list_transform(range(1, len(ts)),
+         |                 i -> ts[i] || ' ' || ts[i+1])) AS ngram
+         |          FROM toks WHERE len(ts) >= 2)
+         |SELECT ngram, count(*) AS cnt FROM grams
+         |GROUP BY ngram ORDER BY cnt DESC, ngram LIMIT 100""".stripMargin,
 
     // same md5-bucket membership function, recomputed independently
     "doc_sample_stratified" ->

@@ -27,6 +27,19 @@ object TextFunctions {
 
   def charCount(c: Column): Column = length(c)
 
+  /** Word n-grams over the normalized text, space-joined — the corpus
+    * vocabulary/statistics primitive (top-k n-grams, n-gram LM counts).
+    * Texts with fewer than `n` tokens yield an empty array. One pass
+    * over the token array; the heavy lifting (explode + count) happens
+    * in the caller's aggregation, which map-side combines.
+    */
+  def wordNgrams(c: Column, n: Int): Column = {
+    val toks = split(normText(c), " ")
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*)))
+  }
+
   /** BPE-style pretokenizer pattern (GPT-2 family), simplified to the
     * subset RE2 also supports (no lookahead): contraction suffixes,
     * space-prefixed letter runs, digit runs, punctuation runs, whitespace

@@ -205,6 +205,24 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("wordNgrams: normalization, short texts, and whitespace collapse") {
+    import graft.functions.TextFunctions
+    val rows = Seq(
+      (1L, "The quick  brown\tfox"), // mixed whitespace collapses
+      (2L, "solo"),                  // < n tokens -> empty
+      (3L, ""),                      // empty -> empty
+      (4L, "  A  a B  ")             // trim + lowercase
+    ).toDF("id", "text")
+    val got = rows
+      .select($"id", TextFunctions.wordNgrams($"text", 2).as("g"))
+      .orderBy("id").collect()
+      .map(r => r.getSeq[String](1).toList)
+    assert(got(0) === List("the quick", "quick brown", "brown fox"))
+    assert(got(1) === Nil)
+    assert(got(2) === Nil)
+    assert(got(3) === List("a a", "a b"))
+  }
+
   test("ann plan: bucket filter + cosine stay inside WholeStageCodegen") {
     val dir = java.nio.file.Files.createTempDirectory("graft_vec_").toString
     corpus.write.mode("overwrite").parquet(dir)
