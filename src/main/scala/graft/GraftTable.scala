@@ -151,7 +151,15 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       case Some(cap) => base.filter(_._1.ts <= cap)
       case None      => base
     }
-    new FileSystemView(cappedBase ++ active)
+    // Clean/rollback/restore deletions are physical: apply them to every
+    // view UNCAPPED by maxTs — a file deleted by a later clean must not be
+    // served by an as-of view or checkpointed into an archive manifest.
+    val physicallyDeleted: Set[String] = timeline.completed
+      .filter(i => i.action == GraftAction.Clean ||
+        i.action == GraftAction.Rollback || i.action == GraftAction.Restore)
+      .flatMap(i => timeline.metadataOf(i).deletedFiles)
+      .toSet
+    new FileSystemView(cappedBase ++ active, physicallyDeleted)
   }
 
   def dataFilePaths(files: Seq[WriteFileInfo]): Seq[String] =

@@ -23,9 +23,16 @@ final case class FileSlice(
   * within a commit, and broadcast-friendly.
   *
   * @param instantsWithMeta completed DATA instants (ascending) + metadata
+  * @param physicallyDeleted `partition/fileName` entries removed from
+  *        storage by clean/rollback/restore instants. Deletion is
+  *        physical and absolute, so these are filtered from EVERY view —
+  *        including as-of views older than the deleting instant (a
+  *        cleaned version can never be served again) and the archive
+  *        manifest checkpoint (which must not reference deleted files).
   */
 final class FileSystemView(
-    instantsWithMeta: Seq[(GraftInstant, GraftCommitMetadata)]) {
+    instantsWithMeta: Seq[(GraftInstant, GraftCommitMetadata)],
+    physicallyDeleted: Set[String] = Set.empty) {
 
   /** Latest file slice per live file group as of `asOf` (inclusive).
     * Replace-commits (insert_overwrite / delete_partition / clustering)
@@ -44,7 +51,7 @@ final class FileSystemView(
       }
     }
     val deleted: Set[String] =
-      visible.flatMap(_._2.deletedFiles).toSet
+      visible.flatMap(_._2.deletedFiles).toSet ++ physicallyDeleted
 
     val byGroup = scala.collection.mutable
       .LinkedHashMap[(String, String), scala.collection.mutable.ArrayBuffer[(String, WriteFileInfo)]]()
@@ -85,7 +92,8 @@ final class FileSystemView(
   def allFilesByGroup: Map[(String, String), Seq[(String, WriteFileInfo)]] = {
     val byGroup = scala.collection.mutable
       .LinkedHashMap[(String, String), scala.collection.mutable.ArrayBuffer[(String, WriteFileInfo)]]()
-    val deleted: Set[String] = instantsWithMeta.flatMap(_._2.deletedFiles).toSet
+    val deleted: Set[String] =
+      instantsWithMeta.flatMap(_._2.deletedFiles).toSet ++ physicallyDeleted
     instantsWithMeta.foreach { case (i, meta) =>
       meta.files.foreach { f =>
         if (!deleted.contains(s"${f.partition}/${f.fileName}"))
@@ -129,8 +137,4 @@ object FileSystemView {
     val core = name.substring(name.indexOf('_') + 1)
     core.substring(0, core.indexOf('.'))
   }
-
-  def fromTimeline(timeline: GraftTimeline): FileSystemView =
-    new FileSystemView(
-      timeline.completedData.map(i => (i, timeline.metadataOf(i))))
 }

@@ -611,16 +611,69 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
       }
     }
-    if (deletable.isEmpty) return None
+    commitClean(deletable.toSeq, "clean")
+  }
 
+  /** KEEP_LATEST_FILE_VERSIONS cleaning: per active file group keep the
+    * newest `retainVersions` base versions (each with the deltas layered
+    * above it); replaced groups become fully reclaimable; savepointed
+    * files and slices claimed by a pending service plan are never
+    * deleted. (ref: CleanPlanner.getFilesToCleanKeepingLatestVersions)
+    */
+  def cleanVersions(retainVersions: Int = 3): Option[String] = {
+    require(retainVersions >= 1, "retainVersions must be >= 1")
+    val tl = table.timeline
+    // files any savepointed view still resolves — never deletable
+    val pinned: Set[String] = tl.completed
+      .filter(_.action == GraftAction.Savepoint).map(_.ts)
+      .flatMap(spTs => table.view.latestSlices(Some(spTs)).flatMap(s =>
+        (s.base.toSeq ++ s.deltas).map(f => s"${s.partition}/${f.fileName}")))
+      .toSet
+    val replacedDead: Set[(String, String)] = (for {
+      i <- tl.completedData
+      meta = tl.metadataOf(i)
+      (part, ids) <- meta.replacedFileIds
+      id <- ids
+    } yield (part, id)).toSet
+    val claimed = (pendingCompactionPlans.flatMap(_.slices) ++
+      pendingClusteringPlans.flatMap(_.slices))
+      .map(s => (s.partition, s.fileId)).toSet
+
+    val deletable = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
+    def free(f: WriteFileInfo): Boolean = !pinned(s"${f.partition}/${f.fileName}")
+    table.view.allFilesByGroup.foreach { case ((part, fileId), versions) =>
+      if (!claimed((part, fileId))) {
+        if (replacedDead((part, fileId))) {
+          versions.foreach { case (_, f) => if (free(f)) deletable += f }
+        } else {
+          val bases = versions.filter(!_._2.isDelta).sortBy(_._1)
+          if (bases.size > retainVersions) {
+            // oldest retained base: versions strictly below it die; its
+            // own deltas (dts > cutoff) stay with their slice
+            val cutoff = bases(bases.size - retainVersions)._1
+            versions.foreach { case (ts, f) =>
+              val obsolete = if (f.isDelta) ts <= cutoff else ts < cutoff
+              if (obsolete && free(f)) deletable += f
+            }
+          }
+        }
+      }
+    }
+    commitClean(deletable.toSeq, "clean_versions")
+  }
+
+  private def commitClean(
+      deletable: Seq[WriteFileInfo], operation: String): Option[String] = {
+    if (deletable.isEmpty) return None
+    val tl = table.timeline
     val ts = InstantTimeGenerator.next()
     val instant = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Clean))
     // small cleans delete driver-side; large ones fan out over executors
     GraftWriteClient.executeDeletes(spark, table.storage,
-      deletable.map(f => table.storage.dataFilePath(f.partition, f.fileName)).toSeq)
+      deletable.map(f => table.storage.dataFilePath(f.partition, f.fileName)))
     tl.transitionToCompleted(instant, GraftCommitMetadata(
-      instant = ts, action = GraftAction.Clean, operation = "clean",
-      deletedFiles = deletable.map(f => s"${f.partition}/${f.fileName}").toSeq))
+      instant = ts, action = GraftAction.Clean, operation = operation,
+      deletedFiles = deletable.map(f => s"${f.partition}/${f.fileName}")))
     Some(ts)
   }
 

@@ -147,6 +147,7 @@ object GraftCli {
         .flatMap(p => svc.executeCompaction(p.instant))
     },
     "clean" -> (t => new graft.services.TableServices(t).clean()),
+    "clean_versions" -> (t => new graft.services.TableServices(t).cleanVersions()),
     "cluster" -> (t => new graft.services.TableServices(t).cluster()),
     "cluster_schedule" -> (t =>
       new graft.services.TableServices(t).scheduleClustering()),

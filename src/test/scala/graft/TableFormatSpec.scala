@@ -1410,6 +1410,64 @@ class TableFormatSpec extends AnyFunSuite {
     p2.foreach(ts => assert(svc.executeClustering(ts).contains(ts)))
   }
 
+  test("cleanVersions keeps the newest N versions per group; savepoints pin files") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val svc = new TableServices(t, wc)
+    svc.savepoint(t.timeline.completedData.last.ts) // pins version 1
+    for (i <- 1 to 3)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    def versionsPerGroup = t.view.allFilesByGroup.map(_._2.count(!_._2.isDelta))
+    assert(versionsPerGroup.exists(_ >= 4))
+
+    assert(svc.cleanVersions(retainVersions = 2).nonEmpty)
+    // every group is down to its 2 newest versions PLUS the savepointed
+    // version-1 files, which must survive any retention
+    val spSlices = t.view.latestSlices(Some(t.timeline.completed
+      .filter(_.action == GraftAction.Savepoint).head.ts))
+    spSlices.foreach(s => s.base.foreach(f =>
+      assert(t.storage.exists(t.storage.dataFilePath(s.partition, f.fileName)),
+        s"savepointed file deleted: ${f.fileName}")))
+    assert(versionsPerGroup.forall(_ <= 3)) // 2 retained + possibly pinned v1
+    // the snapshot is untouched
+    val expect = orders.withColumn("o_totalprice", col("o_totalprice") + 3.0)
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+    // re-running finds nothing more to delete
+    assert(svc.cleanVersions(retainVersions = 2).isEmpty)
+  }
+
+  test("archive manifest never references files a clean already deleted") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    for (i <- 1 to 14)
+      w.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    val svc = new TableServices(t, wc)
+    // clean floor (2 commits) sits far above the archive boundary
+    // (5 commits back): the latest base as-of the boundary is deleted
+    assert(svc.clean(retainCommits = 2).nonEmpty)
+    assert(svc.archive(minCommits = 5, maxCommits = 10).nonEmpty)
+    val manifestName = t.storage.listNames(t.storage.archiveDir)
+      .filter(_.endsWith(".manifest")).max
+    val manifest = Json.readCommitMetadata(t.storage.readString(
+      new org.apache.hadoop.fs.Path(t.storage.archiveDir, manifestName)))
+    manifest.files.foreach(f =>
+      assert(t.storage.exists(t.storage.dataFilePath(f.partition, f.fileName)),
+        s"manifest references deleted file ${f.partition}/${f.fileName}"))
+    // the snapshot through the manifest-based view is still correct
+    val expect = orders.limit(50)
+      .withColumn("o_totalprice", col("o_totalprice") + 14.0)
+      .unionByName(orders.exceptAll(orders.limit(50)))
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+  }
+
   test("operation chain: upserts, deletes, services, savepoint and restore compose") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
