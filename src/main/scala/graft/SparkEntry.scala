@@ -366,6 +366,26 @@ object SparkEntry {
         .select(ordersCols.map(col): _*)
     }),
 
+    // column-stats data skipping end to end: per-file min/max collected at
+    // write time prune file slices against the pushed filters inside
+    // buildScan (see graft.core.ColumnStats); the result must be exactly
+    // the unpruned filter's rows
+    "tf_col_stats_skip" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val path = freshDir("tf_col_stats_skip", dir)
+      orders.write.format("graft")
+        .option("recordkey.field", "o_orderkey")
+        .option("partitionpath.field", "o_orderpriority")
+        .option("precombine.field", "o_totalprice")
+        .option("col.stats.columns", "o_custkey,o_totalprice")
+        .option("target.file.size", (4L * 1024 * 1024).toString)
+        .option("small.file.limit", (3L * 1024 * 1024).toString)
+        .option("operation", "bulk_insert").mode("overwrite").save(path)
+      s.read.format("graft").load(path)
+        .filter(col("o_custkey") < 500L && col("o_totalprice") > 100000.0)
+        .select(ordersCols.map(col): _*)
+    }),
+
     // ---- SQL DML (requires graft.sql.GraftSparkSessionExtension,
     // registered by Verify/Bench session builders) ----
 
@@ -1057,6 +1077,10 @@ object SparkEntry {
     "tf_cluster" -> ordersSelect("o_totalprice"),
 
     "tf_datasource_roundtrip" -> ordersSelect(caseUpsert),
+
+    "tf_col_stats_skip" ->
+      (ordersSelect("o_totalprice") +
+        " WHERE o_custkey < 500 AND o_totalprice > 100000.0"),
 
     "tf_sql_update" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice"),

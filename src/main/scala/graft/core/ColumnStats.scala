@@ -1,0 +1,193 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+
+/** Per-file column statistics: min/max values for configured data columns,
+  * collected once during the commit-stats job and persisted in each
+  * [[WriteFileInfo]] — the manifest-resident equivalent of the reference's
+  * column-stats metadata index (ref: hudi-common/.../metadata/
+  * HoodieMetadataPayload.java COLUMN_STATS records + data skipping in
+  * HoodieFileIndex.lookupCandidateFilesInMetadataTable,
+  * hudi-spark-datasource/.../HoodieFileIndex.scala).
+  *
+  * Values are rendered to strings whose comparison semantics are recovered
+  * TYPED at prune time (numbers through BigDecimal, strings through UTF-8
+  * binary order — matching Spark's min/max ordering — timestamps through
+  * epoch micros). Pruning is superset-sound: any file without stats for a
+  * column, any unparseable value (NaN/Infinity), and any filter shape we
+  * don't model keeps the file. Spark re-applies every filter above the
+  * relation, so skipping here is a strict optimization.
+  *
+  * Granularity is the FILE SLICE: a slice is skipped only when NO file in
+  * it (base or delta) can contain a matching value. This stays sound under
+  * latest-wins and newest-non-null merge semantics, because any output
+  * value of a column is a value physically present in one of the slice's
+  * files, and tombstoned rows only shrink the result.
+  */
+object ColumnStats {
+
+  /** Types whose min/max render to strings we can compare faithfully. */
+  def supported(dt: DataType): Boolean = dt match {
+    case _: NumericType => true
+    case StringType | BooleanType | DateType | TimestampType => true
+    case _ => false
+  }
+
+  /** Min/max aggregation expressions for one column, rendered for storage.
+    * Timestamps go through `unix_micros` (ANSI-safe, exact at micro
+    * precision); everything else through a plain string cast.
+    */
+  def statExprs(f: StructField): Seq[Column] = {
+    def render(c: Column): Column = f.dataType match {
+      case TimestampType => unix_micros(c).cast(StringType)
+      case _             => c.cast(StringType)
+    }
+    Seq(render(min(col(f.name))), render(max(col(f.name))))
+  }
+
+  /** UTF-8 binary three-way compare — the ordering Spark's min/max on
+    * strings uses (UTF8String), NOT java.lang.String's UTF-16 order.
+    */
+  def utf8Cmp(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+
+  private def toBigDec(v: Any): java.math.BigDecimal = v match {
+    case b: Byte   => java.math.BigDecimal.valueOf(b.toLong)
+    case s: Short  => java.math.BigDecimal.valueOf(s.toLong)
+    case i: Int    => java.math.BigDecimal.valueOf(i.toLong)
+    case l: Long   => java.math.BigDecimal.valueOf(l)
+    case f: Float  => new java.math.BigDecimal(f.toString) // throws on NaN/Inf
+    case d: Double => new java.math.BigDecimal(d.toString)
+    case d: java.math.BigDecimal => d
+    case d: scala.math.BigDecimal => d.bigDecimal
+    case other => throw new IllegalArgumentException(s"not numeric: $other")
+  }
+
+  private def tsToMicros(v: Any): java.math.BigDecimal = v match {
+    case t: java.sql.Timestamp =>
+      // getTime carries millis; nanos carries the full sub-second part
+      val millisFloor = t.getTime - (t.getTime % 1000 + 1000) % 1000
+      new java.math.BigDecimal(millisFloor).movePointRight(3)
+        .add(new java.math.BigDecimal(t.getNanos).movePointLeft(3))
+    case i: java.time.Instant =>
+      new java.math.BigDecimal(i.getEpochSecond).movePointRight(6)
+        .add(java.math.BigDecimal.valueOf(i.getNano / 1000L))
+    case other => throw new IllegalArgumentException(s"not a timestamp: $other")
+  }
+
+  /** Sign of (stat - v) under the column type's ordering; None when the
+    * pair can't be compared faithfully (→ caller must not prune).
+    */
+  def compare(dt: DataType, stat: String, v: Any): Option[Int] =
+    try {
+      dt match {
+        case StringType => v match {
+          case s: String => Some(utf8Cmp(stat, s))
+          case _         => None
+        }
+        case _: NumericType =>
+          Some(new java.math.BigDecimal(stat).compareTo(toBigDec(v)))
+        case BooleanType => v match {
+          case b: Boolean => Some(stat.toBoolean.compareTo(b))
+          case _          => None
+        }
+        case DateType =>
+          // both sides render as ISO yyyy-MM-dd — lexicographic == chronological
+          val s = v match {
+            case d: java.sql.Date       => d.toString
+            case d: java.time.LocalDate => d.toString
+            case _                      => return None
+          }
+          Some(stat.compareTo(s))
+        case TimestampType =>
+          Some(new java.math.BigDecimal(stat).compareTo(tsToMicros(v)))
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Resolves a filter attribute (logical name, analyzer-cased) to the
+    * physical stats key and its data type; None = unknown column.
+    */
+  type Resolver = String => Option[(String, DataType)]
+
+  /** True when file `f` might contain a row matching every filter. */
+  def keepFile(filters: Seq[Filter], resolve: Resolver, f: WriteFileInfo): Boolean =
+    filters.forall(keepOne(_, resolve, f))
+
+  /** Slice-granular prune: keep the slice when ANY of its files might
+    * contain a match (see the soundness note in the object doc).
+    */
+  def keepSlice(filters: Seq[Filter], resolve: Resolver): FileSlice => Boolean = {
+    if (filters.isEmpty) return _ => true
+    s => (s.base.toSeq ++ s.deltas).exists(f => keepFile(filters, resolve, f))
+  }
+
+  private def statsOf(
+      attr: String, resolve: Resolver, f: WriteFileInfo): Option[(DataType, String, String)] =
+    for {
+      (key, dt) <- resolve(attr)
+      range <- f.colStats.get(key) if range.size == 2 && range.forall(_ != null)
+    } yield (dt, range.head, range(1))
+
+  private def mayContain(attr: String, v: Any, resolve: Resolver, f: WriteFileInfo): Boolean =
+    statsOf(attr, resolve, f) match {
+      case Some((dt, mn, mx)) =>
+        (compare(dt, mn, v), compare(dt, mx, v)) match {
+          case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
+          case _                    => true
+        }
+      case None => true
+    }
+
+  /** `strict`: mx > v (for `>`); otherwise mx >= v (for `>=`). */
+  private def upperMayPass(
+      attr: String, v: Any, strict: Boolean, resolve: Resolver, f: WriteFileInfo): Boolean =
+    statsOf(attr, resolve, f) match {
+      case Some((dt, _, mx)) => compare(dt, mx, v) match {
+        case Some(c) => if (strict) c > 0 else c >= 0
+        case None    => true
+      }
+      case None => true
+    }
+
+  private def lowerMayPass(
+      attr: String, v: Any, strict: Boolean, resolve: Resolver, f: WriteFileInfo): Boolean =
+    statsOf(attr, resolve, f) match {
+      case Some((dt, mn, _)) => compare(dt, mn, v) match {
+        case Some(c) => if (strict) c < 0 else c <= 0
+        case None    => true
+      }
+      case None => true
+    }
+
+  private def keepOne(flt: Filter, resolve: Resolver, f: WriteFileInfo): Boolean =
+    flt match {
+      case EqualTo(a, v) if v != null       => mayContain(a, v, resolve, f)
+      case EqualNullSafe(a, v) if v != null => mayContain(a, v, resolve, f)
+      case In(a, vs) =>
+        val nonNull = vs.filter(_ != null)
+        // an IN over only nulls matches nothing under SQL semantics
+        nonNull.exists(v => mayContain(a, v, resolve, f))
+      case GreaterThan(a, v) if v != null        => upperMayPass(a, v, strict = true, resolve, f)
+      case GreaterThanOrEqual(a, v) if v != null => upperMayPass(a, v, strict = false, resolve, f)
+      case LessThan(a, v) if v != null           => lowerMayPass(a, v, strict = true, resolve, f)
+      case LessThanOrEqual(a, v) if v != null    => lowerMayPass(a, v, strict = false, resolve, f)
+      case And(l, r) => keepOne(l, resolve, f) && keepOne(r, resolve, f)
+      case Or(l, r)  => keepOne(l, resolve, f) || keepOne(r, resolve, f)
+      // IsNull / IsNotNull / Not / string matches / unknown shapes:
+      // min/max can't witness them — never prune
+      case _ => true
+    }
+}

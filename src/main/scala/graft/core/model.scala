@@ -92,6 +92,12 @@ object GraftInstant {
   *                  key index (ref: the BLOOM index's min/max key-range
   *                  pruning step, SparkHoodieBloomIndex.java:110-140 +
   *                  KeyRangeLookupTree.java)
+  * @param colStats  physical column name -> Seq(min, max) rendered through
+  *                  [[ColumnStats]], for data-skipping at read time (the
+  *                  manifest-resident form of the reference's column-stats
+  *                  metadata index). Only columns listed in
+  *                  WriteConfig.colStatsColumns carry entries; an all-null
+  *                  column has none.
   */
 final case class WriteFileInfo(
     partition: String,
@@ -101,7 +107,8 @@ final case class WriteFileInfo(
     bytes: Long,
     isDelta: Boolean,
     minKey: String = "",
-    maxKey: String = "")
+    maxKey: String = "",
+    colStats: Map[String, Seq[String]] = Map.empty)
 
 /** Commit metadata persisted as the content of a completed instant file.
   * (ref: hudi-common/.../model/HoodieCommitMetadata.java — ours also

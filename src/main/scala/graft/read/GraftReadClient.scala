@@ -249,14 +249,34 @@ final class GraftReadClient(val table: GraftTable) {
     * when a query constrains every partition field.
     */
   def snapshot(asOf: Option[String], keep: String => Boolean): DataFrame =
+    snapshot(asOf, keep, _ => true)
+
+  /** Snapshot additionally restricted to file slices `keepSlice` accepts —
+    * the column-stats data-skipping entry (see graft.core.ColumnStats):
+    * slices whose per-file min/max ranges cannot satisfy the query's
+    * pushed filters never enter the scan. Both prunes run on the driver
+    * against the manifest, before any path is listed or footer read.
+    */
+  def snapshot(
+      asOf: Option[String],
+      keep: String => Boolean,
+      keepSlice: FileSlice => Boolean): DataFrame =
     snapshotFromSlices(
-      table.view.latestSlices(asOf).filter(s => keep(s.partition)), asOf)
+      table.view.latestSlices(asOf)
+        .filter(s => keep(s.partition) && keepSlice(s)), asOf)
 
   /** Read-optimized view restricted to partitions `keep` accepts. */
-  def readOptimized(asOf: Option[String], keep: String => Boolean): DataFrame = {
+  def readOptimized(asOf: Option[String], keep: String => Boolean): DataFrame =
+    readOptimized(asOf, keep, _ => true)
+
+  /** Read-optimized view with partition + column-stats slice pruning. */
+  def readOptimized(
+      asOf: Option[String],
+      keep: String => Boolean,
+      keepSlice: FileSlice => Boolean): DataFrame = {
     checkAsOf(asOf)
     val paths = table.view.latestSlices(asOf)
-      .filter(s => keep(s.partition))
+      .filter(s => keep(s.partition) && keepSlice(s))
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
       readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf)))

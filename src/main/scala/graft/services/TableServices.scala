@@ -360,7 +360,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val blooms = scala.collection.mutable.ArrayBuffer[GraftWriteClient.BloomSidecarRow]()
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+      wc.colStatsColumns)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -378,7 +379,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           if (stats.bloom.nonEmpty)
             blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey)
+            isDelta = false, stats.minKey, stats.maxKey, stats.colStats)
         }
       }
     }
@@ -543,7 +544,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+      wc.colStatsColumns)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -559,7 +561,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           if (stats.bloom.nonEmpty)
             blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey)
+            isDelta = false, stats.minKey, stats.maxKey, stats.colStats)
         }
     }
     // overwrite: deterministic fileIds (plan ts + seq) make a retry hit

@@ -138,6 +138,9 @@ object GraftOptions {
   val CleanRetainCommits = "clean.retain.commits"
   /** Global index: keys unique table-wide, updates may move partitions. */
   val IndexGlobal = "index.global"
+  /** Comma-separated data columns to collect per-file min/max stats for
+    * (read-time data skipping; see graft.core.ColumnStats). */
+  val ColStatsColumns = "col.stats.columns"
   /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
   val KeygenTimestampFormat = "keygen.timestamp.format"
 
@@ -166,7 +169,10 @@ object GraftOptions {
       cleanRetainCommits = parameters.get(CleanRetainCommits)
         .map(_.toInt).getOrElse(base.cleanRetainCommits),
       globalIndex =
-        parameters.get(IndexGlobal).map(_.toBoolean).getOrElse(base.globalIndex))
+        parameters.get(IndexGlobal).map(_.toBoolean).getOrElse(base.globalIndex),
+      colStatsColumns = parameters.get(ColStatsColumns)
+        .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+        .getOrElse(base.colStatsColumns))
   }
 
   def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {
@@ -255,7 +261,7 @@ class GraftRelation private (
       * must reach SQL DML writers too, not only the path-based API.
       */
     val parameters: Map[String, String],
-    mkDf: Option[Set[String]] => DataFrame,
+    mkDf: (Option[Set[String]], graft.core.FileSlice => Boolean) => DataFrame,
     override val schema: StructType)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
@@ -273,7 +279,10 @@ class GraftRelation private (
     // relation — Spark's catalog caches resolved relations, and a write
     // between resolution and scan (SQL DML, INSERT INTO, a concurrent
     // writer) must be visible to the next query
-    val df = mkDf(GraftRelation.partitionCandidates(table.config, filters))
+    val df = mkDf(
+      GraftRelation.partitionCandidates(table.config, filters),
+      graft.core.ColumnStats.keepSlice(
+        filters.toSeq, GraftRelation.statsResolver(table)))
     val filtered = filters.flatMap(GraftRelation.translateFilter)
       .foldLeft(df)((d, c) => d.filter(c))
     val projected = filtered.select(requiredColumns.toSeq.map(col): _*)
@@ -301,14 +310,16 @@ object GraftRelation {
     val includeMeta = parameters.get(IncludeMetaFields).map(_.toBoolean)
       .getOrElse(queryType == "incremental")
 
-    def mkDf(partitions: Option[Set[String]]): DataFrame = {
+    def mkDf(
+        partitions: Option[Set[String]],
+        keepSlice: graft.core.FileSlice => Boolean): DataFrame = {
       val read = new GraftReadClient(table)
       val keep: String => Boolean = p => partitions.forall(_.contains(p))
       val df = queryType match {
         case "snapshot" =>
-          read.snapshot(parameters.get(AsOfInstant), keep)
+          read.snapshot(parameters.get(AsOfInstant), keep, keepSlice)
         case "read_optimized" =>
-          read.readOptimized(parameters.get(AsOfInstant), keep)
+          read.readOptimized(parameters.get(AsOfInstant), keep, keepSlice)
         case "incremental" =>
           // partition pruning does not apply: the band is commit-based
           read.incremental(
@@ -335,7 +346,7 @@ object GraftRelation {
           graft.core.MetaColumns.IsDeleted
         table.logicalizeSchema(
           StructType(full.filterNot(f => dropped.contains(f.name))))
-      case None => mkDf(None).schema // empty table: zero-row plan, cheap
+      case None => mkDf(None, _ => true).schema // empty table: zero-row plan, cheap
     }
     new GraftRelation(sqlContext, table, parameters, mkDf, schema)
   }
@@ -387,6 +398,25 @@ object GraftRelation {
         for (a <- acc; v <- vs) yield if (a.isEmpty) v else a + "/" + v)
       .toSet)
   }
+
+  /** Maps a pushed-filter attribute (logical name) to the physical
+    * column-stats key and its data type, resolving case-insensitively
+    * through the rename map and the stored physical schema. None = column
+    * unknown (no pruning for filters on it).
+    */
+  def statsResolver(table: GraftTable): graft.core.ColumnStats.Resolver =
+    table.storedFileSchema match {
+      case None => _ => None
+      case Some(schema) =>
+        val logicalToPhysical = table.config.columnRenames.map(_.swap)
+        attr => {
+          val phys = logicalToPhysical.collectFirst {
+            case (l, p) if l.equalsIgnoreCase(attr) => p
+          }.getOrElse(attr)
+          schema.find(_.name.equalsIgnoreCase(phys))
+            .map(f => (f.name, f.dataType))
+        }
+    }
 
   /** sources.Filter → Column; None = not pushable (Spark re-applies all
     * filters above the relation regardless).

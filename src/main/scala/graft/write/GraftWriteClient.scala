@@ -1106,7 +1106,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val fs = table.storage.fs
     if (!fs.exists(staging)) return Seq.empty
     val counts = stagedFileCounts(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
+      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+      wc.colStatsColumns)
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val blooms = scala.collection.mutable.ArrayBuffer[BloomSidecarRow]()
@@ -1141,7 +1142,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           if (stats.bloom.nonEmpty) blooms += BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
-            stats.minKey, stats.maxKey)
+            stats.minKey, stats.maxKey, stats.colStats)
         }
       }
     }
@@ -1195,12 +1196,14 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
-  /** Per-file write statistics: record count, record-key range, and the
-    * serialized key bloom filter (empty when bloom indexing is off).
+  /** Per-file write statistics: record count, record-key range, the
+    * serialized key bloom filter (empty when bloom indexing is off), and
+    * per-column min/max for the configured stats columns.
     */
   final case class FileStats(
       records: Long, minKey: String, maxKey: String,
-      bloom: Array[Byte] = Array.empty)
+      bloom: Array[Byte] = Array.empty,
+      colStats: Map[String, Seq[String]] = Map.empty)
 
   /** Distributed per-file key-bloom builder (merge-combinable, so it runs
     * as one agg expression inside the staged-stats job). Spark's public
@@ -1303,26 +1306,45 @@ object GraftWriteClient {
       spark: org.apache.spark.sql.SparkSession,
       staging: Path,
       bloomExpected: Long = 0L,
-      bloomFpp: Double = 0.01): Map[String, FileStats] =
+      bloomFpp: Double = 0.01,
+      statsColumns: Seq[String] = Seq.empty): Map[String, FileStats] =
     try {
+      val df = spark.read.parquet(staging.toString)
+      // resolve requested stats columns case-insensitively against the
+      // staged (physical) schema; unsupported types are skipped silently
+      val statFields = statsColumns
+        .flatMap(c => df.schema.find(_.name.equalsIgnoreCase(c)))
+        .filter(f => graft.core.ColumnStats.supported(f.dataType))
+        .distinctBy(_.name)
       val base = Seq(
         count(lit(1)).as("_n"),
         min(col(MetaColumns.RecordKey)).as("_mn"),
         max(col(MetaColumns.RecordKey)).as("_mx"))
-      val aggs =
-        if (bloomExpected <= 0) base
-        else base :+ udaf(new KeyBloomAggregator(bloomExpected, bloomFpp),
+      val bloomAggs =
+        if (bloomExpected <= 0) Seq.empty
+        else Seq(udaf(new KeyBloomAggregator(bloomExpected, bloomFpp),
           org.apache.spark.sql.Encoders.STRING)
-          .apply(col(MetaColumns.RecordKey)).as("_bf")
-      spark.read.parquet(staging.toString)
-        .groupBy(input_file_name().as("_f"))
+          .apply(col(MetaColumns.RecordKey)).as("_bf"))
+      val statAggs = statFields.flatMap(graft.core.ColumnStats.statExprs)
+      val aggs = base ++ bloomAggs ++ statAggs
+      // row layout: 0 = the groupBy key (_f), then the agg columns
+      val statsStart = 1 + base.size + bloomAggs.size
+      df.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
         .collect()
-        .map(r => decodedPath(r.getString(0)) ->
-          FileStats(r.getLong(1), Option(r.getString(2)).getOrElse(""),
-            Option(r.getString(3)).getOrElse(""),
-            if (bloomExpected <= 0) Array.empty[Byte]
-            else Option(r.getAs[Array[Byte]](4)).getOrElse(Array.empty[Byte])))
+        .map { r =>
+          val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+            val mn = r.getString(statsStart + 2 * i)
+            val mx = r.getString(statsStart + 2 * i + 1)
+            if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
+          }.toMap
+          decodedPath(r.getString(0)) ->
+            FileStats(r.getLong(1), Option(r.getString(2)).getOrElse(""),
+              Option(r.getString(3)).getOrElse(""),
+              if (bloomExpected <= 0) Array.empty[Byte]
+              else Option(r.getAs[Array[Byte]](4)).getOrElse(Array.empty[Byte]),
+              colStats)
+        }
         .toMap
     } catch {
       case e: org.apache.spark.sql.AnalysisException

@@ -82,6 +82,14 @@ final case class WriteConfig(
       */
     bloomExpectedEntries: Long = 60000L,
     bloomFpp: Double = 0.01,
+    /** Data columns to collect per-file min/max stats for (see
+      * graft.core.ColumnStats) — read-time data skipping prunes file
+      * slices whose ranges cannot satisfy a pushed filter, the
+      * manifest-resident equivalent of hoodie.metadata.index.column.stats
+      * .column.list. Empty = off. Unsupported/missing columns are skipped
+      * silently (pruning is a strict optimization).
+      */
+    colStatsColumns: Seq[String] = Seq.empty,
     /** Free-form entries merged into each commit's metadata `extra`
       * (streaming batch ids, ingest checkpoints). */
     commitExtra: Map[String, String] = Map.empty,

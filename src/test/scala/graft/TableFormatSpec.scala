@@ -1468,6 +1468,104 @@ class TableFormatSpec extends AnyFunSuite {
     assert(expect.exceptAll(snap).count() === 0)
   }
 
+  test("column stats prune file slices at the manifest; results stay exact") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t,
+      wc.copy(colStatsColumns = Seq("o_orderkey", "o_totalprice", "o_orderstatus")))
+    w.bulkInsert(orders)
+
+    val slices = t.view.latestSlices(None)
+    assert(slices.size > 4)
+    slices.foreach(s => s.base.foreach(f =>
+      assert(f.colStats.keySet === Set("o_orderkey", "o_totalprice", "o_orderstatus"))))
+
+    val resolver = graft.spark.GraftRelation.statsResolver(t)
+    val keep = ColumnStats.keepSlice(Seq(EqualTo("o_orderkey", 5L)), resolver)
+    val (kept, pruned) = slices.partition(keep)
+    assert(kept.nonEmpty && pruned.nonEmpty, s"kept=${kept.size} pruned=${pruned.size}")
+    // soundness: no pruned file contains the key
+    val prunedPaths = pruned.flatMap(s => s.base.map(f =>
+      t.storage.dataFilePath(s.partition, f.fileName).toString))
+    assert(spark.read.parquet(prunedPaths: _*).filter(col("o_orderkey") === 5L).count() === 0)
+
+    // end-to-end through the datasource (buildScan applies the prune)
+    val cols = orders.columns.toSeq.map(col)
+    def viaFormat(c: org.apache.spark.sql.Column) =
+      spark.read.format("graft").load(path).filter(c).select(cols: _*)
+    def expect(c: org.apache.spark.sql.Column) = orders.filter(c)
+    for (c <- Seq(col("o_orderkey") === 5L, col("o_totalprice") > 400000.0,
+      col("o_orderstatus") === "F", col("o_orderkey") > 1400L && col("o_orderstatus") =!= "O")) {
+      assert(viaFormat(c).exceptAll(expect(c)).count() === 0)
+      assert(expect(c).exceptAll(viaFormat(c)).count() === 0)
+    }
+
+    // a range filter with an upper bound below every file's min prunes all
+    val keepNone = ColumnStats.keepSlice(Seq(GreaterThan("o_orderkey", 10000000L)), resolver)
+    assert(!slices.exists(keepNone))
+    assert(viaFormat(col("o_orderkey") > 10000000L).count() === 0)
+  }
+
+  test("column stats stay sound across MOR deltas and column renames") {
+    import org.apache.spark.sql.sources.EqualTo
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val cwc = wc.copy(colStatsColumns = Seq("o_totalprice", "o_custkey"))
+    val w = new GraftWriteClient(t, cwc)
+    w.bulkInsert(orders)
+    // route an update into a delta file carrying an out-of-range price
+    w.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_totalprice", lit(7777777.5)))
+
+    val slices = t.view.latestSlices(None)
+    val resolver = graft.spark.GraftRelation.statsResolver(t)
+    val keep = ColumnStats.keepSlice(Seq(EqualTo("o_totalprice", 7777777.5)), resolver)
+    val kept = slices.filter(keep)
+    // the base's range excludes the value — the DELTA's stats must keep the slice
+    assert(kept.exists(_.deltas.nonEmpty))
+    assert(kept.size < slices.size)
+    val got = spark.read.format("graft").load(path)
+      .filter(col("o_totalprice") === 7777777.5)
+    assert(got.count() === 1)
+    assert(got.select("o_orderkey").head.getLong(0) === 7L)
+
+    // rename: the logical filter name resolves to the physical stats key
+    val ck = orders.filter(col("o_orderkey") === 7L).head.getLong(1) // o_custkey
+    val baseKept = slices.count(ColumnStats.keepSlice(Seq(EqualTo("o_custkey", ck)), resolver))
+    w.renameColumn("o_custkey", "buyer")
+    val t2 = GraftTable.load(spark, path)
+    val keep2 = ColumnStats.keepSlice(
+      Seq(EqualTo("buyer", ck)), graft.spark.GraftRelation.statsResolver(t2))
+    assert(t2.view.latestSlices(None).count(keep2) === baseKept)
+    val got2 = spark.read.format("graft").load(path)
+      .filter(col("buyer") === ck && col("o_orderkey") === 7L)
+    assert(got2.count() === 1)
+  }
+
+  test("ColumnStats compares stats through the column type, not as strings") {
+    import org.apache.spark.sql.types._
+    // doubles render in scientific notation; "9" > "10" as strings
+    assert(ColumnStats.compare(DoubleType, "1.0E7", 1.0e7).contains(0))
+    assert(ColumnStats.compare(LongType, "9", 10L).exists(_ < 0))
+    assert(ColumnStats.compare(DecimalType(10, 2), "12.50",
+      new java.math.BigDecimal("12.50")).contains(0))
+    // strings compare in UTF-8 binary order (Spark's min/max order),
+    // where a supplementary character sorts ABOVE ￿ (UTF-16 disagrees)
+    assert(ColumnStats.compare(StringType, "￿", new String(Character.toChars(0x10000))).exists(_ < 0))
+    // timestamps compare at micro precision through unix_micros rendering
+    assert(ColumnStats.compare(TimestampType, "86400000000",
+      java.time.Instant.ofEpochSecond(86400L)).contains(0))
+    assert(ColumnStats.compare(TimestampType, "86400000000",
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L, 1000))).exists(_ < 0))
+    assert(ColumnStats.compare(DateType, "2024-02-29",
+      java.time.LocalDate.parse("2024-03-01")).exists(_ < 0))
+    assert(ColumnStats.compare(BooleanType, "false", true).exists(_ < 0))
+    // unparseable pairs refuse to compare (caller keeps the file)
+    assert(ColumnStats.compare(DoubleType, "NaN", 1.0).isEmpty)
+    assert(ColumnStats.compare(DoubleType, "1.0", Double.NaN).isEmpty)
+  }
+
   test("operation chain: upserts, deletes, services, savepoint and restore compose") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
