@@ -366,6 +366,22 @@ object SparkEntry {
         .select(ordersCols.map(col): _*)
     }),
 
+    // change-data-capture: per-commit change rows inferred from adjacent
+    // file-slice versions of the touched groups (insert / update pre+post
+    // images / delete), Delta-CDF-shaped (see GraftReadClient.changes)
+    "tf_cdc" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_cdc", s, dir)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      w.delete(orders.filter(col("o_orderkey") % 4 === 2)
+        .select("o_orderkey", "o_orderpriority"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      w.insert(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1L)))
+      new GraftReadClient(t).changes(c1)
+    }),
+
     // column-stats data skipping end to end: per-file min/max collected at
     // write time prune file slices against the pushed filters inside
     // buildScan (see graft.core.ColumnStats); the result must be exactly
@@ -1081,6 +1097,24 @@ object SparkEntry {
     "tf_col_stats_skip" ->
       (ordersSelect("o_totalprice") +
         " WHERE o_custkey < 500 AND o_totalprice > 100000.0"),
+
+    "tf_cdc" ->
+      """SELECT 1 AS _change_ordinal, 'update_preimage' AS _change_type,
+        |  o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 1, 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 500.0, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 2, 'delete', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 2
+        |UNION ALL
+        |SELECT 3, 'insert',
+        |  o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        |  o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     "tf_sql_update" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 2 THEN o_totalprice * 2.0 ELSE o_totalprice END AS o_totalprice"),

@@ -195,6 +195,117 @@ final class GraftReadClient(val table: GraftTable) {
     })
   }
 
+  /** Change-data-capture view: one row PER CHANGE for every data commit
+    * with begin < ts <= end, Delta-CDF-shaped — `_change_ordinal` (1-based
+    * position of the commit in the band), `_change_type` (`insert` |
+    * `update_preimage` | `update_postimage` | `delete`) and the full data
+    * columns of the image. (ref: the reference's CDC incremental format,
+    * hudi-spark-datasource/.../cdc/CDCRelation.scala +
+    * HoodieCDCExtractor.java — ours infers changes from adjacent file-slice
+    * versions, its "as-of inference" path, instead of writing CDC logs.)
+    *
+    * Per commit, only the file groups that commit touched are read: the
+    * slice as of the previous commit (before image) full-outer-joined to
+    * the slice as of the commit (after image) on (partition, key). Rows
+    * whose stored commit time equals the commit are changes — merged-in
+    * old rows keep their original commit time, so clustering and
+    * compaction rewrites emit zero changes, as they should. The join
+    * shuffles only the touched groups' rows; plan size grows linearly with
+    * the band length (use `incremental` for wide bands where per-commit
+    * granularity isn't needed).
+    *
+    * Needs the PREVIOUS file-slice versions: fails loudly when cleaning
+    * already deleted a needed version or the band outruns the active
+    * timeline. A record whose partition value changed under the global
+    * index appears as delete + insert, not update.
+    */
+  def changes(beginTs: String, endTs: Option[String] = None): DataFrame = {
+    val tl = table.timeline
+    if (table.storedFileSchema.isEmpty) { // empty table: no changes, bare schema
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("_change_ordinal", IntegerType),
+          StructField("_change_type", StringType))))
+    }
+    val end = endTs.getOrElse(tl.lastCompletedData.map(_.ts).getOrElse(beginTs))
+    require(!tl.archivedInstants.exists(i =>
+      GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end),
+      s"change feed ($beginTs, $end] spans archived commits: per-commit " +
+        "file versions are gone; use incremental() for the collapsed band")
+    val commits = tl.dataInstantsBetween(beginTs, end)
+    val allData = tl.completedData.map(_.ts)
+    // cleaned/rolled-back files per group, for the needed-version guard
+    val deletedByGroup: Map[(String, String), Seq[String]] = tl.completed
+      .filter(i => Set(GraftAction.Clean, GraftAction.Rollback, GraftAction.Restore)(i.action))
+      .flatMap(i => tl.metadataOf(i).deletedFiles)
+      .map { pf =>
+        val slash = pf.lastIndexOf('/')
+        val name = pf.substring(slash + 1)
+        ((pf.substring(0, math.max(slash, 0)), name.takeWhile(_ != '_')),
+          FileSystemView.instantOfFileName(name))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+
+    val perCommit = commits.zipWithIndex.flatMap { case (c, i) =>
+      val meta = tl.metadataOf(c)
+      val touched: Set[(String, String)] =
+        meta.files.map(f => (f.partition, f.fileId)).toSet ++
+          meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }
+      if (touched.isEmpty) None
+      else {
+        val prev = allData.filter(_ < c.ts).lastOption.getOrElse("0")
+        val beforeSlices = table.view.latestSlices(Some(prev))
+          .filter(s => touched((s.partition, s.fileId)))
+        touched.foreach { g =>
+          val liveBase = beforeSlices.find(s => (s.partition, s.fileId) == g)
+            .flatMap(_.baseInstant).getOrElse("")
+          require(!deletedByGroup.getOrElse(g, Nil)
+            .exists(ts => ts <= prev && ts > liveBase),
+            s"change feed for commit ${c.ts} needs a cleaned file version " +
+              s"of group ${g._1}/${g._2}; lower the band or clean less aggressively")
+        }
+        val afterSlices = table.view.latestSlices(Some(c.ts))
+          .filter(s => touched((s.partition, s.fileId)))
+        Some(changeSet(
+          physicalSnapshotFromSlices(beforeSlices, None),
+          physicalSnapshotFromSlices(afterSlices, None), c.ts, i + 1))
+      }
+    }
+    table.logicalize(perCommit.reduceOption(_ unionByName _)
+      .getOrElse(changeSet(emptyFrame(None), emptyFrame(None), end, 0)))
+  }
+
+  /** One commit's change rows from its before/after images (physical
+    * names, tombstones already dropped, full stored schema on both sides —
+    * old files surface newer columns as nulls, so the sides always align).
+    */
+  private def changeSet(
+      before: DataFrame, after: DataFrame, commitTs: String, ord: Int): DataFrame = {
+    val key = Seq(MetaColumns.PartitionPath, MetaColumns.RecordKey)
+    val dataCols = before.columns.toSeq
+      .filterNot(MetaColumns.AllWithDeleted.contains)
+    val ct = MetaColumns.CommitTime
+    val b = before.select((key.map(col) :+ col(ct).as("_b_ct")) ++
+      dataCols.map(c => col(c).as(s"_b_$c")): _*)
+    val a = after.select((key.map(col) :+ col(ct).as("_a_ct")) ++
+      dataCols.map(c => col(c).as(s"_a_$c")): _*)
+    def rowOf(tpe: String, prefix: String) = struct(
+      (lit(tpe).as("_change_type") +:
+        dataCols.map(c => col(s"$prefix$c").as(c))): _*)
+    b.join(a, key, "full_outer")
+      // keys absent on one side or (re)written by THIS commit are changes;
+      // rows merged through unchanged keep their old commit time and drop
+      .filter(col("_b_ct").isNull || col("_a_ct").isNull || col("_a_ct") === commitTs)
+      .select(explode(
+        when(col("_b_ct").isNull, array(rowOf("insert", "_a_")))
+          .when(col("_a_ct").isNull, array(rowOf("delete", "_b_")))
+          .otherwise(array(
+            rowOf("update_preimage", "_b_"),
+            rowOf("update_postimage", "_a_")))).as("_c"))
+      .select(lit(ord).as("_change_ordinal"), col("_c.*"))
+  }
+
   /** MOR snapshot merge: cluster dirty rows by their FILE GROUP first
     * (base and its deltas share the fileId filename prefix), then run the
     * latest-wins window within (fileId, key). The shuffle is keyed on

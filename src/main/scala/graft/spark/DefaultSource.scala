@@ -118,6 +118,10 @@ object GraftOptions {
   val AsOfInstant = "as.of.instant"
   val BeginInstant = "begin.instant"
   val EndInstant = "end.instant"
+  /** `cdc` switches incremental reads to the per-commit change feed
+    * (GraftReadClient.changes), mirroring
+    * hoodie.datasource.query.incremental.format=cdc. */
+  val IncrementalFormat = "incremental.format"
   val TableName = "table.name"
   val TableType = "table.type" // cow | mor
   val RecordKeyField = "recordkey.field"
@@ -320,6 +324,11 @@ object GraftRelation {
           read.snapshot(parameters.get(AsOfInstant), keep, keepSlice)
         case "read_optimized" =>
           read.readOptimized(parameters.get(AsOfInstant), keep, keepSlice)
+        case "incremental" if parameters.get(IncrementalFormat).contains("cdc") =>
+          // change feed: one row per change with _change_type/_change_ordinal
+          // (no meta columns — the include-meta drop below is a no-op)
+          read.changes(
+            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
         case "incremental" =>
           // partition pruning does not apply: the band is commit-based
           read.incremental(
@@ -341,6 +350,11 @@ object GraftRelation {
     // MOR-merge/incremental plan just to read its schema would cost
     // O(timeline) driver work twice per resolution.
     val schema = table.storedFileSchema match {
+      case _ if queryType == "incremental" &&
+        parameters.get(IncrementalFormat).contains("cdc") =>
+        // change-feed schema (_change_* + data columns) differs from the
+        // stored schema — build the (cheap, group-scoped) plan for it
+        mkDf(None, _ => true).schema
       case Some(full) =>
         val dropped = (if (includeMeta) Seq.empty[String] else graft.core.MetaColumns.All) :+
           graft.core.MetaColumns.IsDeleted

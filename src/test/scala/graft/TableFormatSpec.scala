@@ -1543,6 +1543,53 @@ class TableFormatSpec extends AnyFunSuite {
     assert(got2.count() === 1)
   }
 
+  test("change feed: per-commit ops over MOR deltas; services emit nothing") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders)
+    w.upsert(orders.filter(col("o_orderkey") < 100L)
+      .withColumn("o_totalprice", col("o_totalprice") + 9.0)) // delta commit
+    w.delete(orders.filter(col("o_orderkey") === 500L)
+      .select("o_orderkey", "o_orderpriority"))
+    new TableServices(t, wc).compact() // rewrites keep original commit times
+
+    val r = new GraftReadClient(t)
+    val ch = r.changes(c1)
+    // updates: pre+post per modified key in ordinal 1
+    assert(ch.filter(col("_change_ordinal") === 1 &&
+      col("_change_type") === "update_postimage").count() === 100)
+    assert(ch.filter(col("_change_ordinal") === 1 &&
+      col("_change_type") === "update_preimage").count() === 100)
+    val post5 = ch.filter(col("_change_type") === "update_postimage" &&
+      col("o_orderkey") === 5L).select("o_totalprice").head.getDouble(0)
+    val pre5 = ch.filter(col("_change_type") === "update_preimage" &&
+      col("o_orderkey") === 5L).select("o_totalprice").head.getDouble(0)
+    assert(math.abs(post5 - pre5 - 9.0) < 1e-6)
+    // delete: one row, the pre-delete image
+    assert(ch.filter(col("_change_type") === "delete").count() === 1)
+    assert(ch.filter(col("_change_type") === "delete")
+      .select("o_orderkey").head.getLong(0) === 500L)
+    // compaction emitted nothing: exactly the two data commits' ordinals
+    assert(ch.select(max(col("_change_ordinal"))).head.getInt(0) === 2)
+    assert(ch.filter(col("_change_type") === "insert").count() === 0)
+
+    // the datasource option surfaces the same feed
+    val viaDs = spark.read.format("graft")
+      .option("query.type", "incremental")
+      .option("incremental.format", "cdc")
+      .option("begin.instant", c1).load(path)
+    assert(viaDs.count() === ch.count())
+    assert(viaDs.columns.contains("_change_type"))
+
+    // a clean that deletes the needed before-version fails loudly
+    for (i <- 1 to 3)
+      w.upsert(orders.limit(10).withColumn("o_totalprice", col("o_totalprice") + lit(i * 1.0)))
+    new TableServices(t, wc).cleanVersions(retainVersions = 1)
+    val e = intercept[IllegalArgumentException] { r.changes(c1).count() }
+    assert(e.getMessage.contains("cleaned"))
+  }
+
   test("ColumnStats compares stats through the column type, not as strings") {
     import org.apache.spark.sql.types._
     // doubles render in scientific notation; "9" > "10" as strings
