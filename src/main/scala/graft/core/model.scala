@@ -153,6 +153,18 @@ final case class ClusteringPlan(
     sortColumns: Seq[String],
     slices: Seq[FileSlice])
 
+/** A persisted clean plan — the content of a `<ts>.clean.requested`
+  * instant file: the frozen list of obsolete `partition/fileName` data
+  * files. Execution deletes them idempotently (a retry over a crashed
+  * half-deleted attempt just removes what's left), so a failed clean
+  * resumes from the plan instead of re-planning against a moved table
+  * (ref: HoodieCleanerPlan.avsc + BaseCleanPlanActionExecutor.requestClean).
+  */
+final case class CleanPlan(
+    instant: String,
+    operation: String, // "clean" | "clean_versions"
+    files: Seq[String])
+
 /** Table-level config stored at `<base>/.graft/table_config.json`.
   * (ref: hudi-common/.../table/HoodieTableConfig.java)
   */
@@ -233,4 +245,7 @@ object Json {
 
   def readClusteringPlan(s: String): ClusteringPlan =
     JsonMethods.parse(s).extract[ClusteringPlan]
+
+  def readCleanPlan(s: String): CleanPlan =
+    JsonMethods.parse(s).extract[CleanPlan]
 }

@@ -576,10 +576,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   // (ref: CleanPlanner.java:123-405, policy KEEP_LATEST_COMMITS)
   // =====================================================================
 
-  def clean(retainCommits: Int = 10): Option[String] = {
+  def clean(retainCommits: Int = 10): Option[String] =
+    commitClean(cleanCandidates(retainCommits), "clean")
+
+  private def cleanCandidates(retainCommits: Int): Seq[WriteFileInfo] = {
     val tl = table.timeline
     val dataCommits = tl.completedData
-    if (dataCommits.size <= retainCommits) return None
+    if (dataCommits.size <= retainCommits) return Seq.empty
     val earliestRetained = dataCommits(dataCommits.size - retainCommits).ts
     // never clean past a savepoint (ref: CleanPlanner savepointed files)
     val savepoints = tl.completed.filter(_.action == GraftAction.Savepoint).map(_.ts)
@@ -613,7 +616,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
       }
     }
-    commitClean(deletable.toSeq, "clean")
+    deletable.toSeq
   }
 
   /** KEEP_LATEST_FILE_VERSIONS cleaning: per active file group keep the
@@ -622,7 +625,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * files and slices claimed by a pending service plan are never
     * deleted. (ref: CleanPlanner.getFilesToCleanKeepingLatestVersions)
     */
-  def cleanVersions(retainVersions: Int = 3): Option[String] = {
+  def cleanVersions(retainVersions: Int = 3): Option[String] =
+    commitClean(cleanVersionCandidates(retainVersions), "clean_versions")
+
+  private def cleanVersionCandidates(retainVersions: Int): Seq[WriteFileInfo] = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
     val tl = table.timeline
     // files any savepointed view still resolves — never deletable
@@ -661,22 +667,74 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
       }
     }
-    commitClean(deletable.toSeq, "clean_versions")
+    deletable.toSeq
   }
 
+  /** Persist the deletable list as a `<ts>.clean.requested` plan; inline
+    * clean() executes it immediately, a separate runner can execute it
+    * later (ref: BaseCleanPlanActionExecutor.requestClean — the
+    * request/execute split that lets failed cleans resume from the frozen
+    * plan). Files already claimed by an earlier pending plan are not
+    * re-planned.
+    */
   private def commitClean(
+      deletable: Seq[WriteFileInfo], operation: String): Option[String] =
+    scheduleCleanPlan(deletable, operation).flatMap(executeClean)
+
+  private def scheduleCleanPlan(
       deletable: Seq[WriteFileInfo], operation: String): Option[String] = {
-    if (deletable.isEmpty) return None
-    val tl = table.timeline
+    val planned = pendingCleanPlans.flatMap(_.files).toSet
+    val files = deletable.map(f => s"${f.partition}/${f.fileName}")
+      .filterNot(planned)
+    if (files.isEmpty) return None
     val ts = InstantTimeGenerator.next()
-    val instant = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Clean))
+    table.timeline.createRequested(ts, GraftAction.Clean,
+      Json.write(CleanPlan(ts, operation, files)))
+    Some(ts)
+  }
+
+  /** Plan-only variants of [[clean]] / [[cleanVersions]] — persist the
+    * `<ts>.clean.requested` plan without deleting anything; a separate
+    * [[executeClean]] (same or another TableServices instance) runs it.
+    */
+  def scheduleClean(retainCommits: Int = 10): Option[String] =
+    scheduleCleanPlan(cleanCandidates(retainCommits), "clean")
+
+  def scheduleCleanVersions(retainVersions: Int = 3): Option[String] =
+    scheduleCleanPlan(cleanVersionCandidates(retainVersions), "clean_versions")
+
+  /** Scheduled-but-unexecuted clean plans, oldest first. */
+  def pendingCleanPlans: Seq[CleanPlan] =
+    table.timeline.pending
+      .filter(i => i.action == GraftAction.Clean && i.state == GraftState.Requested)
+      .sortBy(_.ts)
+      .map(i => Json.readCleanPlan(
+        table.storage.readString(new Path(table.storage.metaDir, i.fileName))))
+
+  /** Execute a scheduled clean plan: delete its files (idempotently — a
+    * retry after a crash re-deletes what's left) and complete the instant
+    * with the plan's file list so every view drops them.
+    */
+  def executeClean(planTs: String): Option[String] = {
+    val tl = table.timeline
+    val requested = GraftInstant(planTs, GraftAction.Clean, GraftState.Requested)
+    val reqPath = new Path(table.storage.metaDir, requested.fileName)
+    require(table.storage.exists(reqPath), s"no scheduled clean $planTs")
+    val plan = Json.readCleanPlan(table.storage.readString(reqPath))
+    // a retry after a crashed execute finds the stale inflight marker
+    table.storage.delete(new Path(table.storage.metaDir,
+      requested.copy(state = GraftState.Inflight).fileName))
+    val instant = tl.transitionToInflight(requested)
     // small cleans delete driver-side; large ones fan out over executors
     GraftWriteClient.executeDeletes(spark, table.storage,
-      deletable.map(f => table.storage.dataFilePath(f.partition, f.fileName)))
+      plan.files.map { pf =>
+        val i = pf.lastIndexOf('/')
+        table.storage.dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
+      })
     tl.transitionToCompleted(instant, GraftCommitMetadata(
-      instant = ts, action = GraftAction.Clean, operation = operation,
-      deletedFiles = deletable.map(f => s"${f.partition}/${f.fileName}")))
-    Some(ts)
+      instant = planTs, action = GraftAction.Clean, operation = plan.operation,
+      deletedFiles = plan.files))
+    Some(planTs)
   }
 
   // =====================================================================

@@ -148,6 +148,11 @@ object GraftCli {
     },
     "clean" -> (t => new graft.services.TableServices(t).clean()),
     "clean_versions" -> (t => new graft.services.TableServices(t).cleanVersions()),
+    "clean_schedule" -> (t => new graft.services.TableServices(t).scheduleClean()),
+    "clean_execute" -> { t =>
+      val svc = new graft.services.TableServices(t)
+      svc.pendingCleanPlans.headOption.flatMap(p => svc.executeClean(p.instant))
+    },
     "cluster" -> (t => new graft.services.TableServices(t).cluster()),
     "cluster_schedule" -> (t =>
       new graft.services.TableServices(t).scheduleClustering()),

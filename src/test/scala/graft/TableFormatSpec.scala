@@ -1543,6 +1543,42 @@ class TableFormatSpec extends AnyFunSuite {
     assert(got2.count() === 1)
   }
 
+  test("clean schedule/execute split: plan persisted, executed by a second client") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    for (i <- 1 to 3)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    val svc = new TableServices(t, wc)
+    val planTs = svc.scheduleClean(retainCommits = 1).get
+    // nothing deleted yet: the plan's files still exist
+    val plan = svc.pendingCleanPlans.find(_.instant == planTs).get
+    assert(plan.files.nonEmpty)
+    def planFileExists(pf: String): Boolean = {
+      val i = pf.lastIndexOf('/')
+      t.storage.exists(t.storage.dataFilePath(pf.substring(0, i), pf.substring(i + 1)))
+    }
+    assert(plan.files.forall(planFileExists))
+    // re-scheduling finds nothing new (files already claimed by the plan)
+    assert(svc.scheduleClean(retainCommits = 1).isEmpty)
+
+    // a second client executes the plan
+    val svc2 = new TableServices(GraftTable.load(spark, path), wc)
+    assert(svc2.executeClean(planTs).contains(planTs))
+    assert(plan.files.forall(pf => !planFileExists(pf)))
+    assert(svc2.pendingCleanPlans.isEmpty)
+    // the snapshot is untouched and the view reflects the deletions
+    val expect = orders.withColumn("o_totalprice", col("o_totalprice") + 3.0)
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(snap).count() === 0)
+    // executing the completed plan again is an error; a re-run of the
+    // whole clean finds nothing left
+    intercept[IllegalArgumentException] { svc2.executeClean(planTs) }
+    assert(new TableServices(t, wc).clean(retainCommits = 1).isEmpty)
+  }
+
   test("change feed: per-commit ops over MOR deltas; services emit nothing") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
