@@ -787,6 +787,14 @@ object SparkEntry {
         .select("id_a", "id_b", "jaccard")
     }),
 
+    // near-dup pairs collapsed to duplicate clusters (keep-one-per-group
+    // dedup): connected components over the exact-verified MinHash pairs
+    "doc_dup_components" -> ((s, dir) => {
+      val pairs = Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
+        shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.6)
+      Dedup.duplicateComponents(pairs)
+    }),
+
     "doc_fingerprint_dups" -> ((s, dir) => {
       // duplicate-content groups by 64-bit fingerprint: every doc whose
       // normalized text appears more than once
@@ -986,6 +994,28 @@ object SparkEntry {
        |SELECT id_a, id_b, shared::DOUBLE / (ca.n + cb.n - shared) AS jaccard
        |FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
        |WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.6""".stripMargin
+
+  /** Connected components over the exact Jaccard pairs: transitive
+    * closure by recursive CTE, component id = min reachable doc id —
+    * the same fixpoint the engine's min-label propagation converges to.
+    */
+  private val duckDupComponents =
+    s"""WITH RECURSIVE d AS (SELECT doc_id, $duckNorm AS norm FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |         CASE WHEN length(norm) < 5 THEN norm ELSE substr(norm, CAST(i AS INT), 5) END AS s
+       |       FROM d, LATERAL (SELECT unnest(range(1, greatest(length(norm)-3, 2))) AS i) t),
+       |cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+       |      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id GROUP BY 1, 2),
+       |pr AS (SELECT id_a, id_b
+       |       FROM p JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+       |       WHERE shared::DOUBLE / (ca.n + cb.n - shared) >= 0.6),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr UNION SELECT id_b, id_a FROM pr),
+       |reach(src, dst) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN e e2 ON e2.a = r.dst)
+       |SELECT src AS doc_id, min(dst) AS component_id FROM reach GROUP BY src""".stripMargin
 
   private val duckTokens = raw"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(string_split_regex(trim(text), '\s+')) END"
   private def duckStops(l: Seq[String]): String =
@@ -1270,6 +1300,8 @@ object SparkEntry {
     // one double div). The inverted-index variant's oracle replicates its
     // hot-shingle df cutoff so the two define the same candidate space.
     "doc_minhash_pairs" -> duckJaccardPairs,
+
+    "doc_dup_components" -> duckDupComponents,
     "doc_jaccard_pairs" -> duckJaccardPairsDfCutoff,
 
     // full independent SimHash recomputation: same md5-derived 60-bit

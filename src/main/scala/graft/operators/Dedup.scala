@@ -273,4 +273,56 @@ object Dedup {
       .distinct()
     verifyJaccard(candidates, shingles, threshold)
   }
+
+  /** Collapse near-duplicate PAIRS into duplicate CLUSTERS — the step a
+    * dedup pipeline needs to keep exactly one document per group of
+    * mutual near-dups (pairs alone over-delete: {a~b, b~c} must drop two
+    * docs of {a,b,c}, not three). Connected components by iterative
+    * min-label propagation (the classic Pregel/GraphX formulation, here
+    * as plain relational ops): every node starts labeled with itself,
+    * each round takes the min of its own and its neighbors' labels, and
+    * labels decrease monotonically to the component minimum in
+    * O(component diameter) rounds — tiny for near-dup clusters. Each
+    * round is one equi-join plus a map-side-combinable min aggregation,
+    * both keyed by node — no all-pairs work at any scale; lineage is cut
+    * per round with localCheckpoint so plans stay flat.
+    *
+    * Returns (idCol, componentCol) for every id that appears in `pairs`:
+    * componentCol = the minimum id reachable through the pair graph.
+    */
+  def duplicateComponents(
+      pairs: DataFrame,
+      idA: String = "id_a",
+      idB: String = "id_b",
+      idCol: String = "doc_id",
+      componentCol: String = "component_id",
+      maxIterations: Int = 50): DataFrame = {
+    val edges = pairs.select(col(idA).as("_src"), col(idB).as("_dst"))
+      .unionByName(pairs.select(col(idB).as("_src"), col(idA).as("_dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("_src").as("_node")).distinct()
+      .withColumn("_label", col("_node"))
+      .localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIterations) {
+      iter += 1
+      val nbrMin = edges
+        .join(labels.select(col("_node").as("_dst"), col("_label").as("_nl")), "_dst")
+        .groupBy(col("_src").as("_node"))
+        .agg(min(col("_nl")).as("_nbr"))
+      val next = labels
+        .join(nbrMin, Seq("_node"), "left")
+        .select(col("_node"), least(col("_label"), col("_nbr")).as("_label"))
+        .localCheckpoint()
+      converged = next
+        .join(labels.select(col("_node"), col("_label").as("_old")), "_node")
+        .filter(col("_label") =!= col("_old"))
+        .isEmpty
+      labels = next
+    }
+    edges.unpersist()
+    labels.select(col("_node").as(idCol), col("_label").as(componentCol))
+  }
 }

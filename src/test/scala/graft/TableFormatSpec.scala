@@ -1626,6 +1626,18 @@ class TableFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cleaned"))
   }
 
+  test("duplicateComponents collapses pair chains into min-id clusters") {
+    import spark.implicits._
+    // a 4-node chain (multi-hop propagation), a 2-cycle-free pair, and a
+    // 3-node star — labels must converge transitively, not one hop
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("id_a", "id_b")
+    val got = graft.operators.Dedup.duplicateComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
   test("ColumnStats compares stats through the column type, not as strings") {
     import org.apache.spark.sql.types._
     // doubles render in scientific notation; "9" > "10" as strings
