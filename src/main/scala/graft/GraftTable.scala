@@ -154,13 +154,30 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     // Clean/rollback/restore deletions are physical: apply them to every
     // view UNCAPPED by maxTs — a file deleted by a later clean must not be
     // served by an as-of view or checkpointed into an archive manifest.
-    val physicallyDeleted: Set[String] = timeline.completed
-      .filter(i => i.action == GraftAction.Clean ||
-        i.action == GraftAction.Rollback || i.action == GraftAction.Restore)
-      .flatMap(i => timeline.metadataOf(i).deletedFiles)
-      .toSet
-    new FileSystemView(cappedBase ++ active, physicallyDeleted)
+    // Clean deletions additionally arm the as-of guard: time travel that
+    // would have chosen a cleaned version fails loudly.
+    new FileSystemView(cappedBase ++ active, physicallyDeletedFiles,
+      cleanDeletedFiles)
   }
+
+  /** `partition/fileName` entries removed from storage by completed
+    * clean/rollback/restore instants on the active timeline.
+    */
+  private[graft] def physicallyDeletedFiles: Set[String] =
+    cleanDeletedFiles ++ timeline.completed
+      .filter(i => i.action == GraftAction.Rollback || i.action == GraftAction.Restore)
+      .flatMap(i => timeline.metadataOf(i).deletedFiles)
+
+  /** Files deleted by CLEANS only. Unlike rollback/restore deletions
+    * (which erase undone history — every surviving state is correct
+    * without them), a clean destroys still-reconstructible PAST states:
+    * as-of reads that would have chosen a cleaned version must fail
+    * loudly instead of silently serving an older one.
+    */
+  private[graft] def cleanDeletedFiles: Set[String] = timeline.completed
+    .filter(_.action == GraftAction.Clean)
+    .flatMap(i => timeline.metadataOf(i).deletedFiles)
+    .toSet
 
   def dataFilePaths(files: Seq[WriteFileInfo]): Seq[String] =
     files.map(f => storage.dataFilePath(f.partition, f.fileName).toString)

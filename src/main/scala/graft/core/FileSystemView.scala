@@ -29,10 +29,30 @@ final case class FileSlice(
   *        including as-of views older than the deleting instant (a
   *        cleaned version can never be served again) and the archive
   *        manifest checkpoint (which must not reference deleted files).
+  * @param cleanDeleted the CLEAN-deleted subset of `physicallyDeleted`.
+  *        Cleans destroy reconstructible past states, so an as-of read
+  *        whose true slice was cleaned fails loudly instead of silently
+  *        serving the surviving older/none version. Rollback/restore
+  *        deletions erase undone history — every surviving state is
+  *        already correct without them — and never trip the guard.
   */
 final class FileSystemView(
     instantsWithMeta: Seq[(GraftInstant, GraftCommitMetadata)],
-    physicallyDeleted: Set[String] = Set.empty) {
+    physicallyDeleted: Set[String] = Set.empty,
+    cleanDeleted: Set[String] = Set.empty) {
+
+  /** Clean-deleted file instants per (partition, fileId), for the as-of
+    * guard (file names carry their commit instant).
+    */
+  private lazy val cleanDeletedByGroup: Map[(String, String), Seq[String]] =
+    cleanDeleted.toSeq
+      .map { pf =>
+        val slash = pf.lastIndexOf('/')
+        val name = pf.substring(slash + 1)
+        ((pf.substring(0, math.max(slash, 0)), name.takeWhile(_ != '_')),
+          FileSystemView.instantOfFileName(name))
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
   /** Latest file slice per live file group as of `asOf` (inclusive).
     * Replace-commits (insert_overwrite / delete_partition / clustering)
@@ -64,6 +84,26 @@ final class FileSystemView(
         }
       }
     }
+
+    // As-of guard: a cleaned file version that is (a) within the as-of
+    // window and (b) newer than the best surviving base for its group
+    // means the TRUE state at that instant is gone — fail loudly instead
+    // of silently serving an older version (or no version at all, when
+    // every file of the group at/below the instant was cleaned). Groups
+    // replaced at/below the instant are legitimately invisible and never
+    // trip the guard; byGroup here already holds only instants <= asOf.
+    for (ts <- asOf if cleanDeleted.nonEmpty)
+      cleanDeletedByGroup.foreach { case (g, dts) =>
+        val harmful = dts.filter(_ <= ts)
+        if (harmful.nonEmpty && !replacedAt.contains(g)) {
+          val liveBase = byGroup.get(g)
+            .map(_.filter(!_._2.isDelta).map(_._1))
+            .filter(_.nonEmpty).map(_.max).getOrElse("")
+          require(!harmful.exists(_ > liveBase),
+            s"state of file group ${g._1}/${g._2} as of $ts was cleaned " +
+              "away and is no longer reconstructible")
+        }
+      }
 
     byGroup.iterator.flatMap { case ((part, fileId), files) =>
       val liveUntil = replacedAt.get((part, fileId))

@@ -178,10 +178,18 @@ final class GraftReadClient(val table: GraftTable) {
     // state is not reconstructible.
     val archivedInRange = table.timeline.archivedInstants.exists(i =>
       GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end)
-    if (archivedInRange)
+    val instants = table.timeline.dataInstantsBetween(beginTs, end)
+    // a band file cleaning already deleted (a superseded version inside
+    // the band) takes the same snapshot fallback as an archived band —
+    // the touched-files scan would hit missing paths, while the snapshot
+    // band is exact because rows keep their original commit times
+    val deleted = table.physicallyDeletedFiles
+    val cleanedInRange = deleted.nonEmpty && instants.exists(i =>
+      table.timeline.metadataOf(i).files
+        .exists(f => deleted(s"${f.partition}/${f.fileName}")))
+    if (archivedInRange || cleanedInRange)
       return snapshot(Some(end)).filter(
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
-    val instants = table.timeline.dataInstantsBetween(beginTs, end)
     val files = instants.flatMap { i =>
       table.timeline.metadataOf(i).files
         .map(f => table.storage.dataFilePath(f.partition, f.fileName).toString)
@@ -235,10 +243,12 @@ final class GraftReadClient(val table: GraftTable) {
         "file versions are gone; use incremental() for the collapsed band")
     val commits = tl.dataInstantsBetween(beginTs, end)
     val allData = tl.completedData.map(_.ts)
-    // cleaned/rolled-back files per group, for the needed-version guard
-    val deletedByGroup: Map[(String, String), Seq[String]] = tl.completed
-      .filter(i => Set(GraftAction.Clean, GraftAction.Rollback, GraftAction.Restore)(i.action))
-      .flatMap(i => tl.metadataOf(i).deletedFiles)
+    // CLEAN-deleted files per group, for the needed-version guard.
+    // Rollback/restore deletions don't count: they erase undone history,
+    // and a rolled-back commit's files are never a before-image any
+    // surviving commit needs.
+    val deletedByGroup: Map[(String, String), Seq[String]] =
+      table.cleanDeletedFiles.toSeq
       .map { pf =>
         val slash = pf.lastIndexOf('/')
         val name = pf.substring(slash + 1)

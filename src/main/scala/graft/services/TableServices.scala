@@ -854,6 +854,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   def savepoint(instantTs: String): Unit = {
     val tl = table.timeline
     require(tl.completedData.exists(_.ts == instantTs), s"no completed commit $instantTs")
+    // resolve the savepointed view NOW: throws if cleaning already removed
+    // that state (an unreconstructible savepoint would otherwise wedge
+    // every later clean's pinned-files computation)
+    table.view.latestSlices(Some(instantTs))
     val i = tl.transitionToInflight(tl.createRequested(instantTs, GraftAction.Savepoint))
     tl.transitionToCompleted(i, GraftCommitMetadata(
       instant = instantTs, action = GraftAction.Savepoint, operation = "savepoint"))

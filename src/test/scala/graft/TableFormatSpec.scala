@@ -1579,6 +1579,55 @@ class TableFormatSpec extends AnyFunSuite {
     assert(new TableServices(t, wc).clean(retainCommits = 1).isEmpty)
   }
 
+  test("time travel to a cleaned state fails loudly; savepoints reject cleaned targets") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val commits = scala.collection.mutable.ArrayBuffer(t.timeline.completedData.last.ts)
+    for (i <- 1 to 3) {
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+      commits += t.timeline.completedData.last.ts
+    }
+    new TableServices(t, wc).cleanVersions(retainVersions = 2)
+    val r = new GraftReadClient(t)
+    // versions 3 and 4 survive: time travel there still works
+    assert(r.snapshotData(Some(commits(2))).count() === orders.count())
+    assert(r.snapshotData(Some(commits(3))).count() === orders.count())
+    // versions 1 and 2 were cleaned: loud failure, not a silently older state
+    val e = intercept[IllegalArgumentException] { r.snapshotData(Some(commits(0))).count() }
+    assert(e.getMessage.contains("cleaned"))
+    intercept[IllegalArgumentException] { r.snapshotData(Some(commits(1))).count() }
+    // a savepoint of the cleaned state is rejected at creation
+    val e2 = intercept[IllegalArgumentException] {
+      new TableServices(t, wc).savepoint(commits(1))
+    }
+    assert(e2.getMessage.contains("cleaned"))
+    // savepointing a surviving state still works, and later cleans honor it
+    new TableServices(t, wc).savepoint(commits(3))
+    w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + 9.0))
+    new TableServices(t, wc).cleanVersions(retainVersions = 1)
+    assert(r.snapshotData(Some(commits(3))).count() === orders.count())
+  }
+
+  test("incremental reads spanning cleaned file versions fall back to a snapshot band") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders)
+    for (i <- 1 to 3)
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    // deletes the superseded versions commits 2 and 3 wrote INSIDE the band
+    assert(new TableServices(t, wc).cleanVersions(retainVersions = 1).nonEmpty)
+    val r = new GraftReadClient(t)
+    val got = r.dataOnly(r.incremental(c1)).select(orders.columns.map(col).toSeq: _*)
+    // the latest version per key written in the band — same result the
+    // touched-files path would have produced had nothing been cleaned
+    val expect = orders.withColumn("o_totalprice", col("o_totalprice") + 3.0)
+    assert(got.exceptAll(expect).count() === 0)
+    assert(expect.exceptAll(got).count() === 0)
+  }
+
   test("change feed: per-commit ops over MOR deltas; services emit nothing") {
     val path = tmp()
     val t = GraftTable.create(spark, path, morConfig)
