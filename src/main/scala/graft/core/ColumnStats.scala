@@ -141,6 +141,15 @@ object ColumnStats {
       range <- f.colStats.get(key) if range.size == 2 && range.forall(_ != null)
     } yield (dt, range.head, range(1))
 
+  private def nullsOf(attr: String, resolve: Resolver, f: WriteFileInfo): Option[Long] =
+    resolve(attr).flatMap { case (key, _) => f.colNulls.get(key) }
+
+  /** With no min/max recorded, a known all-null column still can't match
+    * any value filter; anything else keeps the file.
+    */
+  private def noRangeKeep(attr: String, resolve: Resolver, f: WriteFileInfo): Boolean =
+    !(f.records > 0 && nullsOf(attr, resolve, f).contains(f.records))
+
   private def mayContain(attr: String, v: Any, resolve: Resolver, f: WriteFileInfo): Boolean =
     statsOf(attr, resolve, f) match {
       case Some((dt, mn, mx)) =>
@@ -148,7 +157,7 @@ object ColumnStats {
           case (Some(lo), Some(hi)) => lo <= 0 && hi >= 0
           case _                    => true
         }
-      case None => true
+      case None => noRangeKeep(attr, resolve, f)
     }
 
   /** `strict`: mx > v (for `>`); otherwise mx >= v (for `>=`). */
@@ -159,7 +168,7 @@ object ColumnStats {
         case Some(c) => if (strict) c > 0 else c >= 0
         case None    => true
       }
-      case None => true
+      case None => noRangeKeep(attr, resolve, f)
     }
 
   private def lowerMayPass(
@@ -169,7 +178,7 @@ object ColumnStats {
         case Some(c) => if (strict) c < 0 else c <= 0
         case None    => true
       }
-      case None => true
+      case None => noRangeKeep(attr, resolve, f)
     }
 
   private def keepOne(flt: Filter, resolve: Resolver, f: WriteFileInfo): Boolean =
@@ -184,10 +193,12 @@ object ColumnStats {
       case GreaterThanOrEqual(a, v) if v != null => upperMayPass(a, v, strict = false, resolve, f)
       case LessThan(a, v) if v != null           => lowerMayPass(a, v, strict = true, resolve, f)
       case LessThanOrEqual(a, v) if v != null    => lowerMayPass(a, v, strict = false, resolve, f)
+      case IsNull(a)    => nullsOf(a, resolve, f).forall(_ > 0)
+      case IsNotNull(a) => nullsOf(a, resolve, f).forall(_ < f.records) || f.records == 0
       case And(l, r) => keepOne(l, resolve, f) && keepOne(r, resolve, f)
       case Or(l, r)  => keepOne(l, resolve, f) || keepOne(r, resolve, f)
-      // IsNull / IsNotNull / Not / string matches / unknown shapes:
-      // min/max can't witness them — never prune
+      // Not / string matches / unknown shapes: min/max can't witness
+      // them — never prune
       case _ => true
     }
 }

@@ -98,6 +98,10 @@ object GraftInstant {
   *                  metadata index). Only columns listed in
   *                  WriteConfig.colStatsColumns carry entries; an all-null
   *                  column has none.
+  * @param colNulls  physical column name -> null count, for the same
+  *                  stats columns (all-null columns DO carry an entry
+  *                  here) — prunes IS NULL / IS NOT NULL and value
+  *                  filters against all-null files.
   */
 final case class WriteFileInfo(
     partition: String,
@@ -108,7 +112,8 @@ final case class WriteFileInfo(
     isDelta: Boolean,
     minKey: String = "",
     maxKey: String = "",
-    colStats: Map[String, Seq[String]] = Map.empty)
+    colStats: Map[String, Seq[String]] = Map.empty,
+    colNulls: Map[String, Long] = Map.empty)
 
 /** Commit metadata persisted as the content of a completed instant file.
   * (ref: hudi-common/.../model/HoodieCommitMetadata.java — ours also

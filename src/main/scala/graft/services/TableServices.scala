@@ -379,7 +379,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           if (stats.bloom.nonEmpty)
             blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey, stats.colStats)
+            isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
       }
     }
@@ -561,7 +561,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           if (stats.bloom.nonEmpty)
             blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey, stats.colStats)
+            isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
     }
     // overwrite: deterministic fileIds (plan ts + seq) make a retry hit

@@ -1142,7 +1142,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           if (stats.bloom.nonEmpty) blooms += BloomSidecarRow(name, stats.bloom)
           out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
-            stats.minKey, stats.maxKey, stats.colStats)
+            stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
       }
     }
@@ -1203,7 +1203,8 @@ object GraftWriteClient {
   final case class FileStats(
       records: Long, minKey: String, maxKey: String,
       bloom: Array[Byte] = Array.empty,
-      colStats: Map[String, Seq[String]] = Map.empty)
+      colStats: Map[String, Seq[String]] = Map.empty,
+      colNulls: Map[String, Long] = Map.empty)
 
   /** Distributed per-file key-bloom builder (merge-combinable, so it runs
     * as one agg expression inside the staged-stats job). Spark's public
@@ -1325,7 +1326,9 @@ object GraftWriteClient {
         else Seq(udaf(new KeyBloomAggregator(bloomExpected, bloomFpp),
           org.apache.spark.sql.Encoders.STRING)
           .apply(col(MetaColumns.RecordKey)).as("_bf"))
-      val statAggs = statFields.flatMap(graft.core.ColumnStats.statExprs)
+      // per stats column: min, max (rendered), non-null count
+      val statAggs = statFields.flatMap(f =>
+        graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
       val aggs = base ++ bloomAggs ++ statAggs
       // row layout: 0 = the groupBy key (_f), then the agg columns
       val statsStart = 1 + base.size + bloomAggs.size
@@ -1334,16 +1337,20 @@ object GraftWriteClient {
         .collect()
         .map { r =>
           val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
-            val mn = r.getString(statsStart + 2 * i)
-            val mx = r.getString(statsStart + 2 * i + 1)
+            val mn = r.getString(statsStart + 3 * i)
+            val mx = r.getString(statsStart + 3 * i + 1)
             if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
           }.toMap
+          val records = r.getLong(1)
+          val colNulls = statFields.zipWithIndex.map { case (f, i) =>
+            f.name -> (records - r.getLong(statsStart + 3 * i + 2))
+          }.toMap
           decodedPath(r.getString(0)) ->
-            FileStats(r.getLong(1), Option(r.getString(2)).getOrElse(""),
+            FileStats(records, Option(r.getString(2)).getOrElse(""),
               Option(r.getString(3)).getOrElse(""),
               if (bloomExpected <= 0) Array.empty[Byte]
               else Option(r.getAs[Array[Byte]](4)).getOrElse(Array.empty[Byte]),
-              colStats)
+              colStats, colNulls)
         }
         .toMap
     } catch {

@@ -1708,6 +1708,29 @@ class TableFormatSpec extends AnyFunSuite {
     // unparseable pairs refuse to compare (caller keeps the file)
     assert(ColumnStats.compare(DoubleType, "NaN", 1.0).isEmpty)
     assert(ColumnStats.compare(DoubleType, "1.0", Double.NaN).isEmpty)
+
+    // null-count pruning: IS NULL / IS NOT NULL and all-null value filters
+    import org.apache.spark.sql.sources.{EqualTo, IsNull, IsNotNull}
+    val resolve: ColumnStats.Resolver = {
+      case "c" => Some(("c", LongType))
+      case _   => None
+    }
+    def fi(stats: Map[String, Seq[String]], nulls: Map[String, Long]) =
+      WriteFileInfo("p", "g", "g_1.parquet", records = 10, bytes = 1,
+        isDelta = false, colStats = stats, colNulls = nulls)
+    val noNulls = fi(Map("c" -> Seq("1", "9")), Map("c" -> 0L))
+    val someNulls = fi(Map("c" -> Seq("1", "9")), Map("c" -> 3L))
+    val allNulls = fi(Map.empty, Map("c" -> 10L))
+    assert(!ColumnStats.keepFile(Seq(IsNull("c")), resolve, noNulls))
+    assert(ColumnStats.keepFile(Seq(IsNull("c")), resolve, someNulls))
+    assert(ColumnStats.keepFile(Seq(IsNotNull("c")), resolve, someNulls))
+    assert(!ColumnStats.keepFile(Seq(IsNotNull("c")), resolve, allNulls))
+    // an all-null column can't match any value filter, even without ranges
+    assert(!ColumnStats.keepFile(Seq(EqualTo("c", 5L)), resolve, allNulls))
+    // unknown column / missing stats always keep
+    assert(ColumnStats.keepFile(Seq(IsNull("x")), resolve, noNulls))
+    assert(ColumnStats.keepFile(Seq(EqualTo("c", 5L)), resolve,
+      fi(Map.empty, Map.empty)))
   }
 
   test("operation chain: upserts, deletes, services, savepoint and restore compose") {
