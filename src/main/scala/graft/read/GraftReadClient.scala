@@ -257,6 +257,9 @@ final class GraftReadClient(val table: GraftTable) {
       }
       .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
 
+    // one view (one timeline-metadata pass) serves every per-commit as-of
+    // resolution in the band
+    val view = table.view
     val perCommit = commits.zipWithIndex.flatMap { case (c, i) =>
       val meta = tl.metadataOf(c)
       val touched: Set[(String, String)] =
@@ -265,7 +268,7 @@ final class GraftReadClient(val table: GraftTable) {
       if (touched.isEmpty) None
       else {
         val prev = allData.filter(_ < c.ts).lastOption.getOrElse("0")
-        val beforeSlices = table.view.latestSlices(Some(prev))
+        val beforeSlices = view.latestSlices(Some(prev))
           .filter(s => touched((s.partition, s.fileId)))
         touched.foreach { g =>
           val liveBase = beforeSlices.find(s => (s.partition, s.fileId) == g)
@@ -275,7 +278,7 @@ final class GraftReadClient(val table: GraftTable) {
             s"change feed for commit ${c.ts} needs a cleaned file version " +
               s"of group ${g._1}/${g._2}; lower the band or clean less aggressively")
         }
-        val afterSlices = table.view.latestSlices(Some(c.ts))
+        val afterSlices = view.latestSlices(Some(c.ts))
           .filter(s => touched((s.partition, s.fileId)))
         Some(changeSet(
           physicalSnapshotFromSlices(beforeSlices, None),
