@@ -2,7 +2,7 @@ package graft.utilities
 
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
-import org.apache.spark.sql.functions.{col, upper}
+import org.apache.spark.sql.functions.{col, row_number, upper}
 
 import graft.GraftTable
 import graft.spark.{GraftOptions, GraftWriter}
@@ -176,6 +176,51 @@ object IngestRunner {
     val raw = read.dataOnly(read.incremental(ckpt, Some(latest)))
     val batch = transform(spark, cfg, raw)
     writeBatch(spark, cfg, batch, latest)
+    Some(latest)
+  }
+
+  /** Table-to-table CDC ETL: like [[runIncrementalOnce]], but pulls the
+    * source's per-commit CHANGE FEED (GraftReadClient.changes), so hard
+    * deletes replicate downstream — the one thing a plain incremental
+    * pull cannot see (tombstoned rows simply vanish from it). Per key,
+    * the band's newest change wins (a delete then re-insert nets to the
+    * re-insert); update pre-images are dropped; the surviving rows apply
+    * as ONE mixed upsert/delete commit through the same path as the
+    * op-column CDC apply mode. Transformers run on the change rows and
+    * must carry `_change_type` and `_change_ordinal` through.
+    * Checkpoint = last pulled source instant, stored in the commit.
+    */
+  def runCdcOnce(spark: SparkSession, cfg: IngestConfig): Option[String] = {
+    require(GraftTable.exists(spark, cfg.sourcePath),
+      s"CDC ingest source is not a graft table: ${cfg.sourcePath}")
+    val src = GraftTable.load(spark, cfg.sourcePath)
+    val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
+    val latest = src.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    if (latest.isEmpty || latest <= ckpt) return None
+    val read = new graft.read.GraftReadClient(src)
+    val ch = transform(spark, cfg, read.changes(ckpt, Some(latest)))
+    require(ch.columns.contains("_change_type") && ch.columns.contains("_change_ordinal"),
+      "CDC transformers must keep the _change_type and _change_ordinal columns")
+    // newest change per key wins within the band; key scope matches the
+    // SOURCE table's index scope (per-partition unless keys are global)
+    val keyCols = (src.config.partitionSourceFields ++ src.config.recordKeyFields)
+      .map(src.logicalNameOf).distinct
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col("_change_ordinal").desc)
+    val del = "_g_cdc_delete"
+    val marked = ch
+      .filter(col("_change_type") =!= "update_preimage")
+      .withColumn("_g_cdc_rn", row_number().over(w))
+      .filter(col("_g_cdc_rn") === 1)
+      .withColumn(del, col("_change_type") === "delete")
+      .drop("_g_cdc_rn", "_change_type", "_change_ordinal")
+    val table = GraftTable.getOrCreate(spark, cfg.targetPath,
+      GraftOptions.tableConfig(cfg.targetPath, cfg.tableOptions))
+    new graft.write.GraftWriteClient(table,
+      GraftOptions.writeConfig(cfg.tableOptions)
+        .copy(commitExtra = Map(CheckpointKey -> latest)))
+      .mergeWrite(marked, del)
     Some(latest)
   }
 

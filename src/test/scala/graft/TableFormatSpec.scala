@@ -459,6 +459,48 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_totalprice") =!= col("want")).count() === 0)
   }
 
+  test("ingest runner: table-to-table CDC ETL replicates deletes") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val srcPath = tmp() + "/src"
+    val tgtPath = tmp() + "/tgt"
+    val src = GraftTable.create(spark, srcPath, cowConfig)
+    val sw = new GraftWriteClient(src, wc)
+    sw.bulkInsert(orders)
+    val cfg = IngestConfig(
+      sourcePath = srcPath, targetPath = tgtPath,
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+
+    def srcSnap = new GraftReadClient(src).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    def tgtSnap = spark.read.format("graft").load(tgtPath)
+      .select(orders.columns.map(col).toSeq: _*)
+    def inSync: Boolean =
+      tgtSnap.exceptAll(srcSnap).count() == 0 && srcSnap.exceptAll(tgtSnap).count() == 0
+
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+    assert(inSync)
+    assert(IngestRunner.runCdcOnce(spark, cfg).isEmpty) // checkpointed
+
+    // updates AND hard deletes — the part a plain incremental pull misses
+    sw.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 77.0))
+    sw.delete(orders.filter(col("o_orderkey") % 7 === 0)
+      .select("o_orderkey", "o_orderpriority"))
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+    assert(tgtSnap.count() === srcSnap.count()) // deletes really applied
+    assert(inSync)
+
+    // delete-then-reinsert in one band nets to the re-insert
+    sw.delete(orders.filter(col("o_orderkey") === 4L).select("o_orderkey", "o_orderpriority"))
+    sw.upsert(orders.filter(col("o_orderkey") === 4L)
+      .withColumn("o_totalprice", lit(123.5)))
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+    assert(inSync)
+  }
+
   test("ingest runner: table-to-table incremental ETL with instant checkpoints") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
