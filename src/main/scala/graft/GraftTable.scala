@@ -55,6 +55,14 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
   def logicalNameOf(physical: String): String =
     config.columnRenames.getOrElse(physical, physical)
 
+  /** The stored (physical) name behind a user-visible column name —
+    * identity for columns never renamed.
+    */
+  def physicalNameOf(logical: String): String =
+    config.columnRenames.collectFirst {
+      case (p, l) if l.equalsIgnoreCase(logical) => p
+    }.getOrElse(logical)
+
   /** Rename physical fields to their logical names in a schema. */
   def logicalizeSchema(s: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
     if (config.columnRenames.isEmpty) s

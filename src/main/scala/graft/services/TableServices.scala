@@ -361,7 +361,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
-      wc.colStatsColumns)
+      wc.colStatsColumns.map(table.physicalNameOf))
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -545,7 +545,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
-      wc.colStatsColumns)
+      wc.colStatsColumns.map(table.physicalNameOf))
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))

@@ -1107,7 +1107,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     if (!fs.exists(staging)) return Seq.empty
     val counts = stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
-      wc.colStatsColumns)
+      // staged files carry physical names; accept logical config too
+      wc.colStatsColumns.map(table.physicalNameOf))
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val blooms = scala.collection.mutable.ArrayBuffer[BloomSidecarRow]()

@@ -1583,6 +1583,14 @@ class TableFormatSpec extends AnyFunSuite {
     val got2 = spark.read.format("graft").load(path)
       .filter(col("buyer") === ck && col("o_orderkey") === 7L)
     assert(got2.count() === 1)
+
+    // a post-rename writer configured with the LOGICAL name still records
+    // stats under the physical key the files carry
+    new GraftWriteClient(t2, wc.copy(colStatsColumns = Seq("buyer")))
+      .upsert(orders.filter(col("o_orderkey") === 9L)
+        .withColumnRenamed("o_custkey", "buyer"))
+    val newest = t2.view.allFilesByGroup.values.flatten.maxBy(_._1)._2
+    assert(newest.colStats.contains("o_custkey"))
   }
 
   test("clean schedule/execute split: plan persisted, executed by a second client") {
