@@ -22,10 +22,13 @@ import org.apache.spark.sql.types._
   * relation, so skipping here is a strict optimization.
   *
   * Granularity is the FILE SLICE: a slice is skipped only when NO file in
-  * it (base or delta) can contain a matching value. This stays sound under
-  * latest-wins and newest-non-null merge semantics, because any output
-  * value of a column is a value physically present in one of the slice's
-  * files, and tombstoned rows only shrink the result.
+  * it (base or delta) can contain a matching value. Any output value of a
+  * column is physically present in one of the slice's files, and tombstoned
+  * rows only shrink the result — but HOW per-file ranges witness a
+  * multi-column conjunction depends on the payload: whole-row-wins payloads
+  * emit rows that exist whole in one file (per-file conjunction is sound),
+  * while overwrite_non_defaults stitches columns across files (see
+  * [[keepSlice]]'s `stitching` mode).
   */
 object ColumnStats {
 
@@ -104,13 +107,16 @@ object ColumnStats {
           case _          => None
         }
         case DateType =>
-          // both sides render as ISO yyyy-MM-dd — lexicographic == chronological
-          val s = v match {
-            case d: java.sql.Date       => d.toString
-            case d: java.time.LocalDate => d.toString
+          // compare as epoch days: ISO strings sort chronologically only
+          // inside years 0001-9999 (year 10000+ and negative years invert
+          // a lexicographic compare), so parse both sides numerically
+          val days = v match {
+            case d: java.sql.Date       => d.toLocalDate.toEpochDay
+            case d: java.time.LocalDate => d.toEpochDay
             case _                      => return None
           }
-          Some(stat.compareTo(s))
+          Some(java.lang.Long.compare(
+            java.time.LocalDate.parse(stat).toEpochDay, days))
         case TimestampType =>
           Some(new java.math.BigDecimal(stat).compareTo(tsToMicros(v)))
         case _ => None
@@ -128,11 +134,41 @@ object ColumnStats {
 
   /** Slice-granular prune: keep the slice when ANY of its files might
     * contain a match (see the soundness note in the object doc).
+    *
+    * `stitching` = the payload can assemble one output row from COLUMNS of
+    * different files in the slice (overwrite_non_defaults partial updates:
+    * base {A=1,B=0} + delta {A=null,B=2} merges to {A=1,B=2}). Under
+    * stitching the per-file conjunction is UNSOUND once deltas exist — for
+    * `A=1 AND B=2` no single file witnesses both conjuncts, yet the merged
+    * row matches. So with deltas + stitching each leaf predicate only needs
+    * SOME file of the slice to satisfy it (And relaxes to independent
+    * satisfiability — a superset — Or stays a union). Whole-row-wins
+    * payloads and base-only slices keep the tighter per-file conjunction.
     */
-  def keepSlice(filters: Seq[Filter], resolve: Resolver): FileSlice => Boolean = {
+  def keepSlice(
+      filters: Seq[Filter], resolve: Resolver,
+      stitching: Boolean = false): FileSlice => Boolean = {
     if (filters.isEmpty) return _ => true
-    s => (s.base.toSeq ++ s.deltas).exists(f => keepFile(filters, resolve, f))
+    s => {
+      val files = s.base.toSeq ++ s.deltas
+      if (!stitching || s.deltas.isEmpty)
+        files.exists(f => keepFile(filters, resolve, f))
+      else
+        filters.forall(keepAcross(_, resolve, files))
+    }
   }
+
+  /** Stitched-slice evaluation: And/Or recurse structurally, leaves need a
+    * witness in SOME file. Sound because every column value of a stitched
+    * output row is physically present in one of the slice's files.
+    */
+  private def keepAcross(
+      flt: Filter, resolve: Resolver, files: Seq[WriteFileInfo]): Boolean =
+    flt match {
+      case And(l, r) => keepAcross(l, resolve, files) && keepAcross(r, resolve, files)
+      case Or(l, r)  => keepAcross(l, resolve, files) || keepAcross(r, resolve, files)
+      case leaf      => files.exists(f => keepOne(leaf, resolve, f))
+    }
 
   private def statsOf(
       attr: String, resolve: Resolver, f: WriteFileInfo): Option[(DataType, String, String)] =

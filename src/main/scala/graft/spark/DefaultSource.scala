@@ -286,7 +286,8 @@ class GraftRelation private (
     val df = mkDf(
       GraftRelation.partitionCandidates(table.config, filters),
       graft.core.ColumnStats.keepSlice(
-        filters.toSeq, GraftRelation.statsResolver(table)))
+        filters.toSeq, GraftRelation.statsResolver(table),
+        stitching = table.config.payloadClass == "overwrite_non_defaults"))
     val filtered = filters.flatMap(GraftRelation.translateFilter)
       .foldLeft(df)((d, c) => d.filter(c))
     val projected = filtered.select(requiredColumns.toSeq.map(col): _*)

@@ -201,13 +201,27 @@ object IngestRunner {
     val ch = transform(spark, cfg, read.changes(ckpt, Some(latest)))
     require(ch.columns.contains("_change_type") && ch.columns.contains("_change_ordinal"),
       "CDC transformers must keep the _change_type and _change_ordinal columns")
-    // newest change per key wins within the band; key scope matches the
-    // SOURCE table's index scope (per-partition unless keys are global)
-    val keyCols = (src.config.partitionSourceFields ++ src.config.recordKeyFields)
-      .map(src.logicalNameOf).distinct
+    // newest change per key wins within the band. Key scope matches how
+    // the TARGET applies keys: with a global index, a partition move in
+    // the band arrives as delete(old partition) + insert(new partition)
+    // that both resolve to the SAME target row — windowing them apart
+    // would apply both in one commit with an arbitrary winner (the
+    // _change_ordinal that encodes true order is dropped below), so the
+    // window must collapse to record-key-only and let the band's newest
+    // change win. Per-partition targets keep (partition, key): there the
+    // two changes address distinct rows and both must apply.
+    val targetWc = GraftOptions.writeConfig(cfg.tableOptions)
+    val keyScope =
+      if (targetWc.globalIndex) src.config.recordKeyFields
+      else src.config.partitionSourceFields ++ src.config.recordKeyFields
+    val keyCols = keyScope.map(src.logicalNameOf).distinct
+    // within ONE commit a move is delete + insert at the SAME ordinal
+    // (the change-set joins per commit); the net effect of that commit is
+    // the row at its new partition, so non-deletes win the ordinal tie
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col("_change_ordinal").desc)
+      .orderBy(col("_change_ordinal").desc,
+        (col("_change_type") === "delete").asc)
     val del = "_g_cdc_delete"
     val marked = ch
       .filter(col("_change_type") =!= "update_preimage")
@@ -218,8 +232,7 @@ object IngestRunner {
     val table = GraftTable.getOrCreate(spark, cfg.targetPath,
       GraftOptions.tableConfig(cfg.targetPath, cfg.tableOptions))
     new graft.write.GraftWriteClient(table,
-      GraftOptions.writeConfig(cfg.tableOptions)
-        .copy(commitExtra = Map(CheckpointKey -> latest)))
+      targetWc.copy(commitExtra = Map(CheckpointKey -> latest)))
       .mergeWrite(marked, del)
     Some(latest)
   }

@@ -1176,7 +1176,7 @@ object GraftWriteClient {
   val ColPart = "_g_part"
   val ColIdxPart = "_g_idx_part"
   /** Synthetic bounds-map key carrying the table-wide range (global index). */
-  val GlobalBoundKey = " global"
+  val GlobalBoundKey = "\u0000global"
   val ColTargetFile = "_g_target_file"
   /** Commit-metadata extra key: incoming row count of a keyed write,
     * recorded for write-amplification stats.

@@ -501,6 +501,50 @@ class TableFormatSpec extends AnyFunSuite {
     assert(inSync)
   }
 
+  test("ingest runner: CDC ETL keeps a moved row under global keys") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val srcPath = tmp() + "/src"
+    val tgtPath = tmp() + "/tgt"
+    val src = GraftTable.create(spark, srcPath, cowConfig)
+    val sw = new GraftWriteClient(src, wc.copy(globalIndex = true))
+    sw.bulkInsert(orders)
+    val cfg = IngestConfig(
+      sourcePath = srcPath, targetPath = tgtPath,
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice",
+        "index.global" -> "true"))
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+
+    // a partition move lands in the change feed as delete(old partition)
+    // + insert(new partition) AT THE SAME ordinal — under global keys the
+    // target must net them to the row at its new partition, not let the
+    // delete win arbitrarily
+    sw.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_orderpriority", lit("9-MOVED")))
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+    val tgt = spark.read.format("graft")
+    val row7 = tgt.load(tgtPath).filter(col("o_orderkey") === 7L)
+    assert(row7.count() === 1)
+    assert(row7.select("o_orderpriority").head.getString(0) === "9-MOVED")
+
+    // move then delete in LATER commits of one band still nets to delete
+    sw.upsert(orders.filter(col("o_orderkey") === 8L)
+      .withColumn("o_orderpriority", lit("9-MOVED")))
+    sw.delete(orders.filter(col("o_orderkey") === 8L)
+      .select("o_orderkey").withColumn("o_orderpriority", lit("9-MOVED")))
+    assert(IngestRunner.runCdcOnce(spark, cfg).nonEmpty)
+    assert(tgt.load(tgtPath).filter(col("o_orderkey") === 8L).count() === 0)
+
+    // full sync equality after all bands
+    val srcSnap = new GraftReadClient(src).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    val tgtSnap = tgt.load(tgtPath).select(orders.columns.map(col).toSeq: _*)
+    assert(tgtSnap.exceptAll(srcSnap).count() === 0)
+    assert(srcSnap.exceptAll(tgtSnap).count() === 0)
+  }
+
   test("ingest runner: table-to-table incremental ETL with instant checkpoints") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
@@ -1593,6 +1637,38 @@ class TableFormatSpec extends AnyFunSuite {
     assert(newest.colStats.contains("o_custkey"))
   }
 
+  test("column stats keep slices whose match is stitched across files (partial updates)") {
+    import org.apache.spark.sql.sources.EqualTo
+    val path = tmp()
+    val t = GraftTable.create(spark, path,
+      morConfig.copy(payloadClass = "overwrite_non_defaults"))
+    val w = new GraftWriteClient(t,
+      wc.copy(colStatsColumns = Seq("o_totalprice", "o_custkey")))
+    w.bulkInsert(orders)
+    val ck = orders.filter(col("o_orderkey") === 7L).head.getLong(1) // o_custkey
+    // partial update: new out-of-range price, NULL custkey (falls back to
+    // the stored value) — the merged row {custkey=ck, price=7777777.5}
+    // exists in NO single file of the slice
+    w.upsert(orders.filter(col("o_orderkey") === 7L)
+      .withColumn("o_totalprice", lit(7777777.5))
+      .withColumn("o_custkey", lit(null).cast("long")))
+
+    val slices = t.view.latestSlices(None)
+    val resolver = graft.spark.GraftRelation.statsResolver(t)
+    val filters = Seq(EqualTo("o_custkey", ck), EqualTo("o_totalprice", 7777777.5))
+    // per-file conjunction prunes the slice (base fails the price, the
+    // delta's all-null custkey fails the key) — exactly the unsound case
+    assert(!slices.exists(ColumnStats.keepSlice(filters, resolver)))
+    // stitched evaluation keeps it: each conjunct has a witness file
+    assert(slices.exists(ColumnStats.keepSlice(filters, resolver, stitching = true)))
+
+    // end-to-end: the datasource must return the stitched row
+    val got = spark.read.format("graft").load(path)
+      .filter(col("o_custkey") === ck && col("o_totalprice") === 7777777.5)
+    assert(got.count() === 1)
+    assert(got.select("o_orderkey").head.getLong(0) === 7L)
+  }
+
   test("clean schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
@@ -1754,6 +1830,13 @@ class TableFormatSpec extends AnyFunSuite {
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(86400L, 1000))).exists(_ < 0))
     assert(ColumnStats.compare(DateType, "2024-02-29",
       java.time.LocalDate.parse("2024-03-01")).exists(_ < 0))
+    // dates compare numerically: negative years sort by magnitude as
+    // strings ("-0002" > "-0001") but chronologically -2 < -1
+    assert(ColumnStats.compare(DateType, "-0002-01-01",
+      java.time.LocalDate.of(-1, 1, 1)).exists(_ < 0))
+    // a stat rendering outside ISO_LOCAL_DATE refuses to compare (keep)
+    assert(ColumnStats.compare(DateType, "10000-01-01",
+      java.time.LocalDate.of(9999, 12, 31)).isEmpty)
     assert(ColumnStats.compare(BooleanType, "false", true).exists(_ < 0))
     // unparseable pairs refuse to compare (caller keeps the file)
     assert(ColumnStats.compare(DoubleType, "NaN", 1.0).isEmpty)
