@@ -165,10 +165,14 @@ object Similarity {
       }.toSeq)
 
   /** Standard Lloyd iterations over the corpus: assign every vector to
-    * its cell, recompute each cell's mean per dimension. Fully
-    * distributed (posexplode + groupBy — two shuffles per iteration over
-    * (cell, dim) keys, result is K×dim rows collected to the driver);
-    * a cell that loses all members keeps its previous centroid.
+    * its cell, recompute each cell's mean per dimension — as ONE regular
+    * `groupBy(cell)` over a fixed-width set of per-dimension sums. The
+    * map side pre-aggregates K×(dim+1) partial values per partition, so
+    * the shuffle per iteration carries O(partitions × K × dim) doubles —
+    * independent of the corpus size (the earlier posexplode formulation
+    * shuffled dim× the corpus row count per iteration). The K×dim result
+    * collected to the driver is planning metadata, not data; a cell that
+    * loses all members keeps its previous centroid.
     */
   def lloydRefine(
       df: DataFrame, vecCol: String,
@@ -176,18 +180,29 @@ object Similarity {
     var cs = centroids
     val dim = cs.head.size
     for (_ <- 0 until iters) {
-      val means = df
-        .select(ivfCell(col(vecCol), cs).as("cell"),
-          posexplode(col(vecCol)).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x").cast("double")).as("m"))
+      val means = refineMeans(df, vecCol, cs)
         .collect()
-        .groupBy(_.getInt(0))
-        .map { case (cell, rows) =>
-          cell -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
-        }
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i) / n)
+        }.toMap
       cs = cs.indices.map(k => means.getOrElse(k, cs(k)))
     }
     cs
+  }
+
+  /** One refine iteration's aggregation: `(cell, count, sum per dim)` —
+    * exposed for plan inspection in tests (must stay a plain hash
+    * aggregate with NO row-exploding Generate below it).
+    */
+  private[graft] def refineMeans(
+      df: DataFrame, vecCol: String, cs: Seq[Seq[Double]]): DataFrame = {
+    val dim = cs.head.size
+    val sums = (0 until dim).map(i =>
+      sum(element_at(col(vecCol), i + 1).cast("double")).as(s"_s$i"))
+    df.select(ivfCell(col(vecCol), cs).as("cell"), col(vecCol))
+      .groupBy("cell")
+      .agg(count(lit(1)).as("_n"), sums: _*)
   }
 
   /** IVF cell of a vector column: argmax-cosine centroid index, computed

@@ -205,6 +205,32 @@ class VectorExpressionsSpec extends AnyFunSuite {
     }
   }
 
+  test("lloydRefine: exact cell means, deterministic, no row-exploding Generate") {
+    val seeds = Similarity.seedCentroids(corpus, "v", "id", 5)
+    val r1 = Similarity.lloydRefine(corpus, "v", seeds, iters = 1)
+    assert(r1 === Similarity.lloydRefine(corpus, "v", seeds, iters = 1))
+
+    // the refined centroids are the exact per-cell means (driver oracle)
+    val rows = corpus.collect().map(r =>
+      Similarity.ivfCellOf(r.getSeq[Float](1).map(_.toDouble), seeds) ->
+        r.getSeq[Float](1).map(_.toDouble))
+    val want = seeds.indices.map { k =>
+      val members = rows.filter(_._1 == k).map(_._2)
+      if (members.isEmpty) seeds(k)
+      else (0 until dim).map(d => members.map(_(d)).sum / members.size)
+    }
+    r1.zip(want).foreach { case (got, w) =>
+      got.zip(w).foreach { case (g, x) => assert(math.abs(g - x) < 1e-9) }
+    }
+
+    // one fixed-width aggregate: the iteration plan must NOT multiply the
+    // corpus row count by dim (the old posexplode shape did)
+    val plan = Similarity.refineMeans(corpus, "v", seeds)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Generate"), plan)
+    assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
+  }
+
   test("wordNgrams: normalization, short texts, and whitespace collapse") {
     import graft.functions.TextFunctions
     val rows = Seq(
