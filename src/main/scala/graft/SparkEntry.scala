@@ -701,6 +701,55 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // JDBC ingest with checkpointed incremental pulls against embedded
+    // Derby (ref: hudi-utilities/.../sources/JdbcSource.java): the first
+    // pull is a full fetch recording max(o_orderkey) as the checkpoint;
+    // rows inserted into the DB afterwards flow through a second pull
+    // whose `WHERE o_orderkey > ckpt` subquery is pushed INTO the
+    // database. The second pull's +9 transformer poisons any re-read:
+    // batch-1 rows re-pulled would mismatch the oracle
+    "tf_jdbc_ingest" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner, JdbcSourceConfig}
+      val orders = T(s, dir, "orders")
+      val target = freshDir("tf_jdbc_ingest", dir)
+      val sfName = new java.io.File(dir).getName
+      val url = s"jdbc:derby:memory:graft_jdbc_$sfName;create=true"
+      val dbTable = "GRAFT_ORDERS"
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      val cut = (maxKey * 3) / 4
+      val props = new java.util.Properties()
+      orders.filter(col("o_orderkey") <= cut)
+        .write.mode("overwrite").jdbc(url, dbTable, props)
+
+      val jdbc = JdbcSourceConfig(
+        url = url, table = dbTable,
+        driver = "org.apache.derby.jdbc.EmbeddedDriver",
+        incrementalColumn = Some("o_orderkey"))
+      val cfg = IngestConfig(
+        sourcePath = "", targetPath = target,
+        tableOptions = Map(
+          "recordkey.field" -> "o_orderkey",
+          "partitionpath.field" -> "o_orderpriority",
+          "precombine.field" -> "o_totalprice",
+          "target.file.size" -> (4L * 1024 * 1024).toString,
+          "small.file.limit" -> (3L * 1024 * 1024).toString,
+          "compact.inline.max.delta.commits" -> "0"))
+      require(IngestRunner.runJdbcOnce(s, cfg, jdbc).contains(cut.toString),
+        "tf_jdbc_ingest: full fetch did not checkpoint max(o_orderkey)")
+
+      orders.filter(col("o_orderkey") > cut)
+        .write.mode("append").jdbc(url, dbTable, props)
+      val cfg2 = cfg.copy(transformerSql = Some(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice + 9.0 AS o_totalprice, o_orderdate, o_orderpriority
+          |FROM source""".stripMargin))
+      require(IngestRunner.runJdbcOnce(s, cfg2, jdbc).contains(maxKey.toString),
+        "tf_jdbc_ingest: incremental pull did not advance the checkpoint")
+      require(IngestRunner.runJdbcOnce(s, cfg, jdbc).isEmpty,
+        "tf_jdbc_ingest: idle pull must not commit")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -1213,6 +1262,10 @@ object SparkEntry {
 
     "tf_incr_etl" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 120.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_jdbc_ingest" -> ordersSelect(
+      "CASE WHEN o_orderkey > (3 * (SELECT max(o_orderkey) FROM orders)) / 4 " +
+        "THEN o_totalprice + 9.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_global_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

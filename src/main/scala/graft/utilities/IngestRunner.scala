@@ -41,6 +41,27 @@ final case class IngestConfig(
     tableOptions: Map[String, String] = Map.empty,
     cdcOpColumn: Option[String] = None)
 
+/** JDBC pull source: connection + table + optional incremental column
+  * (ref: hudi-utilities/.../sources/JdbcSource.java Config — url, user,
+  * password, driver.class, table.name, incr.column.name, extra.options).
+  *
+  * @param url               JDBC url (`jdbc:derby:...`, `jdbc:postgresql:...`)
+  * @param table             table name (or a `(subquery) alias` the DB accepts)
+  * @param incrementalColumn monotonically increasing column for checkpointed
+  *                          pulls (an id sequence or update timestamp). None =
+  *                          full refetch each round, no checkpoint recorded.
+  * @param extraOptions      passed through to Spark's JDBC reader
+  *                          (fetchsize, partitionColumn/numPartitions, ...)
+  */
+final case class JdbcSourceConfig(
+    url: String,
+    table: String,
+    user: String = "",
+    password: String = "",
+    driver: String = "",
+    incrementalColumn: Option[String] = None,
+    extraOptions: Map[String, String] = Map.empty)
+
 /** DeltaStreamer-equivalent ingest runner: source -> transformer ->
   * upsert, with the resume checkpoint stored IN the commit metadata so a
   * restarted runner continues exactly where the last durable commit left
@@ -149,6 +170,61 @@ object IngestRunner {
     val batch = transform(spark, cfg, raw)
     writeBatch(spark, cfg, batch, newCkpt.toString)
     Some(newCkpt.toString)
+  }
+
+  /** One JDBC sync round (ref: JdbcSource.java fetch/incrementalFetch/
+    * checkpoint): with no stored checkpoint the whole table is pulled;
+    * afterwards the pull is `WHERE incrColumn > checkpoint`, pushed INTO
+    * the database as a dbtable subquery so the DB's own index serves the
+    * scan — Spark never sees already-synced rows. The new checkpoint is
+    * `max(incrColumn)` of the pulled batch rendered as a string, stored
+    * through the same commit-metadata protocol as the DFS source, and the
+    * batch is persisted across the (max, write) pair so a concurrent DB
+    * writer can't desync checkpoint from data. Strictly-greater
+    * semantics, like the reference: rows that later land with an
+    * incremental value <= the recorded checkpoint are never pulled — use
+    * an insert-ordered sequence or a commit timestamp as the column.
+    * Returns the new checkpoint, or None when the source had nothing new.
+    */
+  def runJdbcOnce(
+      spark: SparkSession, cfg: IngestConfig, jdbc: JdbcSourceConfig): Option[String] = {
+    val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
+    var reader = spark.read.format("jdbc")
+      .option("url", jdbc.url).options(jdbc.extraOptions)
+    if (jdbc.user.nonEmpty)
+      reader = reader.option("user", jdbc.user).option("password", jdbc.password)
+    if (jdbc.driver.nonEmpty) reader = reader.option("driver", jdbc.driver)
+    val dbtable = jdbc.incrementalColumn match {
+      case Some(c) if ckpt.nonEmpty =>
+        // numeric checkpoints compare unquoted (strict-typed DBs reject
+        // INT > '5'); anything else goes through a standard SQL string
+        // literal, which the DBs coerce for date/timestamp columns.
+        // The column gets ANSI double quotes: Spark's JDBC writer creates
+        // case-sensitive lowercase identifiers, which an unquoted name
+        // would fail to resolve on case-folding DBs (Derby, Postgres).
+        val rendered =
+          if (ckpt.matches("-?\\d+(\\.\\d+)?")) ckpt
+          else s"'${ckpt.replace("'", "''")}'"
+        s"""(SELECT * FROM ${jdbc.table} WHERE "$c" > $rendered) g_incr"""
+      case _ => jdbc.table
+    }
+    val raw = reader.option("dbtable", dbtable).load()
+    jdbc.incrementalColumn match {
+      case Some(c) =>
+        val pulled = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val newCkpt = pulled.agg(
+            org.apache.spark.sql.functions.max(col(c)).cast("string")).head.getString(0)
+          if (newCkpt == null) None // empty batch: no commit, keep checkpoint
+          else {
+            writeBatch(spark, cfg, transform(spark, cfg, pulled), newCkpt)
+            Some(newCkpt)
+          }
+        } finally pulled.unpersist()
+      case None =>
+        writeBatch(spark, cfg, transform(spark, cfg, raw), "")
+        Some("")
+    }
   }
 
   /** Table-to-table incremental ETL: pull the SOURCE graft table's

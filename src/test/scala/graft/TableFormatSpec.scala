@@ -501,6 +501,49 @@ class TableFormatSpec extends AnyFunSuite {
     assert(inSync)
   }
 
+  test("jdbc ingest source: checkpointed incremental pulls from embedded Derby") {
+    import graft.utilities.{IngestConfig, IngestRunner, JdbcSourceConfig}
+    val url = "jdbc:derby:memory:graft_spec;create=true"
+    val tgt = tmp() + "/tgt"
+    val props = new java.util.Properties()
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    val seed = orders.filter(col("o_orderkey") < 1000)
+    seed.write.mode("overwrite").jdbc(url, "SPEC_ORDERS", props)
+    val jdbc = JdbcSourceConfig(
+      url = url, table = "SPEC_ORDERS",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      incrementalColumn = Some("o_orderkey"))
+    val cfg = IngestConfig(
+      sourcePath = "", targetPath = tgt,
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+
+    // full fetch on the first pull; checkpoint = max(o_orderkey)
+    assert(IngestRunner.runJdbcOnce(spark, cfg, jdbc).contains("999"))
+    assert(spark.read.format("graft").load(tgt).count() === seed.count())
+
+    // new rows above the checkpoint + a LATE row at key 500 (below it,
+    // poisoned price): strictly-greater pull must take only the former
+    orders.filter(col("o_orderkey") >= 1000)
+      .write.mode("append").jdbc(url, "SPEC_ORDERS", props)
+    orders.filter(col("o_orderkey") === 500L)
+      .withColumn("o_totalprice", lit(-1.0))
+      .write.mode("append").jdbc(url, "SPEC_ORDERS", props)
+    assert(IngestRunner.runJdbcOnce(spark, cfg, jdbc).contains(maxKey.toString))
+    val t2 = spark.read.format("graft").load(tgt)
+    assert(t2.count() === orders.count())
+    val p500 = orders.filter(col("o_orderkey") === 500L)
+      .select("o_totalprice").head.getDouble(0)
+    assert(t2.filter(col("o_orderkey") === 500L)
+      .select("o_totalprice").head.getDouble(0) === p500)
+
+    // nothing new: no commit, checkpoint stays
+    assert(IngestRunner.runJdbcOnce(spark, cfg, jdbc).isEmpty)
+    assert(IngestRunner.lastCheckpoint(spark, tgt).contains(maxKey.toString))
+  }
+
   test("ingest runner: CDC ETL keeps a moved row under global keys") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
