@@ -197,7 +197,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     */
   def readDataFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
     val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
-    reader.parquet(paths: _*)
+    reader.format(config.baseFileFormat).load(paths: _*)
   }
 }
 

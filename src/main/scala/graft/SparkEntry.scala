@@ -750,6 +750,22 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // ORC base-file format: the table-level format option (ref:
+    // HoodieFileFormat.java + HoodieOrcWriter.java/HoodieOrcConfig.java —
+    // Spark's ORC source does the IO here). Keyed upsert + snapshot read
+    // over an all-ORC table; the oracle reads the same parquet inputs,
+    // so the round-trip is value-exact across formats
+    "tf_orc_roundtrip" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_orc_roundtrip", dir),
+        ordersTableConfig(GraftTableType.Cow).copy(baseFileFormat = "orc"))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 6 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 21.0))
+      new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -1266,6 +1282,10 @@ object SparkEntry {
     "tf_jdbc_ingest" -> ordersSelect(
       "CASE WHEN o_orderkey > (3 * (SELECT max(o_orderkey) FROM orders)) / 4 " +
         "THEN o_totalprice + 9.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_orc_roundtrip" -> ordersSelect(
+      "CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 21.0 " +
+        "ELSE o_totalprice END AS o_totalprice"),
 
     "tf_global_upsert" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,

@@ -195,6 +195,15 @@ final case class GraftTableConfig(
       * suffixed ones.
       */
     partitionTimestampFormat: Option[String] = None,
+    /** Base data-file format: "parquet" (default) or "orc" — the
+      * reference's table-level base file format choice (ref:
+      * hudi-common/.../model/HoodieFileFormat.java + HoodieOrcWriter.java,
+      * HoodieOrcConfig.java; Spark's own ORC source does the IO here).
+      * Graft applies ONE format to every data file of the table, MOR
+      * delta files included — the reference similarly fixes its log
+      * format (Avro) regardless of the base format choice.
+      */
+    baseFileFormat: String = "parquet",
     /** Column renames as physical name (what parquet files and the stored
       * schema carry, forever) → current logical name (what users see).
       * ALTER TABLE RENAME COLUMN only updates this map — no file is ever
@@ -211,6 +220,12 @@ final case class GraftTableConfig(
     */
   def partitionSourceFields: Seq[String] =
     partitionFields.map(_.takeWhile(_ != ':'))
+
+  /** Suffix of base data files (`.parquet` / `.orc`). */
+  def baseFileSuffix: String = "." + baseFileFormat
+
+  /** Suffix of MOR delta files (`.delta.parquet` / `.delta.orc`). */
+  def deltaFileSuffix: String = ".delta." + baseFileFormat
 }
 
 object GraftTableType {

@@ -251,13 +251,15 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
       def stage(df: DataFrame, overwrite: Boolean): Unit = df
         .filter(!col(MetaColumns.IsDeleted))
-        .withColumn(MetaColumns.FileName, concat(col(g), lit("_" + ts + ".parquet")))
+        .withColumn(MetaColumns.FileName,
+          concat(col(g), lit("_" + ts + table.config.baseFileSuffix)))
         .withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
         .withColumn(GraftWriteClient.StageFileCol, col(g))
         .drop(g)
         .write.mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
         .partitionBy(GraftWriteClient.StagePartCol, GraftWriteClient.StageFileCol)
-        .parquet(staging.toString)
+        .format(table.config.baseFileFormat)
+        .save(staging.toString)
 
       // Like the MOR snapshot read, compaction avoids shuffling the base
       // rows when the delta debt fits the broadcast threshold: deltas
@@ -361,7 +363,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
-      wc.colStatsColumns.map(table.physicalNameOf))
+      wc.colStatsColumns.map(table.physicalNameOf),
+      table.config.baseFileFormat)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -369,10 +372,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         val fileId = GraftWriteClient.decodeStageValue(
           gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
         val parts = fs.listStatus(gfDir.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .filter(s => s.isFile &&
+            s.getPath.getName.endsWith(table.config.baseFileSuffix))
         require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
         parts.foreach { st =>
-          val name = s"${fileId}_$ts.parquet"
+          val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
@@ -500,7 +504,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .write.mode(SaveMode.Overwrite)
         .option("maxRecordsPerFile", math.max(1L, wc.targetFileSizeBytes / avg))
         .partitionBy(GraftWriteClient.StagePartCol)
-        .parquet(staging.toString)
+        .format(table.config.baseFileFormat)
+        .save(staging.toString)
 
       val written = publishUngrouped(staging, ts)
       if (wc.occEnabled) {
@@ -545,16 +550,18 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (!fs.exists(staging)) return Seq.empty
     val counts = GraftWriteClient.stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
-      wc.colStatsColumns.map(table.physicalNameOf))
+      wc.colStatsColumns.map(table.physicalNameOf),
+      table.config.baseFileFormat)
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
       fs.listStatus(partDir.getPath)
-        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .filter(s => s.isFile &&
+          s.getPath.getName.endsWith(table.config.baseFileSuffix))
         .sortBy(_.getPath.getName)
         .foreach { st =>
           val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
-          val name = s"${fileId}_$ts.parquet"
+          val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
           val stats = counts.getOrElse(
             st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))

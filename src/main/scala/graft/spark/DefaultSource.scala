@@ -142,6 +142,8 @@ object GraftOptions {
   val CleanRetainCommits = "clean.retain.commits"
   /** Global index: keys unique table-wide, updates may move partitions. */
   val IndexGlobal = "index.global"
+  /** Base data-file format at table creation: parquet (default) | orc. */
+  val BaseFileFormat = "base.file.format"
   /** Comma-separated data columns to collect per-file min/max stats for
     * (read-time data skipping; see graft.core.ColumnStats). */
   val ColStatsColumns = "col.stats.columns"
@@ -191,7 +193,8 @@ object GraftOptions {
         .flatMap(_.split(',').map(_.trim).filter(_.nonEmpty)),
       precombineField = parameters.get(PrecombineField),
       payloadClass = parameters.getOrElse(PayloadClass, "overwrite_latest"),
-      partitionTimestampFormat = parameters.get(KeygenTimestampFormat))
+      partitionTimestampFormat = parameters.get(KeygenTimestampFormat),
+      baseFileFormat = parameters.getOrElse(BaseFileFormat, "parquet"))
   }
 }
 

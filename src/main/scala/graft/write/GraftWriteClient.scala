@@ -1047,9 +1047,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val staging = stagingDir(instantTs)
     val fileCols = MetaColumns.All :+ MetaColumns.IsDeleted
     val suffixCol =
-      if (deltaGroups.isEmpty) lit(BaseSuffix)
-      else when(col(ColTargetFile).isin(deltaGroups.toSeq: _*), lit(DeltaSuffix))
-        .otherwise(lit(BaseSuffix))
+      if (deltaGroups.isEmpty) lit(table.config.baseFileSuffix)
+      else when(col(ColTargetFile).isin(deltaGroups.toSeq: _*),
+        lit(table.config.deltaFileSuffix))
+        .otherwise(lit(table.config.baseFileSuffix))
     val out = df
       .withColumn(MetaColumns.FileName,
         concat(col(ColTargetFile), lit("_" + instantTs), suffixCol))
@@ -1066,7 +1067,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     sorted.write
       .mode(if (overwrite) SaveMode.Overwrite else SaveMode.Append)
       .partitionBy(StagePartCol, StageFileCol)
-      .parquet(staging.toString)
+      .format(table.config.baseFileFormat)
+      .save(staging.toString)
   }
 
   /** Write rows without a pre-assigned group (bulk loads): each staged
@@ -1085,7 +1087,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", recordsPerFile)
       .partitionBy(StagePartCol)
-      .parquet(staging.toString)
+      .format(table.config.baseFileFormat)
+      .save(staging.toString)
     publishStaged(staging, instantTs, groupedByFile = false, Set.empty)
   }
 
@@ -1108,7 +1111,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val counts = stagedFileCounts(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
       // staged files carry physical names; accept logical config too
-      wc.colStatsColumns.map(table.physicalNameOf))
+      wc.colStatsColumns.map(table.physicalNameOf),
+      table.config.baseFileFormat)
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val blooms = scala.collection.mutable.ArrayBuffer[BloomSidecarRow]()
@@ -1126,7 +1130,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
           else null
         val parts = fs.listStatus(leaf.getPath)
-          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .filter(s => s.isFile &&
+            s.getPath.getName.endsWith(table.config.baseFileSuffix))
           .sortBy(_.getPath.getName)
         if (groupedByFile) require(parts.length <= 1,
           s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
@@ -1138,7 +1143,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             fid
           }
           val isDelta = deltaGroups.contains(id)
-          val name = id + "_" + instantTs + (if (isDelta) DeltaSuffix else BaseSuffix)
+          val name = id + "_" + instantTs +
+            (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
           val stats = counts.getOrElse(st.getPath.toUri.getPath, FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
           if (stats.bloom.nonEmpty) blooms += BloomSidecarRow(name, stats.bloom)
@@ -1187,8 +1193,8 @@ object GraftWriteClient {
   val ColDeleteFlag = "_g_delete_flag"
   val StagePartCol = "_gp"
   val StageFileCol = "_gf"
-  val BaseSuffix = ".parquet"
-  val DeltaSuffix = ".delta.parquet"
+  // per-table data-file suffixes live on GraftTableConfig
+  // (baseFileSuffix / deltaFileSuffix) — the format is a table property
 
   /** fileId = basename up to the first '_' (fileIds contain no '_'). */
   def fileIdOfInputFile: Column =
@@ -1309,9 +1315,10 @@ object GraftWriteClient {
       staging: Path,
       bloomExpected: Long = 0L,
       bloomFpp: Double = 0.01,
-      statsColumns: Seq[String] = Seq.empty): Map[String, FileStats] =
+      statsColumns: Seq[String] = Seq.empty,
+      format: String = "parquet"): Map[String, FileStats] =
     try {
-      val df = spark.read.parquet(staging.toString)
+      val df = spark.read.format(format).load(staging.toString)
       // resolve requested stats columns case-insensitively against the
       // staged (physical) schema; unsupported types are skipped silently
       val statFields = statsColumns
