@@ -211,6 +211,10 @@ object GraftTable {
 
   /** Initialize a fresh table (fails if one already exists). */
   def create(spark: SparkSession, basePath: String, config: GraftTableConfig): GraftTable = {
+    // fail at create time, not as silent type/null-fidelity loss at read
+    // time: only columnar formats with full Spark type support are valid
+    require(Set("parquet", "orc").contains(config.baseFileFormat),
+      s"base.file.format must be 'parquet' or 'orc', got '${config.baseFileFormat}'")
     val t = new GraftTable(spark, basePath)
     require(!t.storage.exists(new Path(t.storage.metaDir, ConfigFile)),
       s"Graft table already exists at $basePath")

@@ -716,7 +716,10 @@ object SparkEntry {
       val url = s"jdbc:derby:memory:graft_jdbc_$sfName;create=true"
       val dbTable = "GRAFT_ORDERS"
       val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
-      val cut = (maxKey * 3) / 4
+      // cut must be an EXISTING key: the checkpoint is max(pulled key),
+      // which under a sparse key space is the largest key <= the raw cut
+      val cut = orders.filter(col("o_orderkey") <= (maxKey * 3) / 4)
+        .agg(max("o_orderkey")).head.getLong(0)
       val props = new java.util.Properties()
       orders.filter(col("o_orderkey") <= cut)
         .write.mode("overwrite").jdbc(url, dbTable, props)

@@ -200,7 +200,13 @@ object Similarity {
     val dim = cs.head.size
     val sums = (0 until dim).map(i =>
       sum(element_at(col(vecCol), i + 1).cast("double")).as(s"_s$i"))
-    df.select(ivfCell(col(vecCol), cs).as("cell"), col(vecCol))
+    // null or wrong-dim vectors are excluded up front: dividing a
+    // null-skipping sum by count(*) would skew the cell mean toward 0 for
+    // every dimension such a row is missing (the posexplode formulation
+    // excluded missing elements per dimension; whole-row exclusion is the
+    // sound fixed-width equivalent)
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(ivfCell(col(vecCol), cs).as("cell"), col(vecCol))
       .groupBy("cell")
       .agg(count(lit(1)).as("_n"), sums: _*)
   }

@@ -196,15 +196,21 @@ object IngestRunner {
     if (jdbc.driver.nonEmpty) reader = reader.option("driver", jdbc.driver)
     val dbtable = jdbc.incrementalColumn match {
       case Some(c) if ckpt.nonEmpty =>
-        // numeric checkpoints compare unquoted (strict-typed DBs reject
-        // INT > '5'); anything else goes through a standard SQL string
-        // literal, which the DBs coerce for date/timestamp columns.
+        // Quoting follows the incremental column's DB type (one metadata
+        // round-trip on the plain table), not the checkpoint's rendering:
+        // a DOUBLE max like '1.0E7' fails a digits regex yet must stay
+        // unquoted (strict-typed DBs reject DOUBLE > CHAR), and a
+        // numeric-looking VARCHAR checkpoint must stay quoted to keep the
+        // string-max semantics it was recorded under.
         // The column gets ANSI double quotes: Spark's JDBC writer creates
         // case-sensitive lowercase identifiers, which an unquoted name
         // would fail to resolve on case-folding DBs (Derby, Postgres).
-        val rendered =
-          if (ckpt.matches("-?\\d+(\\.\\d+)?")) ckpt
-          else s"'${ckpt.replace("'", "''")}'"
+        val incrType = reader.option("dbtable", jdbc.table).load().schema
+          .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        val rendered = incrType match {
+          case Some(_: org.apache.spark.sql.types.NumericType) => ckpt
+          case _ => s"'${ckpt.replace("'", "''")}'"
+        }
         s"""(SELECT * FROM ${jdbc.table} WHERE "$c" > $rendered) g_incr"""
       case _ => jdbc.table
     }

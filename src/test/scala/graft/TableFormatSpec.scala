@@ -52,6 +52,13 @@ class TableFormatSpec extends AnyFunSuite {
     inlineCompactDeltaCommits = 0,
     bloomExpectedEntries = 2048)
 
+  test("create rejects a base file format that would lose type fidelity") {
+    val e = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, tmp() + "/t", cowConfig.copy(baseFileFormat = "csv"))
+    }
+    assert(e.getMessage.contains("base.file.format"))
+  }
+
   test("COW: bulk_insert -> snapshot round trip") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)

@@ -231,6 +231,20 @@ class VectorExpressionsSpec extends AnyFunSuite {
     assert(plan.contains("HashAggregate") || plan.contains("SortAggregate"), plan)
   }
 
+  test("lloydRefine: null and wrong-dim vectors are excluded from cell means") {
+    val seeds = Similarity.seedCentroids(corpus, "v", "id", 5)
+    val clean = Similarity.lloydRefine(corpus, "v", seeds, iters = 1)
+    // a null vector and a truncated one would each skew some cell's mean
+    // toward 0 if counted in the denominator without contributing sums
+    val dirty = corpus.union(Seq(
+      (9001L, null.asInstanceOf[Array[Float]]),
+      (9002L, Array(1.0f, 2.0f))).toDF("id", "v"))
+    val got = Similarity.lloydRefine(dirty, "v", seeds, iters = 1)
+    clean.zip(got).foreach { case (c, g) =>
+      c.zip(g).foreach { case (x, y) => assert(math.abs(x - y) < 1e-9) }
+    }
+  }
+
   test("wordNgrams: normalization, short texts, and whitespace collapse") {
     import graft.functions.TextFunctions
     val rows = Seq(
