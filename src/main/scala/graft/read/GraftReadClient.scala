@@ -285,8 +285,22 @@ final class GraftReadClient(val table: GraftTable) {
           physicalSnapshotFromSlices(afterSlices, None), c.ts, i + 1))
       }
     }
-    table.logicalize(perCommit.reduceOption(_ unionByName _)
-      .getOrElse(changeSet(emptyFrame(None), emptyFrame(None), end, 0)))
+    // A wide band would otherwise union one full-outer-join branch per
+    // commit into a single plan — O(commits) analysis/optimization cost
+    // on the driver and a plan tree Catalyst re-walks on every rule. Past
+    // a chunk of commits, truncate the lineage with localCheckpoint so
+    // the final union is O(commits/chunk) flat scans. The checkpoint is
+    // eager (the chunk computes at call time) and holds executor-local
+    // storage for the band's change rows — the band itself is what bounds
+    // that, and per-commit change sets are deltas, not snapshots.
+    val chunk = 16
+    val unioned =
+      if (perCommit.isEmpty) changeSet(emptyFrame(None), emptyFrame(None), end, 0)
+      else if (perCommit.size <= chunk) perCommit.reduce(_ unionByName _)
+      else perCommit.grouped(chunk)
+        .map(_.reduce(_ unionByName _).localCheckpoint())
+        .reduce(_ unionByName _)
+    table.logicalize(unioned)
   }
 
   /** One commit's change rows from its before/after images (physical

@@ -1851,6 +1851,35 @@ class TableFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("cleaned"))
   }
 
+  test("change feed: a 40-commit band keeps a flat chunked plan, exact rows") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val base = orders.limit(200).cache()
+    val c1 = w.bulkInsert(base)
+    for (i <- 1 to 40)
+      w.upsert(base.filter(col("o_orderkey") < 5L)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(i * 1.0)))
+
+    val ch = new GraftReadClient(t).changes(c1)
+    // every per-commit full-outer join was folded through localCheckpoint:
+    // the driver-side plan is a union of flat scans, not 40 join branches
+    val plan = ch.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("Join"), plan.take(2000))
+    // feed content stays exact: 40 ordinals x 5 keys x (pre+post)
+    assert(ch.count() === 40L * 5 * 2)
+    assert(ch.select(max(col("_change_ordinal"))).head.getInt(0) === 40)
+    assert(ch.filter(col("_change_type") === "update_postimage").count() === 200)
+    // the last commit's postimage carries the cumulative +40 price
+    val k0 = base.filter(col("o_orderkey") === 0L)
+      .select("o_totalprice").head.getDouble(0)
+    val got = ch.filter(col("_change_ordinal") === 40 &&
+      col("_change_type") === "update_postimage" && col("o_orderkey") === 0L)
+      .select("o_totalprice").head.getDouble(0)
+    assert(math.abs(got - k0 - 40.0) < 1e-6)
+    base.unpersist()
+  }
+
   test("duplicateComponents collapses pair chains into min-id clusters") {
     import spark.implicits._
     // a 4-node chain (multi-hop propagation), a 2-cycle-free pair, and a
