@@ -268,7 +268,7 @@ class GraftRelation private (
       * must reach SQL DML writers too, not only the path-based API.
       */
     val parameters: Map[String, String],
-    mkDf: (Option[Set[String]], graft.core.FileSlice => Boolean) => DataFrame,
+    mkDf: (Option[String => Boolean], graft.core.FileSlice => Boolean) => DataFrame,
     override val schema: StructType)
   extends BaseRelation with PrunedFilteredScan with InsertableRelation {
 
@@ -319,10 +319,10 @@ object GraftRelation {
       .getOrElse(queryType == "incremental")
 
     def mkDf(
-        partitions: Option[Set[String]],
+        partitions: Option[String => Boolean],
         keepSlice: graft.core.FileSlice => Boolean): DataFrame = {
       val read = new GraftReadClient(table)
-      val keep: String => Boolean = p => partitions.forall(_.contains(p))
+      val keep: String => Boolean = p => partitions.forall(_(p))
       val df = queryType match {
         case "snapshot" =>
           read.snapshot(parameters.get(AsOfInstant), keep, keepSlice)
@@ -369,20 +369,26 @@ object GraftRelation {
     new GraftRelation(sqlContext, table, parameters, mkDf, schema)
   }
 
-  /** Manifest-level partition pruning for the SQL scan: when the query's
-    * pushed filters pin every partition source field with EqualTo /
-    * EqualNullSafe / In, render the candidate partition-path strings with
-    * the writer's exact rules (null/empty → 'default', composite fields
-    * joined by '/'). The result is a SUPERSET-sound prune — Spark
-    * re-applies every filter above the relation, so a None (no pruning)
-    * is always safe; timestamp-formatted fields and value types whose
-    * string rendering could diverge from Catalyst's cast are left
-    * unpruned. At scale this skips listing, footers, and tasks for every
-    * non-matching partition (the reference prunes the same way through
-    * HiveConf partition predicates).
+  /** Manifest-level partition pruning for the SQL scan: turns the query's
+    * pushed filters on partition source fields (EqualTo / EqualNullSafe /
+    * In / GreaterThan[OrEqual] / LessThan[OrEqual]) into a predicate over
+    * the manifest's partition-path strings, using the writer's exact
+    * rendering rules (null/empty → 'default', composite fields joined by
+    * '/'). The result is a SUPERSET-sound prune — Spark re-applies every
+    * filter above the relation, so keeping an extra partition (or
+    * returning None = no pruning) is always safe; a partition is dropped
+    * only when NO value that renders to its path segment could satisfy
+    * the conjunctive pushed filters. Timestamp-formatted fields and value
+    * types whose string rendering could diverge from Catalyst's cast are
+    * left unconstrained. Unlike equality-only candidate enumeration, a
+    * predicate composes partial constraints: `dt >= '2024-01' AND region
+    * = 'eu'` prunes on both fields even though neither pins the full
+    * path. At scale this skips listing, footers, and tasks for every
+    * non-matching partition (ref: HoodieFileIndex.prunePartition,
+    * hudi-spark-datasource/hudi-spark/src/main/scala/org/apache/hudi/HoodieFileIndex.scala:204-230).
     */
   def partitionCandidates(
-      cfg: GraftTableConfig, filters: Array[Filter]): Option[Set[String]] = {
+      cfg: GraftTableConfig, filters: Array[Filter]): Option[String => Boolean] = {
     if (cfg.partitionFields.isEmpty) return None
     // single-field timestamp keygen formats the value — not mappable here
     if (cfg.partitionTimestampFormat.isDefined && cfg.partitionFields.size == 1 &&
@@ -395,26 +401,80 @@ object GraftRelation {
       case _ => None // float/timestamp renderings can diverge — skip
     }
 
-    val perField: Seq[Option[Seq[String]]] = cfg.partitionFields.map { spec =>
-      val parts = spec.split(':')
-      if (parts.length > 1 && parts(1) == "timestamp") None
-      else {
-        val f = parts(0)
-        filters.collectFirst {
-          case EqualTo(a, v) if a.equalsIgnoreCase(f)       => Seq(v)
-          case EqualNullSafe(a, v) if a.equalsIgnoreCase(f) => Seq(v)
-          case In(a, vs) if a.equalsIgnoreCase(f)           => vs.toSeq
-        }.flatMap { vs =>
-          val rendered = vs.map(render)
-          if (rendered.forall(_.isDefined)) Some(rendered.flatten) else None
+    def integral(v: Any): Option[Long] = v match {
+      case i: Int   => Some(i.toLong)
+      case l: Long  => Some(l)
+      case s: Short => Some(s.toLong)
+      case b: Byte  => Some(b.toLong)
+      case _        => None
+    }
+
+    // Spark's default UTF8_BINARY collation orders strings by UTF-8 bytes
+    // = by code point; java.lang.String.compareTo orders by UTF-16 unit,
+    // which diverges above the BMP — compare code points to stay sound.
+    def cpCompare(a: String, b: String): Int = {
+      val ai = a.codePoints().iterator(); val bi = b.codePoints().iterator()
+      while (ai.hasNext && bi.hasNext) {
+        val c = Integer.compare(ai.nextInt(), bi.nextInt())
+        if (c != 0) return c
+      }
+      java.lang.Boolean.compare(ai.hasNext, bi.hasNext)
+    }
+
+    // Range filter on one field → segment predicate. cmpOk receives
+    // compare(segmentValue, literal). Integral: 'default' is null only →
+    // a range rejects it; unparseable segments are kept (sound). String:
+    // 'default' renders null, "", OR the literal value "default" — null
+    // never satisfies a range, so keep iff "" or "default" would.
+    def rangePred(v: Any, cmpOk: Int => Boolean): Option[String => Boolean] =
+      integral(v) match {
+        case Some(n) => Some { seg =>
+          if (seg == "default") false
+          else seg.toLongOption.forall(l => cmpOk(java.lang.Long.compare(l, n)))
+        }
+        case None => v match {
+          case s: String => Some { seg =>
+            val couldBe = if (seg == "default") Seq("", "default") else Seq(seg)
+            couldBe.exists(c => cmpOk(cpCompare(c, s)))
+          }
+          case _ => None
         }
       }
+
+    def fieldPred(f: String, flt: Filter): Option[String => Boolean] = flt match {
+      case EqualTo(a, v) if a.equalsIgnoreCase(f) =>
+        render(v).map(r => (seg: String) => seg == r)
+      case EqualNullSafe(a, v) if a.equalsIgnoreCase(f) =>
+        render(v).map(r => (seg: String) => seg == r)
+      case In(a, vs) if a.equalsIgnoreCase(f) =>
+        val rendered = vs.toSeq.map(render)
+        if (rendered.forall(_.isDefined)) {
+          val set = rendered.flatten.toSet
+          Some((seg: String) => set.contains(seg))
+        } else None
+      case GreaterThan(a, v) if a.equalsIgnoreCase(f)        => rangePred(v, _ > 0)
+      case GreaterThanOrEqual(a, v) if a.equalsIgnoreCase(f) => rangePred(v, _ >= 0)
+      case LessThan(a, v) if a.equalsIgnoreCase(f)           => rangePred(v, _ < 0)
+      case LessThanOrEqual(a, v) if a.equalsIgnoreCase(f)    => rangePred(v, _ <= 0)
+      case _ => None
     }
-    if (perField.exists(_.isEmpty)) None
-    else Some(perField.map(_.get)
-      .foldLeft(Seq(""))((acc, vs) =>
-        for (a <- acc; v <- vs) yield if (a.isEmpty) v else a + "/" + v)
-      .toSet)
+
+    // per partition field: the conjunction of every usable pushed filter
+    // (pushed filters are conjunctive); empty = field unconstrained
+    val perField: Seq[Seq[String => Boolean]] = cfg.partitionFields.map { spec =>
+      val parts = spec.split(':')
+      if (parts.length > 1 && parts(1) == "timestamp") Seq.empty
+      else filters.toSeq.flatMap(fieldPred(parts(0), _))
+    }
+    if (perField.forall(_.isEmpty)) None
+    else Some { path =>
+      val segs = path.split("/", -1)
+      // a value containing '/' breaks segment alignment — keep (sound)
+      segs.length != perField.length ||
+        perField.iterator.zip(segs.iterator).forall {
+          case (preds, seg) => preds.forall(_(seg))
+        }
+    }
   }
 
   /** Maps a pushed-filter attribute (logical name) to the physical

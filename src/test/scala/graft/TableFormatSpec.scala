@@ -2069,6 +2069,70 @@ class TableFormatSpec extends AnyFunSuite {
     sparkExt.sql("DROP TABLE IF EXISTS prune_tab")
   }
 
+  test("SQL range predicates prune string partitions at the manifest") {
+    val sparkExt = spark
+    val path = tmp() + "/t"
+    orders.write.format("graft")
+      .option("recordkey.field", "o_orderkey")
+      .option("partitionpath.field", "o_orderpriority")
+      .option("precombine.field", "o_totalprice")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(path)
+    sparkExt.sql("DROP TABLE IF EXISTS rprune_tab")
+    sparkExt.sql(s"CREATE TABLE rprune_tab USING graft OPTIONS (path '$path')")
+    // priorities: 1-URGENT 2-HIGH 3-MEDIUM 4-NOT SPECIFIED 5-LOW
+    val expectLt = orders.filter(col("o_orderpriority") < "3").count()
+    val expectBand = orders.filter(
+      col("o_orderpriority") >= "2" && col("o_orderpriority") < "4").count()
+    assert(expectLt > 0 && expectBand > 0)
+
+    // physically remove partitions >= '4' (4-NOT SPECIFIED, 5-LOW): the
+    // range-pruned queries below must never list them, or they fail on
+    // the missing files
+    val t = GraftTable.load(spark, path)
+    t.view.latestSlices(None).filter(_.partition >= "4").foreach(s =>
+      (s.base.toSeq ++ s.deltas).foreach(f =>
+        t.storage.delete(t.storage.dataFilePath(s.partition, f.fileName))))
+
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM rprune_tab WHERE o_orderpriority < '3'")
+      .head.getLong(0) === expectLt)
+    // conjunctive band: both bounds constrain the same field
+    assert(sparkExt.sql(
+      "SELECT count(*) FROM rprune_tab WHERE o_orderpriority >= '2' AND o_orderpriority < '4'")
+      .head.getLong(0) === expectBand)
+    // the unpruned scan still lists the deleted partitions — and fails
+    intercept[Exception] { sparkExt.sql("SELECT count(*) FROM rprune_tab").collect() }
+    sparkExt.sql("DROP TABLE IF EXISTS rprune_tab")
+  }
+
+  test("range pruning on integral partitions compares numerically, not lexically") {
+    import org.apache.spark.sql.sources.{GreaterThan, LessThanOrEqual, Filter}
+    val cfg = GraftTableConfig(
+      tableName = "t", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("k"), partitionFields = Seq("bucket"))
+    val keep = graft.spark.GraftRelation
+      .partitionCandidates(cfg, Array[Filter](GreaterThan("bucket", 9))).get
+    assert(!keep("9"))
+    assert(keep("10"))   // lexicographically "10" < "9" — numeric compare must win
+    assert(keep("200"))
+    assert(!keep("default")) // null bucket can't satisfy a range
+    assert(keep("not-a-number")) // unparseable → kept (sound)
+
+    val band = graft.spark.GraftRelation.partitionCandidates(cfg,
+      Array[Filter](GreaterThan("bucket", 9), LessThanOrEqual("bucket", 100))).get
+    assert(band("10") && band("100") && !band("101") && !band("9"))
+
+    // string 'default' ambiguity: could be null, "", or literal "default"
+    val scfg = cfg.copy(partitionFields = Seq("name"))
+    val sLt = graft.spark.GraftRelation
+      .partitionCandidates(scfg, Array[Filter](org.apache.spark.sql.sources.LessThan("name", "m"))).get
+    assert(sLt("default")) // "" < "m" and "default" < "m" — must keep
+    val sGt = graft.spark.GraftRelation
+      .partitionCandidates(scfg, Array[Filter](GreaterThan("name", "zz"))).get
+    assert(!sGt("default")) // neither "" nor "default" nor null exceeds "zz"
+  }
+
   test("archive honors the savepoint floor; rollback/restore stay correct after archiving") {
     def totalOf(t: GraftTable): Double = new GraftReadClient(t)
       .snapshotData().agg(sum("o_totalprice")).head.getDouble(0)
