@@ -94,7 +94,8 @@ class DefaultSource extends DataSourceRegister
     val path = parameters.getOrElse(GraftOptions.Path,
       sys.error("'path' must be specified for the graft streaming source"))
     (shortName(), schema.getOrElse(
-      graft.streaming.GraftStreamSource.schemaOf(sqlContext.sparkSession, path)))
+      graft.streaming.GraftStreamSource.schemaOf(sqlContext.sparkSession, path,
+        cdc = parameters.get(GraftOptions.IncrementalFormat).contains("cdc"))))
   }
 
   override def createSource(

@@ -80,10 +80,20 @@ final class GraftStreamSource(
   private def spark = sqlContext.sparkSession
   private def table = GraftTable.load(spark, path)
 
-  /** Incremental-read schema: meta columns ++ data columns (tombstones
-    * already dropped by the read).
+  /** `incremental.format=cdc` switches batches from collapsed incremental
+    * rows to the per-commit change feed (_change_type / _change_ordinal +
+    * data columns), so a downstream stream sees inserts, update pre/post
+    * images and deletes rather than only the latest row images — the
+    * streaming face of GraftReadClient.changes (ref: the reference's CDC
+    * streaming read, hoodie.datasource.query.incremental.format=cdc).
     */
-  override def schema: StructType = GraftStreamSource.schemaOf(spark, path)
+  private val cdc =
+    parameters.get(GraftOptions.IncrementalFormat).contains("cdc")
+
+  /** Incremental-read schema: meta columns ++ data columns (tombstones
+    * already dropped by the read); change-feed schema under cdc.
+    */
+  override def schema: StructType = GraftStreamSource.schemaOf(spark, path, cdc)
 
   override def getOffset: Option[V1Offset] =
     table.timeline.lastCompletedData.map(i => GraftSourceOffset(i.ts))
@@ -91,7 +101,9 @@ final class GraftStreamSource(
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")
     val endTs = GraftSourceOffset.of(end).ts
-    val df = new GraftReadClient(table).incremental(begin, Some(endTs))
+    val read = new GraftReadClient(table)
+    val df = if (cdc) read.changes(begin, Some(endTs))
+             else read.incremental(begin, Some(endTs))
     Shims.asStreamingDf(spark, df)
   }
 
@@ -101,13 +113,25 @@ final class GraftStreamSource(
 }
 
 object GraftStreamSource {
-  def schemaOf(spark: org.apache.spark.sql.SparkSession, path: String): StructType = {
+  def schemaOf(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      cdc: Boolean = false): StructType = {
     val table = GraftTable.load(spark, path)
-    // logical names: batches come from the read client, which applies
-    // the rename map — the declared schema must match
-    table.logicalizeSchema(StructType(table.storedFileSchema
+    val stored = table.storedFileSchema
       .getOrElse(sys.error(s"graft table at $path has no commits yet — " +
         "the streaming source needs at least one commit to derive a schema"))
-      .filterNot(_.name == MetaColumns.IsDeleted)))
+    if (cdc) {
+      // the change-feed schema (_change_* + data columns) differs from the
+      // stored schema; derive it from an empty-band changes() plan (zero
+      // commits in the band → no scans, driver-cheap)
+      val last = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
+      new GraftReadClient(table).changes(last, Some(last)).schema
+    } else {
+      // logical names: batches come from the read client, which applies
+      // the rename map — the declared schema must match
+      table.logicalizeSchema(StructType(stored
+        .filterNot(_.name == MetaColumns.IsDeleted)))
+    }
   }
 }

@@ -302,6 +302,45 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 370)
   }
 
+  test("streaming CDC source: per-commit change rows across micro-batches") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp()
+    val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t = GraftTable.create(spark, tablePath, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(100))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("incremental.format", "cdc").load(tablePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val first = spark.read.parquet(outDir)
+    assert(first.count() === 100)
+    assert(first.select("_change_type").distinct().collect()
+      .map(_.getString(0)).toSet === Set("insert"))
+
+    // next micro-batch: one update commit + one delete commit land between
+    // stream runs — the source must deliver pre/post images and deletes,
+    // not collapsed latest rows
+    w.upsert(orders.limit(10).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    w.delete(orders.limit(5).select("o_orderkey", "o_orderpriority"))
+    run()
+    val all = spark.read.parquet(outDir)
+    assert(all.count() === 100 + 20 + 5)
+    val byType = all.groupBy("_change_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byType === Map(
+      "insert" -> 100L, "update_preimage" -> 10L,
+      "update_postimage" -> 10L, "delete" -> 5L))
+    // the two commits arrive as distinct ordinals within the batch
+    assert(all.filter(col("_change_type") =!= "insert")
+      .select("_change_ordinal").distinct().count() === 2)
+  }
+
   test("filterExists keeps only unseen keys") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
