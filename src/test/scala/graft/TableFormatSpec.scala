@@ -2342,4 +2342,92 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.exceptAll(expect).count() === 0)
     assert(expect.exceptAll(snap).count() === 0)
   }
+
+  test("multi-writer OCC race: disjoint groups both land, overlapping loser aborts retryably") {
+    import java.util.concurrent.{CountDownLatch, TimeUnit}
+    val path = tmp()
+    GraftTable.create(spark, path, cowConfig)
+    // two independently loaded handles = two writer processes; the only
+    // shared state is the .graft/ directory and its create-if-absent
+    // completed-instant protocol (the timeline is stateless by design)
+    val tA = GraftTable.load(spark, path)
+    val tB = GraftTable.load(spark, path)
+    val wA = new GraftWriteClient(tA, wc)
+    val wB = new GraftWriteClient(tB, wc)
+    wB.bulkInsert(orders)
+
+    // deterministic interleaving: writer A's job stalls on one row until
+    // the gate opens, so A's publish check always runs AFTER B's commit
+    val gateUdf = udf((k: Long) => OccGate.pass(k))
+    def race(aDf: DataFrame, duringA: => Unit): Either[Throwable, String] = {
+      OccGate.started = new CountDownLatch(1)
+      OccGate.gate = new CountDownLatch(1)
+      OccGate.blockKey = aDf.agg(min("o_orderkey")).head.getLong(0)
+      @volatile var out: Either[Throwable, String] = null
+      val th = new Thread(() => {
+        out =
+          try Right(wA.upsert(aDf.withColumn("o_orderkey", gateUdf(col("o_orderkey")))))
+          catch { case e: Throwable => Left(e) }
+      })
+      th.start()
+      // first gate-UDF evaluation ⇒ A's job is running ⇒ begin() recorded
+      // A's OCC floor BEFORE anything B commits below
+      assert(OccGate.started.await(60, TimeUnit.SECONDS))
+      duringA
+      OccGate.gate.countDown()
+      th.join(120000)
+      out
+    }
+
+    // disjoint file groups (different partitions): both writers commit
+    val aRows = orders.filter(col("o_orderpriority") === "1-URGENT").limit(40)
+      .withColumn("o_clerk", lit("A-WROTE"))
+    val bRows = orders.filter(col("o_orderpriority") === "5-LOW").limit(40)
+      .withColumn("o_clerk", lit("B-WROTE"))
+    val r1 = race(aRows, { wB.upsert(bRows) })
+    assert(r1.isRight, s"disjoint concurrent writes must both land, got $r1")
+    val snap1 = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(snap1.filter(col("o_clerk") === "A-WROTE").count() === 40)
+    assert(snap1.filter(col("o_clerk") === "B-WROTE").count() === 40)
+
+    // overlapping file groups (same rows): B publishes first, A must lose
+    // with a retryable conflict and leave no commit or data behind
+    val contested = orders.filter(col("o_orderpriority") === "2-HIGH").limit(40)
+    val commitsBefore = tA.timeline.completedData.size
+    val r2 = race(
+      contested.withColumn("o_clerk", lit("A-CONTESTED")),
+      { wB.upsert(contested.withColumn("o_clerk", lit("B-CONTESTED"))) })
+    assert(r2.isLeft && r2.swap.exists(_.isInstanceOf[
+      graft.write.ConcurrentWriteConflictException]), s"expected conflict, got $r2")
+    // exactly one new commit (B's); A left no completed/pending instants
+    assert(tA.timeline.completedData.size === commitsBefore + 1)
+    assert(tA.timeline.pending.isEmpty)
+    val snap2 = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(snap2.filter(col("o_clerk") === "B-CONTESTED").count() === 40)
+    assert(snap2.filter(col("o_clerk") === "A-CONTESTED").count() === 0)
+    assert(snap2.count() === orders.count())
+
+    // the loser retries against the new timeline and wins cleanly
+    wA.upsert(contested.withColumn("o_clerk", lit("A-RETRY")))
+    val snap3 = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(snap3.filter(col("o_clerk") === "A-RETRY").count() === 40)
+    assert(snap3.count() === orders.count())
+  }
+}
+
+/** Executor-visible latches for the OCC race test (local mode: tasks share
+  * the JVM, so object statics reach the gate UDF).
+  */
+object OccGate {
+  @volatile var started: java.util.concurrent.CountDownLatch = _
+  @volatile var gate: java.util.concurrent.CountDownLatch = _
+  @volatile var blockKey: Long = -1L
+  def pass(k: Long): Long = {
+    val s = started
+    if (s != null) s.countDown()
+    val g = gate
+    if (k == blockKey && g != null)
+      g.await(120, java.util.concurrent.TimeUnit.SECONDS)
+    k
+  }
 }
