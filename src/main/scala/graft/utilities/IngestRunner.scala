@@ -189,32 +189,70 @@ object IngestRunner {
   def runJdbcOnce(
       spark: SparkSession, cfg: IngestConfig, jdbc: JdbcSourceConfig): Option[String] = {
     val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
-    var reader = spark.read.format("jdbc")
-      .option("url", jdbc.url).options(jdbc.extraOptions)
-    if (jdbc.user.nonEmpty)
-      reader = reader.option("user", jdbc.user).option("password", jdbc.password)
-    if (jdbc.driver.nonEmpty) reader = reader.option("driver", jdbc.driver)
+    // DataFrameReader is MUTABLE — every metadata probe gets its own
+    // instance so a probe's dbtable never leaks into the batch pull
+    def baseReader() = {
+      var r = spark.read.format("jdbc")
+        .option("url", jdbc.url).options(jdbc.extraOptions)
+      if (jdbc.user.nonEmpty)
+        r = r.option("user", jdbc.user).option("password", jdbc.password)
+      if (jdbc.driver.nonEmpty) r = r.option("driver", jdbc.driver)
+      r
+    }
+    var reader = baseReader()
+    // Incremental column's DB type: one metadata round-trip on the plain
+    // table, fetched only when a decision needs it (checkpoint quoting,
+    // auto-partitioned pulls).
+    lazy val incrType: Option[org.apache.spark.sql.types.DataType] =
+      jdbc.incrementalColumn.flatMap(c =>
+        baseReader().option("dbtable", jdbc.table).load().schema
+          .find(_.name.equalsIgnoreCase(c)).map(_.dataType))
+    // Quoting follows the incremental column's DB type, not the
+    // checkpoint's rendering: a DOUBLE max like '1.0E7' fails a digits
+    // regex yet must stay unquoted (strict-typed DBs reject DOUBLE >
+    // CHAR), and a numeric-looking VARCHAR checkpoint must stay quoted to
+    // keep the string-max semantics it was recorded under.
+    // The column gets ANSI double quotes: Spark's JDBC writer creates
+    // case-sensitive lowercase identifiers, which an unquoted name
+    // would fail to resolve on case-folding DBs (Derby, Postgres).
+    lazy val ckptLiteral: String = incrType match {
+      case Some(_: org.apache.spark.sql.types.NumericType) => ckpt
+      case _ => s"'${ckpt.replace("'", "''")}'"
+    }
     val dbtable = jdbc.incrementalColumn match {
       case Some(c) if ckpt.nonEmpty =>
-        // Quoting follows the incremental column's DB type (one metadata
-        // round-trip on the plain table), not the checkpoint's rendering:
-        // a DOUBLE max like '1.0E7' fails a digits regex yet must stay
-        // unquoted (strict-typed DBs reject DOUBLE > CHAR), and a
-        // numeric-looking VARCHAR checkpoint must stay quoted to keep the
-        // string-max semantics it was recorded under.
-        // The column gets ANSI double quotes: Spark's JDBC writer creates
-        // case-sensitive lowercase identifiers, which an unquoted name
-        // would fail to resolve on case-folding DBs (Derby, Postgres).
-        val incrType = reader.option("dbtable", jdbc.table).load().schema
-          .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
-        val rendered = incrType match {
-          case Some(_: org.apache.spark.sql.types.NumericType) => ckpt
-          case _ => s"'${ckpt.replace("'", "''")}'"
-        }
-        s"""(SELECT * FROM ${jdbc.table} WHERE "$c" > $rendered) g_incr"""
+        s"""(SELECT * FROM ${jdbc.table} WHERE "$c" > $ckptLiteral) g_incr"""
       case _ => jdbc.table
     }
-    val raw = reader.option("dbtable", dbtable).load()
+    reader = reader.option("dbtable", dbtable)
+    // Parallel pull: a big backlog through one JDBC connection is the
+    // scale bottleneck. When the caller asks for `numPartitions` without
+    // an explicit partitionColumn, derive stride bounds from the DB's own
+    // min/max of the incremental column over THIS batch (one 1-row query
+    // the DB serves from its index) so the batch arrives as numPartitions
+    // concurrent range scans. Integral columns only — Spark parses the
+    // bounds as longs. Spark leaves the first/last stride predicates
+    // unbounded, so rows landing between the bounds probe and the pull
+    // are still fetched; the checkpoint stays max(pulled), unaffected.
+    val autoPartition =
+      jdbc.extraOptions.get("numPartitions").exists(_.toInt > 1) &&
+        !jdbc.extraOptions.contains("partitionColumn")
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    (jdbc.incrementalColumn, if (autoPartition) incrType else None) match {
+      case (Some(c), Some(ByteType | ShortType | IntegerType | LongType)) =>
+        val batchFilter = if (ckpt.nonEmpty) s""" WHERE "$c" > $ckptLiteral""" else ""
+        val boundsTable =
+          s"""(SELECT MIN("$c") AS g_lo, MAX("$c") AS g_hi FROM ${jdbc.table}$batchFilter) g_bounds"""
+        val bdf = baseReader().option("dbtable", boundsTable).load()
+        val bounds = bdf.select(bdf.columns.map(cn => col(cn).cast("long")): _*).head()
+        if (!bounds.isNullAt(0) && bounds.getLong(0) < bounds.getLong(1))
+          reader = reader
+            .option("partitionColumn", c)
+            .option("lowerBound", bounds.getLong(0).toString)
+            .option("upperBound", bounds.getLong(1).toString)
+      case _ => ()
+    }
+    val raw = reader.load()
     jdbc.incrementalColumn match {
       case Some(c) =>
         val pulled = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
