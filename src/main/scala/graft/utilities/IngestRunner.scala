@@ -189,6 +189,32 @@ object IngestRunner {
   def runJdbcOnce(
       spark: SparkSession, cfg: IngestConfig, jdbc: JdbcSourceConfig): Option[String] = {
     val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
+    val raw = jdbcBatchFrame(spark, jdbc, ckpt)
+    jdbc.incrementalColumn match {
+      case Some(c) =>
+        val pulled = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+        try {
+          val newCkpt = pulled.agg(
+            org.apache.spark.sql.functions.max(col(c)).cast("string")).head.getString(0)
+          if (newCkpt == null) None // empty batch: no commit, keep checkpoint
+          else {
+            writeBatch(spark, cfg, transform(spark, cfg, pulled), newCkpt)
+            Some(newCkpt)
+          }
+        } finally pulled.unpersist()
+      case None =>
+        writeBatch(spark, cfg, transform(spark, cfg, raw), "")
+        Some("")
+    }
+  }
+
+  /** The un-pulled batch frame for one JDBC sync round: the incremental
+    * `WHERE incrColumn > ckpt` subquery (empty ckpt = full table) with
+    * stride partitioning resolved. Exposed so tests can assert the plan
+    * shape (partition count) without driving a full ingest round.
+    */
+  def jdbcBatchFrame(
+      spark: SparkSession, jdbc: JdbcSourceConfig, ckpt: String): DataFrame = {
     // DataFrameReader is MUTABLE — every metadata probe gets its own
     // instance so a probe's dbtable never leaks into the batch pull
     def baseReader() = {
@@ -252,23 +278,7 @@ object IngestRunner {
             .option("upperBound", bounds.getLong(1).toString)
       case _ => ()
     }
-    val raw = reader.load()
-    jdbc.incrementalColumn match {
-      case Some(c) =>
-        val pulled = raw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-        try {
-          val newCkpt = pulled.agg(
-            org.apache.spark.sql.functions.max(col(c)).cast("string")).head.getString(0)
-          if (newCkpt == null) None // empty batch: no commit, keep checkpoint
-          else {
-            writeBatch(spark, cfg, transform(spark, cfg, pulled), newCkpt)
-            Some(newCkpt)
-          }
-        } finally pulled.unpersist()
-      case None =>
-        writeBatch(spark, cfg, transform(spark, cfg, raw), "")
-        Some("")
-    }
+    reader.load()
   }
 
   /** Table-to-table incremental ETL: pull the SOURCE graft table's

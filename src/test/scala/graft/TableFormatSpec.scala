@@ -590,6 +590,48 @@ class TableFormatSpec extends AnyFunSuite {
     assert(IngestRunner.lastCheckpoint(spark, tgt).contains(maxKey.toString))
   }
 
+  test("jdbc ingest source: numPartitions pulls as parallel range scans") {
+    import graft.utilities.{IngestRunner, JdbcSourceConfig}
+    val url = "jdbc:derby:memory:graft_spec_par;create=true"
+    val props = new java.util.Properties()
+    val seed = orders.filter(col("o_orderkey") < 2000)
+    seed.write.mode("overwrite").jdbc(url, "PAR_ORDERS", props)
+    val base = JdbcSourceConfig(
+      url = url, table = "PAR_ORDERS",
+      driver = "org.apache.derby.jdbc.EmbeddedDriver",
+      incrementalColumn = Some("o_orderkey"))
+
+    // numPartitions without partitionColumn: bounds are derived from the
+    // DB's own min/max of the incremental column, so the batch arrives as
+    // 4 concurrent range scans — and still exactly the right rows
+    val par = base.copy(extraOptions = Map("numPartitions" -> "4"))
+    val full = IngestRunner.jdbcBatchFrame(spark, par, ckpt = "")
+    assert(full.rdd.getNumPartitions === 4)
+    assert(full.count() === seed.count())
+
+    // incremental batch: stride bounds cover only rows above the
+    // checkpoint; rows at or below it never leave the database
+    val cut = seed.filter(col("o_orderkey") <= 1000)
+      .agg(max("o_orderkey")).head.getLong(0)
+    val incr = IngestRunner.jdbcBatchFrame(spark, par, ckpt = cut.toString)
+    assert(incr.rdd.getNumPartitions === 4)
+    assert(incr.count() === seed.filter(col("o_orderkey") > cut).count())
+    assert(incr.agg(min("o_orderkey")).head.getLong(0) > cut)
+
+    // no incremental column to stride on: single-connection pull
+    val flat = base.copy(
+      incrementalColumn = None, extraOptions = Map("numPartitions" -> "4"))
+    assert(IngestRunner.jdbcBatchFrame(spark, flat, ckpt = "")
+      .rdd.getNumPartitions === 1)
+
+    // an explicit partitionColumn wins over auto-derivation untouched
+    val explicit = base.copy(extraOptions = Map(
+      "numPartitions" -> "2", "partitionColumn" -> "o_orderkey",
+      "lowerBound" -> "0", "upperBound" -> "2000"))
+    assert(IngestRunner.jdbcBatchFrame(spark, explicit, ckpt = "")
+      .rdd.getNumPartitions === 2)
+  }
+
   test("ingest runner: CDC ETL keeps a moved row under global keys") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
