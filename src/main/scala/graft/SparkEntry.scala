@@ -39,14 +39,25 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events table with nano-precision `ts` surfaced as exact microsecond
-    * columns: `_us` (long micros) and `_ts` (timestamp).
+  /** events table with `ts` surfaced as exact microsecond columns: `_us`
+    * (long micros) and `_ts` (timestamp). Schema-adaptive: older fixtures
+    * were parquet TIMESTAMP(NANOS), which pre-4.1 Spark read as long nanos
+    * under `nanosAsLong` (→ `div 1000`, DuckDB's nanos→micros truncation);
+    * Spark 4.1+ ignores that conf and reads timestamps natively (current
+    * fixtures are TIMESTAMP(MICROS) → timestamp_ntz; session tz is UTC so
+    * the NTZ↔LTZ cast is identity).
     */
   private def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events")
-      .withColumn("_us", expr("ts div 1000"))
-      .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = T(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("_us", expr("ts div 1000"))
+          .withColumn("_ts", expr("timestamp_micros(ts div 1000)"))
+      case _ =>
+        raw.withColumn("_us", unix_micros(col("ts").cast("timestamp")))
+          .withColumn("_ts", col("ts").cast("timestamp"))
+    }
   }
 
   private def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
@@ -194,10 +205,9 @@ object SparkEntry {
           dbl(sum(dec(col("o_totalprice"), 18, 2))).as("sum_total"))
     }),
 
-    // The events fixture is written with parquet TIMESTAMP(NANOS), which
-    // Spark refuses by default; we read nanos as long and convert to
-    // microseconds with integer division (exactly DuckDB's nanos->micros
-    // truncation, so oracles agree to the microsecond).
+    // events(): schema-adaptive ts handling (see helper above) — both
+    // Spark and the DuckDB oracle see the same per-file precision, so
+    // ordering/filtering on raw `ts` agrees bit-for-bit.
     "q_events_daily" -> ((s, dir) => {
       events(s, dir)
         .groupBy(col("event_type"), to_date(col("_ts")).as("event_date"))
@@ -209,9 +219,9 @@ object SparkEntry {
 
     "q_events_latest" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      // order by the RAW nanosecond ts (exact long after nanosAsLong) so
-      // the pick matches the oracle's ORDER BY ts DESC bit-for-bit even
-      // if two events collide at microsecond granularity
+      // order by the RAW ts column (long nanos on old fixtures, native
+      // timestamp on new ones) — DuckDB reads the same file at the same
+      // precision, so the pick matches ORDER BY ts DESC bit-for-bit
       val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       events(s, dir)
         .withColumn("rn", row_number().over(w))

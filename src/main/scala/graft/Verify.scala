@@ -20,13 +20,27 @@ object Verify {
     // dev loop: verify a subset, e.g. SPARK_GRAFT_VERIFY_QUERIES=tf_insert
     val only = sys.env.get("SPARK_GRAFT_VERIFY_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}".take(2000)
+        System.err.println(s"[verify] $name FAILED: $msg")
+        errors(name) = msg
+        // A failing query must show as a RED row, never vanish: emit an
+        // output dir whose single `_verify_error` row can't match any
+        // oracle (schema+hash mismatch), so the driver's compare reports
+        // an explicit failure even if it ignores errors.json.
+        try {
+          import spark.implicits._
+          Seq(msg).toDF("_verify_error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name: error-marker write also failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -44,6 +58,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // machine-readable failure map (always written; {} when all green)
+    Files.writeString(Paths.get(s"$outDir/errors.json"),
+      errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}"))
+    if (errors.nonEmpty)
+      System.err.println(s"[verify] ${errors.size} queries FAILED: ${errors.keys.mkString(", ")}")
     spark.stop()
   }
 }
