@@ -69,19 +69,25 @@ object Bench {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
-    // failures are reported, never silently folded into the timing
-    val results = headline.filter(SparkEntry.queries.contains)
-      .filter(n => only.forall(_.contains(n))).map { name =>
-      val fn = SparkEntry.queries(name)
-      val times = (1 to reps).flatMap { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); None
-        }
+    // Reps run ROUND-ROBIN across queries (rep 1 of every query, then
+    // rep 2, ...) so a host load spike spanning a few minutes contaminates
+    // at most one rep of each query — the median survives — instead of
+    // every rep of whichever query it happened to land on.
+    // Failures are reported, never silently folded into the timing.
+    val names = headline.filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
+    val timings = scala.collection.mutable.LinkedHashMap(
+      names.map(n => n -> Vector.empty[Double]): _*)
+    for (_ <- 1 to reps; name <- names) {
+      val t0 = System.nanoTime()
+      try {
+        SparkEntry.queries(name)(spark, sfDir).count()
+        timings(name) :+= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       }
-      (name, times)
     }
+    val results = names.map(n => (n, timings(n): Seq[Double]))
     def obj(f: Seq[Double] => Double): String = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) f(ts) else -1.0)
     }.mkString("{", ",", "}")

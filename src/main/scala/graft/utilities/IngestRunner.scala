@@ -211,9 +211,11 @@ object IngestRunner {
   /** The un-pulled batch frame for one JDBC sync round: the incremental
     * `WHERE incrColumn > ckpt` subquery (empty ckpt = full table) with
     * stride partitioning resolved. Exposed so tests can assert the plan
-    * shape (partition count) without driving a full ingest round.
+    * shape (partition count) without driving a full ingest round;
+    * package-private so external callers can't bypass runJdbcOnce's
+    * checkpoint/commit protocol with an arbitrary ckpt string.
     */
-  def jdbcBatchFrame(
+  private[graft] def jdbcBatchFrame(
       spark: SparkSession, jdbc: JdbcSourceConfig, ckpt: String): DataFrame = {
     // DataFrameReader is MUTABLE — every metadata probe gets its own
     // instance so a probe's dbtable never leaks into the batch pull

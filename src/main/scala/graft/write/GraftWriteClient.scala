@@ -1318,7 +1318,13 @@ object GraftWriteClient {
       statsColumns: Seq[String] = Seq.empty,
       format: String = "parquet"): Map[String, FileStats] =
     try {
-      val df = spark.read.format(format).load(staging.toString)
+      // recursiveFileLookup: the stats job keys by file PATH, never by the
+      // staging partition columns — skip partition inference entirely. An
+      // all-null stage value (unpartitioned table → __HIVE_DEFAULT_
+      // PARTITION__) would otherwise infer `_gp: void`, which the ORC
+      // reader rejects in its read schema.
+      val df = spark.read.format(format)
+        .option("recursiveFileLookup", "true").load(staging.toString)
       // resolve requested stats columns case-insensitively against the
       // staged (physical) schema; unsupported types are skipped silently
       val statFields = statsColumns

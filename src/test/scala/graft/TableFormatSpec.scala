@@ -1800,6 +1800,59 @@ class TableFormatSpec extends AnyFunSuite {
     assert(got.select("o_orderkey").head.getLong(0) === 7L)
   }
 
+  test("ORC base format: column-stats prune and bloom sidecars work like parquet") {
+    import org.apache.spark.sql.sources.{EqualTo, GreaterThan}
+    val path = tmp()
+    // unpartitioned + unsorted load at a tiny target size: several files,
+    // each spanning the whole key range — ranges can't prune, blooms must
+    val t = GraftTable.create(spark, path,
+      cowConfig.copy(partitionFields = Seq.empty, baseFileFormat = "orc"))
+    val w = new GraftWriteClient(t, wc.copy(
+      bulkInsertSortMode = "none", targetFileSizeBytes = 8 * 1024,
+      colStatsColumns = Seq("o_totalprice", "o_orderstatus")))
+    w.bulkInsert(orders)
+
+    val slices = t.view.latestSlices(None)
+    assert(slices.size > 5, s"need several files, got ${slices.size}")
+    // every ORC base file carries column stats AND a bloom sidecar
+    slices.foreach(s => s.base.foreach { f =>
+      assert(f.fileName.endsWith(".orc"), f.fileName)
+      assert(f.colStats.keySet === Set("o_totalprice", "o_orderstatus"))
+    })
+    val all = slices.flatMap(s => s.base.toSeq ++ s.deltas)
+    val bounds = Map("" -> (all.map(_.minKey).min, all.map(_.maxKey).max))
+    val cands = w.indexCandidateFiles(bounds, global = false)
+    assert(cands.size === all.size) // range prune keeps everything
+    val probe = orders.limit(3)
+      .select(col("o_orderkey").cast("string").as(GraftWriteClient.ColKey))
+      .withColumn(GraftWriteClient.ColPart, lit(""))
+    val pruned = w.bloomPruneCandidates(probe, cands, global = false)
+    assert(pruned.nonEmpty && pruned.size < cands.size,
+      s"bloom should prune on ORC: ${pruned.size}/${cands.size}")
+
+    // column-stats skipping: an out-of-range upper bound prunes every slice
+    val resolver = graft.spark.GraftRelation.statsResolver(t)
+    assert(!slices.exists(
+      ColumnStats.keepSlice(Seq(GreaterThan("o_totalprice", 1e9)), resolver)))
+    // a selective equality prunes some slices yet keeps the match sound
+    val price = orders.filter(col("o_orderkey") === 7L).head.getDouble(3)
+    val keep = ColumnStats.keepSlice(Seq(EqualTo("o_totalprice", price)), resolver)
+    val (kept, dropped) = slices.partition(keep)
+    assert(kept.nonEmpty)
+    if (dropped.nonEmpty) {
+      val droppedPaths = dropped.flatMap(s => s.base.map(f =>
+        t.storage.dataFilePath(s.partition, f.fileName).toString))
+      assert(spark.read.orc(droppedPaths: _*)
+        .filter(col("o_totalprice") === price).count() === 0)
+    }
+    // end-to-end through the datasource on the ORC table
+    val got = spark.read.format("graft").load(path)
+      .filter(col("o_totalprice") === price).select("o_orderkey")
+    assert(got.collect().map(_.getLong(0)).toSet ===
+      orders.filter(col("o_totalprice") === price)
+        .select("o_orderkey").collect().map(_.getLong(0)).toSet)
+  }
+
   test("clean schedule/execute split: plan persisted, executed by a second client") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
