@@ -2508,6 +2508,77 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap3.filter(col("o_clerk") === "A-RETRY").count() === 40)
     assert(snap3.count() === orders.count())
   }
+
+  test("cross-process OCC: a second JVM racing a conflicting upsert loses retryably") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+
+    // fork a REAL second JVM — own SparkSession, own timeline cache; the
+    // only shared state is the table dir + a file gate (what two writers
+    // on different hosts would have)
+    val javaBin = sys.props("java.home") + "/bin/java"
+    val cp = sys.props("java.class.path")
+    val addOpens = Seq(
+      "java.base/java.lang", "java.base/java.lang.invoke",
+      "java.base/java.lang.reflect", "java.base/java.io",
+      "java.base/java.net", "java.base/java.nio",
+      "java.base/java.util", "java.base/java.util.concurrent",
+      "java.base/java.util.concurrent.atomic",
+      "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+      "java.base/sun.security.action", "java.base/sun.util.calendar"
+    ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+    def fork(gateDir: String, marker: String, partition: String): Process = {
+      val cmd = (Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx2g", "-cp", cp, "graft.OccChildProcess",
+        path, gateDir, marker, partition)).toArray
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectErrorStream(true)
+      pb.redirectOutput(new java.io.File(gateDir, "child.log"))
+      pb.start()
+    }
+    def awaitFile(f: java.io.File, ms: Long): Boolean = {
+      val deadline = System.currentTimeMillis() + ms
+      while (!f.exists() && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      f.exists()
+    }
+
+    // contested: the child's write begins (OCC floor recorded), THEN the
+    // parent process commits the same file groups, then the child's gate
+    // opens — its publish check must see the parent's commit and abort
+    val gate1 = Files.createTempDirectory("occ_gate1_").toString
+    val contested = orders.filter(col("o_orderpriority") === "2-HIGH").limit(40)
+    val commitsBefore = t.timeline.completedData.size
+    val child1 = fork(gate1, "CHILD-CONTESTED", "2-HIGH")
+    assert(awaitFile(new java.io.File(gate1, "started"), 120000),
+      "child writer never started: " + util.Try(
+        new String(Files.readAllBytes(new java.io.File(gate1, "child.log").toPath))))
+    w.upsert(contested.withColumn("o_clerk", lit("PARENT-WROTE")))
+    new java.io.File(gate1, "go").createNewFile()
+    assert(child1.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "child hung")
+    assert(child1.exitValue() === 42, "expected OCC conflict exit, log:\n" +
+      new String(Files.readAllBytes(new java.io.File(gate1, "child.log").toPath)))
+    val t1 = GraftTable.load(spark, path)
+    assert(t1.timeline.completedData.size === commitsBefore + 1)
+    assert(t1.timeline.pending.isEmpty, "losing child must leave no pending instant")
+    val snap1 = new GraftReadClient(t1).snapshotData()
+    assert(snap1.filter(col("o_clerk") === "PARENT-WROTE").count() === 40)
+    assert(snap1.filter(col("o_clerk") === "CHILD-CONTESTED").count() === 0)
+    assert(snap1.count() === orders.count())
+
+    // uncontested: the child commits cleanly and the parent process sees
+    // the foreign commit — create-if-absent publish works cross-process
+    val gate2 = Files.createTempDirectory("occ_gate2_").toString
+    new java.io.File(gate2, "go").createNewFile() // no interference
+    val child2 = fork(gate2, "CHILD-WON", "5-LOW")
+    assert(child2.waitFor(180, java.util.concurrent.TimeUnit.SECONDS), "child hung")
+    assert(child2.exitValue() === 0, "expected clean child commit, log:\n" +
+      new String(Files.readAllBytes(new java.io.File(gate2, "child.log").toPath)))
+    val snap2 = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(snap2.filter(col("o_clerk") === "CHILD-WON").count() === 40)
+    assert(snap2.count() === orders.count())
+  }
 }
 
 /** Executor-visible latches for the OCC race test (local mode: tasks share
