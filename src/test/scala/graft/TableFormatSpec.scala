@@ -341,6 +341,69 @@ class TableFormatSpec extends AnyFunSuite {
       .select("_change_ordinal").distinct().count() === 2)
   }
 
+  test("streaming seam: programmatic source + restart + forced re-delivery stays exactly-once") {
+    // Stands in for a Kafka source (no broker in the sandbox): MemoryStream
+    // exercises the same contract — offsets in Spark's WAL, batch replay on
+    // restart, and the sink's batch-id-in-commit dedup (ref:
+    // hudi-utilities/.../sources/JsonKafkaSource.java + KafkaOffsetGen.java;
+    // the sink-side protocol is HoodieStreamingSink.scala:70-135).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp()
+    val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"
+    val ms = MemoryStream[(Long, String, Double)]
+    def startQuery() = ms.toDF().toDF("k", "part", "v")
+      .writeStream.format("graft")
+      .option("checkpointLocation", ckpt)
+      .option("recordkey.field", "k")
+      .option("partitionpath.field", "part")
+      .option("precombine.field", "v")
+      .trigger(Trigger.AvailableNow())
+      .start(tablePath)
+
+    // batch 0
+    ms.addData((0L until 50L).map(i => (i, "p" + (i % 3), 1.0)))
+    val q1 = startQuery()
+    q1.awaitTermination()
+    assert(spark.read.format("graft").load(tablePath).count() === 50)
+
+    // restart, batch 1: 20 updates + 10 inserts
+    ms.addData((40L until 70L).map(i => (i, "p" + (i % 3), 2.0)))
+    val q2 = startQuery()
+    q2.awaitTermination()
+    val snap1 = spark.read.format("graft").load(tablePath)
+    assert(snap1.count() === 70)
+    assert(snap1.filter(col("v") === 2.0).count() === 30)
+    val commitsAfterB1 = GraftTable.load(spark, tablePath).timeline.completedData.size
+
+    // forced re-delivery: drop the checkpoint's last commit-log entry, so
+    // the restarted query replays batch 1 into the sink — exactly what a
+    // crash between sink commit and checkpoint commit leaves behind. The
+    // sink's replay guard must skip it without a new table commit.
+    val commitLog = new java.io.File(s"$ckpt/commits")
+    val last = commitLog.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(last.delete())
+    // local FS keeps a checksum sidecar; a stale one fails the re-write
+    new java.io.File(commitLog, "." + last.getName + ".crc").delete()
+    val q3 = startQuery()
+    q3.awaitTermination()
+    val t1 = GraftTable.load(spark, tablePath)
+    assert(t1.timeline.completedData.size === commitsAfterB1,
+      "replayed batch must be deduped by the batch-id guard")
+    val snap2 = spark.read.format("graft").load(tablePath)
+    assert(snap2.count() === 70)
+    assert(snap2.filter(col("v") === 2.0).count() === 30)
+
+    // and the stream keeps flowing after the deduped replay
+    ms.addData(Seq((100L, "p0", 3.0)))
+    val q4 = startQuery()
+    q4.awaitTermination()
+    assert(spark.read.format("graft").load(tablePath).count() === 71)
+  }
+
   test("filterExists keeps only unseen keys") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
