@@ -227,7 +227,10 @@ final class GraftReadClient(val table: GraftTable) {
     * timeline. A record whose partition value changed under the global
     * index appears as delete + insert, not update.
     */
-  def changes(beginTs: String, endTs: Option[String] = None): DataFrame = {
+  def changes(
+      beginTs: String,
+      endTs: Option[String] = None,
+      reliableCheckpoint: Boolean = false): DataFrame = {
     val tl = table.timeline
     if (table.storedFileSchema.isEmpty) { // empty table: no changes, bare schema
       import org.apache.spark.sql.types._
@@ -293,14 +296,44 @@ final class GraftReadClient(val table: GraftTable) {
     // eager (the chunk computes at call time) and holds executor-local
     // storage for the band's change rows — the band itself is what bounds
     // that, and per-commit change sets are deltas, not snapshots.
+    //
+    // localCheckpoint blocks die with their executor: on a cluster with
+    // churn (spot nodes, dynamic allocation), a wide-band read can lose a
+    // chunk mid-query and fail. `reliableCheckpoint` materializes each
+    // chunk as parquet under the table's own temp dir instead — survives
+    // any executor loss, read back as plain columnar scans. Dirs are
+    // tagged cdc_ckpt_ and reaped by the next reliable read once older
+    // than a day (a concurrent reader's in-flight chunks stay safe).
     val chunk = 16
+    def reliably(df: DataFrame): DataFrame = {
+      val dir = new org.apache.hadoop.fs.Path(table.storage.tempDir,
+        s"cdc_ckpt_${java.util.UUID.randomUUID}")
+      df.write.parquet(dir.toString)
+      spark.read.parquet(dir.toString)
+    }
+    if (reliableCheckpoint && perCommit.size > chunk) reapStaleCdcCheckpoints()
     val unioned =
       if (perCommit.isEmpty) changeSet(emptyFrame(None), emptyFrame(None), end, 0)
       else if (perCommit.size <= chunk) perCommit.reduce(_ unionByName _)
       else perCommit.grouped(chunk)
-        .map(_.reduce(_ unionByName _).localCheckpoint())
+        .map(g => if (reliableCheckpoint) reliably(g.reduce(_ unionByName _))
+                  else g.reduce(_ unionByName _).localCheckpoint())
         .reduce(_ unionByName _)
     table.logicalize(unioned)
+  }
+
+  /** Delete cdc_ckpt_ temp dirs older than a day — finished reads never
+    * clean up inline (the returned frame lazily re-reads its chunks), so
+    * age is the only safe reclamation signal.
+    */
+  private def reapStaleCdcCheckpoints(): Unit = {
+    val fs = table.storage.fs
+    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+    if (fs.exists(table.storage.tempDir))
+      fs.listStatus(table.storage.tempDir)
+        .filter(s => s.getPath.getName.startsWith("cdc_ckpt_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
   }
 
   /** One commit's change rows from its before/after images (physical

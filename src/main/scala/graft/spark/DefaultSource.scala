@@ -123,6 +123,10 @@ object GraftOptions {
     * (GraftReadClient.changes), mirroring
     * hoodie.datasource.query.incremental.format=cdc. */
   val IncrementalFormat = "incremental.format"
+  /** Wide-band CDC reads on clusters with executor churn: chunk the
+    * change-feed plan through parquet on the table's storage instead of
+    * executor-local checkpoint blocks. Default false (localCheckpoint). */
+  val CdcReliableCheckpoint = "cdc.reliable.checkpoint"
   val TableName = "table.name"
   val TableType = "table.type" // cow | mor
   val RecordKeyField = "recordkey.field"
@@ -333,7 +337,8 @@ object GraftRelation {
           // change feed: one row per change with _change_type/_change_ordinal
           // (no meta columns — the include-meta drop below is a no-op)
           read.changes(
-            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
+            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant),
+            parameters.get(CdcReliableCheckpoint).exists(_.toBoolean))
         case "incremental" =>
           // partition pruning does not apply: the band is commit-based
           read.incremental(

@@ -2074,6 +2074,23 @@ class TableFormatSpec extends AnyFunSuite {
       col("_change_type") === "update_postimage" && col("o_orderkey") === 0L)
       .select("o_totalprice").head.getDouble(0)
     assert(math.abs(got - k0 - 40.0) < 1e-6)
+
+    // reliable mode: chunks land as parquet under the table's temp dir
+    // (survive executor loss) instead of executor-local blocks; content
+    // and plan shape identical
+    val chR = new GraftReadClient(t).changes(c1, reliableCheckpoint = true)
+    assert(!chR.queryExecution.optimizedPlan.toString.contains("Join"))
+    assert(chR.count() === 40L * 5 * 2)
+    val ckptDirs = t.storage.fs.listStatus(t.storage.tempDir)
+      .filter(_.getPath.getName.startsWith("cdc_ckpt_"))
+    assert(ckptDirs.length === math.ceil(41 / 16.0).toInt,
+      s"expected one parquet dir per chunk, got ${ckptDirs.length}")
+    // the datasource option drives the same path
+    val viaFormat = spark.read.format("graft")
+      .option("query.type", "incremental").option("incremental.format", "cdc")
+      .option("begin.instant", c1).option("cdc.reliable.checkpoint", "true")
+      .load(path)
+    assert(viaFormat.count() === 40L * 5 * 2)
     base.unpersist()
   }
 
