@@ -187,17 +187,72 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     .flatMap(i => timeline.metadataOf(i).deletedFiles)
     .toSet
 
+  /** Storage path of a manifest file entry: its table-layout path, or the
+    * original source file for metadata-only-bootstrapped entries.
+    */
+  def resolveDataPath(partition: String, f: WriteFileInfo): String =
+    f.externalPath.getOrElse(storage.dataFilePath(partition, f.fileName).toString)
+
   def dataFilePaths(files: Seq[WriteFileInfo]): Seq[String] =
-    files.map(f => storage.dataFilePath(f.partition, f.fileName).toString)
+    files.map(f => resolveDataPath(f.partition, f))
+
+  /** source path -> manifest entry for every metadata-only-bootstrapped
+    * file (bootstrap commits are immutable once written, so one load per
+    * table handle suffices).
+    */
+  private lazy val externalFiles: Map[String, WriteFileInfo] =
+    timeline.completedData
+      .flatMap(i => timeline.metadataOf(i).files)
+      .flatMap(f => f.externalPath.map(_ -> f))
+      .toMap
 
   /** Read table data files with the stored schema applied — footer
     * sampling is never trusted for the table schema, so scans over files
     * written before a schema evolution still surface the full current
     * schema (missing columns read as typed nulls).
+    *
+    * Metadata-only-bootstrapped paths carry no meta columns on disk; the
+    * same keygen expressions the writer would have used synthesize them
+    * inside the scan (KeyGen), so downstream merge/incremental/index code
+    * sees one uniform physical shape — and a bootstrapped table reads
+    * each row from exactly ONE file, unlike skeleton-file stitching
+    * (ref: HoodieBootstrapRelation.scala:1-195 reads skeleton + source
+    * per row; deriving the columns makes the second file unnecessary).
     */
   def readDataFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
-    reader.format(config.baseFileFormat).load(paths: _*)
+    import org.apache.spark.sql.functions._
+    import graft.core.MetaColumns
+    val (ext, internal) = paths.partition(externalFiles.contains)
+    val internalDf =
+      if (internal.isEmpty) None
+      else {
+        val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
+        Some(reader.format(config.baseFileFormat).load(internal: _*))
+      }
+    // one frame per bootstrap instant (CommitTime is a per-instant literal)
+    val extDfs = ext.groupBy(p =>
+      FileSystemView.instantOfFileName(externalFiles(p).fileName))
+      .toSeq.sortBy(_._1)
+      .map { case (instant, ps) =>
+        val reader = storedDataSchema.map(spark.read.schema).getOrElse(spark.read)
+        val nameExpr = concat(graft.write.KeyGen.externalFileIdExpr,
+          lit("_" + instant + config.baseFileSuffix))
+        reader.format(config.baseFileFormat).load(ps: _*)
+          .withColumn(MetaColumns.CommitTime, lit(instant))
+          .withColumn(MetaColumns.CommitSeqno,
+            concat(lit(instant + "_"), lower(hex(xxhash64(input_file_name())))))
+          .withColumn(MetaColumns.RecordKey,
+            graft.write.KeyGen.keyExpr(config, physicalNameOf))
+          .withColumn(MetaColumns.PartitionPath,
+            graft.write.KeyGen.partExpr(config, physicalNameOf))
+          .withColumn(MetaColumns.FileName, nameExpr)
+          .withColumn(MetaColumns.IsDeleted, lit(false))
+      }
+    val metaFirst = MetaColumns.AllWithDeleted
+    (internalDf.toSeq ++ extDfs)
+      .map(df => df.select((metaFirst ++
+        df.columns.filterNot(metaFirst.contains)).map(col): _*))
+      .reduce(_ unionByName _)
   }
 }
 

@@ -779,6 +779,27 @@ object SparkEntry {
       new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
     }),
 
+    // metadata-only bootstrap: adopt the source IN PLACE (no data copy),
+    // meta columns synthesized at scan, lazy conversion on first update
+    // (ref: BootstrapMode.java:29-34 METADATA_ONLY re-expressed without
+    // skeleton files)
+    "tf_bootstrap_meta" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val root = freshDir("tf_bootstrap_meta", dir)
+      val srcDir = s"$root/src"
+      val prios = orders.select("o_orderpriority").distinct.collect().map(_.getString(0))
+      prios.foreach(p => orders.filter(col("o_orderpriority") === p)
+        .coalesce(1).write.mode("append")
+        .option("maxRecordsPerFile", 4000).parquet(srcDir))
+      graft.utilities.Bootstrap.metadataOnly(
+        s, srcDir, s"$root/t", ordersTableConfig(GraftTableType.Cow), testWc)
+      val t = GraftTable.load(s, s"$root/t")
+      new GraftWriteClient(t, testWc).upsert(
+        orders.filter(col("o_orderkey") % 9 === 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+      new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
+    }),
+
     // key-point reads: broadcast semi-join against the snapshot
     // (ref: HoodieReadClient.java:138-196)
     "tf_read_by_keys" -> ((s, dir) => {
@@ -1298,6 +1319,10 @@ object SparkEntry {
 
     "tf_orc_roundtrip" -> ordersSelect(
       "CASE WHEN o_orderkey % 6 = 1 THEN o_totalprice + 21.0 " +
+        "ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_bootstrap_meta" -> ordersSelect(
+      "CASE WHEN o_orderkey % 9 = 4 THEN o_totalprice + 11.0 " +
         "ELSE o_totalprice END AS o_totalprice"),
 
     "tf_global_upsert" ->

@@ -113,7 +113,14 @@ final case class WriteFileInfo(
     minKey: String = "",
     maxKey: String = "",
     colStats: Map[String, Seq[String]] = Map.empty,
-    colNulls: Map[String, Long] = Map.empty)
+    colNulls: Map[String, Long] = Map.empty,
+    /** Metadata-only bootstrap: absolute path of the ORIGINAL source file
+      * this entry references. The table never wrote (and never deletes)
+      * the file; `fileName` is a virtual `{fileId}_{instant}{suffix}`
+      * name that keys the manifest/sidecars/timeline like any other file
+      * but exists nowhere on disk. None for every file the table wrote.
+      */
+    externalPath: Option[String] = None)
 
 /** Commit metadata persisted as the content of a completed instant file.
   * (ref: hudi-common/.../model/HoodieCommitMetadata.java — ours also

@@ -43,7 +43,7 @@ final class GraftReadClient(val table: GraftTable) {
     if (paths.isEmpty) None else Some(table.readDataFiles(paths))
 
   private def basePath(s: FileSlice, f: WriteFileInfo): String =
-    table.storage.dataFilePath(s.partition, f.fileName).toString
+    table.resolveDataPath(s.partition, f)
 
   /** Snapshot view (optionally as of a past instant = time travel).
     * COW: latest base files, a pure columnar scan
@@ -123,9 +123,9 @@ final class GraftReadClient(val table: GraftTable) {
 
     val g = "_g_group"
     val base = table.readDataFiles(basePaths)
-      .withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+      .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
     val deltas = table.readDataFiles(deltaPaths)
-      .withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+      .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
     val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
 
     // 1. latest delta row per key (small input: delta files only);
@@ -192,7 +192,7 @@ final class GraftReadClient(val table: GraftTable) {
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
     val files = instants.flatMap { i =>
       table.timeline.metadataOf(i).files
-        .map(f => table.storage.dataFilePath(f.partition, f.fileName).toString)
+        .map(f => table.resolveDataPath(f.partition, f))
     }
     table.logicalize(readFiles(files.distinct) match {
       case None => emptyFrame(None)

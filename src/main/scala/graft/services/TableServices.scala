@@ -235,14 +235,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       def pathsOf(ss: Seq[FileSlice], withDeltas: Boolean): Seq[String] =
         ss.flatMap(s =>
           (s.base.toSeq ++ (if (withDeltas) s.deltas else Seq.empty)).map(f =>
-            table.storage.dataFilePath(s.partition, f.fileName).toString))
+            table.resolveDataPath(s.partition, f)))
 
       /** Shuffle plan: cluster base∪deltas by (partition, group), window
         * to the latest row per key.
         */
       def windowMerged(ss: Seq[FileSlice]): DataFrame = {
         val df = table.readDataFiles(pathsOf(ss, withDeltas = true))
-          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+          .withColumn(g, GraftWriteClient.fileIdOfScan)
         graft.write.MergeKernel.collapseVersions(
           df.repartition(col(MetaColumns.PartitionPath), col(g)),
           Seq(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey)),
@@ -278,11 +278,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       } else {
         val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
         val base = table.readDataFiles(pathsOf(chosen, withDeltas = false))
-          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+          .withColumn(g, GraftWriteClient.fileIdOfScan)
         val deltas = table.readDataFiles(
           chosen.flatMap(s => s.deltas.map(f =>
-            table.storage.dataFilePath(s.partition, f.fileName).toString)))
-          .withColumn(g, GraftWriteClient.fileIdOfInputFile)
+            table.resolveDataPath(s.partition, f))))
+          .withColumn(g, GraftWriteClient.fileIdOfScan)
         val dLatest = graft.write.MergeKernel.collapseVersions(
           deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
           table.config.payloadClass, "_g_rank", withBarrier = true)
@@ -487,7 +487,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val occBaseTs = plan.baseTs
     val ts = planTs
     val paths = chosen.flatMap(s => s.base.map(f =>
-      table.storage.dataFilePath(s.partition, f.fileName).toString))
+      table.resolveDataPath(s.partition, f)))
     val df = table.readDataFiles(paths)
     val sortCols =
       if (plan.sortColumns.nonEmpty) plan.sortColumns.map(col)
@@ -498,7 +498,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     try {
       val avg = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val staging = new Path(table.storage.tempDir, ts)
-      df.withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
+      // clustered files get NEW group ids at publish; the stored FileName
+      // (from the source files) would be stale — null it so group-id
+      // derivation (fileIdOfScan) parses the new physical name instead
+      df.withColumn(MetaColumns.FileName, lit(""))
+        .withColumn(GraftWriteClient.StagePartCol, col(MetaColumns.PartitionPath))
         .repartition(col(GraftWriteClient.StagePartCol))
         .sortWithinPartitions(sortCols: _*)
         .write.mode(SaveMode.Overwrite)

@@ -37,41 +37,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * key (ref: KeyGenUtils.getRecordKey throws HoodieKeyException on
     * null/empty key parts).
     */
-  private def keyExpr: Column =
-    concat_ws(":", cfg.recordKeyFields.map { f =>
-      when(col(f).isNull || col(f).cast("string") === "", raise_error(concat(
-        lit(s"record key field '$f' is null or empty for key "),
-        concat_ws(":", cfg.recordKeyFields.map(k => col(k).cast("string")): _*))))
-        .otherwise(col(f).cast("string"))
-    }: _*)
+  private def keyExpr: Column = KeyGen.keyExpr(cfg)
 
-  /** Null/empty partition components route to the `default` partition —
-    * concat_ws would silently DROP the component and collapse the path
-    * depth, mixing partitions (ref: KeyGenUtils.getPartitionPath null →
-    * DEFAULT_PARTITION_PATH "default").
-    */
-  private def defaulted(c: Column): Column =
-    coalesce(nullif(c, lit("")), lit("default"))
-
-  private def partExpr: Column =
-    (cfg.partitionFields, cfg.partitionTimestampFormat) match {
-      case (Seq(f), Some(fmt)) if !f.contains(':') =>
-        // timestamp-based keygen: epoch seconds or timestamp/date column
-        // -> formatted bucket (ref: TimestampBasedAvroKeyGenerator.java)
-        defaulted(date_format(col(f).cast("timestamp"), fmt))
-      case (fields, _) if fields.isEmpty => lit("")
-      case (fields, fmtOpt) =>
-        // composite partitioning with optional per-field `:timestamp` /
-        // `:simple` type suffixes (ref: CustomAvroKeyGenerator)
-        concat_ws("/", fields.map { spec =>
-          spec.split(':') match {
-            case Array(f, "timestamp") => defaulted(date_format(
-              col(f).cast("timestamp"), fmtOpt.getOrElse("yyyy-MM-dd")))
-            case Array(f, _) => defaulted(col(f).cast("string"))
-            case _ => defaulted(col(spec).cast("string"))
-          }
-        }: _*)
-    }
+  private def partExpr: Column = KeyGen.partExpr(cfg)
 
   /** Deterministic content-hash tiebreak so merges are reproducible even
     * when ordering values collide (monotonically_increasing_id is not
@@ -95,6 +63,119 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   // =====================================================================
   // Public operations
   // =====================================================================
+
+  /** Metadata-only bootstrap: adopt an existing dataset WITHOUT copying
+    * or rewriting a single data byte. One distributed pass over the
+    * source computes, per file, the record count, rendered-key range,
+    * column stats and key bloom; each file becomes a file group whose
+    * manifest entry points at the ORIGINAL path (`externalPath`). Reads
+    * synthesize the meta columns inside the scan with the same keygen
+    * expressions (GraftTable.readDataFiles) — one file per row, unlike
+    * the reference's skeleton stitching — and the first upsert/compaction
+    * /clustering that touches a group rewrites it into a normal internal
+    * file; the source file is never deleted (its manifest path is
+    * virtual, so cleaning the superseded version is a no-op on storage).
+    * (ref: BootstrapMode.java:29-34 METADATA_ONLY,
+    * SparkBootstrapCommitActionExecutor.java,
+    * HoodieBootstrapRelation.scala:1-195 — re-expressed without skeleton
+    * files.)
+    *
+    * Source layout requirements (checked): files are `baseFileFormat`,
+    * partition values are stored IN the files (hive-style dir-only
+    * partition values are not resolvable when single files are scanned
+    * later), and no file spans two partition values of the table's
+    * partitioning. Key uniqueness is trusted, as in bulk_insert.
+    */
+  def bootstrapMetadataOnly(sourceDir: String): String = {
+    require(table.timeline.completedData.isEmpty,
+      "metadata-only bootstrap requires an empty table")
+    val instant = begin(GraftAction.Commit)
+    try {
+      val src = spark.read.option("recursiveFileLookup", "true")
+        .format(table.config.baseFileFormat).load(sourceDir)
+      val srcSchema = src.schema
+      MetaColumns.AllWithDeleted.foreach(m => require(!srcSchema.fieldNames.contains(m),
+        s"source already carries meta column '$m' — is it a graft table?"))
+      val keyed = src
+        .withColumn(MetaColumns.RecordKey, keyExpr)
+        .withColumn(ColPart, partExpr)
+      val statFields = wc.colStatsColumns
+        .flatMap(c => srcSchema.find(_.name.equalsIgnoreCase(c)))
+        .filter(f => graft.core.ColumnStats.supported(f.dataType))
+        .distinctBy(_.name)
+      val baseAggs = Seq(
+        count(lit(1)).as("_n"),
+        min(col(MetaColumns.RecordKey)).as("_mn"),
+        max(col(MetaColumns.RecordKey)).as("_mx"),
+        min(col(ColPart)).as("_p0"),
+        max(col(ColPart)).as("_p1"))
+      val bloomAggs =
+        if (!wc.bloomIndexEnabled) Seq.empty
+        else Seq(udaf(new KeyBloomAggregator(wc.bloomExpectedEntries, wc.bloomFpp),
+          org.apache.spark.sql.Encoders.STRING)
+          .apply(col(MetaColumns.RecordKey)).as("_bf"))
+      val statAggs = statFields.flatMap(f =>
+        graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
+      val aggs = baseAggs ++ bloomAggs ++ statAggs
+      // row layout: 0 = _f, 1 = _id (groupBy keys), then the agg columns
+      val statsStart = 2 + baseAggs.size + bloomAggs.size
+      // the group id hashes input_file_name via the SAME expression later
+      // scans use, so read-time group derivation needs no lookup table
+      val rows = keyed
+        .groupBy(input_file_name().as("_f"), KeyGen.externalFileIdExpr.as("_id"))
+        .agg(aggs.head, aggs.tail: _*)
+        .collect()
+      // source file sizes: one recursive listing
+      val srcPath = new Path(sourceDir)
+      val srcFs = srcPath.getFileSystem(table.storage.conf)
+      val sizes = {
+        val it = srcFs.listFiles(srcFs.makeQualified(srcPath), true)
+        val m = scala.collection.mutable.Map[String, Long]()
+        while (it.hasNext) { val st = it.next(); m(st.getPath.toUri.getPath) = st.getLen }
+        m
+      }
+      val files = rows.toSeq.map { r =>
+        val path = GraftWriteClient.decodedPath(r.getString(0))
+        val fileId = r.getString(1)
+        val (p0, p1) = (r.getString(5), r.getString(6))
+        require(p0 == p1,
+          s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
+            "bootstrap needs single-partition files (repartition the source " +
+            "or use FULL_RECORD)")
+        val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+          val mn = r.getString(statsStart + 3 * i)
+          val mx = r.getString(statsStart + 3 * i + 1)
+          if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
+        }.toMap
+        val records = r.getLong(2)
+        val colNulls = statFields.zipWithIndex.map { case (f, i) =>
+          f.name -> (records - r.getLong(statsStart + 3 * i + 2))
+        }.toMap
+        val bloom =
+          if (bloomAggs.isEmpty) Array.empty[Byte]
+          else Option(r.getAs[Array[Byte]](7)).getOrElse(Array.empty[Byte])
+        (WriteFileInfo(
+          partition = p0, fileId = fileId,
+          fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
+          records = records, bytes = sizes.getOrElse(path, 0L), isDelta = false,
+          minKey = Option(r.getString(3)).getOrElse(""),
+          maxKey = Option(r.getString(4)).getOrElse(""),
+          colStats = colStats, colNulls = colNulls,
+          externalPath = Some(path)), bloom)
+      }
+      require(files.map(_._1.fileId).distinct.size == files.size,
+        "file-id hash collision across source files (re-layout the source)")
+      GraftWriteClient.writeBloomSidecar(spark, table.storage, instant.ts,
+        files.collect { case (f, b) if b.nonEmpty =>
+          GraftWriteClient.BloomSidecarRow(f.fileName, b) })
+      finishCommit(instant, "bootstrap_metadata_only", files.map(_._1),
+        replaced = Map.empty, dataSchema = srcSchema)
+    } catch {
+      case e: Throwable => abort(instant); throw e
+    }
+    postWrite()
+    instant.ts
+  }
 
   /** Initial large load: sort + sized parquet files, no index lookup.
     * (ref: SparkRDDWriteClient.java:223-246, HoodieSparkSqlWriter
@@ -301,14 +382,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         def readOld(groups: Set[(String, String)]): Option[DataFrame] = {
           val paths = groups.toSeq.flatMap { g =>
             sliceByGroup.get(g).flatMap(_.base)
-              .map(f => table.storage.dataFilePath(g._1, f.fileName).toString)
+              .map(f => table.resolveDataPath(g._1, f))
           }
           if (paths.isEmpty) None
           else Some(
             table.readDataFiles(paths)
               .withColumn(ColKey, col(MetaColumns.RecordKey))
               .withColumn(ColPart, col(MetaColumns.PartitionPath))
-              .withColumn(ColTargetFile, fileIdOfInputFile))
+              .withColumn(ColTargetFile, fileIdOfScan))
         }
 
         // ---- split the rewrite set: an UPDATE-ONLY group whose base file
@@ -829,7 +910,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
               .filter(f => f.minKey.isEmpty || f.maxKey.isEmpty ||
                 (utf8Lte(f.minKey, inMax) && utf8Lte(inMin, f.maxKey)))
               .map(f => CandidateFile(s.partition, f.fileName,
-                table.storage.dataFilePath(s.partition, f.fileName).toString,
+                table.resolveDataPath(s.partition, f),
                 f.records))
         }
       }
@@ -904,8 +985,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           .getOrElse(cands).map(_.path)
       case None =>
         table.view.latestSlices(None).flatMap { s =>
-          (s.base.toSeq ++ s.deltas).map(f =>
-            table.storage.dataFilePath(s.partition, f.fileName).toString)
+          (s.base.toSeq ++ s.deltas).map(f => table.resolveDataPath(s.partition, f))
         }
     }
     if (paths.isEmpty) {
@@ -921,7 +1001,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         .select(
           col(MetaColumns.RecordKey).as(ColKey),
           col(MetaColumns.PartitionPath).as(ColPart),
-          fileIdOfInputFile.as(ColTargetFile))
+          fileIdOfScan.as(ColTargetFile))
         .dropDuplicates(ColKey, ColPart)
     }
   }
@@ -1199,6 +1279,21 @@ object GraftWriteClient {
   /** fileId = basename up to the first '_' (fileIds contain no '_'). */
   def fileIdOfInputFile: Column =
     regexp_extract(input_file_name(), "([^/_]+)_[^/]*$", 1)
+
+  /** File-group id of a SCANNED row, total over internal AND
+    * metadata-only-bootstrapped files. Internal files encode the group in
+    * their file name, which `input_file_name()` surfaces; external
+    * (bootstrap-source) files keep their original names, so their scans
+    * synthesize a correct `_graft_file_name` instead (GraftTable
+    * .readDataFiles) and the stored column wins when non-empty.
+    * Bulk-inserted internal files store "" (their final name is assigned
+    * at publish) and fall through to the input-file parse; clustering
+    * nulls the column on rewrite for the same reason.
+    */
+  def fileIdOfScan: Column =
+    when(col(MetaColumns.FileName).isNotNull && col(MetaColumns.FileName) =!= "",
+      regexp_extract(col(MetaColumns.FileName), "^([^_]+)_", 1))
+      .otherwise(fileIdOfInputFile)
 
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"

@@ -2589,6 +2589,116 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap3.count() === orders.count())
   }
 
+  test("metadata-only bootstrap: adopt in place, read exact, convert lazily") {
+    import graft.utilities.Bootstrap
+    val base = tmp()
+    val srcDir = s"$base/src"
+    // realistic adoptable layout: several files, each within one partition
+    // value, partition values stored IN the files
+    val prios = orders.select("o_orderpriority").distinct.collect().map(_.getString(0))
+    prios.foreach(p => orders.filter(col("o_orderpriority") === p).coalesce(1)
+      .write.mode("append").option("maxRecordsPerFile", 120).parquet(srcDir))
+    val srcFiles = new java.io.File(srcDir).listFiles.count(_.getName.endsWith(".parquet"))
+    assert(srcFiles > 5)
+
+    val tp = s"$base/t"
+    val bwc = wc.copy(colStatsColumns = Seq("o_totalprice"))
+    val c1 = Bootstrap.metadataOnly(spark, srcDir, tp, cowConfig, bwc)
+    val t = GraftTable.load(spark, tp)
+    val slices = t.view.latestSlices(None)
+    // one group per source file, referenced in place with full stats
+    assert(slices.size === srcFiles)
+    assert(slices.forall(_.base.exists(f => f.externalPath.nonEmpty &&
+      f.minKey.nonEmpty && f.colStats.contains("o_totalprice") && f.records > 0)))
+
+    // snapshot is exact; meta columns synthesized inside the scan
+    val snap = new GraftReadClient(t).snapshot()
+    assert(snap.filter(col(MetaColumns.RecordKey).isNull ||
+      col(MetaColumns.CommitTime) =!= c1).count() === 0)
+    val data = snap.select(orders.columns.map(col).toSeq: _*)
+    assert(data.exceptAll(orders).count() === 0 && orders.exceptAll(data).count() === 0)
+
+    // point reads prune through the virtual-name blooms and key ranges
+    val rk = new GraftReadClient(t)
+    assert(rk.dataOnly(rk.readByKeys(Seq("12", "777"))).count() === 2)
+
+    // column-stats skipping works off the bootstrap stats
+    val resolver = graft.spark.GraftRelation.statsResolver(t)
+    assert(!slices.exists(ColumnStats.keepSlice(
+      Seq(org.apache.spark.sql.sources.GreaterThan("o_totalprice", 1e9)), resolver)))
+
+    // first upsert converts only the touched groups; the source is never
+    // written to or deleted from
+    val w = new GraftWriteClient(t, bwc)
+    w.upsert(orders.filter(col("o_orderkey") % 5 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 1, col("o_totalprice") + 7.0)
+        .otherwise(col("o_totalprice")))
+    val snap2 = new GraftReadClient(t).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap2.exceptAll(expect).count() === 0 && expect.exceptAll(snap2).count() === 0)
+    assert(new java.io.File(srcDir).listFiles
+      .count(_.getName.endsWith(".parquet")) === srcFiles)
+
+    // time travel to the bootstrap instant still reads the original state
+    val tt = new GraftReadClient(GraftTable.load(spark, tp)).snapshotData(Some(c1))
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(tt.exceptAll(orders).count() === 0 && orders.exceptAll(tt).count() === 0)
+
+    // a source file spanning two partition values is rejected loudly
+    val badSrc = s"$base/bad"
+    orders.limit(200).coalesce(1).write.parquet(badSrc)
+    val e = intercept[IllegalArgumentException] {
+      Bootstrap.metadataOnly(spark, badSrc, s"$base/t2", cowConfig, bwc)
+    }
+    assert(e.getMessage.contains("spans partitions"))
+  }
+
+  test("metadata-only bootstrap MOR: deltas over external bases, compaction converts") {
+    import graft.utilities.Bootstrap
+    val base = tmp()
+    val srcDir = s"$base/src"
+    val prios = orders.select("o_orderpriority").distinct.collect().map(_.getString(0))
+    prios.foreach(p => orders.filter(col("o_orderpriority") === p).coalesce(1)
+      .write.mode("append").option("maxRecordsPerFile", 120).parquet(srcDir))
+    val srcFiles = new java.io.File(srcDir).listFiles.count(_.getName.endsWith(".parquet"))
+    val tp = s"$base/t"
+    Bootstrap.metadataOnly(spark, srcDir, tp, morConfig, wc)
+    val t = GraftTable.load(spark, tp)
+    val w = new GraftWriteClient(t, wc)
+    // updates land as delta files of the EXTERNAL groups (no rewrite yet)
+    w.upsert(orders.filter(col("o_orderkey") % 7 === 2)
+      .withColumn("o_totalprice", col("o_totalprice") + 3.0))
+    val dirty = t.view.latestSlices(None).filter(_.deltas.nonEmpty)
+    assert(dirty.nonEmpty && dirty.forall(_.base.exists(_.externalPath.nonEmpty)))
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 7 === 2, col("o_totalprice") + 3.0)
+        .otherwise(col("o_totalprice")))
+    val snap = new GraftReadClient(t).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap.exceptAll(expect).count() === 0 && expect.exceptAll(snap).count() === 0)
+    // read-optimized serves the pre-update external bases
+    assert(new GraftReadClient(t).readOptimized().count() === orders.count())
+
+    // delete + compact: groups convert to internal files, ids preserved,
+    // source files untouched
+    w.delete(orders.filter(col("o_orderkey") % 50 === 3)
+      .select("o_orderkey", "o_orderpriority"))
+    new TableServices(t, wc).compact()
+    val after = GraftTable.load(spark, tp)
+    val slicesAfter = after.view.latestSlices(None)
+    assert(slicesAfter.forall(s => s.base.exists(_.externalPath.isEmpty)))
+    assert(slicesAfter.forall(_.deltas.isEmpty))
+    assert(slicesAfter.forall(_.fileId.startsWith("boot-")))
+    val expect2 = expect.filter(col("o_orderkey") % 50 =!= 3)
+    val snap2 = new GraftReadClient(after).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap2.exceptAll(expect2).count() === 0 && expect2.exceptAll(snap2).count() === 0)
+    assert(new java.io.File(srcDir).listFiles
+      .count(_.getName.endsWith(".parquet")) === srcFiles)
+  }
+
   test("cross-process OCC: a second JVM racing a conflicting upsert loses retryably") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
