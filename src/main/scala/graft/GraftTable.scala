@@ -229,12 +229,25 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
         val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
         Some(reader.format(config.baseFileFormat).load(internal: _*))
       }
+    // Hive-layout sources carry partition values only in `field=value/`
+    // directory names; Spark resurrects those columns for explicit file
+    // paths when given a basePath ABOVE the partition dirs. Derive it
+    // from the path itself (strip trailing `name=value` components), so
+    // reading any subset of files — even one partition — still derives
+    // the full recorded schema. Flat sources have no such components and
+    // the option is a no-op.
+    def hiveBaseOf(p: String): String = {
+      var parent = new Path(p).getParent
+      while (parent != null && parent.getName.contains("=")) parent = parent.getParent
+      if (parent == null) p else parent.toString
+    }
     // one frame per bootstrap instant (CommitTime is a per-instant literal)
     val extDfs = ext.groupBy(p =>
       FileSystemView.instantOfFileName(externalFiles(p).fileName))
       .toSeq.sortBy(_._1)
       .map { case (instant, ps) =>
         val reader = storedDataSchema.map(spark.read.schema).getOrElse(spark.read)
+          .option("basePath", hiveBaseOf(ps.head))
         val nameExpr = concat(graft.write.KeyGen.externalFileIdExpr,
           lit("_" + instant + config.baseFileSuffix))
         reader.format(config.baseFileFormat).load(ps: _*)

@@ -81,17 +81,21 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * files.)
     *
     * Source layout requirements (checked): files are `baseFileFormat`,
-    * partition values are stored IN the files (hive-style dir-only
-    * partition values are not resolvable when single files are scanned
-    * later), and no file spans two partition values of the table's
-    * partitioning. Key uniqueness is trusted, as in bulk_insert.
+    * partition values either live IN the files or come from hive-style
+    * `field=value/` directories (later scans resurrect them via the
+    * basePath option, with the base derived from the paths themselves),
+    * and no file spans two partition values of the table's partitioning.
+    * Key uniqueness is trusted, as in bulk_insert.
     */
   def bootstrapMetadataOnly(sourceDir: String): String = {
     require(table.timeline.completedData.isEmpty,
       "metadata-only bootstrap requires an empty table")
     val instant = begin(GraftAction.Commit)
     try {
-      val src = spark.read.option("recursiveFileLookup", "true")
+      // partition inference ON: a hive-layout source surfaces its
+      // directory-encoded values as columns here, and the recorded data
+      // schema carries them so external scans re-derive them per file
+      val src = spark.read
         .format(table.config.baseFileFormat).load(sourceDir)
       val srcSchema = src.schema
       MetaColumns.AllWithDeleted.foreach(m => require(!srcSchema.fieldNames.contains(m),

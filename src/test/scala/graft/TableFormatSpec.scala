@@ -2655,6 +2655,37 @@ class TableFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("spans partitions"))
   }
 
+  test("metadata-only bootstrap: hive-layout source resurrects dir-encoded partitions") {
+    import graft.utilities.Bootstrap
+    val base = tmp()
+    val srcDir = s"$base/src"
+    // partition values ONLY in directory names (incl. "4-NOT SPECIFIED"
+    // with a space — the URL-escaping corner)
+    orders.write.option("maxRecordsPerFile", 200)
+      .partitionBy("o_orderpriority").parquet(srcDir)
+    val tp = s"$base/t"
+    Bootstrap.metadataOnly(spark, srcDir, tp, cowConfig, wc)
+    val t = GraftTable.load(spark, tp)
+    val snap = new GraftReadClient(t).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap.exceptAll(orders).count() === 0 && orders.exceptAll(snap).count() === 0)
+    // a subset scan (single file of a single partition) still derives the
+    // partition column via the path-derived basePath
+    val rk = new GraftReadClient(t)
+    val one = rk.dataOnly(rk.readByKeys(Seq("12")))
+    assert(one.count() === 1)
+    assert(one.select("o_orderpriority").head.getString(0) != null)
+    // lazy conversion works off the resurrected column too
+    new GraftWriteClient(t, wc).upsert(orders.filter(col("o_orderkey") % 5 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 5 === 1, col("o_totalprice") + 7.0)
+        .otherwise(col("o_totalprice")))
+    val snap2 = new GraftReadClient(t).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap2.exceptAll(expect).count() === 0 && expect.exceptAll(snap2).count() === 0)
+  }
+
   test("metadata-only bootstrap MOR: deltas over external bases, compaction converts") {
     import graft.utilities.Bootstrap
     val base = tmp()
