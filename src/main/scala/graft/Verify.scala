@@ -11,6 +11,9 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // manifest reads hand Spark explicit FILE paths; driver-side status
+      // of a few hundred is cheaper than a distributed listing job
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "512")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .config("spark.ui.enabled", "false")

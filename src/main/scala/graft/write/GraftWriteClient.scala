@@ -37,6 +37,15 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * key (ref: KeyGenUtils.getRecordKey throws HoodieKeyException on
     * null/empty key parts).
     */
+  /** Label the Spark jobs of a write phase (shows in the UI/event log —
+    * a keyed write is ~8 sequential jobs and unlabeled they're opaque).
+    */
+  private def phase[T](name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    sc.setJobDescription("graft: " + name)
+    try body finally sc.setJobDescription(null)
+  }
+
   private def keyExpr: Column = KeyGen.keyExpr(cfg)
 
   private def partExpr: Column = KeyGen.partExpr(cfg)
@@ -338,12 +347,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // SparkHoodieBloomIndex.java:110-140 for the range prune).
       // Global mode joins on the key alone and routes partition moves
       // (ref: SparkHoodieGlobalSimpleIndex.java). ----
-      // the bloom probe uses the PRE-dedup frame: same distinct key set,
-      // no extra evaluation of the pre-combine window shuffle
+      // the bloom probe AND the bounds stats use the PRE-dedup frame:
+      // same distinct key set and identical per-partition [min,max]
+      // (dedup only drops duplicate keys), so neither pays the
+      // pre-combine window shuffle — a plain scan + partial agg instead.
+      // The count is then an upper bound, which only makes the bloom
+      // density gate more conservative.
       val tagged0 =
         if (tag && wc.globalIndex) tagGlobal(deduped, prepared, deleteOp)
         else if (tag) {
-          val (bounds, nIncoming) = incomingStats(deduped)
+          val (bounds, nIncoming) = phase("incoming-stats")(incomingStats(prepared))
           val idx = keyIndex(Some(prepared), Some(bounds), nIncoming = nIncoming)
           deduped.join(idx, Seq(ColKey, ColPart), "left")
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
@@ -354,7 +367,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       try {
         // ---- workload profile (one action; ref:
         // BaseSparkCommitActionExecutor.java:148-180 countByKey) ----
-        val profile = tagged.groupBy(ColPart, ColTargetFile).count().collect()
+        val profile = phase("tag+profile")(
+          tagged.groupBy(ColPart, ColTargetFile).count().collect())
         val insertCounts = profile
           .filter(_.isNullAt(1))
           .map(r => r.getString(0) -> r.getLong(2)).toMap
@@ -443,8 +457,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           case None      => incS
         }
         val clustered = unioned.repartition(col(ColPart), col(ColTargetFile))
+        // the latest-wins window is a no-op when the frame provably holds
+        // one row per key already — no old rows unioned in (MOR routes
+        // updates to deltas; COW with empty shuffle set) and the incoming
+        // batch was pre-combined — so skip its sort entirely
+        val singleVersion = dedupIncoming && shuffleGroups.isEmpty
         val merged =
-          if (operation == "insert") clustered // no dedup against existing
+          if (operation == "insert" || singleVersion) clustered
           else MergeKernel.collapseVersions(clustered,
             Seq(col(ColPart), col(ColTargetFile), col(ColKey)),
             mergeOrder(dataCols), cfg.payloadClass, ColRank)
@@ -466,11 +485,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (table.isMor) updateGroups.map(_._2) ++ smallFileGroups.map(_._2)
           else Set.empty
 
-        stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true)
-        mergedB.foreach(df =>
-          stageGrouped(df, dataCols, instant.ts, deltaGroups, overwrite = false))
-        val written = publishStaged(
-          stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups)
+        phase("stage-merge")(
+          stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true))
+        mergedB.foreach(df => phase("stage-merge-broadcast")(
+          stageGrouped(df, dataCols, instant.ts, deltaGroups, overwrite = false)))
+        val written = phase("publish+stats")(publishStaged(
+          stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups))
         // A rewritten COW group where every row was tombstoned produces no
         // replacement file; record it as replaced so the old base version
         // is hidden from readers (the reference always emits a new file
