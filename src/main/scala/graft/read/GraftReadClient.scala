@@ -377,7 +377,7 @@ final class GraftReadClient(val table: GraftTable) {
     */
   private def mergeLatestPerGroup(df: DataFrame): DataFrame = {
     val g = "_g_group"
-    val withG = df.withColumn(g, graft.write.GraftWriteClient.fileIdOfInputFile)
+    val withG = df.withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
     dropTombstones(
       graft.write.MergeKernel.collapseVersions(
         withG.repartition(col(MetaColumns.PartitionPath), col(g)),

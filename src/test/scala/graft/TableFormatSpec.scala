@@ -2709,6 +2709,14 @@ class TableFormatSpec extends AnyFunSuite {
     val snap = new GraftReadClient(t).snapshotData()
       .select(orders.columns.map(col).toSeq: _*)
     assert(snap.exceptAll(expect).count() === 0 && expect.exceptAll(snap).count() === 0)
+    // the shuffle-fallback merge derives external group ids correctly too
+    val budget = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val snapS = new GraftReadClient(t).snapshotData()
+        .select(orders.columns.map(col).toSeq: _*)
+      assert(snapS.exceptAll(expect).count() === 0 && expect.exceptAll(snapS).count() === 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", budget)
     // read-optimized serves the pre-update external bases
     assert(new GraftReadClient(t).readOptimized().count() === orders.count())
 
