@@ -834,14 +834,22 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * (ref: SparkWriteHelper.java:50-66 reduceByKey(preCombine))
     */
   private def dedupByKey(df: DataFrame, dataCols: Seq[String]): DataFrame = {
-    val order = cfg.precombineField.map(f => col(f).desc_nulls_last).toSeq :+
-      tiebreakExpr(dataCols).desc
+    // Hash aggregate, not a window: partial (map-side) max_by combines
+    // duplicates BEFORE the shuffle — the reference's reduceByKey shape —
+    // and no sort runs at all. The ordering struct mirrors
+    // `precombine desc_nulls_last, tiebreak desc`: a leading isNotNull
+    // flag makes any non-null precombine beat null (struct comparison is
+    // field-lexicographic, false < true), the tiebreak column is never
+    // null, so max_by's null-loses corner never decides.
     val partKeys =
-      if (wc.globalIndex) Seq(col(ColKey)) else Seq(col(ColPart), col(ColKey))
-    val w = Window.partitionBy(partKeys: _*).orderBy(order: _*)
-    df.withColumn(ColRank, row_number().over(w))
-      .filter(col(ColRank) === 1)
-      .drop(ColRank)
+      if (wc.globalIndex) Seq(ColKey) else Seq(ColPart, ColKey)
+    val ordCol = struct(
+      (cfg.precombineField.toSeq.flatMap(f =>
+        Seq(col(f).isNotNull, col(f))) :+ tiebreakExpr(dataCols)): _*)
+    val others = df.columns.filterNot(partKeys.contains).toSeq
+    df.groupBy(partKeys.map(col): _*)
+      .agg(max_by(struct(others.map(col): _*), ordCol).as("_g_row"))
+      .select(partKeys.map(col) ++ others.map(c => col(s"_g_row.$c").as(c)): _*)
   }
 
   /** Global index tagging: join incoming rows against the key index on
