@@ -359,12 +359,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
-    val blooms = scala.collection.mutable.ArrayBuffer[GraftWriteClient.BloomSidecarRow]()
+    val nameByPath = scala.collection.mutable.Map[String, String]()
     if (!fs.exists(staging)) return Seq.empty
-    val counts = GraftWriteClient.stagedFileCounts(spark, staging,
+    val staged = GraftWriteClient.stagedFileStats(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat)
+    val counts = staged.counts
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -377,20 +378,24 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
         parts.foreach { st =>
           val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+          val stagedPath = st.getPath.toUri.getPath
           val stats = counts.getOrElse(
-            st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
+            stagedPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          if (stats.bloom.nonEmpty)
-            blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
+          nameByPath(stagedPath) = name
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
       }
     }
-    // overwrite: a retry at the plan's fixed timestamp may find final
-    // files from a crashed prior attempt — unreferenced by any commit
-    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
-    GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
+    try {
+      // sidecar before the renames (its job may recompute from staging);
+      // overwrite: a retry at the plan's fixed timestamp may find final
+      // files from a crashed prior attempt — unreferenced by any commit
+      GraftWriteClient.writeBloomSidecarMapped(
+        spark, table.storage, ts, staged, nameByPath.toMap)
+      GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
+    } finally staged.done()
     out.toSeq
   }
 
@@ -549,13 +554,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
-    val blooms = scala.collection.mutable.ArrayBuffer[GraftWriteClient.BloomSidecarRow]()
+    val nameByPath = scala.collection.mutable.Map[String, String]()
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
-    val counts = GraftWriteClient.stagedFileCounts(spark, staging,
+    val staged = GraftWriteClient.stagedFileStats(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat)
+    val counts = staged.counts
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
       val partition = GraftWriteClient.decodeStageValue(
         partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
@@ -566,19 +572,23 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .foreach { st =>
           val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
           val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+          val stagedPath = st.getPath.toUri.getPath
           val stats = counts.getOrElse(
-            st.getPath.toUri.getPath, GraftWriteClient.FileStats(0L, "", ""))
+            stagedPath, GraftWriteClient.FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          if (stats.bloom.nonEmpty)
-            blooms += GraftWriteClient.BloomSidecarRow(name, stats.bloom)
+          nameByPath(stagedPath) = name
           out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
             isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
     }
-    // overwrite: deterministic fileIds (plan ts + seq) make a retry hit
-    // the same destinations a crashed prior attempt already moved
-    GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
-    GraftWriteClient.writeBloomSidecar(spark, table.storage, ts, blooms.toSeq)
+    try {
+      // sidecar before the renames (its job may recompute from staging);
+      // overwrite: deterministic fileIds (plan ts + seq) make a retry hit
+      // the same destinations a crashed prior attempt already moved
+      GraftWriteClient.writeBloomSidecarMapped(
+        spark, table.storage, ts, staged, nameByPath.toMap)
+      GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
+    } finally staged.done()
     out.toSeq
   }
 

@@ -130,14 +130,23 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val statAggs = statFields.flatMap(f =>
         graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
       val aggs = baseAggs ++ bloomAggs ++ statAggs
-      // row layout: 0 = _f, 1 = _id (groupBy keys), then the agg columns
-      val statsStart = 2 + baseAggs.size + bloomAggs.size
       // the group id hashes input_file_name via the SAME expression later
       // scans use, so read-time group derivation needs no lookup table
-      val rows = keyed
+      val aggDf = keyed
         .groupBy(input_file_name().as("_f"), KeyGen.externalFileIdExpr.as("_id"))
         .agg(aggs.head, aggs.tail: _*)
-        .collect()
+      // blooms stay executor-resident (see stagedFileStats): persist the
+      // aggregate ONCE — the source is the full adopted dataset, which
+      // must not be scanned a second time — collect only the small
+      // columns, and write the sidecar straight from the cached frame
+      // (file names are executor-derivable here: fileId + instant).
+      val cachedAgg =
+        if (bloomAggs.isEmpty) None
+        else Some(aggDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // row layout of the collect: 0 = _f, 1 = _id (groupBy keys), then
+      // the agg columns — `_bf` is never collected
+      val statsStart = 2 + baseAggs.size
+      val rows = cachedAgg.map(_.drop("_bf")).getOrElse(aggDf).collect()
       // source file sizes: one recursive listing
       val srcPath = new Path(sourceDir)
       val srcFs = srcPath.getFileSystem(table.storage.conf)
@@ -164,24 +173,27 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         val colNulls = statFields.zipWithIndex.map { case (f, i) =>
           f.name -> (records - r.getLong(statsStart + 3 * i + 2))
         }.toMap
-        val bloom =
-          if (bloomAggs.isEmpty) Array.empty[Byte]
-          else Option(r.getAs[Array[Byte]](7)).getOrElse(Array.empty[Byte])
-        (WriteFileInfo(
+        WriteFileInfo(
           partition = p0, fileId = fileId,
           fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
           records = records, bytes = sizes.getOrElse(path, 0L), isDelta = false,
           minKey = Option(r.getString(3)).getOrElse(""),
           maxKey = Option(r.getString(4)).getOrElse(""),
           colStats = colStats, colNulls = colNulls,
-          externalPath = Some(path)), bloom)
+          externalPath = Some(path))
       }
-      require(files.map(_._1.fileId).distinct.size == files.size,
+      require(files.map(_.fileId).distinct.size == files.size,
         "file-id hash collision across source files (re-layout the source)")
-      GraftWriteClient.writeBloomSidecar(spark, table.storage, instant.ts,
-        files.collect { case (f, b) if b.nonEmpty =>
-          GraftWriteClient.BloomSidecarRow(f.fileName, b) })
-      finishCommit(instant, "bootstrap_metadata_only", files.map(_._1),
+      cachedAgg.foreach { c =>
+        try GraftWriteClient.writeBloomSidecar(table.storage, instant.ts,
+          c.select(
+            concat(col("_id"),
+              lit("_" + instant.ts + table.config.baseFileSuffix)).as("file_name"),
+            col("_bf").as("bloom")),
+          files.size)
+        finally c.unpersist(blocking = false)
+      }
+      finishCommit(instant, "bootstrap_metadata_only", files,
         replaced = Map.empty, dataSchema = srcSchema)
     } catch {
       case e: Throwable => abort(instant); throw e
@@ -1220,14 +1232,15 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       deltaGroups: Set[String]): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     if (!fs.exists(staging)) return Seq.empty
-    val counts = stagedFileCounts(spark, staging,
+    val staged = stagedFileStats(spark, staging,
       if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
       // staged files carry physical names; accept logical config too
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat)
+    val counts = staged.counts
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
-    val blooms = scala.collection.mutable.ArrayBuffer[BloomSidecarRow]()
+    val nameByPath = scala.collection.mutable.Map[String, String]()
     var newGroupSeq = 0
 
     fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
@@ -1257,16 +1270,21 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           val isDelta = deltaGroups.contains(id)
           val name = id + "_" + instantTs +
             (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
-          val stats = counts.getOrElse(st.getPath.toUri.getPath, FileStats(0L, "", ""))
+          val stagedPath = st.getPath.toUri.getPath
+          val stats = counts.getOrElse(stagedPath, FileStats(0L, "", ""))
           renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          if (stats.bloom.nonEmpty) blooms += BloomSidecarRow(name, stats.bloom)
+          nameByPath(stagedPath) = name
           out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
             stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
       }
     }
-    executeRenames(spark, table.storage, renames.toSeq)
-    writeBloomSidecar(spark, table.storage, instantTs, blooms.toSeq)
+    try {
+      // sidecar first: its job may recompute from the staged files, which
+      // the renames below move away
+      writeBloomSidecarMapped(spark, table.storage, instantTs, staged, nameByPath.toMap)
+      executeRenames(spark, table.storage, renames.toSeq)
+    } finally staged.done()
     out.toSeq
   }
 }
@@ -1330,15 +1348,27 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
-  /** Per-file write statistics: record count, record-key range, the
-    * serialized key bloom filter (empty when bloom indexing is off), and
-    * per-column min/max for the configured stats columns.
+  /** Per-file write statistics: record count, record-key range, and
+    * per-column min/max for the configured stats columns. Key blooms are
+    * deliberately NOT here — they are the one per-file artifact too big
+    * to round-trip through the driver, so they travel separately as the
+    * executor-resident frame in [[StagedStats]].
     */
   final case class FileStats(
       records: Long, minKey: String, maxKey: String,
-      bloom: Array[Byte] = Array.empty,
       colStats: Map[String, Seq[String]] = Map.empty,
       colNulls: Map[String, Long] = Map.empty)
+
+  /** Result of the staged-stats job: small per-file stats collected to
+    * the driver, plus (when bloom indexing is on) a persisted
+    * `(_path, bloom)` frame holding the serialized key blooms on the
+    * executors. Call [[StagedStats.done]] after the sidecar is written.
+    */
+  final case class StagedStats(
+      counts: Map[String, FileStats],
+      blooms: Option[org.apache.spark.sql.DataFrame]) {
+    def done(): Unit = blooms.foreach(_.unpersist(blocking = false))
+  }
 
   /** Distributed per-file key-bloom builder (merge-combinable, so it runs
     * as one agg expression inside the staged-stats job). Spark's public
@@ -1365,22 +1395,41 @@ object GraftWriteClient {
     override def outputEncoder = org.apache.spark.sql.Encoders.BINARY
   }
 
-  /** One sidecar row: physical file name -> serialized key bloom. */
-  final case class BloomSidecarRow(file_name: String, bloom: Array[Byte])
-
-  /** Write the per-commit bloom sidecar (driver-side; the blooms were
-    * aggregated distributed and are small relative to the data written).
+  /** Write the per-commit bloom sidecar from an executor-resident
+    * `(file_name, bloom)` frame — the bloom bytes never visit the driver
+    * or a task binary. ~512 blooms per output file: one part for the
+    * common small commit, a few parallel writers for a huge bulk load.
     */
   def writeBloomSidecar(
+      storage: graft.core.GraftStorage,
+      instantTs: String,
+      sidecar: org.apache.spark.sql.DataFrame,
+      approxFiles: Int): Unit =
+    sidecar.coalesce(math.max(1, approxFiles / 512))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(storage.bloomSidecar(instantTs).toString)
+
+  /** Publish-side sidecar write: map each staged path to its final file
+    * name (broadcast — the name map is per-commit small) and write the
+    * sidecar straight from the staged-stats frame. Runs BEFORE the
+    * publish renames so a cache-evicted partition can still recompute
+    * from the staged files; an aborted commit's sidecar is swept by
+    * rollback with the rest of the instant.
+    */
+  def writeBloomSidecarMapped(
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.core.GraftStorage,
       instantTs: String,
-      blooms: Seq[BloomSidecarRow]): Unit = {
-    if (blooms.isEmpty) return
-    import spark.implicits._
-    blooms.toDF().coalesce(1).write.mode(SaveMode.Overwrite)
-      .parquet(storage.bloomSidecar(instantTs).toString)
-  }
+      stats: StagedStats,
+      nameByPath: Map[String, String]): Unit =
+    stats.blooms.foreach { b =>
+      if (nameByPath.nonEmpty) {
+        val nm = spark.createDataFrame(nameByPath.toSeq).toDF("_path", "file_name")
+        writeBloomSidecar(storage, instantTs,
+          b.join(broadcast(nm), "_path").select(col("file_name"), col("bloom")),
+          nameByPath.size)
+      }
+    }
 
   /** Blooms of the given files, keyed by file name, loaded from the
     * sidecars of the instants the file names encode. Files from commits
@@ -1437,13 +1486,13 @@ object GraftWriteClient {
     * compaction) has no footers to infer a schema from — that is a
     * legitimate empty write, not an error.
     */
-  def stagedFileCounts(
+  def stagedFileStats(
       spark: org.apache.spark.sql.SparkSession,
       staging: Path,
       bloomExpected: Long = 0L,
       bloomFpp: Double = 0.01,
       statsColumns: Seq[String] = Seq.empty,
-      format: String = "parquet"): Map[String, FileStats] =
+      format: String = "parquet"): StagedStats =
     try {
       // recursiveFileLookup: the stats job keys by file PATH, never by the
       // staging partition columns — skip partition inference entirely. An
@@ -1471,10 +1520,21 @@ object GraftWriteClient {
       val statAggs = statFields.flatMap(f =>
         graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
       val aggs = base ++ bloomAggs ++ statAggs
-      // row layout: 0 = the groupBy key (_f), then the agg columns
-      val statsStart = 1 + base.size + bloomAggs.size
-      df.groupBy(input_file_name().as("_f"))
+      val agg = df.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
+      // With blooms on, the aggregate is persisted and the driver collects
+      // only the SMALL columns — the bloom bytes stay executor-resident in
+      // the returned frame and flow straight into the sidecar write. A
+      // 1500-file bulk insert at cluster scale would otherwise funnel
+      // files × bloomKB through driver memory and back out inside a
+      // LocalTableScan task binary.
+      val cached =
+        if (bloomAggs.isEmpty) None
+        else Some(agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      // row layout of the collect: 0 = the groupBy key (_f), then the
+      // base aggs, then the stat aggs — `_bf` is never collected
+      val statsStart = 1 + base.size
+      val counts = cached.map(_.drop("_bf")).getOrElse(agg)
         .collect()
         .map { r =>
           val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
@@ -1488,16 +1548,19 @@ object GraftWriteClient {
           }.toMap
           decodedPath(r.getString(0)) ->
             FileStats(records, Option(r.getString(2)).getOrElse(""),
-              Option(r.getString(3)).getOrElse(""),
-              if (bloomExpected <= 0) Array.empty[Byte]
-              else Option(r.getAs[Array[Byte]](4)).getOrElse(Array.empty[Byte]),
-              colStats, colNulls)
+              Option(r.getString(3)).getOrElse(""), colStats, colNulls)
         }
         .toMap
+      val blooms = cached.map { c =>
+        val dec = udf((s: String) => decodedPath(s))
+        c.select(dec(col("_f")).as("_path"), col("_bf").as("bloom"))
+      }
+      StagedStats(counts, blooms)
     } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
-          e.getMessage.contains("Unable to infer schema") => Map.empty
+          e.getMessage.contains("Unable to infer schema") =>
+        StagedStats(Map.empty, None)
     }
 
   /** Publish renames below this count run as a driver loop (job-launch
