@@ -1,0 +1,194 @@
+package graft
+
+import java.nio.file.Files
+
+import scala.collection.mutable
+import scala.util.Random
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReadClient
+import graft.services.TableServices
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** One generated record: key, partition, value, precombine ordinal.
+  * Top-level on purpose — a nested case class can't be encoded.
+  */
+case class ModelRow(k: Long, p: String, v: Double, ord: Long)
+
+/** Randomized model-based check: a seeded random walk of write operations
+  * (upsert / delete / insert_overwrite / delete_partition) interleaved
+  * with table services (compaction, clustering, cleaning) runs against
+  * BOTH a real graft table and a trivial in-memory map with the table's
+  * documented merge semantics. After every step the full snapshot must
+  * equal the model, and time travel to any of the last few commits must
+  * equal the model state recorded at that commit. The walk exercises
+  * operation interleavings no hand-written scenario test covers
+  * (the reference pins the same semantics one scenario at a time —
+  * ref: TestCOWDataSource.scala:81-766, TestMORDataSource.scala:77-686).
+  *
+  * Rows are [[ModelRow]]s keyed by k, partitioned by p, pre-combined on
+  * ord. Every generated ord is globally unique and increasing, so
+  * latest-wins is deterministic in both implementations.
+  */
+class ModelCheckSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-model-check")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def tmp(): String = Files.createTempDirectory("graft_model_").toString
+
+  private val partitions = Vector("pa", "pb", "pc", "pd")
+  private val keySpace = 160
+
+  /** Model state: (partition, key) -> row under the non-global index;
+    * key -> row under the global index (partition changes MOVE records).
+    */
+  private type Model = mutable.Map[(String, Long), ModelRow]
+
+  private def toDf(rows: Seq[ModelRow]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("k", "p", "v", "ord")
+  }
+
+  private def snapshotSet(read: GraftReadClient, asOf: Option[String] = None): Set[ModelRow] =
+    read.snapshotData(asOf)
+      .select("k", "p", "v", "ord").collect()
+      .map(r => ModelRow(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
+      .toSet
+
+  /** Apply a batch with upsert merge semantics to the model: within the
+    * batch the max-ord row per key wins (pre-combine), and the batch
+    * winner overwrites any stored row (overwrite_latest payload).
+    */
+  private def modelUpsert(m: Model, rows: Seq[ModelRow], global: Boolean): Unit =
+    rows.groupBy(r => r.k -> (if (global) "" else r.p))
+      .values.map(_.maxBy(_.ord)).foreach { r =>
+        if (global) {
+          // global index: the key is table-wide; a changed partition moves
+          // the record instead of creating a sibling
+          m.filterInPlace { case ((_, k), _) => k != r.k }
+        }
+        m((r.p, r.k)) = r
+      }
+
+  private def runWalk(tableType: String, global: Boolean, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val cfg = GraftTableConfig(
+      tableName = "m", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"))
+    val wc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 64, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024,
+      globalIndex = global)
+    val t = GraftTable.create(spark, tmp() + "/t", cfg)
+    val w = new GraftWriteClient(t, wc)
+    val sv = new TableServices(t, wc)
+    val read = new GraftReadClient(t)
+
+    val model: Model = mutable.Map.empty
+    var ord = 0L
+    def nextOrd(): Long = { ord += 1; ord }
+    def freshRow(k: Long, p: String): ModelRow =
+      ModelRow(k, p, rnd.nextInt(10000) / 10.0, nextOrd())
+
+    // history for time travel: commit ts -> frozen model state
+    val history = mutable.ArrayBuffer[(String, Set[ModelRow])]()
+    def record(ts: String): Unit = history += ts -> model.values.toSet
+
+    // seed the table so every op has something to chew on
+    val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
+    modelUpsert(model, seedRows, global)
+    record(w.bulkInsert(toDf(seedRows)))
+
+    val steps = 16
+    for (step <- 1 to steps) {
+      rnd.nextInt(100) match {
+        case x if x < 45 => // upsert: mix of updates and brand-new keys
+          val n = 15 + rnd.nextInt(30)
+          val existing = model.values.toVector
+          val rows = (0 until n).map { _ =>
+            if (existing.nonEmpty && rnd.nextBoolean()) {
+              val old = existing(rnd.nextInt(existing.size))
+              // under the global index occasionally move the partition
+              val p = if (global && rnd.nextInt(4) == 0)
+                partitions(rnd.nextInt(4)) else old.p
+              freshRow(old.k, p)
+            } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+          }
+          modelUpsert(model, rows, global)
+          record(w.upsert(toDf(rows)))
+
+        case x if x < 60 => // delete existing keys + a few nonexistent (no-ops)
+          val existing = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(12))
+          val ghosts = (0 until 3).map(_ =>
+            freshRow(keySpace + rnd.nextInt(50).toLong, partitions(rnd.nextInt(4))))
+          if (existing.nonEmpty) {
+            val batch = existing.map(r => r.copy(ord = nextOrd())) ++ ghosts
+            existing.foreach(r => model.remove(r.p -> r.k))
+            record(w.delete(toDf(batch)))
+          }
+
+        case x if x < 72 => // insert_overwrite one partition
+          val p = partitions(rnd.nextInt(4))
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(8 + rnd.nextInt(15))
+          val rows = ks.map(k => freshRow(k.toLong, p))
+          // overwrite replaces the partition's file groups and bypasses
+          // the index entirely — even under the global index a same-key
+          // row in another partition survives (matching the reference's
+          // SparkInsertOverwriteCommitActionExecutor, which never tags);
+          // the next global upsert of that key re-unifies it
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          rows.foreach(r => model(r.p -> r.k) = r)
+          record(w.insertOverwrite(toDf(rows)))
+
+        case x if x < 78 => // drop a whole partition
+          val p = partitions(rnd.nextInt(4))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          record(w.deletePartitions(Seq(p)))
+
+        case x if x < 88 => // services leave content untouched
+          if (tableType == GraftTableType.Mor) sv.compact()
+          else sv.cluster()
+
+        case _ =>
+          sv.clean()
+      }
+
+      val got = snapshotSet(read)
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, $tableType, global=$global): snapshot diverged; " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+      if (step % 5 == 0 && history.size >= 2) {
+        // time travel within the clean-retention window is exact
+        val (ts, frozen) = history(history.size - 1 - rnd.nextInt(math.min(3, history.size)))
+        assert(snapshotSet(read, Some(ts)) == frozen,
+          s"step $step (seed $seed): time travel to $ts diverged")
+      }
+    }
+  }
+
+  test("model check: COW random walk matches the in-memory model") {
+    runWalk(GraftTableType.Cow, global = false, seed = 11L)
+  }
+
+  test("model check: MOR random walk with compaction matches the model") {
+    runWalk(GraftTableType.Mor, global = false, seed = 23L)
+  }
+
+  test("model check: global-index walk moves records across partitions") {
+    runWalk(GraftTableType.Cow, global = true, seed = 37L)
+  }
+}
