@@ -983,10 +983,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     if (incomingRows > 2L * cands.size) return cands
     val bloomMap = loadBlooms(spark, table.storage, cands.map(_.fileName))
     if (bloomMap.isEmpty) return cands
-    // safety valve: probing broadcasts the candidate blooms to executors;
-    // past ~256 MB the broadcast costs more than the scans it might save
-    if (bloomMap.valuesIterator.map(_.length.toLong).sum > 256L * 1024 * 1024)
-      return cands
+    // second valve on the exact candidate subset (loadBlooms already
+    // gates on total sidecar size before reading anything)
+    if (bloomMap.valuesIterator.map(_.length.toLong).sum >
+      GraftWriteClient.MaxBloomLoadBytes) return cands
     val (withB, withoutB) = cands.partition(c => bloomMap.contains(c.fileName))
     val byPart: Map[String, Seq[(String, Array[Byte])]] = withB
       .groupBy(c => if (global) "" else c.partition)
@@ -1431,10 +1431,19 @@ object GraftWriteClient {
       }
     }
 
+  /** Ceiling on bloom bytes loaded to the driver for a probe. Past this
+    * the broadcast costs more than the scans it might save, so callers
+    * fall back to scanning every candidate (always sound).
+    */
+  val MaxBloomLoadBytes: Long = 256L * 1024 * 1024
+
   /** Blooms of the given files, keyed by file name, loaded from the
     * sidecars of the instants the file names encode. Files from commits
     * predating bloom sidecars simply have no entry (and are always
-    * scanned).
+    * scanned). Returns empty WITHOUT reading when the sidecars' on-disk
+    * size (an upper bound on what the load would pull to the driver)
+    * exceeds [[MaxBloomLoadBytes]] — the cap must trip before the
+    * driver-side collect, not after it.
     */
   def loadBlooms(
       spark: org.apache.spark.sql.SparkSession,
@@ -1442,9 +1451,12 @@ object GraftWriteClient {
       fileNames: Seq[String]): Map[String, Array[Byte]] = {
     val instants = fileNames
       .map(graft.core.FileSystemView.instantOfFileName).distinct
-    val paths = instants.map(storage.bloomSidecar)
-      .filter(storage.exists).map(_.toString)
+    val sidecarDirs = instants.map(storage.bloomSidecar).filter(storage.exists)
+    val paths = sidecarDirs.map(_.toString)
     if (paths.isEmpty) return Map.empty
+    val sidecarBytes = sidecarDirs
+      .map(d => storage.fs.getContentSummary(d).getLength).sum
+    if (sidecarBytes > MaxBloomLoadBytes) return Map.empty
     val wanted = fileNames.toSet
     // push the name filter only while the literal list stays plan-sized;
     // large candidate sets read the (small) sidecars whole and filter
