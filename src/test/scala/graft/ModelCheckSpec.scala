@@ -36,11 +36,15 @@ case class ModelRow(k: Long, p: String, v: Double, ord: Long)
   */
 class ModelCheckSpec extends AnyFunSuite {
 
+  // getOrCreate shares one session across suites in a test JVM — carry
+  // the same config as TableFormatSpec (incl. the SQL extension) so
+  // whichever suite runs first builds a session the others can live with
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-model-check")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
@@ -160,6 +164,18 @@ class ModelCheckSpec extends AnyFunSuite {
         case x if x < 88 => // services leave content untouched
           if (tableType == GraftTableType.Mor) sv.compact()
           else sv.cluster()
+
+        case x if x < 94 =>
+          // roll back the latest data commit — only when it is ours
+          // (a later compaction/clustering commit blocks it, exactly as
+          // the engine's latest-commit guard requires)
+          if (history.size >= 2 &&
+            t.timeline.completedData.lastOption.exists(_.ts == history.last._1)) {
+            sv.rollback(history.last._1)
+            history.remove(history.size - 1)
+            model.clear()
+            history.last._2.foreach(r => model(r.p -> r.k) = r)
+          }
 
         case _ =>
           sv.clean()
