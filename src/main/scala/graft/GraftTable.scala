@@ -231,23 +231,29 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       }
     // Hive-layout sources carry partition values only in `field=value/`
     // directory names; Spark resurrects those columns for explicit file
-    // paths when given a basePath ABOVE the partition dirs. Derive it
-    // from the path itself (strip trailing `name=value` components), so
-    // reading any subset of files — even one partition — still derives
-    // the full recorded schema. Flat sources have no such components and
-    // the option is a no-op.
+    // paths when given a basePath ABOVE the partition dirs. The bootstrap
+    // commit records its qualified source dir for exactly this; older
+    // commits without it fall back to stripping trailing `name=value`
+    // components from the path — a fallback that can misfire on a FLAT
+    // source living inside a `name=value`-named directory (it would
+    // resurrect a phantom column), which is why the recorded base wins.
     def hiveBaseOf(p: String): String = {
       var parent = new Path(p).getParent
       while (parent != null && parent.getName.contains("=")) parent = parent.getParent
       if (parent == null) p else parent.toString
     }
+    def baseOf(instant: String, p: String): String =
+      timeline.completedData.find(_.ts == instant)
+        .flatMap(i => timeline.metadataOf(i).extra
+          .get(graft.write.GraftWriteClient.BootstrapSourceKey))
+        .getOrElse(hiveBaseOf(p))
     // one frame per bootstrap instant (CommitTime is a per-instant literal)
     val extDfs = ext.groupBy(p =>
       FileSystemView.instantOfFileName(externalFiles(p).fileName))
       .toSeq.sortBy(_._1)
       .map { case (instant, ps) =>
         val reader = storedDataSchema.map(spark.read.schema).getOrElse(spark.read)
-          .option("basePath", hiveBaseOf(ps.head))
+          .option("basePath", baseOf(instant, ps.head))
         val nameExpr = concat(graft.write.KeyGen.externalFileIdExpr,
           lit("_" + instant + config.baseFileSuffix))
         reader.format(config.baseFileFormat).load(ps: _*)

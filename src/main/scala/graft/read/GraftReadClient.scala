@@ -302,8 +302,9 @@ final class GraftReadClient(val table: GraftTable) {
     // chunk mid-query and fail. `reliableCheckpoint` materializes each
     // chunk as parquet under the table's own temp dir instead — survives
     // any executor loss, read back as plain columnar scans. Dirs are
-    // tagged cdc_ckpt_ and reaped by the next reliable read once older
-    // than a day (a concurrent reader's in-flight chunks stay safe).
+    // tagged cdc_ckpt_ and reaped once older than CdcCheckpointTtlMillis
+    // by the next reliable read or table clean; the returned frame must
+    // be drained within that TTL (see GraftReadClient.CdcCheckpointTtl).
     val chunk = 16
     def reliably(df: DataFrame): DataFrame = {
       val dir = new org.apache.hadoop.fs.Path(table.storage.tempDir,
@@ -322,19 +323,8 @@ final class GraftReadClient(val table: GraftTable) {
     table.logicalize(unioned)
   }
 
-  /** Delete cdc_ckpt_ temp dirs older than a day — finished reads never
-    * clean up inline (the returned frame lazily re-reads its chunks), so
-    * age is the only safe reclamation signal.
-    */
-  private def reapStaleCdcCheckpoints(): Unit = {
-    val fs = table.storage.fs
-    val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
-    if (fs.exists(table.storage.tempDir))
-      fs.listStatus(table.storage.tempDir)
-        .filter(s => s.getPath.getName.startsWith("cdc_ckpt_") &&
-          s.getModificationTime < cutoff)
-        .foreach(s => fs.delete(s.getPath, true))
-  }
+  private def reapStaleCdcCheckpoints(): Unit =
+    GraftReadClient.reapStaleCdcCheckpoints(table)
 
   /** One commit's change rows from its before/after images (physical
     * names, tombstones already dropped, full stored schema on both sides —
@@ -506,5 +496,31 @@ final class GraftReadClient(val table: GraftTable) {
       }
     snapshotFromSlices(pruned, None)
       .join(broadcast(k), Seq(MetaColumns.RecordKey), "left_semi")
+  }
+}
+
+object GraftReadClient {
+  /** Lifetime contract of a reliable-checkpoint CDC frame: the returned
+    * DataFrame lazily re-reads its cdc_ckpt_ chunk dirs, and any later
+    * reliable read OR table clean reaps dirs older than this TTL.
+    * Consumers must fully drain (or persist elsewhere) a reliable
+    * changes() result within the TTL.
+    */
+  val CdcCheckpointTtlMillis: Long = 24L * 3600 * 1000
+
+  /** Delete cdc_ckpt_ temp dirs older than the TTL — finished reads never
+    * clean up inline (the returned frame lazily re-reads its chunks), so
+    * age is the only safe reclamation signal. Called by later reliable
+    * reads and by TableServices.clean, so orphaned chunks die with
+    * routine maintenance even if no further wide-band read ever runs.
+    */
+  def reapStaleCdcCheckpoints(table: GraftTable): Unit = {
+    val fs = table.storage.fs
+    val cutoff = System.currentTimeMillis() - CdcCheckpointTtlMillis
+    if (fs.exists(table.storage.tempDir))
+      fs.listStatus(table.storage.tempDir)
+        .filter(s => s.getPath.getName.startsWith("cdc_ckpt_") &&
+          s.getModificationTime < cutoff)
+        .foreach(s => fs.delete(s.getPath, true))
   }
 }

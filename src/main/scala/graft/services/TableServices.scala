@@ -366,36 +366,36 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat)
     val counts = staged.counts
-    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-      val partition = GraftWriteClient.decodeStageValue(
-        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
-      fs.listStatus(partDir.getPath).filter(_.isDirectory).foreach { gfDir =>
-        val fileId = GraftWriteClient.decodeStageValue(
-          gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
-        val parts = fs.listStatus(gfDir.getPath)
-          .filter(s => s.isFile &&
-            s.getPath.getName.endsWith(table.config.baseFileSuffix))
-        require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
-        parts.foreach { st =>
-          val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
-          val stagedPath = st.getPath.toUri.getPath
-          val stats = counts.getOrElse(
-            stagedPath, GraftWriteClient.FileStats(0L, "", ""))
-          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          nameByPath(stagedPath) = name
-          out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
+    try {
+      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+        val partition = GraftWriteClient.decodeStageValue(
+          partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+        fs.listStatus(partDir.getPath).filter(_.isDirectory).foreach { gfDir =>
+          val fileId = GraftWriteClient.decodeStageValue(
+            gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
+          val parts = fs.listStatus(gfDir.getPath)
+            .filter(s => s.isFile &&
+              s.getPath.getName.endsWith(table.config.baseFileSuffix))
+          require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
+          parts.foreach { st =>
+            val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+            val stagedPath = st.getPath.toUri.getPath
+            val stats = counts.getOrElse(
+              stagedPath, GraftWriteClient.FileStats(0L, "", ""))
+            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+            nameByPath(stagedPath) = name
+            out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+              isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
+          }
         }
       }
-    }
-    try {
       // sidecar before the renames (its job may recompute from staging);
       // overwrite: a retry at the plan's fixed timestamp may find final
       // files from a crashed prior attempt — unreferenced by any commit
       GraftWriteClient.writeBloomSidecarMapped(
         spark, table.storage, ts, staged, nameByPath.toMap)
       GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
-    } finally staged.done()
+    } finally staged.done() // also on a listing/rename throw — no cache leak
     out.toSeq
   }
 
@@ -562,33 +562,33 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat)
     val counts = staged.counts
-    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-      val partition = GraftWriteClient.decodeStageValue(
-        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
-      fs.listStatus(partDir.getPath)
-        .filter(s => s.isFile &&
-          s.getPath.getName.endsWith(table.config.baseFileSuffix))
-        .sortBy(_.getPath.getName)
-        .foreach { st =>
-          val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
-          val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
-          val stagedPath = st.getPath.toUri.getPath
-          val stats = counts.getOrElse(
-            stagedPath, GraftWriteClient.FileStats(0L, "", ""))
-          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          nameByPath(stagedPath) = name
-          out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-            isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
-        }
-    }
     try {
+      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+        val partition = GraftWriteClient.decodeStageValue(
+          partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+        fs.listStatus(partDir.getPath)
+          .filter(s => s.isFile &&
+            s.getPath.getName.endsWith(table.config.baseFileSuffix))
+          .sortBy(_.getPath.getName)
+          .foreach { st =>
+            val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
+            val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+            val stagedPath = st.getPath.toUri.getPath
+            val stats = counts.getOrElse(
+              stagedPath, GraftWriteClient.FileStats(0L, "", ""))
+            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+            nameByPath(stagedPath) = name
+            out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+              isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
+          }
+      }
       // sidecar before the renames (its job may recompute from staging);
       // overwrite: deterministic fileIds (plan ts + seq) make a retry hit
       // the same destinations a crashed prior attempt already moved
       GraftWriteClient.writeBloomSidecarMapped(
         spark, table.storage, ts, staged, nameByPath.toMap)
       GraftWriteClient.executeRenames(spark, table.storage, renames.toSeq, overwrite = true)
-    } finally staged.done()
+    } finally staged.done() // also on a listing/rename throw — no cache leak
     out.toSeq
   }
 
@@ -597,8 +597,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   // (ref: CleanPlanner.java:123-405, policy KEEP_LATEST_COMMITS)
   // =====================================================================
 
-  def clean(retainCommits: Int = 10): Option[String] =
+  def clean(retainCommits: Int = 10): Option[String] = {
+    // routine maintenance also reaps expired reliable-CDC chunk dirs, so
+    // a one-off wide-band read can't leave orphans on the table forever
+    graft.read.GraftReadClient.reapStaleCdcCheckpoints(table)
     commitClean(cleanCandidates(retainCommits), "clean")
+  }
 
   private def cleanCandidates(retainCommits: Int): Seq[WriteFileInfo] = {
     val tl = table.timeline

@@ -156,45 +156,53 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         while (it.hasNext) { val st = it.next(); m(st.getPath.toUri.getPath) = st.getLen }
         m
       }
-      val files = rows.toSeq.map { r =>
-        val path = GraftWriteClient.decodedPath(r.getString(0))
-        val fileId = r.getString(1)
-        val (p0, p1) = (r.getString(5), r.getString(6))
-        require(p0 == p1,
-          s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
-            "bootstrap needs single-partition files (repartition the source " +
-            "or use FULL_RECORD)")
-        val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
-          val mn = r.getString(statsStart + 3 * i)
-          val mx = r.getString(statsStart + 3 * i + 1)
-          if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
-        }.toMap
-        val records = r.getLong(2)
-        val colNulls = statFields.zipWithIndex.map { case (f, i) =>
-          f.name -> (records - r.getLong(statsStart + 3 * i + 2))
-        }.toMap
-        WriteFileInfo(
-          partition = p0, fileId = fileId,
-          fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
-          records = records, bytes = sizes.getOrElse(path, 0L), isDelta = false,
-          minKey = Option(r.getString(3)).getOrElse(""),
-          maxKey = Option(r.getString(4)).getOrElse(""),
-          colStats = colStats, colNulls = colNulls,
-          externalPath = Some(path))
-      }
-      require(files.map(_.fileId).distinct.size == files.size,
-        "file-id hash collision across source files (re-layout the source)")
-      cachedAgg.foreach { c =>
-        try GraftWriteClient.writeBloomSidecar(table.storage, instant.ts,
-          c.select(
-            concat(col("_id"),
-              lit("_" + instant.ts + table.config.baseFileSuffix)).as("file_name"),
-            col("_bf").as("bloom")),
-          files.size)
-        finally c.unpersist(blocking = false)
-      }
-      finishCommit(instant, "bootstrap_metadata_only", files,
-        replaced = Map.empty, dataSchema = srcSchema)
+      try {
+        val files = rows.toSeq.map { r =>
+          val path = GraftWriteClient.decodedPath(r.getString(0))
+          val fileId = r.getString(1)
+          val (p0, p1) = (r.getString(5), r.getString(6))
+          require(p0 == p1,
+            s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
+              "bootstrap needs single-partition files (repartition the source " +
+              "or use FULL_RECORD)")
+          val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+            val mn = r.getString(statsStart + 3 * i)
+            val mx = r.getString(statsStart + 3 * i + 1)
+            if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
+          }.toMap
+          val records = r.getLong(2)
+          val colNulls = statFields.zipWithIndex.map { case (f, i) =>
+            f.name -> (records - r.getLong(statsStart + 3 * i + 2))
+          }.toMap
+          WriteFileInfo(
+            partition = p0, fileId = fileId,
+            fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
+            records = records, bytes = sizes.getOrElse(path, 0L), isDelta = false,
+            minKey = Option(r.getString(3)).getOrElse(""),
+            maxKey = Option(r.getString(4)).getOrElse(""),
+            colStats = colStats, colNulls = colNulls,
+            // full URI: the adopted file must resolve on the SOURCE's
+            // filesystem (s3a://…, hdfs://…), not the session default
+            externalPath = Some(GraftWriteClient.decodedFullPath(r.getString(0))))
+        }
+        require(files.map(_.fileId).distinct.size == files.size,
+          "file-id hash collision across source files (re-layout the source)")
+        cachedAgg.foreach { c =>
+          GraftWriteClient.writeBloomSidecar(table.storage, instant.ts,
+            c.select(
+              concat(col("_id"),
+                lit("_" + instant.ts + table.config.baseFileSuffix)).as("file_name"),
+              col("_bf").as("bloom")),
+            files.size)
+        }
+        finishCommit(instant, "bootstrap_metadata_only", files,
+          replaced = Map.empty, dataSchema = srcSchema,
+          // scans use the recorded base for hive partition resurrection —
+          // derived per-path stripping would misfire on a flat source
+          // living inside a `name=value`-named directory
+          extraMeta = Map(GraftWriteClient.BootstrapSourceKey ->
+            srcFs.makeQualified(srcPath).toString))
+      } finally cachedAgg.foreach(_.unpersist(blocking = false))
     } catch {
       case e: Throwable => abort(instant); throw e
     }
@@ -1243,48 +1251,48 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val nameByPath = scala.collection.mutable.Map[String, String]()
     var newGroupSeq = 0
 
-    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-      val partition = decodeStageValue(
-        partDir.getPath.getName.stripPrefix(StagePartCol + "="))
-      val leafDirs =
-        if (groupedByFile) fs.listStatus(partDir.getPath).filter(_.isDirectory).toSeq
-        else Seq(partDir)
-      leafDirs.foreach { leaf =>
-        val fileId =
-          if (groupedByFile)
-            decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
-          else null
-        val parts = fs.listStatus(leaf.getPath)
-          .filter(s => s.isFile &&
-            s.getPath.getName.endsWith(table.config.baseFileSuffix))
-          .sortBy(_.getPath.getName)
-        if (groupedByFile) require(parts.length <= 1,
-          s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
-        parts.foreach { st =>
-          val id = if (fileId != null) fileId
-          else {
-            val fid = newFileId(instantTs, newGroupSeq) // bulk path: fresh group
-            newGroupSeq += 1
-            fid
+    try {
+      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+        val partition = decodeStageValue(
+          partDir.getPath.getName.stripPrefix(StagePartCol + "="))
+        val leafDirs =
+          if (groupedByFile) fs.listStatus(partDir.getPath).filter(_.isDirectory).toSeq
+          else Seq(partDir)
+        leafDirs.foreach { leaf =>
+          val fileId =
+            if (groupedByFile)
+              decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
+            else null
+          val parts = fs.listStatus(leaf.getPath)
+            .filter(s => s.isFile &&
+              s.getPath.getName.endsWith(table.config.baseFileSuffix))
+            .sortBy(_.getPath.getName)
+          if (groupedByFile) require(parts.length <= 1,
+            s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
+          parts.foreach { st =>
+            val id = if (fileId != null) fileId
+            else {
+              val fid = newFileId(instantTs, newGroupSeq) // bulk path: fresh group
+              newGroupSeq += 1
+              fid
+            }
+            val isDelta = deltaGroups.contains(id)
+            val name = id + "_" + instantTs +
+              (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
+            val stagedPath = st.getPath.toUri.getPath
+            val stats = counts.getOrElse(stagedPath, FileStats(0L, "", ""))
+            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+            nameByPath(stagedPath) = name
+            out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
+              stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
           }
-          val isDelta = deltaGroups.contains(id)
-          val name = id + "_" + instantTs +
-            (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
-          val stagedPath = st.getPath.toUri.getPath
-          val stats = counts.getOrElse(stagedPath, FileStats(0L, "", ""))
-          renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-          nameByPath(stagedPath) = name
-          out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
-            stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
         }
       }
-    }
-    try {
       // sidecar first: its job may recompute from the staged files, which
       // the renames below move away
       writeBloomSidecarMapped(spark, table.storage, instantTs, staged, nameByPath.toMap)
       executeRenames(spark, table.storage, renames.toSeq)
-    } finally staged.done()
+    } finally staged.done() // also on a listing/rename throw — no cache leak
     out.toSeq
   }
 }
@@ -1348,6 +1356,11 @@ object GraftWriteClient {
   def newFileId(instantTs: String, seq: Int): String =
     f"$instantTs-$seq%05d"
 
+  /** Commit-metadata extra key: the qualified source directory of a
+    * metadata-only bootstrap (scans use it as the hive `basePath`).
+    */
+  val BootstrapSourceKey = "bootstrap.source"
+
   /** Per-file write statistics: record count, record-key range, and
     * per-column min/max for the configured stats columns. Key blooms are
     * deliberately NOT here — they are the one per-file artifact too big
@@ -1407,6 +1420,12 @@ object GraftWriteClient {
       approxFiles: Int): Unit =
     sidecar.coalesce(math.max(1, approxFiles / 512))
       .write.mode(SaveMode.Overwrite)
+      // uncompressed + no dictionary ON PURPOSE: loadBlooms gates its
+      // driver-side collect on the sidecar's on-disk size, which is only
+      // an upper bound if underfilled (zeros-heavy) blooms can't shrink
+      // on disk; blooms also recompress poorly when well-filled anyway
+      .option("compression", "uncompressed")
+      .option("parquet.enable.dictionary", "false")
       .parquet(storage.bloomSidecar(instantTs).toString)
 
   /** Publish-side sidecar write: map each staged path to its final file
@@ -1441,9 +1460,12 @@ object GraftWriteClient {
     * sidecars of the instants the file names encode. Files from commits
     * predating bloom sidecars simply have no entry (and are always
     * scanned). Returns empty WITHOUT reading when the sidecars' on-disk
-    * size (an upper bound on what the load would pull to the driver)
-    * exceeds [[MaxBloomLoadBytes]] — the cap must trip before the
-    * driver-side collect, not after it.
+    * size exceeds [[MaxBloomLoadBytes]] — the cap must trip before the
+    * driver-side collect, not after it. Sidecars are written
+    * uncompressed (see writeBloomSidecar) precisely so the on-disk size
+    * bounds the collected bytes; the post-load valve in
+    * bloomPruneCandidates remains as the backstop for sidecars written
+    * by older versions with compression on.
     */
   def loadBlooms(
       spark: org.apache.spark.sql.SparkSession,
@@ -1546,7 +1568,7 @@ object GraftWriteClient {
       // row layout of the collect: 0 = the groupBy key (_f), then the
       // base aggs, then the stat aggs — `_bf` is never collected
       val statsStart = 1 + base.size
-      val counts = cached.map(_.drop("_bf")).getOrElse(agg)
+      val counts = try cached.map(_.drop("_bf")).getOrElse(agg)
         .collect()
         .map { r =>
           val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
@@ -1563,6 +1585,10 @@ object GraftWriteClient {
               Option(r.getString(3)).getOrElse(""), colStats, colNulls)
         }
         .toMap
+      catch { case e: Throwable =>
+        // a failed collect must not leak the cached aggregate
+        cached.foreach(_.unpersist(blocking = false)); throw e
+      }
       val blooms = cached.map { c =>
         val dec = udf((s: String) => decodedPath(s))
         c.select(dec(col("_f")).as("_path"), col("_bf").as("bloom"))
@@ -1651,6 +1677,18 @@ object GraftWriteClient {
   def decodedPath(s: String): String =
     try new java.net.URI(s).getPath
     catch { case _: Exception => new Path(s).toUri.getPath }
+
+  /** Decoded path INCLUDING scheme and authority — the form stored as an
+    * external (bootstrap) path. An adopted file must resolve on the
+    * SOURCE's filesystem (s3a://bucket/…, hdfs://nn/…), not the session
+    * default; [[decodedPath]] would strip the scheme and silently
+    * re-anchor every read on the default FS.
+    */
+  def decodedFullPath(s: String): String =
+    try {
+      val u = new java.net.URI(s)
+      if (u.getScheme == null) u.getPath else new Path(u).toString
+    } catch { case _: Exception => s }
 
   /** Undo Spark's partition-dir escaping (%xx; no '+'-for-space). */
   def decodeStageValue(v: String): String =
