@@ -112,24 +112,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val keyed = src
         .withColumn(MetaColumns.RecordKey, keyExpr)
         .withColumn(ColPart, partExpr)
-      val statFields = wc.colStatsColumns
-        .flatMap(c => srcSchema.find(_.name.equalsIgnoreCase(c)))
-        .filter(f => graft.core.ColumnStats.supported(f.dataType))
-        .distinctBy(_.name)
+      val statFields = GraftWriteClient.resolveStatFields(srcSchema, wc.colStatsColumns)
       val baseAggs = Seq(
         count(lit(1)).as("_n"),
         min(col(MetaColumns.RecordKey)).as("_mn"),
         max(col(MetaColumns.RecordKey)).as("_mx"),
         min(col(ColPart)).as("_p0"),
         max(col(ColPart)).as("_p1"))
-      val bloomAggs =
-        if (!wc.bloomIndexEnabled) Seq.empty
-        else Seq(udaf(new KeyBloomAggregator(wc.bloomExpectedEntries, wc.bloomFpp),
-          org.apache.spark.sql.Encoders.STRING)
-          .apply(col(MetaColumns.RecordKey)).as("_bf"))
-      val statAggs = statFields.flatMap(f =>
-        graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
-      val aggs = baseAggs ++ bloomAggs ++ statAggs
+      val bloomAggs = GraftWriteClient.bloomAggsOf(
+        if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
+      val aggs = baseAggs ++ bloomAggs ++ GraftWriteClient.statAggsOf(statFields)
       // the group id hashes input_file_name via the SAME expression later
       // scans use, so read-time group derivation needs no lookup table
       val aggDf = keyed
@@ -165,15 +157,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
               "bootstrap needs single-partition files (repartition the source " +
               "or use FULL_RECORD)")
-          val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
-            val mn = r.getString(statsStart + 3 * i)
-            val mx = r.getString(statsStart + 3 * i + 1)
-            if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
-          }.toMap
           val records = r.getLong(2)
-          val colNulls = statFields.zipWithIndex.map { case (f, i) =>
-            f.name -> (records - r.getLong(statsStart + 3 * i + 2))
-          }.toMap
+          val (colStats, colNulls) =
+            GraftWriteClient.decodeColStats(r, statsStart, statFields, records)
           WriteFileInfo(
             partition = p0, fileId = fileId,
             fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
@@ -1383,6 +1369,56 @@ object GraftWriteClient {
     def done(): Unit = blooms.foreach(_.unpersist(blocking = false))
   }
 
+  /** Stats columns resolved case-insensitively against a physical schema;
+    * unsupported types are skipped silently. Shared by the staged-stats
+    * job and metadata-only bootstrap so both aggregate the SAME fields in
+    * the SAME order — their row decoding is positional.
+    */
+  private[graft] def resolveStatFields(
+      schema: org.apache.spark.sql.types.StructType,
+      statsColumns: Seq[String]): Seq[org.apache.spark.sql.types.StructField] =
+    statsColumns
+      .flatMap(c => schema.find(_.name.equalsIgnoreCase(c)))
+      .filter(f => graft.core.ColumnStats.supported(f.dataType))
+      .distinctBy(_.name)
+
+  /** Per stats column: min, max (rendered to string), non-null count —
+    * exactly 3 aggregate columns per field, the contract
+    * [[decodeColStats]] decodes by position.
+    */
+  private[graft] def statAggsOf(
+      statFields: Seq[org.apache.spark.sql.types.StructField]): Seq[Column] =
+    statFields.flatMap(f =>
+      graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
+
+  /** The `_bf` key-bloom aggregate column (empty when sizing is off). */
+  private[graft] def bloomAggsOf(expected: Long, fpp: Double): Seq[Column] =
+    if (expected <= 0) Seq.empty
+    else Seq(udaf(new KeyBloomAggregator(expected, fpp),
+      org.apache.spark.sql.Encoders.STRING)
+      .apply(col(MetaColumns.RecordKey)).as("_bf"))
+
+  /** Decode the per-column stats of one collected aggregate row. The row
+    * must hold [[statAggsOf]]'s 3 columns per field starting at
+    * `statsStart` (the bloom column is never collected). Returns
+    * (colStats, colNulls).
+    */
+  private[graft] def decodeColStats(
+      r: org.apache.spark.sql.Row,
+      statsStart: Int,
+      statFields: Seq[org.apache.spark.sql.types.StructField],
+      records: Long): (Map[String, Seq[String]], Map[String, Long]) = {
+    val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
+      val mn = r.getString(statsStart + 3 * i)
+      val mx = r.getString(statsStart + 3 * i + 1)
+      if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
+    }.toMap
+    val colNulls = statFields.zipWithIndex.map { case (f, i) =>
+      f.name -> (records - r.getLong(statsStart + 3 * i + 2))
+    }.toMap
+    (colStats, colNulls)
+  }
+
   /** Distributed per-file key-bloom builder (merge-combinable, so it runs
     * as one agg expression inside the staged-stats job). Spark's public
     * sketch BloomFilter is the same family the reference persists in
@@ -1535,25 +1571,13 @@ object GraftWriteClient {
       // reader rejects in its read schema.
       val df = spark.read.format(format)
         .option("recursiveFileLookup", "true").load(staging.toString)
-      // resolve requested stats columns case-insensitively against the
-      // staged (physical) schema; unsupported types are skipped silently
-      val statFields = statsColumns
-        .flatMap(c => df.schema.find(_.name.equalsIgnoreCase(c)))
-        .filter(f => graft.core.ColumnStats.supported(f.dataType))
-        .distinctBy(_.name)
+      val statFields = resolveStatFields(df.schema, statsColumns)
       val base = Seq(
         count(lit(1)).as("_n"),
         min(col(MetaColumns.RecordKey)).as("_mn"),
         max(col(MetaColumns.RecordKey)).as("_mx"))
-      val bloomAggs =
-        if (bloomExpected <= 0) Seq.empty
-        else Seq(udaf(new KeyBloomAggregator(bloomExpected, bloomFpp),
-          org.apache.spark.sql.Encoders.STRING)
-          .apply(col(MetaColumns.RecordKey)).as("_bf"))
-      // per stats column: min, max (rendered), non-null count
-      val statAggs = statFields.flatMap(f =>
-        graft.core.ColumnStats.statExprs(f) :+ count(col(f.name)))
-      val aggs = base ++ bloomAggs ++ statAggs
+      val bloomAggs = bloomAggsOf(bloomExpected, bloomFpp)
+      val aggs = base ++ bloomAggs ++ statAggsOf(statFields)
       val agg = df.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
       // With blooms on, the aggregate is persisted and the driver collects
@@ -1571,15 +1595,8 @@ object GraftWriteClient {
       val counts = try cached.map(_.drop("_bf")).getOrElse(agg)
         .collect()
         .map { r =>
-          val colStats = statFields.zipWithIndex.flatMap { case (f, i) =>
-            val mn = r.getString(statsStart + 3 * i)
-            val mx = r.getString(statsStart + 3 * i + 1)
-            if (mn == null || mx == null) None else Some(f.name -> Seq(mn, mx))
-          }.toMap
           val records = r.getLong(1)
-          val colNulls = statFields.zipWithIndex.map { case (f, i) =>
-            f.name -> (records - r.getLong(statsStart + 3 * i + 2))
-          }.toMap
+          val (colStats, colNulls) = decodeColStats(r, statsStart, statFields, records)
           decodedPath(r.getString(0)) ->
             FileStats(records, Option(r.getString(2)).getOrElse(""),
               Option(r.getString(3)).getOrElse(""), colStats, colNulls)
