@@ -1506,7 +1506,8 @@ object GraftWriteClient {
   def loadBlooms(
       spark: org.apache.spark.sql.SparkSession,
       storage: graft.core.GraftStorage,
-      fileNames: Seq[String]): Map[String, Array[Byte]] = {
+      fileNames: Seq[String],
+      maxBytes: Long = MaxBloomLoadBytes): Map[String, Array[Byte]] = {
     val instants = fileNames
       .map(graft.core.FileSystemView.instantOfFileName).distinct
     val sidecarDirs = instants.map(storage.bloomSidecar).filter(storage.exists)
@@ -1514,7 +1515,7 @@ object GraftWriteClient {
     if (paths.isEmpty) return Map.empty
     val sidecarBytes = sidecarDirs
       .map(d => storage.fs.getContentSummary(d).getLength).sum
-    if (sidecarBytes > MaxBloomLoadBytes) return Map.empty
+    if (sidecarBytes > maxBytes) return Map.empty
     val wanted = fileNames.toSet
     // push the name filter only while the literal list stays plan-sized;
     // large candidate sets read the (small) sidecars whole and filter
