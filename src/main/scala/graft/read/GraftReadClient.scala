@@ -190,8 +190,22 @@ final class GraftReadClient(val table: GraftTable) {
     if (archivedInRange || cleanedInRange)
       return snapshot(Some(end)).filter(
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
+    // A file whose GROUP a later band commit replaced (insert_overwrite,
+    // delete_partition, clustering) is invisible at `end` — reading it
+    // would resurrect rows the snapshot no longer holds, and disagree
+    // with the snapshot-band fallback above. Rows a band CLUSTERING
+    // rewrote are not lost: the rewriting replace-commit's own files are
+    // in the band and carry them at their original commit times, so the
+    // band filter below re-admits exactly the surviving ones.
+    val replacedTs: Map[(String, String), String] = instants
+      .flatMap { rc =>
+        table.timeline.metadataOf(rc).replacedFileIds.toSeq.flatMap {
+          case (p, ids) => ids.map(id => (p, id) -> rc.ts)
+        }
+      }.toMap // a group dies at most once; later writes open new groups
     val files = instants.flatMap { i =>
       table.timeline.metadataOf(i).files
+        .filter(f => replacedTs.get((f.partition, f.fileId)).forall(_ <= i.ts))
         .map(f => table.resolveDataPath(f.partition, f))
     }
     table.logicalize(readFiles(files.distinct) match {

@@ -1578,6 +1578,45 @@ class TableFormatSpec extends AnyFunSuite {
     assert(c1.nonEmpty)
   }
 
+  test("incremental band hides rows whose file group a later band commit replaced") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders)
+    // c2 touches '1-URGENT' rows, c3 drops the whole partition: at band
+    // end those rows do not exist, so the pull must not surface them
+    w.upsert(orders.filter(col("o_orderpriority") === "1-URGENT").limit(20)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    w.deletePartitions(Seq("1-URGENT"))
+    // c4 touches '2-HIGH' rows, c5 overwrites the partition with 10 fresh
+    // rows: only the overwrite's own rows remain visible for '2-HIGH'
+    w.upsert(orders.filter(col("o_orderpriority") === "2-HIGH").limit(20)
+      .withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    val hi = orders.filter(col("o_orderpriority") === "2-HIGH").limit(10)
+      .withColumn("o_totalprice", col("o_totalprice") + 9.0)
+    w.insertOverwrite(hi)
+    val read = new GraftReadClient(t)
+    val inc = read.dataOnly(read.incremental(c1))
+    assert(inc.filter(col("o_orderpriority") === "1-URGENT").count() === 0)
+    assert(inc.filter(col("o_orderpriority") === "2-HIGH").count() === 10)
+    // the touched-files band agrees with the snapshot-band definition
+    val snapBand = read.dataOnly(read.snapshot(None)
+      .filter(col(MetaColumns.CommitTime) > c1))
+    assert(inc.exceptAll(snapBand).count() === 0)
+    assert(snapBand.exceptAll(inc).count() === 0)
+    // a band clustering rewrite keeps surviving band rows visible: rows
+    // written at c6 live on through the clustered files at original ts
+    val c5 = t.timeline.lastCompletedData.get.ts
+    w.upsert(orders.filter(col("o_orderpriority") === "3-MEDIUM").limit(15)
+      .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+    new TableServices(t, wc.copy(
+      targetFileSizeBytes = 32L * 1024 * 1024,
+      smallFileLimitBytes = 16L * 1024 * 1024)).cluster(Seq("o_orderkey"))
+    val inc2 = read.dataOnly(read.incremental(c5))
+    assert(inc2.count() === 15)
+    assert(inc2.filter(col("o_orderpriority") === "3-MEDIUM").count() === 15)
+  }
+
   test("SQL MERGE/UPDATE resolve renamed columns through the logical mapping") {
     val sparkExt = spark
     val path = tmp() + "/t"
