@@ -291,6 +291,22 @@ object SparkEntry {
       r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
     }),
 
+    // incremental over a band whose later commits supersede earlier ones:
+    // a partial delete rewrites its file groups (older versions must not
+    // resurrect the dropped rows) and a partition drop replaces whole
+    // groups (their band rows must vanish from the pull)
+    "tf_incr_replace" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_incr_replace", s, dir)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      w.delete(orders.filter(col("o_orderkey") % 8 === 1)
+        .select("o_orderkey", "o_orderpriority"))
+      w.deletePartitions(Seq("1-URGENT"))
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
     "tf_time_travel" -> ((s, dir) => {
       val (t, w, orders) = cowOrders("tf_time_travel", s, dir)
       val c1 = w.bulkInsert(orders)
@@ -1204,6 +1220,10 @@ object SparkEntry {
 
     "tf_incremental" ->
       (ordersSelect("o_totalprice + 500.0 AS o_totalprice") + " WHERE o_orderkey % 4 = 1"),
+
+    "tf_incr_replace" ->
+      (ordersSelect("o_totalprice + 500.0 AS o_totalprice") +
+        " WHERE o_orderkey % 8 = 5 AND o_orderpriority <> '1-URGENT'"),
 
     "tf_time_travel" -> ordersSelect("o_totalprice"),
 

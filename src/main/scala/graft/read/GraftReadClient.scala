@@ -203,11 +203,23 @@ final class GraftReadClient(val table: GraftTable) {
           case (p, ids) => ids.map(id => (p, id) -> rc.ts)
         }
       }.toMap // a group dies at most once; later writes open new groups
-    val files = instants.flatMap { i =>
+    val banded = instants.flatMap { i =>
       table.timeline.metadataOf(i).files
         .filter(f => replacedTs.get((f.partition, f.fileId)).forall(_ <= i.ts))
-        .map(f => table.resolveDataPath(f.partition, f))
+        .map(f => (f.partition, f.fileId, f.isDelta, i.ts,
+          table.resolveDataPath(f.partition, f)))
     }
+    // Within a group, a newer BASE version supersedes an older one (a COW
+    // rewrite drops deleted rows PHYSICALLY — no tombstone survives — and
+    // carries untouched rows at their original commit times). Reading a
+    // superseded version would resurrect rows deleted later in the band,
+    // so only each group's latest band version is read; MOR delta files
+    // are additive and all kept.
+    val latestBaseTs = banded.filter(!_._3)
+      .groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._4).max).toMap
+    val files = banded
+      .filter(f => f._3 || latestBaseTs((f._1, f._2)) == f._4)
+      .map(_._5)
     table.logicalize(readFiles(files.distinct) match {
       case None => emptyFrame(None)
       case Some(df) =>

@@ -63,11 +63,13 @@ class ModelCheckSpec extends AnyFunSuite {
     rows.toDF("k", "p", "v", "ord")
   }
 
-  private def snapshotSet(read: GraftReadClient, asOf: Option[String] = None): Set[ModelRow] =
-    read.snapshotData(asOf)
-      .select("k", "p", "v", "ord").collect()
+  private def rowSet(df: DataFrame): Set[ModelRow] =
+    df.select("k", "p", "v", "ord").collect()
       .map(r => ModelRow(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
       .toSet
+
+  private def snapshotSet(read: GraftReadClient, asOf: Option[String] = None): Set[ModelRow] =
+    rowSet(read.snapshotData(asOf))
 
   /** Apply a batch with upsert merge semantics to the model: within the
     * batch the max-ord row per key wins (pre-combine), and the batch
@@ -116,8 +118,11 @@ class ModelCheckSpec extends AnyFunSuite {
     record(w.bulkInsert(toDf(seedRows)))
 
     val steps = 16
+    val dbg = sys.env.contains("GRAFT_MODEL_DEBUG")
     for (step <- 1 to steps) {
-      rnd.nextInt(100) match {
+      val roll = rnd.nextInt(100)
+      if (dbg) println(s"[model] step $step roll $roll")
+      roll match {
         case x if x < 45 => // upsert: mix of updates and brand-new keys
           val n = 15 + rnd.nextInt(30)
           val existing = model.values.toVector
@@ -139,7 +144,14 @@ class ModelCheckSpec extends AnyFunSuite {
             freshRow(keySpace + rnd.nextInt(50).toLong, partitions(rnd.nextInt(4))))
           if (existing.nonEmpty) {
             val batch = existing.map(r => r.copy(ord = nextOrd())) ++ ghosts
-            existing.foreach(r => model.remove(r.p -> r.k))
+            // the global index deletes EVERY location of the key (the key
+            // is table-wide — an overwrite-orphaned same-key sibling in
+            // another partition dies with it); non-global deletes only
+            // the batch row's own (partition, key)
+            if (global) {
+              val ks = existing.map(_.k).toSet
+              model.filterInPlace { case ((_, mk), _) => !ks(mk) }
+            } else existing.foreach(r => model.remove(r.p -> r.k))
             record(w.delete(toDf(batch)))
           }
 
@@ -192,6 +204,53 @@ class ModelCheckSpec extends AnyFunSuite {
         val (ts, frozen) = history(history.size - 1 - rnd.nextInt(math.min(3, history.size)))
         assert(snapshotSet(read, Some(ts)) == frozen,
           s"step $step (seed $seed): time travel to $ts diverged")
+      }
+
+      if (step % 3 == 1 && history.size >= 2) {
+        // incremental over a random recent band returns EXACTLY the rows
+        // of the band-end state that the band-begin state lacked — every
+        // generated ord is unique, so set difference is the precise
+        // expectation (covers overwrites, partition drops, clustering
+        // and compaction rewrites, rollbacks inside the band)
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(4, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val got = rowSet(read.dataOnly(read.incremental(ci, Some(cj))))
+        val want = frozenJ -- frozenI
+        assert(got == want,
+          s"step $step (seed $seed, $tableType, global=$global): incremental " +
+            s"($ci,$cj] diverged; extra=${(got -- want).take(5)} " +
+            s"missing=${(want -- got).take(5)}")
+      }
+
+      if (step % 4 == 2 && history.size >= 3) {
+        // CDC: replaying the change feed over the band-begin state must
+        // reproduce the band-end state (inserts/postimages upsert,
+        // deletes remove; service commits inside the band contribute
+        // nothing). Bands stay recent so cleaning never outruns the
+        // previous file-slice versions the feed needs.
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(3, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val feed = read.changes(ci, Some(cj))
+          .select(col("_change_ordinal"), col("_change_type"),
+            col("k"), col("p"), col("v"), col("ord"))
+          .collect()
+          .sortBy(_.getInt(0))
+        val replay = mutable.Map[(String, Long), ModelRow](
+          frozenI.map(r => (r.p, r.k) -> r).toSeq: _*)
+        feed.foreach { r =>
+          val row = ModelRow(r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5))
+          r.getString(1) match {
+            case "insert" | "update_postimage" => replay((row.p, row.k)) = row
+            case "delete"                      => replay.remove((row.p, row.k))
+            case "update_preimage"             => // informational
+          }
+        }
+        assert(replay.values.toSet == frozenJ,
+          s"step $step (seed $seed, $tableType, global=$global): CDC replay " +
+            s"($ci,$cj] diverged; extra=${(replay.values.toSet -- frozenJ).take(5)} " +
+            s"missing=${(frozenJ -- replay.values.toSet).take(5)}")
       }
     }
   }
