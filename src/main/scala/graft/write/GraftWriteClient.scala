@@ -879,13 +879,32 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val j = deduped.join(idx, Seq(ColKey), "left")
     val samePart = col(ColIdxPart).isNull || col(ColIdxPart) === col(ColPart)
     if (deleteOp) {
+      // every current location of the key gets a tombstone (the join
+      // fans a multi-located key out to one delete per location)
       j.withColumn(ColPart, coalesce(col(ColIdxPart), col(ColPart)))
         .withColumn(MetaColumns.PartitionPath, col(ColPart))
         .drop(ColIdxPart)
     } else {
-      val stay = j.filter(samePart).drop(ColIdxPart)
-      val moved = j.filter(!samePart)
-      val tomb = moved
+      // A key can hold SEVERAL current locations: insert_overwrite
+      // bypasses the index, so it may leave same-key siblings in other
+      // partitions (ref: SparkInsertOverwriteCommitActionExecutor never
+      // tags). The join fans such a key out once per location — exactly
+      // ONE location may carry the live row (preferring the incoming
+      // row's own partition so no-move stays no-move), every other
+      // location gets only a tombstone; emitting the live row per
+      // location would materialize duplicates across file groups.
+      // The join's HashPartitioning(key) satisfies the window's
+      // clustering, so ranking adds no shuffle.
+      val locRank = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(ColKey))
+        .orderBy((col(ColIdxPart) === col(ColPart)).desc,
+          col(ColIdxPart).asc, col(ColTargetFile).asc)
+      val ranked = j.withColumn(ColRank, row_number().over(locRank))
+      val primary = ranked.filter(col(ColRank) === 1).drop(ColRank)
+      val extras = ranked.filter(col(ColRank) > 1).drop(ColRank)
+      val stay = primary.filter(samePart).drop(ColIdxPart)
+      val moved = primary.filter(!samePart)
+      def tombAtIdx(df: DataFrame) = df
         .withColumn(ColPart, col(ColIdxPart))
         .withColumn(MetaColumns.PartitionPath, col(ColPart))
         .withColumn(MetaColumns.IsDeleted, lit(true))
@@ -893,7 +912,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val ins = moved
         .withColumn(ColTargetFile, lit(null).cast("string"))
         .drop(ColIdxPart)
-      stay.unionByName(tomb).unionByName(ins)
+      stay.unionByName(tombAtIdx(moved)).unionByName(ins)
+        .unionByName(tombAtIdx(extras))
     }
   }
 

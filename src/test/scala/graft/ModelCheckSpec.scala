@@ -63,10 +63,19 @@ class ModelCheckSpec extends AnyFunSuite {
     rows.toDF("k", "p", "v", "ord")
   }
 
-  private def rowSet(df: DataFrame): Set[ModelRow] =
-    df.select("k", "p", "v", "ord").collect()
+  /** Collected rows as a set, FAILING on physical duplicates — a row
+    * materialized in two file groups collapses silently in a set (the
+    * blind spot that hid the global multi-location fan-out bug), so
+    * duplicate physical rows are themselves a correctness failure.
+    */
+  private def rowSet(df: DataFrame): Set[ModelRow] = {
+    val rows = df.select("k", "p", "v", "ord").collect()
       .map(r => ModelRow(r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3)))
-      .toSet
+      .toSeq
+    val dups = rows.groupBy(identity).filter(_._2.size > 1).keys
+    assert(dups.isEmpty, s"duplicate physical rows: ${dups.take(5)}")
+    rows.toSet
+  }
 
   private def snapshotSet(read: GraftReadClient, asOf: Option[String] = None): Set[ModelRow] =
     rowSet(read.snapshotData(asOf))
@@ -111,6 +120,8 @@ class ModelCheckSpec extends AnyFunSuite {
     // history for time travel: commit ts -> frozen model state
     val history = mutable.ArrayBuffer[(String, Set[ModelRow])]()
     def record(ts: String): Unit = history += ts -> model.values.toSet
+    // savepointed states: restore rewinds the table (and model) to one
+    val savepoints = mutable.ArrayBuffer[(String, Set[ModelRow])]()
 
     // seed the table so every op has something to chew on
     val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
@@ -135,6 +146,7 @@ class ModelCheckSpec extends AnyFunSuite {
               freshRow(old.k, p)
             } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
           }
+          if (dbg) println(s"[model]   upsert ${rows.map(r => (r.k, r.p, r.ord)).sortBy(_._3)}")
           modelUpsert(model, rows, global)
           record(w.upsert(toDf(rows)))
 
@@ -148,6 +160,7 @@ class ModelCheckSpec extends AnyFunSuite {
             // is table-wide — an overwrite-orphaned same-key sibling in
             // another partition dies with it); non-global deletes only
             // the batch row's own (partition, key)
+            if (dbg) println(s"[model]   delete ${batch.map(r => (r.k, r.p, r.ord)).sortBy(_._3)}")
             if (global) {
               val ks = existing.map(_.k).toSet
               model.filterInPlace { case ((_, mk), _) => !ks(mk) }
@@ -164,30 +177,51 @@ class ModelCheckSpec extends AnyFunSuite {
           // row in another partition survives (matching the reference's
           // SparkInsertOverwriteCommitActionExecutor, which never tags);
           // the next global upsert of that key re-unifies it
+          if (dbg) println(s"[model]   overwrite $p keys=${ks.sorted} ords=${rows.map(_.ord).min}..${rows.map(_.ord).max}")
           model.filterInPlace { case ((mp, _), _) => mp != p }
           rows.foreach(r => model(r.p -> r.k) = r)
           record(w.insertOverwrite(toDf(rows)))
 
         case x if x < 78 => // drop a whole partition
           val p = partitions(rnd.nextInt(4))
+          if (dbg) println(s"[model]   drop $p")
           model.filterInPlace { case ((mp, _), _) => mp != p }
           record(w.deletePartitions(Seq(p)))
 
-        case x if x < 88 => // services leave content untouched
+        case x if x < 85 => // services leave content untouched
           if (tableType == GraftTableType.Mor) sv.compact()
           else sv.cluster()
 
-        case x if x < 94 =>
+        case x if x < 88 => // savepoint the newest data commit
+          if (history.nonEmpty && !savepoints.exists(_._1 == history.last._1))
+            savepoints += { sv.savepoint(history.last._1); history.last }
+
+        case x if x < 91 =>
+          // restore to the newest savepoint: the table AND the model
+          // rewind; later history (and its time-travel targets) is gone
+          if (savepoints.nonEmpty &&
+            savepoints.last._1 < history.last._1) {
+            val (ts, frozen) = savepoints.last
+            sv.restore(ts)
+            model.clear()
+            frozen.foreach(r => model(r.p -> r.k) = r)
+            while (history.nonEmpty && history.last._1 > ts)
+              history.remove(history.size - 1)
+          }
+
+        case x if x < 96 =>
           // roll back the latest data commit — only when it is ours
           // (a later compaction/clustering commit blocks it, exactly as
           // the engine's latest-commit guard requires)
           if (history.size >= 2 &&
-            t.timeline.completedData.lastOption.exists(_.ts == history.last._1)) {
-            sv.rollback(history.last._1)
-            history.remove(history.size - 1)
-            model.clear()
-            history.last._2.foreach(r => model(r.p -> r.k) = r)
-          }
+            t.timeline.completedData.lastOption.exists(_.ts == history.last._1))
+            if (savepoints.exists(_._1 == history.last._1)) ()
+            else {
+              sv.rollback(history.last._1)
+              history.remove(history.size - 1)
+              model.clear()
+              history.last._2.foreach(r => model(r.p -> r.k) = r)
+            }
 
         case _ =>
           sv.clean()

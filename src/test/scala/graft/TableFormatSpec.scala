@@ -470,6 +470,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap2.filter(col("o_orderpriority") === "9-MOVED").count() === 0)
   }
 
+  test("global index: an upsert re-unifies overwrite-orphaned same-key siblings") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc.copy(globalIndex = true))
+    val base = orders.limit(120)
+    w.bulkInsert(base)
+    // insert_overwrite bypasses the index: planting the same keys into two
+    // OTHER partitions leaves up to three live locations per key
+    val k60 = base.filter(col("o_orderkey") < 60)
+    w.insertOverwrite(k60.withColumn("o_orderpriority", lit("8-COPYA")))
+    w.insertOverwrite(k60.filter(col("o_orderkey") < 30)
+      .withColumn("o_orderpriority", lit("9-COPYB")))
+    val read = new GraftReadClient(t)
+    // a global upsert of every planted key must collapse each to exactly
+    // ONE physical row — the fan-out to multiple locations must emit one
+    // live row plus tombstones, never the live row per location
+    w.upsert(k60.withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val snap = read.snapshotData()
+    val dup = snap.groupBy("o_orderkey").count().filter(col("count") > 1)
+    assert(dup.count() === 0, "global upsert left a duplicated key")
+    assert(snap.filter(col("o_orderkey") < 60).count() === 60)
+    // the survivor keeps the incoming row's own partition (no-move wins
+    // over the orphaned copies)
+    assert(snap.filter(col("o_orderkey") < 60 &&
+      (col("o_orderpriority") === "8-COPYA" || col("o_orderpriority") === "9-COPYB"))
+      .count() === 0)
+    // a global delete of a still-multi-located key kills every location
+    w.insertOverwrite(k60.filter(col("o_orderkey") < 10)
+      .withColumn("o_orderpriority", lit("8-COPYA")))
+    w.delete(base.filter(col("o_orderkey") < 10).select("o_orderkey"))
+    assert(read.snapshotData().filter(col("o_orderkey") < 10).count() === 0)
+  }
+
   test("ingest runner: multi-table sync + continuous loop terminate and resume") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcA = tmp() + "/srcA"; val srcB = tmp() + "/srcB"
