@@ -289,15 +289,22 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Soak knob: GRAFT_MODEL_EXTRA_SEEDS=41,43,... runs each walk under
+    * additional seeds (dev-loop shake-out; CI keeps the pinned ones).
+    */
+  private def seeds(pinned: Long): Seq[Long] =
+    pinned +: sys.env.get("GRAFT_MODEL_EXTRA_SEEDS").toSeq
+      .flatMap(_.split(',')).map(_.trim).filter(_.nonEmpty).map(_.toLong)
+
   test("model check: COW random walk matches the in-memory model") {
-    runWalk(GraftTableType.Cow, global = false, seed = 11L)
+    seeds(11L).foreach(runWalk(GraftTableType.Cow, global = false, _))
   }
 
   test("model check: MOR random walk with compaction matches the model") {
-    runWalk(GraftTableType.Mor, global = false, seed = 23L)
+    seeds(23L).foreach(runWalk(GraftTableType.Mor, global = false, _))
   }
 
   test("model check: global-index walk moves records across partitions") {
-    runWalk(GraftTableType.Cow, global = true, seed = 37L)
+    seeds(37L).foreach(runWalk(GraftTableType.Cow, global = true, _))
   }
 }
