@@ -921,6 +921,17 @@ object SparkEntry {
         .select("doc_id")
     }),
 
+    // benchmark decontamination: corpus docs sharing >= 3 distinct word
+    // trigrams with an eval-set doc (eval set = doc_id % 17 == 0); the
+    // tiny benchmark shingle set broadcasts, the corpus never shuffles
+    "doc_contamination" -> ((s, dir) => {
+      val docs = T(s, dir, "documents")
+      Dedup.contaminationPairs(
+        docs.filter(col("doc_id") % 17 =!= 0),
+        docs.filter(col("doc_id") % 17 === 0),
+        "text", "doc_id", n = 3, minShared = 3)
+    }),
+
     // corpus-level vocabulary statistics: top-100 word bigrams — one
     // map-side-combined hash aggregation over the exploded n-grams, then
     // a k-row total ordering (TakeOrderedAndProject, no full sort)
@@ -1405,6 +1416,19 @@ object SparkEntry {
       s"""SELECT doc_id FROM (
          |  SELECT doc_id, count(*) OVER (PARTITION BY $duckNorm) AS n FROM documents)
          |WHERE n > 1""".stripMargin,
+
+    // same normalization + word trigrams; DISTINCT per doc makes shared
+    // a set-overlap count on both engines
+    "doc_contamination" ->
+      s"""WITH d AS (SELECT doc_id, string_split($duckNorm, ' ') AS ts FROM documents),
+         |g AS (SELECT DISTINCT doc_id,
+         |        ts[CAST(i AS INT)] || ' ' || ts[CAST(i AS INT)+1] || ' ' ||
+         |        ts[CAST(i AS INT)+2] AS s
+         |      FROM d, LATERAL (SELECT unnest(range(1, len(ts)-1)) AS i) t
+         |      WHERE len(ts) >= 3)
+         |SELECT c.doc_id, b.doc_id AS bench_id, count(*) AS shared
+         |FROM g c JOIN g b ON c.s = b.s AND b.doc_id % 17 = 0 AND c.doc_id % 17 <> 0
+         |GROUP BY 1, 2 HAVING count(*) >= 3""".stripMargin,
 
     // same normalization, 1-indexed list bigrams; the (cnt DESC, ngram)
     // ordering makes the top-100 cut deterministic on both engines

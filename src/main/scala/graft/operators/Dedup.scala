@@ -325,4 +325,34 @@ object Dedup {
     edges.unpersist()
     labels.select(col("_node").as(idCol), col("_label").as(componentCol))
   }
+
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minShared` DISTINCT word n-grams with an evaluation-set document —
+    * the overlap check a training pipeline runs before a corpus may ship.
+    * Returns (doc_id, bench_id, shared), one row per contaminated pair.
+    *
+    * Scale shape: the benchmark side is tiny by construction (eval sets
+    * are thousands of documents, the corpus billions), so its distinct
+    * n-gram set is broadcast — the corpus side joins in place and never
+    * shuffles document contents; the per-pair overlap count then
+    * partial-aggregates map-side. Total cost at 100 TB is one corpus
+    * scan. Distinct-ing shingles per document up front makes `shared`
+    * a set-overlap count, invariant to within-document repetition.
+    */
+  def contaminationPairs(
+      corpus: DataFrame,
+      benchmark: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minShared: Int = 3): DataFrame = {
+    def grams(d: DataFrame, out: String) = d.select(
+      col(idCol).as(out),
+      explode(array_distinct(wordNgrams(col(textCol), n))).as("_s"))
+    grams(corpus, "doc_id")
+      .join(broadcast(grams(benchmark, "bench_id")), "_s")
+      .groupBy("doc_id", "bench_id")
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= minShared)
+  }
 }

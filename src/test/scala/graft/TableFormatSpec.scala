@@ -2178,6 +2178,30 @@ class TableFormatSpec extends AnyFunSuite {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
   }
 
+  test("contaminationPairs finds planted benchmark overlap; benchmark side broadcasts") {
+    import spark.implicits._
+    val bench = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "completely different evaluation material with unique phrasing here")
+    ).toDF("doc_id", "text")
+    val corpus = Seq(
+      // contains 'quick brown fox', 'brown fox jumps', 'fox jumps over', ...
+      (10L, "witnesses saw the quick brown fox jumps over the lazy dog yesterday"),
+      (11L, "one shared trigram the quick brown but nothing else in common"),
+      (12L, "wholly unrelated text about spark shuffles and parquet footers")
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup
+      .contaminationPairs(corpus, bench, "text", "doc_id", n = 3, minShared = 3)
+    val rows = got.as[(Long, Long, Long)].collect().toSet
+    // doc 10 shares >= 3 distinct trigrams with bench 1; docs 11/12 don't
+    assert(rows.map(r => (r._1, r._2)) === Set((10L, 1L)))
+    assert(rows.head._3 >= 3)
+    // scale shape: the benchmark side is broadcast, the corpus side never
+    // shuffles before the join
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+  }
+
   test("ColumnStats compares stats through the column type, not as strings") {
     import org.apache.spark.sql.types._
     // doubles render in scientific notation; "9" > "10" as strings
