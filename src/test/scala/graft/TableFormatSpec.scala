@@ -302,6 +302,43 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 370)
   }
 
+  test("streaming source: a batch spanning a partition drop delivers no dropped rows") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp()
+    val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"; val outDir = s"$base/out"
+    val t = GraftTable.create(spark, tablePath, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val base200 = orders.filter(col("o_orderkey") < 200)
+    w.bulkInsert(base200)
+    def run(): Unit = {
+      val q = spark.readStream.format("graft").load(tablePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", outDir)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    run()
+    val catchUp = spark.read.parquet(outDir).count()
+    val urgent = base200.filter(col("o_orderpriority") === "1-URGENT").count()
+    // between stream runs: touch '1-URGENT' rows, then drop the whole
+    // partition, then a small unrelated upsert — the next batch spans all
+    // three commits and must deliver ONLY the unrelated rows, never the
+    // already-dead ones (the band's own later commit replaced them)
+    w.upsert(base200.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 3.0))
+    w.deletePartitions(Seq("1-URGENT"))
+    w.upsert(base200.filter(col("o_orderpriority") === "2-HIGH" && col("o_orderkey") < 40)
+      .withColumn("o_totalprice", col("o_totalprice") + 4.0))
+    run()
+    val extra = base200
+      .filter(col("o_orderpriority") === "2-HIGH" && col("o_orderkey") < 40).count()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() === catchUp + extra,
+      "batch spanning the partition drop delivered unexpected rows")
+    // no 1-URGENT row beyond the initial catch-up ever streamed
+    assert(out.filter(col("o_orderpriority") === "1-URGENT").count() === urgent)
+  }
+
   test("streaming CDC source: per-commit change rows across micro-batches") {
     import org.apache.spark.sql.streaming.Trigger
     val base = tmp()
