@@ -307,4 +307,8 @@ class ModelCheckSpec extends AnyFunSuite {
   test("model check: global-index walk moves records across partitions") {
     seeds(37L).foreach(runWalk(GraftTableType.Cow, global = true, _))
   }
+
+  test("model check: MOR global-index walk (delta tombstones across groups)") {
+    seeds(53L).foreach(runWalk(GraftTableType.Mor, global = true, _))
+  }
 }
