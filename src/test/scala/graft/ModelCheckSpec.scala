@@ -188,15 +188,15 @@ class ModelCheckSpec extends AnyFunSuite {
           model.filterInPlace { case ((mp, _), _) => mp != p }
           record(w.deletePartitions(Seq(p)))
 
-        case x if x < 85 => // services leave content untouched
+        case x if x < 84 => // services leave content untouched
           if (tableType == GraftTableType.Mor) sv.compact()
           else sv.cluster()
 
-        case x if x < 88 => // savepoint the newest data commit
+        case x if x < 87 => // savepoint the newest data commit
           if (history.nonEmpty && !savepoints.exists(_._1 == history.last._1))
             savepoints += { sv.savepoint(history.last._1); history.last }
 
-        case x if x < 91 =>
+        case x if x < 90 =>
           // restore to the newest savepoint: the table AND the model
           // rewind; later history (and its time-travel targets) is gone
           if (savepoints.nonEmpty &&
@@ -209,7 +209,7 @@ class ModelCheckSpec extends AnyFunSuite {
               history.remove(history.size - 1)
           }
 
-        case x if x < 96 =>
+        case x if x < 93 =>
           // roll back the latest data commit — only when it is ours
           // (a later compaction/clustering commit blocks it, exactly as
           // the engine's latest-commit guard requires)
@@ -222,6 +222,14 @@ class ModelCheckSpec extends AnyFunSuite {
               model.clear()
               history.last._2.foreach(r => model(r.p -> r.k) = r)
             }
+
+        case x if x < 96 =>
+          // archive old instants (manifest checkpoint). Keep-8 leaves the
+          // last walk commits active: the band checks below reach at most
+          // 5 entries back, so CDC never outruns the active timeline and
+          // incremental exercises its snapshot-band fallback when a band
+          // begin DOES fall below the boundary
+          sv.archive(minCommits = 8, maxCommits = 10)
 
         case _ =>
           sv.clean()
