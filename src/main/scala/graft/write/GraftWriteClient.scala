@@ -899,7 +899,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         .partitionBy(col(ColKey))
         .orderBy((col(ColIdxPart) === col(ColPart)).desc,
           col(ColIdxPart).asc, col(ColTargetFile).asc)
-      val ranked = j.withColumn(ColRank, row_number().over(locRank))
+      // dense_rank, not row_number: the batch is deduped per key by
+      // contract, but if a caller ever violates that, ranking LOCATIONS
+      // keeps every copy of the key's live row together at the primary
+      // location (merge resolves them by ordering) instead of turning
+      // one copy into a tombstone there
+      val ranked = j.withColumn(ColRank, dense_rank().over(locRank))
       val primary = ranked.filter(col(ColRank) === 1).drop(ColRank)
       val extras = ranked.filter(col(ColRank) > 1).drop(ColRank)
       val stay = primary.filter(samePart).drop(ColIdxPart)
