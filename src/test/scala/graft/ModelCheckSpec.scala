@@ -297,6 +297,103 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** The same randomized-walk idea driven ENTIRELY through the SQL
+    * surface — MERGE INTO (upsert and delete actions), UPDATE, DELETE,
+    * INSERT OVERWRITE (whole-table replace through InsertableRelation),
+    * ALTER TABLE DROP PARTITION — against the same in-memory model. The
+    * scenario SQL tests pin one statement each; this composes them.
+    */
+  private def runSqlWalk(seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val tab = s"sqlwalk_$seed"
+    val dir = tmp() + "/t"
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+
+    val model: Model = mutable.Map.empty
+    var ord = 0L
+    def nextOrd(): Long = { ord += 1; ord }
+    def freshRow(k: Long, p: String): ModelRow =
+      ModelRow(k, p, rnd.nextInt(10000) / 10.0, nextOrd())
+
+    val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
+    modelUpsert(model, seedRows, global = false)
+    toDf(seedRows).write.format("graft")
+      .option("recordkey.field", "k")
+      .option("partitionpath.field", "p")
+      .option("precombine.field", "ord")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(dir)
+    spark.sql(s"CREATE TABLE $tab USING graft OPTIONS (path '$dir')")
+
+    def mergeFrom(rows: Seq[ModelRow], action: String): Unit = {
+      toDf(rows).createOrReplaceTempView("sql_walk_src")
+      spark.sql(
+        s"""MERGE INTO $tab t USING sql_walk_src s
+           |ON t.k = s.k AND t.p = s.p
+           |$action""".stripMargin)
+    }
+
+    for (step <- 1 to 12) {
+      rnd.nextInt(100) match {
+        case x if x < 40 => // MERGE upsert (update + insert actions)
+          val existing = model.values.toVector
+          val rows = (0 until 10 + rnd.nextInt(20)).map { _ =>
+            if (existing.nonEmpty && rnd.nextBoolean()) {
+              val old = existing(rnd.nextInt(existing.size))
+              freshRow(old.k, old.p)
+            } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+          }
+          modelUpsert(model, rows, global = false)
+          mergeFrom(rows,
+            "WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *")
+
+        case x if x < 55 => // MERGE delete of existing keys + ghosts
+          val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
+          val ghosts = (0 until 2).map(_ =>
+            freshRow(keySpace + rnd.nextInt(40).toLong, partitions(rnd.nextInt(4))))
+          if (victims.nonEmpty) {
+            victims.foreach(r => model.remove(r.p -> r.k))
+            mergeFrom(victims.map(r => r.copy(ord = nextOrd())) ++ ghosts,
+              "WHEN MATCHED THEN DELETE")
+          }
+
+        case x if x < 70 => // UPDATE one partition's rows arithmetically
+          val p = partitions(rnd.nextInt(4))
+          val m = rnd.nextInt(3)
+          model.mapValuesInPlace { case ((mp, mk), r) =>
+            if (mp == p && mk % 3 == m) r.copy(v = r.v + 0.5) else r
+          }
+          spark.sql(s"UPDATE $tab SET v = v + 0.5 WHERE p = '$p' AND k % 3 = $m")
+
+        case x if x < 82 => // DELETE by predicate
+          val p = partitions(rnd.nextInt(4))
+          val m = rnd.nextInt(5)
+          model.filterInPlace { case ((mp, mk), _) => !(mp == p && mk % 5 == m) }
+          spark.sql(s"DELETE FROM $tab WHERE p = '$p' AND k % 5 = $m")
+
+        case x if x < 92 => // INSERT OVERWRITE replaces the whole table
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(20 + rnd.nextInt(20))
+          val rows = ks.map(k => freshRow(k.toLong, partitions(rnd.nextInt(4))))
+          model.clear()
+          rows.foreach(r => model(r.p -> r.k) = r)
+          toDf(rows).createOrReplaceTempView("sql_walk_src")
+          spark.sql(s"INSERT OVERWRITE $tab SELECT * FROM sql_walk_src")
+
+        case _ => // drop a partition
+          val p = partitions(rnd.nextInt(4))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          spark.sql(s"ALTER TABLE $tab DROP PARTITION (p='$p')")
+      }
+
+      val got = rowSet(spark.table(tab).select("k", "p", "v", "ord"))
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, SQL walk): snapshot diverged; " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+  }
+
   /** Soak knob: GRAFT_MODEL_EXTRA_SEEDS=41,43,... runs each walk under
     * additional seeds (dev-loop shake-out; CI keeps the pinned ones).
     */
@@ -318,5 +415,9 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: MOR global-index walk (delta tombstones across groups)") {
     seeds(53L).foreach(runWalk(GraftTableType.Mor, global = true, _))
+  }
+
+  test("model check: SQL-surface walk (MERGE/UPDATE/DELETE/OVERWRITE/DROP)") {
+    seeds(71L).foreach(runSqlWalk)
   }
 }
