@@ -124,9 +124,30 @@ final class GraftTimeline(storage: GraftStorage) {
 
   def lastCompletedData: Option[GraftInstant] = completedData.lastOption
 
+  // Instant files are immutable per state (a transition CREATES a new
+  // file name; rollback deletes, and deleted instants are never listed
+  // again), so parsed metadata can be memoized. Band reads consult each
+  // commit's metadata several times — on object storage that is one GET
+  // per consult without this. Bounded LRU: huge-commit file lists must
+  // not pin the driver heap.
+  private val metaCache =
+    new java.util.LinkedHashMap[String, GraftCommitMetadata](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, GraftCommitMetadata]): Boolean =
+        size > 256
+    }
+
   def metadataOf(instant: GraftInstant): GraftCommitMetadata =
-    Json.readCommitMetadata(
-      storage.readString(new Path(storage.metaDir, instant.fileName)))
+    metaCache.synchronized {
+      val cached = metaCache.get(instant.fileName)
+      if (cached != null) cached
+      else {
+        val m = Json.readCommitMetadata(
+          storage.readString(new Path(storage.metaDir, instant.fileName)))
+        metaCache.put(instant.fileName, m)
+        m
+      }
+    }
 
   /** Completed data commits with begin < ts <= end (incremental pulls). */
   def dataInstantsBetween(begin: String, end: String): Seq[GraftInstant] =
