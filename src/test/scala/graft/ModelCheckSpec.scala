@@ -303,9 +303,9 @@ class ModelCheckSpec extends AnyFunSuite {
     * ALTER TABLE DROP PARTITION — against the same in-memory model. The
     * scenario SQL tests pin one statement each; this composes them.
     */
-  private def runSqlWalk(seed: Long): Unit = {
+  private def runSqlWalk(seed: Long, tableType: String = GraftTableType.Cow): Unit = {
     val rnd = new Random(seed)
-    val tab = s"sqlwalk_$seed"
+    val tab = s"sqlwalk_${tableType}_$seed"
     val dir = tmp() + "/t"
     spark.sql(s"DROP TABLE IF EXISTS $tab")
 
@@ -321,6 +321,7 @@ class ModelCheckSpec extends AnyFunSuite {
       .option("recordkey.field", "k")
       .option("partitionpath.field", "p")
       .option("precombine.field", "ord")
+      .option("table.type", tableType)
       .option("operation", "bulk_insert")
       .mode("overwrite").save(dir)
     spark.sql(s"CREATE TABLE $tab USING graft OPTIONS (path '$dir')")
@@ -418,6 +419,10 @@ class ModelCheckSpec extends AnyFunSuite {
   }
 
   test("model check: SQL-surface walk (MERGE/UPDATE/DELETE/OVERWRITE/DROP)") {
-    seeds(71L).foreach(runSqlWalk)
+    seeds(71L).foreach(runSqlWalk(_))
+  }
+
+  test("model check: SQL-surface walk on a MOR table") {
+    seeds(107L).foreach(runSqlWalk(_, GraftTableType.Mor))
   }
 }
