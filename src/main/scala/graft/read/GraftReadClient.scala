@@ -133,7 +133,7 @@ final class GraftReadClient(val table: GraftTable) {
     // the tombstone barrier for the join below
     val dLatest = graft.write.MergeKernel.collapseVersions(
       deltas, keyCols.map(col), mergeOrder(deltas), cfg.payloadClass,
-      "_g_rank", withBarrier = true)
+      "_g_rank", withBarrier = true, precombine = cfg.precombineField)
 
     // 2. base rows stream through a broadcast join; per-column winner
     val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
@@ -141,7 +141,9 @@ final class GraftReadClient(val table: GraftTable) {
       base, dLatest, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
 
     // 3. delta-only keys: anti-join against the NARROW base-key projection
-    val inserts = dLatest.drop(graft.write.MergeKernel.TombBarrier)
+    val inserts = dLatest
+      .drop(graft.write.MergeKernel.TombBarrier,
+        graft.write.MergeKernel.KillFloor, graft.write.MergeKernel.KillAny)
       .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
 
     Some(dropTombstones(mergedBase.unionByName(inserts).drop(g)))
@@ -398,7 +400,8 @@ final class GraftReadClient(val table: GraftTable) {
       graft.write.MergeKernel.collapseVersions(
         withG.repartition(col(MetaColumns.PartitionPath), col(g)),
         Seq(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey)),
-        mergeOrder(df), cfg.payloadClass, "_g_rank")
+        mergeOrder(df), cfg.payloadClass, "_g_rank",
+        precombine = cfg.precombineField)
         .drop(g))
   }
 
@@ -407,7 +410,8 @@ final class GraftReadClient(val table: GraftTable) {
     dropTombstones(
       graft.write.MergeKernel.collapseVersions(df,
         Seq(col(MetaColumns.PartitionPath), col(MetaColumns.RecordKey)),
-        mergeOrder(df), cfg.payloadClass, "_g_rank"))
+        mergeOrder(df), cfg.payloadClass, "_g_rank",
+        precombine = cfg.precombineField))
 
   private def dropTombstones(df: DataFrame): DataFrame =
     if (df.columns.contains(MetaColumns.IsDeleted))

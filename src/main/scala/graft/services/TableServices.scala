@@ -246,7 +246,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         graft.write.MergeKernel.collapseVersions(
           df.repartition(col(MetaColumns.PartitionPath), col(g)),
           Seq(col(MetaColumns.PartitionPath), col(g), col(MetaColumns.RecordKey)),
-          mergeOrderCols(df.columns.toSeq), table.config.payloadClass, "_g_rank")
+          mergeOrderCols(df.columns.toSeq), table.config.payloadClass, "_g_rank",
+          precombine = table.config.precombineField)
       }
 
       def stage(df: DataFrame, overwrite: Boolean): Unit = df
@@ -285,7 +286,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           .withColumn(g, GraftWriteClient.fileIdOfScan)
         val dLatest = graft.write.MergeKernel.collapseVersions(
           deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
-          table.config.payloadClass, "_g_rank", withBarrier = true)
+          table.config.payloadClass, "_g_rank", withBarrier = true,
+          precombine = table.config.precombineField)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val insertGroupIds = dLatest
           .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")

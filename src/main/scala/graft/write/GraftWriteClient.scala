@@ -472,7 +472,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (operation == "insert" || singleVersion) clustered
           else MergeKernel.collapseVersions(clustered,
             Seq(col(ColPart), col(ColTargetFile), col(ColKey)),
-            mergeOrder(dataCols), cfg.payloadClass, ColRank)
+            mergeOrder(dataCols), cfg.payloadClass, ColRank,
+            precombine = cfg.precombineField)
         val surviving =
           if (table.isMor) merged // tombstones live in deltas until compaction
           else merged.filter(!col(MetaColumns.IsDeleted))

@@ -34,13 +34,22 @@ private[graft] object MergeKernel {
     */
   val TombBarrier = "_g_tomb_barrier"
 
+  /** Columns emitted by an event_time [[collapseVersions]] in
+    * `withBarrier` mode: the largest tombstone ordering in the collapsed
+    * history (and whether any tombstone existed at all) — consumed by
+    * [[broadcastWinner]] to kill base rows a delta tombstone out-ordered
+    * even when a LATER delta revived the key with a smaller ordering.
+    */
+  val KillFloor = "_g_kill_floor"
+  val KillAny = "_g_kill_any"
+
   /** Engine bookkeeping columns that may ride through a merge frame.
     * Matched EXACTLY — a user data column that merely starts with "_g"
     * (say `_growth`) must still participate in the
     * overwrite_non_defaults field fold.
     */
   private val internalCols: Set[String] = Set(
-    TombBarrier, "_g_cum_tomb", "_g_group",
+    TombBarrier, KillFloor, KillAny, "_g_cum_tomb", "_g_group", "_g_surv",
     GraftWriteClient.ColKey, GraftWriteClient.ColPart,
     GraftWriteClient.ColIdxPart, GraftWriteClient.ColTargetFile,
     GraftWriteClient.ColRank, GraftWriteClient.ColHashFrac,
@@ -55,7 +64,22 @@ private[graft] object MergeKernel {
     * Default payloads keep the rank-1 row whole; "overwrite_non_defaults"
     * additionally folds each data column to its newest non-null value
     * above the tombstone barrier. With `withBarrier` the output carries
-    * [[TombBarrier]] (drop it before unioning with plain frames).
+    * [[TombBarrier]] (and, for event_time, [[KillFloor]]/[[KillAny]]) —
+    * drop them before unioning with plain frames.
+    *
+    * "event_time" with `precombine` applies COMMIT-FOLD semantics: a
+    * tombstone kills only rows of STRICTLY EARLIER commits whose
+    * ordering it beats (nulls rank last; an equal ordering loses to the
+    * newer tombstone), and rows of later commits never see it. That is
+    * exactly what replaying each commit as a COW rewrite yields — the
+    * rewrite drops dead rows physically and forgets them — so the MOR
+    * delta merge and compaction agree with the COW path bit-for-bit
+    * regardless of when compaction runs. Without this, a tombstone
+    * lingering in a delta would out-order a later stale re-insert that
+    * the COW path (which no longer remembers the delete) accepts.
+    * (ref: DefaultHoodieRecordPayload.java:55-75 — the reference's
+    * delta-scanner semantics are compaction-timing-dependent here; the
+    * fold picks the deterministic COW answer for both paths.)
     */
   def collapseVersions(
       df: DataFrame,
@@ -63,9 +87,43 @@ private[graft] object MergeKernel {
       order: Seq[Column],
       payloadClass: String,
       rankCol: String,
-      withBarrier: Boolean = false): DataFrame = {
+      withBarrier: Boolean = false,
+      precombine: Option[String] = None): DataFrame = {
     val w = Window.partitionBy(partCols: _*).orderBy(order: _*)
-    if (payloadClass != "overwrite_non_defaults") {
+    val eventTimeFold = payloadClass == "event_time" &&
+      precombine.exists(df.columns.contains) &&
+      df.columns.contains(MetaColumns.IsDeleted) &&
+      df.columns.contains(MetaColumns.CommitTime)
+    if (eventTimeFold) {
+      val pc = col(precombine.get)
+      val del = col(MetaColumns.IsDeleted)
+      val cNum = col(MetaColumns.CommitTime).cast("long")
+      val wLater = Window.partitionBy(partCols: _*).orderBy(cNum)
+        .rangeBetween(1L, Window.unboundedFollowing)
+      val laterDelMax = max(when(del, pc)).over(wLater)
+      val laterDelAny = max(when(del, lit(1))).over(wLater)
+      val survives = !del && when(pc.isNull, laterDelAny.isNull)
+        .otherwise(laterDelMax.isNull || pc > laterDelMax)
+      val surv = "_g_surv"
+      // survivors outrank tombstones; within each class the caller's
+      // NEWEST-FIRST order picks the winner. A key with no survivor
+      // still emits its best tombstone so pairwise consumers see the
+      // delete (plain callers drop tombstones downstream).
+      val wRank = Window.partitionBy(partCols: _*)
+        .orderBy(col(surv).desc +: order: _*)
+      val based = df.withColumn(surv, survives.cast("int"))
+      val withFloor =
+        if (!withBarrier) based
+        else {
+          val wFull = Window.partitionBy(partCols: _*)
+          based
+            .withColumn(KillFloor, max(when(del, pc)).over(wFull))
+            .withColumn(KillAny, max(when(del, lit(1))).over(wFull).isNotNull)
+        }
+      withFloor.withColumn(rankCol, row_number().over(wRank))
+        .filter(col(rankCol) === 1)
+        .drop(rankCol, surv)
+    } else if (payloadClass != "overwrite_non_defaults") {
       df.withColumn(rankCol, row_number().over(w))
         .filter(col(rankCol) === 1)
         .drop(rankCol)
@@ -114,9 +172,12 @@ private[graft] object MergeKernel {
       precombineField: Option[String]): DataFrame = {
     val In = "_g_in_"
     val barrierIn = inc.columns.contains(TombBarrier)
+    val floorIn = inc.columns.contains(KillFloor)
     val incR = inc.select(
       keyCols.map(col) ++ valueCols.map(c => col(c).as(In + c)) ++
-        (if (barrierIn) Seq(col(TombBarrier).as(In + TombBarrier)) else Seq.empty): _*)
+        (if (barrierIn) Seq(col(TombBarrier).as(In + TombBarrier)) else Seq.empty) ++
+        (if (floorIn) Seq(col(KillFloor).as(In + KillFloor),
+          col(KillAny).as(In + KillAny)) else Seq.empty): _*)
     val oldFull = valueCols.foldLeft(old)((d, c) =>
       if (d.columns.contains(c)) d
       else d.withColumn(c, lit(null).cast(inc.schema(c).dataType)))
@@ -126,8 +187,21 @@ private[graft] object MergeKernel {
       case ("event_time", Some(pc)) if valueCols.contains(pc) =>
         val nPc = col(In + pc)
         val oPc = col(pc)
-        (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
+        val pair = (nPc.isNotNull && (oPc.isNull || nPc >= oPc)) ||
           (nPc.isNull && oPc.isNull)
+        if (!floorIn) pair
+        else {
+          // the commit-fold kill floor: some collapsed tombstone
+          // out-ordered the old row even if a later delta revived the
+          // key with a smaller ordering — the old row is dead either
+          // way, so the incoming winner (live row or tombstone) takes
+          // the slot (equal orderings lose to the newer tombstone via
+          // the pairwise >=)
+          val oldKilled = when(col(pc).isNull,
+            coalesce(col(In + KillAny), lit(false)))
+            .otherwise(col(In + KillFloor).isNotNull && col(In + KillFloor) > col(pc))
+          oldKilled || pair
+        }
       case _ => lit(true)
     }
     val takeNew = present && wins

@@ -297,6 +297,91 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Randomized walk under the "event_time" payload with NON-MONOTONIC
+    * orderings: every ord is unique but drawn shuffled, so roughly half
+    * of all updates and deletes arrive STALE and must lose against the
+    * stored row — the DefaultHoodieRecordPayload semantics the monotonic
+    * walks never exercise (there, the incoming row always wins).
+    */
+  private def runEventTimeWalk(tableType: String, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val cfg = GraftTableConfig(
+      tableName = "et", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"), payloadClass = "event_time")
+    val wc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 64, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024)
+    val t = GraftTable.create(spark, tmp() + "/t", cfg)
+    val w = new GraftWriteClient(t, wc)
+    val sv = new TableServices(t, wc)
+    val read = new GraftReadClient(t)
+
+    val model: Model = mutable.Map.empty
+    val ordPool = rnd.shuffle((1 to 5000).toVector).iterator
+    def freshRow(k: Long, p: String): ModelRow =
+      ModelRow(k, p, rnd.nextInt(10000) / 10.0, ordPool.next().toLong)
+
+    // event-time upsert: the batch pre-combines to its max-ord row per
+    // key, which then beats the stored row only with a LARGER ordering
+    def applyUpsert(rows: Seq[ModelRow]): Unit =
+      rows.groupBy(r => (r.p, r.k)).values.map(_.maxBy(_.ord)).foreach { r =>
+        if (model.get(r.p -> r.k).forall(_.ord < r.ord)) model(r.p -> r.k) = r
+      }
+
+    val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
+    applyUpsert(seedRows)
+    w.bulkInsert(toDf(seedRows))
+
+    for (step <- 1 to 14) {
+      rnd.nextInt(100) match {
+        case x if x < 55 => // upsert: ~half the updates arrive stale
+          val existing = model.values.toVector
+          val rows = (0 until 10 + rnd.nextInt(20)).map { _ =>
+            if (existing.nonEmpty && rnd.nextBoolean()) {
+              val old = existing(rnd.nextInt(existing.size))
+              freshRow(old.k, old.p)
+            } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+          }
+          applyUpsert(rows)
+          w.upsert(toDf(rows))
+
+        case x if x < 75 => // delete: a tombstone with a stale ord loses
+          val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
+          if (victims.nonEmpty) {
+            val batch = victims.map(r => r.copy(ord = ordPool.next().toLong))
+            batch.foreach { d =>
+              if (model.get(d.p -> d.k).exists(_.ord < d.ord))
+                model.remove(d.p -> d.k)
+            }
+            w.delete(toDf(batch))
+          }
+
+        case x if x < 85 => // insert_overwrite replaces unconditionally
+          val p = partitions(rnd.nextInt(4))
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(8 + rnd.nextInt(12))
+          val rows = ks.map(k => freshRow(k.toLong, p))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          rows.foreach(r => model(r.p -> r.k) = r)
+          w.insertOverwrite(toDf(rows))
+
+        case x if x < 95 => // services preserve content
+          if (tableType == GraftTableType.Mor) sv.compact()
+          else sv.cluster()
+
+        case _ =>
+          sv.clean()
+      }
+
+      val got = snapshotSet(read)
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, $tableType, event_time): snapshot diverged; " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
   /** The same randomized-walk idea driven ENTIRELY through the SQL
     * surface — MERGE INTO (upsert and delete actions), UPDATE, DELETE,
     * INSERT OVERWRITE (whole-table replace through InsertableRelation),
@@ -424,5 +509,13 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: SQL-surface walk on a MOR table") {
     seeds(107L).foreach(runSqlWalk(_, GraftTableType.Mor))
+  }
+
+  test("model check: event_time payload walk (stale updates and deletes lose)") {
+    seeds(127L).foreach(runEventTimeWalk(GraftTableType.Cow, _))
+  }
+
+  test("model check: event_time payload walk on MOR (stale rows across deltas)") {
+    seeds(139L).foreach(runEventTimeWalk(GraftTableType.Mor, _))
   }
 }
