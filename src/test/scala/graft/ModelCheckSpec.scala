@@ -19,6 +19,11 @@ import graft.write.{GraftWriteClient, WriteConfig}
   */
 case class ModelRow(k: Long, p: String, v: Double, ord: Long)
 
+/** Row for the overwrite_non_defaults walk: two independently-nullable
+  * data fields so the per-field fallback fold is observable.
+  */
+case class NdRow(k: Long, p: String, a: Option[Double], b: Option[String], ord: Long)
+
 /** Randomized model-based check: a seeded random walk of write operations
   * (upsert / delete / insert_overwrite / delete_partition) interleaved
   * with table services (compaction, clustering, cleaning) runs against
@@ -382,6 +387,106 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Randomized walk under "overwrite_non_defaults": batches carry
+    * randomly-null fields, so the per-field fallback (a null field in
+    * the winning row takes the newest older non-null value) and the
+    * tombstone barrier (a delete + re-insert must NOT resurrect
+    * pre-delete field values) are both exercised across COW rewrites,
+    * MOR delta folds, and compaction. In-batch duplicates pre-combine
+    * WHOLE-ROW by max ordering (the reference's preCombine), while
+    * cross-commit merging folds per field (combineAndGetUpdateValue) —
+    * the model encodes exactly that split.
+    */
+  private def runNonDefaultsWalk(tableType: String, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val cfg = GraftTableConfig(
+      tableName = "nd", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"), payloadClass = "overwrite_non_defaults")
+    val wc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 64, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024)
+    val t = GraftTable.create(spark, tmp() + "/t", cfg)
+    val w = new GraftWriteClient(t, wc)
+    val sv = new TableServices(t, wc)
+    val read = new GraftReadClient(t)
+
+    val model = mutable.Map.empty[(String, Long), NdRow]
+    var ord = 0L
+    def nextOrd(): Long = { ord += 1; ord }
+    def freshRow(k: Long, p: String): NdRow = NdRow(k, p,
+      if (rnd.nextInt(10) < 3) None else Some(rnd.nextInt(1000) / 10.0),
+      if (rnd.nextInt(10) < 3) None else Some("s" + rnd.nextInt(100)),
+      nextOrd())
+    def ndDf(rows: Seq[NdRow]): DataFrame = {
+      import spark.implicits._
+      rows.toDF("k", "p", "a", "b", "ord")
+    }
+    def applyUpsert(rows: Seq[NdRow]): Unit =
+      rows.groupBy(r => (r.p, r.k)).values
+        .map(_.maxBy(_.ord)).foreach { r => // whole-row in-batch preCombine
+          val folded = model.get(r.p -> r.k) match {
+            case Some(st) => r.copy(a = r.a.orElse(st.a), b = r.b.orElse(st.b))
+            case None     => r
+          }
+          model(r.p -> r.k) = folded
+        }
+
+    val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
+    applyUpsert(seedRows)
+    w.bulkInsert(ndDf(seedRows))
+
+    for (step <- 1 to 14) {
+      rnd.nextInt(100) match {
+        case x if x < 60 => // upsert with random null fields + in-batch dups
+          val existing = model.values.toVector
+          val rows = (0 until 10 + rnd.nextInt(20)).flatMap { _ =>
+            val r =
+              if (existing.nonEmpty && rnd.nextBoolean()) {
+                val old = existing(rnd.nextInt(existing.size))
+                freshRow(old.k, old.p)
+              } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+            if (rnd.nextInt(10) == 0) Seq(r, freshRow(r.k, r.p)) else Seq(r)
+          }
+          applyUpsert(rows)
+          w.upsert(ndDf(rows))
+
+        case x if x < 75 => // delete: the barrier against resurrection
+          val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
+          if (victims.nonEmpty) {
+            victims.foreach(r => model.remove(r.p -> r.k))
+            w.delete(ndDf(victims.map(r => r.copy(ord = nextOrd()))))
+          }
+
+        case x if x < 85 => // overwrite: fields land as written, no fold
+          val p = partitions(rnd.nextInt(4))
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(8 + rnd.nextInt(12))
+          val rows = ks.map(k => freshRow(k.toLong, p))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          rows.foreach(r => model(r.p -> r.k) = r)
+          w.insertOverwrite(ndDf(rows))
+
+        case x if x < 95 =>
+          if (tableType == GraftTableType.Mor) sv.compact()
+          else sv.cluster()
+
+        case _ =>
+          sv.clean()
+      }
+
+      val got = read.snapshotData().select("k", "p", "a", "b", "ord").collect()
+        .map(r => NdRow(r.getLong(0), r.getString(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+          Option(r.getString(3)), r.getLong(4)))
+        .toSet
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, $tableType, non_defaults): snapshot diverged; " +
+          s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
   /** The same randomized-walk idea driven ENTIRELY through the SQL
     * surface — MERGE INTO (upsert and delete actions), UPDATE, DELETE,
     * INSERT OVERWRITE (whole-table replace through InsertableRelation),
@@ -509,6 +614,14 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: SQL-surface walk on a MOR table") {
     seeds(107L).foreach(runSqlWalk(_, GraftTableType.Mor))
+  }
+
+  test("model check: overwrite_non_defaults walk (field fallback + barrier)") {
+    seeds(181L).foreach(runNonDefaultsWalk(GraftTableType.Cow, _))
+  }
+
+  test("model check: overwrite_non_defaults walk on MOR (fold across deltas)") {
+    seeds(191L).foreach(runNonDefaultsWalk(GraftTableType.Mor, _))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {
