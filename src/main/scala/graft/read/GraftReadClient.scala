@@ -180,55 +180,35 @@ final class GraftReadClient(val table: GraftTable) {
     // state is not reconstructible.
     val archivedInRange = table.timeline.archivedInstants.exists(i =>
       GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end)
-    val instants = table.timeline.dataInstantsBetween(beginTs, end)
-    // a band file cleaning already deleted (a superseded version inside
-    // the band) takes the same snapshot fallback as an archived band —
-    // the touched-files scan would hit missing paths, while the snapshot
-    // band is exact because rows keep their original commit times
-    val deleted = table.physicallyDeletedFiles
-    val cleanedInRange = deleted.nonEmpty && instants.exists(i =>
-      table.timeline.metadataOf(i).files
-        .exists(f => deleted(s"${f.partition}/${f.fileName}")))
-    if (archivedInRange || cleanedInRange)
+    if (archivedInRange)
       return snapshot(Some(end)).filter(
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
-    // A file whose GROUP a later band commit replaced (insert_overwrite,
-    // delete_partition, clustering) is invisible at `end` — reading it
-    // would resurrect rows the snapshot no longer holds, and disagree
-    // with the snapshot-band fallback above. Rows a band CLUSTERING
-    // rewrote are not lost: the rewriting replace-commit's own files are
-    // in the band and carry them at their original commit times, so the
-    // band filter below re-admits exactly the surviving ones.
-    val replacedTs: Map[(String, String), String] = instants
-      .flatMap { rc =>
-        table.timeline.metadataOf(rc).replacedFileIds.toSeq.flatMap {
-          case (p, ids) => ids.map(id => (p, id) -> rc.ts)
-        }
-      }.toMap // a group dies at most once; later writes open new groups
-    val banded = instants.flatMap { i =>
-      table.timeline.metadataOf(i).files
-        .filter(f => replacedTs.get((f.partition, f.fileId)).forall(_ <= i.ts))
-        .map(f => (f.partition, f.fileId, f.isDelta, i.ts,
-          table.resolveDataPath(f.partition, f)))
-    }
-    // Within a group, a newer BASE version supersedes an older one (a COW
-    // rewrite drops deleted rows PHYSICALLY — no tombstone survives — and
-    // carries untouched rows at their original commit times). Reading a
-    // superseded version would resurrect rows deleted later in the band,
-    // so only each group's latest band version is read; MOR delta files
-    // are additive and all kept.
-    val latestBaseTs = banded.filter(!_._3)
-      .groupBy(f => (f._1, f._2)).view.mapValues(_.map(_._4).max).toMap
-    val files = banded
-      .filter(f => f._3 || latestBaseTs((f._1, f._2)) == f._4)
-      .map(_._5)
-    table.logicalize(readFiles(files.distinct) match {
-      case None => emptyFrame(None)
-      case Some(df) =>
-        val band = df.filter(
-          col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
-        mergeLatestPerKey(band)
-    })
+    val instants = table.timeline.dataInstantsBetween(beginTs, end)
+    // The pull is the SNAPSHOT state of the groups the band touched,
+    // band-filtered on the rows' original commit times — i.e. a merge
+    // scan of each touched group's latest slice as of `end`, exactly the
+    // reference's MOR incremental shape (MergeOnReadIncrementalRelation:
+    // merge scan + commit-time band filters). Reading band FILES instead
+    // would resurrect states later band commits overrode: rows of
+    // groups a later commit replaced (insert_overwrite, delete_partition,
+    // clustering), rows a later COW rewrite physically dropped (a partial
+    // delete leaves no tombstone), and — under event_time — stale MOR
+    // delta rows whose ordering lost to a pre-band winner the delta files
+    // alone cannot see. The as-of-end view handles every one of those:
+    // replaced groups are gone, only latest versions are read, and the
+    // full-slice merge folds band rows against the pre-band state. Band
+    // files cleaning already deleted are irrelevant here for the same
+    // reason — only latest slices are read.
+    val touched: Set[(String, String)] = instants.flatMap { i =>
+      table.timeline.metadataOf(i).files.map(f => (f.partition, f.fileId))
+    }.toSet
+    if (touched.isEmpty) // metadata-only band (e.g. delete_partition)
+      return table.logicalize(emptyFrame(None).filter(lit(false)))
+    val slices = table.view.latestSlices(Some(end))
+      .filter(s => touched((s.partition, s.fileId)))
+    table.logicalize(
+      physicalSnapshotFromSlices(slices, Some(end)).filter(
+        col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end))
   }
 
   /** Change-data-capture view: one row PER CHANGE for every data commit

@@ -1687,6 +1687,33 @@ class TableFormatSpec extends AnyFunSuite {
     assert(inc2.filter(col("o_orderpriority") === "3-MEDIUM").count() === 15)
   }
 
+  test("incremental under event_time reports table state, not stale band losers") {
+    // a stale update (smaller ordering) recorded in the band must not be
+    // reported: it is not the table's state at band end — COW merges it
+    // away at write, MOR must merge the full touched slice, not the band
+    // delta files alone (ref: MergeOnReadIncrementalRelation.scala:79-154
+    // — the reference's MOR incremental is a merge scan + band filter)
+    for (tt <- Seq(GraftTableType.Cow, GraftTableType.Mor)) {
+      val t = GraftTable.create(spark, tmp() + "/t",
+        cowConfig.copy(tableType = tt, payloadClass = "event_time",
+          precombineField = Some("o_totalprice")))
+      val w = new GraftWriteClient(t, wc)
+      val base = orders.filter(col("o_orderkey") < 100)
+        .withColumn("o_totalprice", lit(500.0))
+      val c1 = w.bulkInsert(base)
+      // stale: ordering 300 loses to stored 500 — a no-op on table state
+      w.upsert(base.filter(col("o_orderkey") < 40)
+        .withColumn("o_totalprice", lit(300.0)))
+      // fresh: ordering 700 wins for 10 other keys
+      w.upsert(base.filter(col("o_orderkey") >= 90)
+        .withColumn("o_totalprice", lit(700.0)))
+      val read = new GraftReadClient(t)
+      val inc = read.dataOnly(read.incremental(c1))
+      assert(inc.count() === 10, s"$tt: stale losers leaked into the pull")
+      assert(inc.filter(col("o_totalprice") === 700.0).count() === 10, s"$tt")
+    }
+  }
+
   test("SQL MERGE/UPDATE resolve renamed columns through the logical mapping") {
     val sparkExt = spark
     val path = tmp() + "/t"
