@@ -570,10 +570,10 @@ class ModelCheckSpec extends AnyFunSuite {
           toDf(rows).createOrReplaceTempView("sql_walk_src")
           spark.sql(s"INSERT OVERWRITE $tab SELECT * FROM sql_walk_src")
 
-        case _ => // drop a partition
+        case _ => // drop a partition (IF EXISTS: it may hold no rows)
           val p = partitions(rnd.nextInt(4))
           model.filterInPlace { case ((mp, _), _) => mp != p }
-          spark.sql(s"ALTER TABLE $tab DROP PARTITION (p='$p')")
+          spark.sql(s"ALTER TABLE $tab DROP IF EXISTS PARTITION (p='$p')")
       }
 
       val got = rowSet(spark.table(tab).select("k", "p", "v", "ord"))
