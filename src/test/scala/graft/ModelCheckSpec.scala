@@ -335,9 +335,12 @@ class ModelCheckSpec extends AnyFunSuite {
         if (model.get(r.p -> r.k).forall(_.ord < r.ord)) model(r.p -> r.k) = r
       }
 
+    val history = mutable.ArrayBuffer[(String, Set[ModelRow])]()
+    def record(ts: String): Unit = history += ts -> model.values.toSet
+
     val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
     applyUpsert(seedRows)
-    w.bulkInsert(toDf(seedRows))
+    record(w.bulkInsert(toDf(seedRows)))
 
     for (step <- 1 to 14) {
       rnd.nextInt(100) match {
@@ -350,7 +353,7 @@ class ModelCheckSpec extends AnyFunSuite {
             } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
           }
           applyUpsert(rows)
-          w.upsert(toDf(rows))
+          record(w.upsert(toDf(rows)))
 
         case x if x < 75 => // delete: a tombstone with a stale ord loses
           val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
@@ -360,7 +363,7 @@ class ModelCheckSpec extends AnyFunSuite {
               if (model.get(d.p -> d.k).exists(_.ord < d.ord))
                 model.remove(d.p -> d.k)
             }
-            w.delete(toDf(batch))
+            record(w.delete(toDf(batch)))
           }
 
         case x if x < 85 => // insert_overwrite replaces unconditionally
@@ -369,7 +372,7 @@ class ModelCheckSpec extends AnyFunSuite {
           val rows = ks.map(k => freshRow(k.toLong, p))
           model.filterInPlace { case ((mp, _), _) => mp != p }
           rows.foreach(r => model(r.p -> r.k) = r)
-          w.insertOverwrite(toDf(rows))
+          record(w.insertOverwrite(toDf(rows)))
 
         case x if x < 95 => // services preserve content
           if (tableType == GraftTableType.Mor) sv.compact()
@@ -384,6 +387,22 @@ class ModelCheckSpec extends AnyFunSuite {
       assert(got == want,
         s"step $step (seed $seed, $tableType, event_time): snapshot diverged; " +
           s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+      if (step % 3 == 2 && history.size >= 2) {
+        // incremental under event_time: ONLY real state changes are
+        // reported — a band whose writes all arrived stale contributes
+        // nothing (the pull is view state band-filtered, never raw band
+        // files, so a stale MOR delta row cannot leak)
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(4, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val got2 = rowSet(read.dataOnly(read.incremental(ci, Some(cj))))
+        val want2 = frozenJ -- frozenI
+        assert(got2 == want2,
+          s"step $step (seed $seed, $tableType, event_time): incremental " +
+            s"($ci,$cj] diverged; extra=${(got2 -- want2).take(5)} " +
+            s"missing=${(want2 -- got2).take(5)}")
+      }
     }
   }
 
