@@ -282,6 +282,25 @@ object SparkEntry {
       snap(t)
     }),
 
+    // event_time payload on MOR: a stale update (smaller precombine)
+    // must lose against the stored row across the delta fold; a fresh
+    // one wins — the DefaultHoodieRecordPayload semantics under the
+    // commit-fold kernel (ref: DefaultHoodieRecordPayload.java:55-75)
+    "tf_event_time" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_event_time", dir),
+        ordersTableConfig(GraftTableType.Mor).copy(payloadClass = "event_time"))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(orders)
+      // stale: lower ordering value — a no-op on every touched key
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") - 100.0))
+      // fresh: higher ordering value — wins
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+      snap(t)
+    }),
+
     "tf_incremental" -> ((s, dir) => {
       val (t, w, orders) = cowOrders("tf_incremental", s, dir)
       val c1 = w.bulkInsert(orders)
@@ -1235,6 +1254,9 @@ object SparkEntry {
     "tf_incr_replace" ->
       (ordersSelect("o_totalprice + 500.0 AS o_totalprice") +
         " WHERE o_orderkey % 8 = 5 AND o_orderpriority <> '1-URGENT'"),
+
+    "tf_event_time" -> ordersSelect(
+      "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_time_travel" -> ordersSelect("o_totalprice"),
 
