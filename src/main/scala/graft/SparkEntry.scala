@@ -609,6 +609,24 @@ object SparkEntry {
       snap(t)
     }),
 
+    // global re-unification: insert_overwrite bypasses the index and
+    // plants same-key siblings in a foreign partition; the next global
+    // upsert of those keys must collapse each to ONE row in its own
+    // partition (one live row + tombstones at the orphaned locations,
+    // never the live row per location)
+    "tf_global_reunify" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_global_reunify", dir),
+        ordersTableConfig(GraftTableType.Cow))
+      val w = new GraftWriteClient(t, testWc.copy(globalIndex = true))
+      w.bulkInsert(orders)
+      w.insertOverwrite(orders.filter(col("o_orderkey") % 6 === 2)
+        .withColumn("o_orderpriority", lit("8-COPY")))
+      w.upsert(orders.filter(col("o_orderkey") % 6 === 2)
+        .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+      snap(t)
+    }),
+
     // timestamp-based key generator: partition path derived by formatting
     // the event-time column (ref: TimestampBasedAvroKeyGenerator.java);
     // the derived partition value is surfaced and oracle-checked
@@ -1384,6 +1402,9 @@ object SparkEntry {
         |  o_orderdate,
         |  CASE WHEN o_orderkey % 10 = 4 THEN '9-MOVED' ELSE o_orderpriority END AS o_orderpriority
         |FROM orders""".stripMargin,
+
+    "tf_global_reunify" -> ordersSelect(
+      "CASE WHEN o_orderkey % 6 = 2 THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_timestamp_keygen" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
