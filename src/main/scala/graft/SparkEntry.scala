@@ -301,6 +301,23 @@ object SparkEntry {
       snap(t)
     }),
 
+    // incremental under event_time on MOR: the pull is view state
+    // band-filtered, so a stale update recorded in the band (it lost to
+    // the stored ordering) contributes nothing — only real changes flow
+    "tf_incr_event_time" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_incr_event_time", dir),
+        ordersTableConfig(GraftTableType.Mor).copy(payloadClass = "event_time"))
+      val w = new GraftWriteClient(t, testWc)
+      val c1 = w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") - 100.0)) // stale
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)) // fresh
+      val r = new GraftReadClient(t)
+      r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
     "tf_incremental" -> ((s, dir) => {
       val (t, w, orders) = cowOrders("tf_incremental", s, dir)
       val c1 = w.bulkInsert(orders)
@@ -1275,6 +1292,10 @@ object SparkEntry {
 
     "tf_event_time" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 100.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_incr_event_time" ->
+      (ordersSelect("o_totalprice + 100.0 AS o_totalprice") +
+        " WHERE o_orderkey % 5 = 0"),
 
     "tf_time_travel" -> ordersSelect("o_totalprice"),
 
