@@ -452,9 +452,12 @@ class ModelCheckSpec extends AnyFunSuite {
           model(r.p -> r.k) = folded
         }
 
+    val history = mutable.ArrayBuffer[(String, Set[NdRow])]()
+    def record(ts: String): Unit = history += ts -> model.values.toSet
+
     val seedRows = (0 until 60).map(i => freshRow(i.toLong, partitions(i % 4)))
     applyUpsert(seedRows)
-    w.bulkInsert(ndDf(seedRows))
+    record(w.bulkInsert(ndDf(seedRows)))
 
     for (step <- 1 to 14) {
       rnd.nextInt(100) match {
@@ -469,13 +472,13 @@ class ModelCheckSpec extends AnyFunSuite {
             if (rnd.nextInt(10) == 0) Seq(r, freshRow(r.k, r.p)) else Seq(r)
           }
           applyUpsert(rows)
-          w.upsert(ndDf(rows))
+          record(w.upsert(ndDf(rows)))
 
         case x if x < 75 => // delete: the barrier against resurrection
           val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
           if (victims.nonEmpty) {
             victims.foreach(r => model.remove(r.p -> r.k))
-            w.delete(ndDf(victims.map(r => r.copy(ord = nextOrd()))))
+            record(w.delete(ndDf(victims.map(r => r.copy(ord = nextOrd())))))
           }
 
         case x if x < 85 => // overwrite: fields land as written, no fold
@@ -484,7 +487,7 @@ class ModelCheckSpec extends AnyFunSuite {
           val rows = ks.map(k => freshRow(k.toLong, p))
           model.filterInPlace { case ((mp, _), _) => mp != p }
           rows.foreach(r => model(r.p -> r.k) = r)
-          w.insertOverwrite(ndDf(rows))
+          record(w.insertOverwrite(ndDf(rows)))
 
         case x if x < 95 =>
           if (tableType == GraftTableType.Mor) sv.compact()
@@ -503,6 +506,37 @@ class ModelCheckSpec extends AnyFunSuite {
       assert(got == want,
         s"step $step (seed $seed, $tableType, non_defaults): snapshot diverged; " +
           s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+      if (step % 4 == 2 && history.size >= 2) {
+        // CDC under field folding: change images must carry FOLDED rows
+        // (an update's postimage includes its fallback values), so
+        // replaying the feed over the band-begin state reproduces the
+        // band-end state exactly
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(3, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val feed = read.changes(ci, Some(cj))
+          .select(col("_change_ordinal"), col("_change_type"),
+            col("k"), col("p"), col("a"), col("b"), col("ord"))
+          .collect()
+          .sortBy(_.getInt(0))
+        val replay = mutable.Map[(String, Long), NdRow](
+          frozenI.map(r => (r.p, r.k) -> r).toSeq: _*)
+        feed.foreach { r =>
+          val row = NdRow(r.getLong(2), r.getString(3),
+            if (r.isNullAt(4)) None else Some(r.getDouble(4)),
+            Option(r.getString(5)), r.getLong(6))
+          r.getString(1) match {
+            case "insert" | "update_postimage" => replay((row.p, row.k)) = row
+            case "delete"                      => replay.remove((row.p, row.k))
+            case _                             => // preimage: informational
+          }
+        }
+        assert(replay.values.toSet == frozenJ,
+          s"step $step (seed $seed, $tableType, non_defaults): CDC replay " +
+            s"($ci,$cj] diverged; extra=${(replay.values.toSet -- frozenJ).take(5)} " +
+            s"missing=${(frozenJ -- replay.values.toSet).take(5)}")
+      }
     }
   }
 
