@@ -285,7 +285,12 @@ object Dedup {
     * O(component diameter) rounds — tiny for near-dup clusters. Each
     * round is one equi-join plus a map-side-combinable min aggregation,
     * both keyed by node — no all-pairs work at any scale; lineage is cut
-    * per round with localCheckpoint so plans stay flat.
+    * per round with localCheckpoint so plans stay flat. localCheckpoint
+    * blocks die with their executor: on a cluster with churn (spot
+    * nodes, dynamic allocation) pass `checkpointDir` to materialize each
+    * round as parquet instead — the same executor-churn-safe cut the CDC
+    * reader uses (GraftReadClient.changes reliableCheckpoint); the
+    * caller owns cleanup of the directory after draining the result.
     *
     * Returns (idCol, componentCol) for every id that appears in `pairs`:
     * componentCol = the minimum id reachable through the pair graph.
@@ -296,14 +301,24 @@ object Dedup {
       idB: String = "id_b",
       idCol: String = "doc_id",
       componentCol: String = "component_id",
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    var round = 0
+    def cut(df: DataFrame): DataFrame = checkpointDir match {
+      case None => df.localCheckpoint()
+      case Some(dir) =>
+        round += 1
+        val spark = df.sparkSession
+        val path = s"$dir/dup_cc_round_$round"
+        df.write.mode("overwrite").parquet(path)
+        spark.read.parquet(path)
+    }
     val edges = pairs.select(col(idA).as("_src"), col(idB).as("_dst"))
       .unionByName(pairs.select(col(idB).as("_src"), col(idA).as("_dst")))
       .distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("_src").as("_node")).distinct()
-      .withColumn("_label", col("_node"))
-      .localCheckpoint()
+    var labels = cut(edges.select(col("_src").as("_node")).distinct()
+      .withColumn("_label", col("_node")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIterations) {
@@ -312,10 +327,9 @@ object Dedup {
         .join(labels.select(col("_node").as("_dst"), col("_label").as("_nl")), "_dst")
         .groupBy(col("_src").as("_node"))
         .agg(min(col("_nl")).as("_nbr"))
-      val next = labels
+      val next = cut(labels
         .join(nbrMin, Seq("_node"), "left")
-        .select(col("_node"), least(col("_label"), col("_nbr")).as("_label"))
-        .localCheckpoint()
+        .select(col("_node"), least(col("_label"), col("_nbr")).as("_label")))
       converged = next
         .join(labels.select(col("_node"), col("_label").as("_old")), "_node")
         .filter(col("_label") =!= col("_old"))
@@ -338,6 +352,11 @@ object Dedup {
     * partial-aggregates map-side. Total cost at 100 TB is one corpus
     * scan. Distinct-ing shingles per document up front makes `shared`
     * a set-overlap count, invariant to within-document repetition.
+    * The broadcast size scales with the benchmark's TOKEN count, not its
+    * document count, so it is guarded: the gram set is counted first
+    * (benchmark side only — negligible next to the corpus scan) and a
+    * set past `broadcastGramLimit` falls back to a shuffle join instead
+    * of failing on Spark's broadcast limit.
     */
   def contaminationPairs(
       corpus: DataFrame,
@@ -345,12 +364,17 @@ object Dedup {
       textCol: String,
       idCol: String,
       n: Int = 3,
-      minShared: Int = 3): DataFrame = {
+      minShared: Int = 3,
+      broadcastGramLimit: Long = 10L * 1000 * 1000): DataFrame = {
     def grams(d: DataFrame, out: String) = d.select(
       col(idCol).as(out),
       explode(array_distinct(wordNgrams(col(textCol), n))).as("_s"))
+    val bGrams = grams(benchmark, "bench_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bench =
+      if (bGrams.count() <= broadcastGramLimit) broadcast(bGrams) else bGrams
     grams(corpus, "doc_id")
-      .join(broadcast(grams(benchmark, "bench_id")), "_s")
+      .join(bench, "_s")
       .groupBy("doc_id", "bench_id")
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= minShared)

@@ -197,9 +197,13 @@ private[graft] object MergeKernel {
           // way, so the incoming winner (live row or tombstone) takes
           // the slot (equal orderings lose to the newer tombstone via
           // the pairwise >=)
+          // base rows come from strictly earlier commits than any delta
+          // tombstone, and the fold's survival test is pc > laterDelMax —
+          // so an EQUAL ordering also dies ('>=', not '>'), keeping the
+          // broadcast plan bit-identical with the window/clustered fold
           val oldKilled = when(col(pc).isNull,
             coalesce(col(In + KillAny), lit(false)))
-            .otherwise(col(In + KillFloor).isNotNull && col(In + KillFloor) > col(pc))
+            .otherwise(col(In + KillFloor).isNotNull && col(In + KillFloor) >= col(pc))
           oldKilled || pair
         }
       case _ => lit(true)

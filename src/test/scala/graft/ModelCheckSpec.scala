@@ -313,10 +313,17 @@ class ModelCheckSpec extends AnyFunSuite {
   }
 
   /** Randomized walk under the "event_time" payload with NON-MONOTONIC
-    * orderings: every ord is unique but drawn shuffled, so roughly half
-    * of all updates and deletes arrive STALE and must lose against the
-    * stored row — the DefaultHoodieRecordPayload semantics the monotonic
-    * walks never exercise (there, the incoming row always wins).
+    * orderings: ords are drawn shuffled, so roughly half of all updates
+    * and deletes arrive STALE and must lose against the stored row — the
+    * DefaultHoodieRecordPayload semantics the monotonic walks never
+    * exercise (there, the incoming row always wins). Some batches also
+    * COLLIDE with the stored row's exact ordering (one row per key per
+    * batch, so the in-batch tiebreak hash never decides): the engine's
+    * tie rule is "equal ordering goes to the newer commit" — an equal
+    * update wins, an equal tombstone kills — uniformly across the window
+    * fold (pc desc, commit desc), the pairwise broadcast rule (nPc >=
+    * oPc), and the kill floor (KillFloor >= pc), and the model encodes
+    * exactly that.
     */
   private def runEventTimeWalk(tableType: String, seed: Long): Unit = {
     val rnd = new Random(seed)
@@ -339,11 +346,30 @@ class ModelCheckSpec extends AnyFunSuite {
       ModelRow(k, p, rnd.nextInt(10000) / 10.0, ordPool.next().toLong)
 
     // event-time upsert: the batch pre-combines to its max-ord row per
-    // key, which then beats the stored row only with a LARGER ordering
+    // key, which then beats the stored row with an EQUAL-OR-LARGER
+    // ordering (ties go to the newer commit = the incoming row)
     def applyUpsert(rows: Seq[ModelRow]): Unit =
       rows.groupBy(r => (r.p, r.k)).values.map(_.maxBy(_.ord)).foreach { r =>
-        if (model.get(r.p -> r.k).forall(_.ord < r.ord)) model(r.p -> r.k) = r
+        if (model.get(r.p -> r.k).forall(_.ord <= r.ord)) model(r.p -> r.k) = r
       }
+
+    // occasionally rewrite a batch row's ordering to EQUAL the stored
+    // row's, exercising the tie rules; only for keys unique within the
+    // batch, so the value-hash tiebreak of in-batch pre-combine (which
+    // the model cannot predict) never has to decide between distinct rows
+    def injectTies(rows: Seq[ModelRow]): Seq[ModelRow] = {
+      val once = rows.groupBy(r => (r.p, r.k)).filter(_._2.size == 1).keySet
+      rows.map { r =>
+        model.get(r.p -> r.k) match {
+          case Some(st) if once(r.p -> r.k) && rnd.nextInt(4) == 0 =>
+            // also force a distinct value: an update that ties on ord AND
+            // value would be bit-identical to the stored row, making the
+            // incremental band check ambiguous (rewritten but unchanged)
+            r.copy(ord = st.ord, v = if (r.v == st.v) r.v + 0.25 else r.v)
+          case _ => r
+        }
+      }
+    }
 
     val history = mutable.ArrayBuffer[(String, Set[ModelRow])]()
     def record(ts: String): Unit = history += ts -> model.values.toSet
@@ -356,21 +382,25 @@ class ModelCheckSpec extends AnyFunSuite {
       rnd.nextInt(100) match {
         case x if x < 55 => // upsert: ~half the updates arrive stale
           val existing = model.values.toVector
-          val rows = (0 until 10 + rnd.nextInt(20)).map { _ =>
+          val rows = injectTies((0 until 10 + rnd.nextInt(20)).map { _ =>
             if (existing.nonEmpty && rnd.nextBoolean()) {
               val old = existing(rnd.nextInt(existing.size))
               freshRow(old.k, old.p)
             } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
-          }
+          })
           applyUpsert(rows)
           record(w.upsert(toDf(rows)))
 
-        case x if x < 75 => // delete: a tombstone with a stale ord loses
+        case x if x < 75 => // delete: a stale tombstone loses, an
+          // EQUAL-ordering tombstone kills (newer commit wins the tie)
           val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(10))
           if (victims.nonEmpty) {
-            val batch = victims.map(r => r.copy(ord = ordPool.next().toLong))
+            val batch = victims.map { r =>
+              if (rnd.nextInt(4) == 0) r // tombstone ord == stored ord
+              else r.copy(ord = ordPool.next().toLong)
+            }
             batch.foreach { d =>
-              if (model.get(d.p -> d.k).exists(_.ord < d.ord))
+              if (model.get(d.p -> d.k).exists(_.ord <= d.ord))
                 model.remove(d.p -> d.k)
             }
             record(w.delete(toDf(batch)))

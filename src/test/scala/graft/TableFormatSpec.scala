@@ -976,6 +976,44 @@ class TableFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("event_time ties: equal-ordering tombstone kills, identically on every plan") {
+    // Ties go to the newer commit: a delta tombstone whose ordering
+    // EQUALS the base row's kills it, and a later revival with a smaller
+    // ordering then takes the slot (the commit-fold / COW-replay answer).
+    // The broadcast MOR read, the clustered-shuffle MOR read, and the
+    // compacted (COW-equivalent) result must all agree — the kill-floor
+    // comparison must be '>=' to match the fold's pc > laterDelMax rule.
+    import spark.implicits._
+    def rows(t: (Long, String, String, Long)*) =
+      t.toSeq.toDF("k", "p", "v", "ord")
+    for (forceShuffle <- Seq(false, true)) {
+      val path = tmp()
+      val t = GraftTable.create(spark, path, GraftTableConfig(
+        tableName = "ties", tableType = GraftTableType.Mor,
+        recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+        precombineField = Some("ord"), payloadClass = "event_time"))
+      val w = new GraftWriteClient(t, wc)
+      w.bulkInsert(rows((1L, "pa", "base", 10L), (2L, "pa", "keep", 10L)))
+      w.delete(rows((1L, "pa", "tomb", 10L)))   // equal ordering: kills
+      w.upsert(rows((1L, "pa", "revival", 5L))) // later commit revives
+      w.delete(rows((2L, "pa", "tomb", 9L)))    // stale tombstone: loses
+      val read = new GraftReadClient(t)
+      val conf = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      if (forceShuffle) spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got =
+        try read.snapshotData().select("k", "v", "ord").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+      assert(got === Set((1L, "revival", 5L), (2L, "keep", 10L)),
+        s"forceShuffle=$forceShuffle")
+      // compaction replays the same commits COW-style: bit-identical
+      new TableServices(t, wc).compact()
+      val compacted = read.snapshotData().select("k", "v", "ord").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(compacted === got, s"forceShuffle=$forceShuffle: compaction diverged")
+    }
+  }
+
   test("upsertPrepped skips precombine; sortedWrite keeps files key-ordered") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
@@ -2240,6 +2278,12 @@ class TableFormatSpec extends AnyFunSuite {
       .as[(Long, Long)].collect().toMap
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+    // the executor-churn-safe lineage cut (parquet rounds) agrees
+    val ckpt = tmp() + "/cc_ckpt"
+    val reliable = graft.operators.Dedup
+      .duplicateComponents(pairs, checkpointDir = Some(ckpt))
+      .as[(Long, Long)].collect().toMap
+    assert(reliable === got)
   }
 
   test("contaminationPairs finds planted benchmark overlap; benchmark side broadcasts") {
@@ -2264,6 +2308,12 @@ class TableFormatSpec extends AnyFunSuite {
     // shuffles before the join
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
+    // an oversized benchmark gram set falls back to a shuffle join with
+    // identical results instead of blowing the broadcast limit
+    val fallback = graft.operators.Dedup.contaminationPairs(
+      corpus, bench, "text", "doc_id", n = 3, minShared = 3,
+      broadcastGramLimit = 0L)
+    assert(fallback.as[(Long, Long, Long)].collect().toSet === rows)
   }
 
   test("ColumnStats compares stats through the column type, not as strings") {
