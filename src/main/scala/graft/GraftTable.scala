@@ -93,7 +93,9 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
         storage.readString(new Path(storage.archiveDir, n))).schemaJson)
       .filter(_.nonEmpty)
     active.orElse(archived)
-      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+      .map(s => GraftTable.relaxNullability(
+        org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
         .asInstanceOf[org.apache.spark.sql.types.StructType])
   }
 
@@ -276,6 +278,29 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 }
 
 object GraftTable {
+
+  /** Stored schemas drop NOT NULL markers everywhere (top level and
+    * inside struct/array/map): the first commit's frame may carry
+    * non-nullable nested fields (e.g. structs built from literals), but
+    * merges, null-filled evolution columns and non_defaults fallbacks all
+    * legitimately produce nulls — and a cast to a NOT NULL struct field
+    * is not even analyzable. Parquet scans return nullable fields anyway,
+    * so the markers carry no information worth failing a write over.
+    */
+  private[graft] def relaxNullability(
+      dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = relaxNullability(f.dataType), nullable = true)))
+      case a: ArrayType =>
+        ArrayType(relaxNullability(a.elementType), containsNull = true)
+      case m: MapType => MapType(
+        relaxNullability(m.keyType), relaxNullability(m.valueType),
+        valueContainsNull = true)
+      case other => other
+    }
+  }
   val ConfigFile = "table_config.json"
 
   def exists(spark: SparkSession, basePath: String): Boolean = {

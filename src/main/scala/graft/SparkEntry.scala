@@ -113,6 +113,50 @@ object SparkEntry {
   private def snap(t: GraftTable): DataFrame =
     new GraftReadClient(t).snapshotData().select(ordersCols.map(col): _*)
 
+  /** Trip-shaped NESTED frame derived deterministically from orders — the
+    * reference's canonical complex-type test schema (struct fare,
+    * array-of-struct tip_history, map city_to_state, decimal, date,
+    * binary; ref: HoodieTestDataGenerator.java:91-116). The graft table
+    * stores these columns NESTED — the merge kernels, precombine, delta
+    * fold and compaction all run over them — and [[flatTrips]] flattens
+    * the snapshot to scalars only for the DuckDB compare.
+    */
+  private def trips(s: SparkSession, dir: String): DataFrame =
+    T(s, dir, "orders").select(
+      col("o_orderkey").as("trip_id"),
+      col("o_orderpriority").as("pri"),
+      col("o_totalprice").as("ord"),
+      struct(col("o_totalprice").as("amount"),
+        col("o_orderstatus").as("currency")).as("fare"),
+      array(
+        struct(dbl(dec(col("o_totalprice") * 0.1, 18, 3)).as("amount"),
+          lit("USD").as("currency")),
+        struct(lit(2.0).as("amount"),
+          col("o_orderstatus").as("currency"))).as("tip_history"),
+      map(lit("cust"), col("o_custkey").cast("string"),
+        lit("pri"), col("o_orderpriority")).as("city_to_state"),
+      (col("o_custkey") % 1000).cast(DecimalType(10, 6)).as("height"),
+      to_date(col("o_orderdate")).as("trip_date"),
+      encode(col("o_orderstatus"), "UTF-8").as("nation"))
+
+  private def tripsConfig(tt: String, payload: String) = GraftTableConfig(
+    tableName = "trips", tableType = tt,
+    recordKeyFields = Seq("trip_id"), partitionFields = Seq("pri"),
+    precombineField = Some("ord"), payloadClass = payload)
+
+  private def flatTrips(t: GraftTable): DataFrame =
+    new GraftReadClient(t).snapshotData().select(
+      col("trip_id"), col("pri"),
+      col("fare.amount").as("fare_amount"),
+      col("fare.currency").as("fare_currency"),
+      try_element_at(col("tip_history"), lit(1)).getField("amount").as("tip1_amount"),
+      try_element_at(col("tip_history"), lit(2)).getField("currency").as("tip2_currency"),
+      size(col("tip_history")).as("n_tips"),
+      element_at(col("city_to_state"), lit("cust")).as("cust_state"),
+      dbl(col("height")).as("height_dbl"),
+      col("trip_date"),
+      decode(col("nation"), "UTF-8").as("nation_str"))
+
   /** Bootstrap a fresh COW orders table through the DataSource API and
     * register it in the (session-scoped, in-memory) catalog; returns
     * (path, catalog table name) — the targets of the SQL DML queries.
@@ -316,6 +360,71 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 100.0)) // fresh
       val r = new GraftReadClient(t)
       r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
+    // the reference's canonical NESTED schema through the full MOR
+    // life-cycle under event_time: struct/array-of-struct/map/decimal/
+    // date/binary columns ride the delta fold, a stale batch with garbage
+    // nested values must lose whole, tombstones carry orderings, and
+    // compaction rewrites it all — the flattened snapshot is hash-exact
+    // vs DuckDB (ref: HoodieTestDataGenerator.java:91-116,
+    // TestMORDataSource.scala payload paths)
+    "tf_complex_types" -> ((s, dir) => {
+      val tr = trips(s, dir)
+      val t = GraftTable.create(s, freshDir("tf_complex_types", dir),
+        tripsConfig(GraftTableType.Mor, "event_time"))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(tr)
+      // fresh update: every nested column rewritten (array shrinks to 1)
+      w.upsert(tr.filter(col("trip_id") % 3 === 0).select(
+        col("trip_id"), col("pri"), (col("ord") + 1.0).as("ord"),
+        struct((col("fare.amount") + 1000.0).as("amount"),
+          lit("XXX").as("currency")).as("fare"),
+        array(struct(dbl(dec(col("ord") * 0.2, 18, 3)).as("amount"),
+          lit("EUR").as("currency"))).as("tip_history"),
+        map(lit("cust"), lit("moved")).as("city_to_state"),
+        (col("height") + 7).cast(DecimalType(10, 6)).as("height"),
+        date_add(col("trip_date"), 1).as("trip_date"),
+        encode(lit("upd"), "UTF-8").as("nation")))
+      // stale update: lower ordering — the whole row (all nested values)
+      // must lose against the stored version
+      w.upsert(tr.filter(col("trip_id") % 5 === 0).select(
+        col("trip_id"), col("pri"), (col("ord") - 1.0).as("ord"),
+        struct(lit(-1.0).as("amount"), lit("ZZZ").as("currency")).as("fare"),
+        array(struct(lit(-9.0).as("amount"),
+          lit("ZZZ").as("currency"))).as("tip_history"),
+        map(lit("cust"), lit("lost")).as("city_to_state"),
+        lit(0).cast(DecimalType(10, 6)).as("height"),
+        col("trip_date"),
+        encode(lit("zzz"), "UTF-8").as("nation")))
+      // tombstones out-order every stored/updated version of their keys
+      w.delete(tr.filter(col("trip_id") % 10 === 7)
+        .select(col("trip_id"), col("pri"), (col("ord") + 10.0).as("ord")))
+      new TableServices(t, testWc).compact()
+      flatTrips(t)
+    }),
+
+    // overwrite_non_defaults over NESTED columns: a null struct / map /
+    // decimal / date in the incoming winner falls back WHOLE to the
+    // stored value, while non-null nested columns replace — the
+    // per-field fold running on complex types
+    // (ref: OverwriteNonDefaultsWithLatestAvroPayload.java)
+    "tf_complex_non_defaults" -> ((s, dir) => {
+      val tr = trips(s, dir)
+      val t = GraftTable.create(s, freshDir("tf_complex_non_defaults", dir),
+        tripsConfig(GraftTableType.Cow, "overwrite_non_defaults"))
+      val w = new GraftWriteClient(t, testWc)
+      w.bulkInsert(tr)
+      w.upsert(tr.filter(col("trip_id") % 4 === 1).select(
+        col("trip_id"), col("pri"), (col("ord") + 1.0).as("ord"),
+        lit(null).cast("struct<amount:double,currency:string>").as("fare"),
+        array(struct(lit(5.5).as("amount"),
+          lit("EUR").as("currency"))).as("tip_history"),
+        lit(null).cast("map<string,string>").as("city_to_state"),
+        lit(null).cast(DecimalType(10, 6)).as("height"),
+        lit(null).cast("date").as("trip_date"),
+        encode(lit("nd"), "UTF-8").as("nation")))
+      flatTrips(t)
     }),
 
     "tf_incremental" -> ((s, dir) => {
@@ -1296,6 +1405,34 @@ object SparkEntry {
     "tf_incr_event_time" ->
       (ordersSelect("o_totalprice + 100.0 AS o_totalprice") +
         " WHERE o_orderkey % 5 = 0"),
+
+    "tf_complex_types" ->
+      """SELECT o_orderkey AS trip_id, o_orderpriority AS pri,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS fare_amount,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'XXX' ELSE o_orderstatus END AS fare_currency,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(CAST(o_totalprice * 0.2 AS DECIMAL(18,3)) AS DOUBLE)
+        |       ELSE CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,3)) AS DOUBLE) END AS tip1_amount,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN NULL ELSE o_orderstatus END AS tip2_currency,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 2 END AS n_tips,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'moved' ELSE CAST(o_custkey AS VARCHAR) END AS cust_state,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN CAST(o_custkey % 1000 + 7 AS DOUBLE)
+        |       ELSE CAST(o_custkey % 1000 AS DOUBLE) END AS height_dbl,
+        |  CAST(o_orderdate AS DATE) + CASE WHEN o_orderkey % 3 = 0 THEN 1 ELSE 0 END AS trip_date,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN 'upd' ELSE o_orderstatus END AS nation_str
+        |FROM orders WHERE o_orderkey % 10 <> 7""".stripMargin,
+
+    "tf_complex_non_defaults" ->
+      """SELECT o_orderkey AS trip_id, o_orderpriority AS pri,
+        |  o_totalprice AS fare_amount, o_orderstatus AS fare_currency,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN 5.5
+        |       ELSE CAST(CAST(o_totalprice * 0.1 AS DECIMAL(18,3)) AS DOUBLE) END AS tip1_amount,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN NULL ELSE o_orderstatus END AS tip2_currency,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN 1 ELSE 2 END AS n_tips,
+        |  CAST(o_custkey AS VARCHAR) AS cust_state,
+        |  CAST(o_custkey % 1000 AS DOUBLE) AS height_dbl,
+        |  CAST(o_orderdate AS DATE) AS trip_date,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN 'nd' ELSE o_orderstatus END AS nation_str
+        |FROM orders""".stripMargin,
 
     "tf_time_travel" -> ordersSelect("o_totalprice"),
 

@@ -152,6 +152,8 @@ object GraftOptions {
   /** Comma-separated data columns to collect per-file min/max stats for
     * (read-time data skipping; see graft.core.ColumnStats). */
   val ColStatsColumns = "col.stats.columns"
+  val LockProviderKey = "lock.provider" // none | file
+  val LockTimeoutMs = "lock.timeout.ms"
   /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
   val KeygenTimestampFormat = "keygen.timestamp.format"
 
@@ -183,7 +185,10 @@ object GraftOptions {
         parameters.get(IndexGlobal).map(_.toBoolean).getOrElse(base.globalIndex),
       colStatsColumns = parameters.get(ColStatsColumns)
         .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
-        .getOrElse(base.colStatsColumns))
+        .getOrElse(base.colStatsColumns),
+      lockProvider = parameters.getOrElse(LockProviderKey, base.lockProvider),
+      lockTimeoutMs = parameters.get(LockTimeoutMs)
+        .map(_.toLong).getOrElse(base.lockTimeoutMs))
   }
 
   def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {

@@ -30,6 +30,11 @@ import graft.spark.{GraftOptions, GraftWriter}
   *                       reference's AWSDmsTransformer +
   *                       AWSDmsAvroPayload OP_FIELD handling — a missing
   *                       op column means insert)
+  * @param kafkaPayload   when set, the source rows are Kafka-schema
+  *                       frames (binary `value` + topic/partition/offset
+  *                       metadata) and each batch is decoded through
+  *                       [[IngestRunner.decodeKafkaFrame]] before the
+  *                       transformer chain
   */
 final case class IngestConfig(
     sourcePath: String,
@@ -39,7 +44,38 @@ final case class IngestConfig(
     targetPath: String,
     operation: String = "upsert",
     tableOptions: Map[String, String] = Map.empty,
-    cdcOpColumn: Option[String] = None)
+    cdcOpColumn: Option[String] = None,
+    kafkaPayload: Option[KafkaPayloadConfig] = None)
+
+/** Decoding of a Kafka-shaped record frame — the schema every Kafka
+  * consumer surface hands over (`key` and `value` binary, plus `topic`,
+  * `partition`, `offset`, `timestamp`), whether it arrives through
+  * Structured Streaming's kafka source, a batch archive dump, or a
+  * fixture (ref: hudi-utilities/.../sources/JsonKafkaSource.java —
+  * value bytes JSON-decoded against the provided schema;
+  * AvroKafkaSource.java is the same seam with an Avro decoder, which
+  * needs the spark-avro module's `from_avro` and plugs in as a
+  * transformer once that module is on the classpath).
+  *
+  * @param valueSchemaDdl   DDL of the decoded value ("id BIGINT, name STRING")
+  * @param keepMetaColumns  surface topic/partition/offset/timestamp/key as
+  *                         `_kafka_*` columns next to the decoded fields —
+  *                         (`_kafka_topic`,`_kafka_partition`,`_kafka_offset`)
+  *                         is the natural record key for exactly-once
+  *                         upserts under re-delivery, and `_kafka_timestamp`
+  *                         a natural precombine (ref: KafkaOffsetGen.java
+  *                         offset-range tracking)
+  * @param jsonOptions      passed to `from_json`; `mode` defaults to
+  *                         FAILFAST so a corrupt record fails the batch
+  *                         loudly instead of silently writing nulls
+  * @param dropUndecodable  route corrupt records out of the batch instead
+  *                         of failing it (PERMISSIVE + drop null rows)
+  */
+final case class KafkaPayloadConfig(
+    valueSchemaDdl: String,
+    keepMetaColumns: Boolean = true,
+    jsonOptions: Map[String, String] = Map.empty,
+    dropUndecodable: Boolean = false)
 
 /** JDBC pull source: connection + table + optional incremental column
   * (ref: hudi-utilities/.../sources/JdbcSource.java Config — url, user,
@@ -114,6 +150,43 @@ object IngestRunner {
           .mergeWrite(marked, del)
     }
 
+  /** Decode a Kafka-schema frame's binary JSON `value` into typed
+    * columns (see [[KafkaPayloadConfig]]). Pure column expressions —
+    * `from_json` is codegen'd, nothing leaves the scan task — so the
+    * decode adds no shuffle to the ingest plan at any scale. Works the
+    * same on a batch frame and a streaming one.
+    */
+  def decodeKafkaFrame(df: DataFrame, cfg: KafkaPayloadConfig): DataFrame = {
+    import org.apache.spark.sql.functions.{decode => _, _}
+    require(df.columns.contains("value"),
+      s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
+    val parsed = "_g_kafka_parsed"
+    val corrupt = "_g_kafka_corrupt"
+    val meta = Seq("topic", "partition", "offset", "timestamp", "key")
+      .filter(df.columns.contains)
+      .map(c => col(c).as(s"_kafka_$c"))
+    val fields = org.apache.spark.sql.types.StructType
+      .fromDDL(cfg.valueSchemaDdl).fieldNames.toSeq
+    if (cfg.dropUndecodable) {
+      // PERMISSIVE from_json yields a row of NULLS for a corrupt record
+      // (not a null struct), indistinguishable from legitimate all-null
+      // data — the corrupt-record column disambiguates
+      val opts = cfg.jsonOptions +
+        ("mode" -> "PERMISSIVE") + ("columnNameOfCorruptRecord" -> corrupt)
+      df.withColumn(parsed, from_json(col("value").cast("string"),
+          s"${cfg.valueSchemaDdl}, $corrupt STRING", opts))
+        .filter(col(s"$parsed.$corrupt").isNull)
+        .select(fields.map(f => col(s"$parsed.$f")) ++
+          (if (cfg.keepMetaColumns) meta else Seq.empty): _*)
+    } else {
+      val opts = Map("mode" -> "FAILFAST") ++ cfg.jsonOptions
+      df.withColumn(parsed,
+          from_json(col("value").cast("string"), cfg.valueSchemaDdl, opts))
+        .select(fields.map(f => col(s"$parsed.$f")) ++
+          (if (cfg.keepMetaColumns) meta else Seq.empty): _*)
+    }
+  }
+
   /** Apply the config's transformer chain: `transformerSql` first, then
     * each of `transformers` in order, every step reading the previous
     * output as the temp view `source`
@@ -167,7 +240,8 @@ object IngestRunner {
 
     val raw = spark.read.format(cfg.sourceFormat)
       .load(fresh.map(_.getPath.toString): _*)
-    val batch = transform(spark, cfg, raw)
+    val decoded = cfg.kafkaPayload.map(decodeKafkaFrame(raw, _)).getOrElse(raw)
+    val batch = transform(spark, cfg, decoded)
     writeBatch(spark, cfg, batch, newCkpt.toString)
     Some(newCkpt.toString)
   }

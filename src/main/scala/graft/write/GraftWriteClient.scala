@@ -621,32 +621,54 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       replaced: Map[String, Seq[String]],
       dataSchema: org.apache.spark.sql.types.StructType,
       extraMeta: Map[String, String] = Map.empty): Unit = {
-    if (wc.occEnabled) {
-      val touched = written.map(f => (f.partition, f.fileId)).toSet ++
-        replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-      conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
-        // the loser cleans its already-published files and aborts; they
-        // were never referenced by any commit, so readers never saw them
-        written.foreach(f =>
-          table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
-        throw new ConcurrentWriteConflictException(
-          s"write ${instant.ts} conflicts with concurrently committed $other " +
-            "on overlapping file groups; retry the write")
-      }
+    // the [conflict check + publish] critical section runs under the
+    // configured lock provider (ref: TransactionManager.java:49-69 —
+    // beginTransaction / resolve conflicts / commit / endTransaction).
+    // The default NoOp provider keeps the create-if-absent protocol as
+    // the only cross-writer coordination; "file" serializes the section
+    // across every writer sharing the table's filesystem. Data was
+    // already staged BEFORE this point — only metadata work happens
+    // under the lock.
+    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs)
+    if (!lock.tryLock(wc.lockTimeoutMs)) {
+      // fail LOUDLY without publishing: a write that cannot enter the
+      // critical section must never double-commit; clean staged files
+      // staged files were already published to their data paths — remove
+      // them; the caller's abort cleans the pending instant + staging dir
+      written.foreach(f =>
+        table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+      throw new LockAcquireException(
+        s"write ${instant.ts} could not acquire the '${wc.lockProvider}' " +
+          s"commit lock within ${wc.lockTimeoutMs} ms; nothing was published — retry")
     }
-    val totalRecords = written.map(_.records).sum
-    val totalBytes = written.map(_.bytes).sum
-    val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
-    commit(instant, GraftCommitMetadata(
-      instant = instant.ts,
-      action = instant.action,
-      operation = operation,
-      files = written,
-      replacedFileIds = replaced,
-      totalRecords = totalRecords,
-      avgRecordSize = avg,
-      schemaJson = dataSchema.json,
-      extra = wc.commitExtra ++ extraMeta))
+    try {
+      if (wc.occEnabled) {
+        val touched = written.map(f => (f.partition, f.fileId)).toSet ++
+          replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
+          // the loser cleans its already-published files and aborts; they
+          // were never referenced by any commit, so readers never saw them
+          written.foreach(f =>
+            table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
+          throw new ConcurrentWriteConflictException(
+            s"write ${instant.ts} conflicts with concurrently committed $other " +
+              "on overlapping file groups; retry the write")
+        }
+      }
+      val totalRecords = written.map(_.records).sum
+      val totalBytes = written.map(_.bytes).sum
+      val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
+      commit(instant, GraftCommitMetadata(
+        instant = instant.ts,
+        action = instant.action,
+        operation = operation,
+        files = written,
+        replacedFileIds = replaced,
+        totalRecords = totalRecords,
+        avgRecordSize = avg,
+        schemaJson = dataSchema.json,
+        extra = wc.commitExtra ++ extraMeta))
+    } finally lock.unlock()
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 

@@ -1,0 +1,121 @@
+package graft.write
+
+import org.apache.hadoop.fs.Path
+
+import graft.core.GraftStorage
+
+/** Pluggable cross-writer lock held around [conflict check + commit
+  * publish] — the reference's TransactionManager beginTransaction/
+  * endTransaction seam with its lock-provider hierarchy (ref:
+  * hudi-client/hudi-client-common/.../transaction/TransactionManager
+  * .java:49-69, lock/ZookeeperBasedLockProvider.java,
+  * lock/FileSystemBasedLockProvider.java). Two built-ins:
+  *
+  *  - [[NoOpLockProvider]] (default): no external lock. Correctness
+  *    comes from the timeline's create-if-absent completed-instant
+  *    files plus the pre-publish conflict check; the check→publish
+  *    window means two writers racing on the SAME file groups within
+  *    milliseconds can, in the worst case, both land — the loser-aborts
+  *    guarantee is only as strong as the check's timing. Right for
+  *    single-writer tables and low-contention multi-writer setups (the
+  *    reference ships the same default: OCC off / in-process lock).
+  *  - [[FileLockProvider]]: a create-if-absent lock FILE under the
+  *    table's own `.graft/locks/`, with TTL-based breaking of locks
+  *    left by crashed holders. Closes the check→publish window for any
+  *    writers sharing one atomic-create filesystem (HDFS, local,
+  *    most object stores with conditional puts). External services
+  *    (ZooKeeper, DynamoDB, JDBC) implement the same two methods.
+  *
+  * Contract: `tryLock` blocks up to `timeoutMs` and returns whether the
+  * lock was acquired; the caller MUST NOT publish when it returns false
+  * (GraftWriteClient throws [[LockAcquireException]] — failing loudly
+  * beats double-committing). `unlock` releases only a lock this
+  * instance still holds: if the holder stalled past the TTL and another
+  * writer legitimately broke the lock, unlock must leave the new
+  * holder's lock untouched.
+  */
+trait LockProvider {
+  def tryLock(timeoutMs: Long): Boolean
+  def unlock(): Unit
+}
+
+/** Lock acquisition failed within the timeout — the write is aborted
+  * BEFORE publish; retry when the current holder finishes.
+  */
+final class LockAcquireException(msg: String) extends RuntimeException(msg)
+
+object NoOpLockProvider extends LockProvider {
+  override def tryLock(timeoutMs: Long): Boolean = true
+  override def unlock(): Unit = ()
+}
+
+/** Create-if-absent lock file at `.graft/locks/writer.lock`. The file
+  * body carries a unique owner token; `unlock` re-reads it and deletes
+  * only when the token is still ours (a TTL-broken lock belongs to the
+  * breaker). `ttlMs` bounds how long a crashed holder can block the
+  * table: a waiter that finds the lock file older than the TTL deletes
+  * it and re-races on the atomic create. The TTL must exceed the
+  * longest [conflict check + publish] critical section by a wide
+  * margin — the section is metadata-only (no data writes happen under
+  * the lock), so seconds of work against a minutes-scale TTL.
+  */
+final class FileLockProvider(
+    storage: GraftStorage,
+    ttlMs: Long = 5 * 60 * 1000L,
+    pollMs: Long = 50L) extends LockProvider {
+
+  private val locksDir = new Path(storage.metaDir, "locks")
+  private val lockPath = new Path(locksDir, "writer.lock")
+  private val token =
+    java.util.UUID.randomUUID.toString + "@" + java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+  @volatile private var held = false
+
+  override def tryLock(timeoutMs: Long): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    if (!storage.exists(locksDir)) storage.fs.mkdirs(locksDir)
+    while (System.currentTimeMillis() <= deadline) {
+      try {
+        storage.createImmutable(lockPath, token)
+        held = true
+        return true
+      } catch {
+        case _: java.io.IOException =>
+          // lock taken: break it only when provably stale (TTL expired)
+          try {
+            val st = storage.fs.getFileStatus(lockPath)
+            if (System.currentTimeMillis() - st.getModificationTime > ttlMs)
+              storage.delete(lockPath) // then re-race on the atomic create
+          } catch { case _: java.io.FileNotFoundException => () /* re-race */ }
+      }
+      Thread.sleep(pollMs)
+    }
+    false
+  }
+
+  override def unlock(): Unit = {
+    if (!held) return
+    held = false
+    try {
+      // delete only OUR lock: if the TTL elapsed and a waiter broke it,
+      // the file (if any) now belongs to the new holder
+      if (storage.exists(lockPath) && storage.readString(lockPath) == token)
+        storage.delete(lockPath)
+    } catch { case _: java.io.IOException => () }
+  }
+}
+
+object LockProvider {
+  /** Resolve a WriteConfig selector to a provider instance. Selectors
+    * are plain strings so configuration stays serializable and works
+    * identically from any process (CLI, child JVM, executor-free
+    * driver code).
+    */
+  def forTable(selector: String, storage: GraftStorage, ttlMs: Long): LockProvider =
+    selector match {
+      case "none" | "" => NoOpLockProvider
+      case "file"      => new FileLockProvider(storage, ttlMs)
+      case other => throw new IllegalArgumentException(
+        s"unknown lock provider '$other' (expected: none | file)")
+    }
+}

@@ -100,4 +100,19 @@ final case class WriteConfig(
       * already durable when the callback runs; a callback failure is
       * logged and swallowed, never unwinds the commit.
       */
-    commitCallback: Option[(String, graft.core.GraftCommitMetadata) => Unit] = None)
+    commitCallback: Option[(String, graft.core.GraftCommitMetadata) => Unit] = None,
+    /** Cross-writer lock held around [conflict check + commit publish]:
+      * "none" (default — create-if-absent instant files + pre-publish
+      * check, the reference's no-external-lock default) or "file" (a
+      * TTL-broken lock file under `.graft/locks/`, closing the
+      * check→publish race for writers sharing one filesystem). See
+      * [[LockProvider]] (ref: TransactionManager.java:49-69).
+      */
+    lockProvider: String = "none",
+    /** How long a writer waits for the commit lock before failing the
+      * write loudly (LockAcquireException, nothing published). */
+    lockTimeoutMs: Long = 60 * 1000L,
+    /** Age past which a holder's lock file counts as crashed and may be
+      * broken by a waiter. Must far exceed the metadata-only critical
+      * section (seconds); minutes by default. */
+    lockTtlMs: Long = 5 * 60 * 1000L)

@@ -24,6 +24,17 @@ case class ModelRow(k: Long, p: String, v: Double, ord: Long)
   */
 case class NdRow(k: Long, p: String, a: Option[Double], b: Option[String], ord: Long)
 
+/** Rows for the complex-type walk: the reference's canonical nested
+  * shapes (struct, array-of-struct, map — HoodieTestDataGenerator
+  * .java:91-116) as top-level case classes so Spark can encode them.
+  * Binary/decimal/date ride the tf_complex_* oracle queries instead
+  * (Array[Byte] equality would break set comparison here).
+  */
+case class TripFare(amount: Double, currency: String)
+case class TripTip(amount: Double, currency: String)
+case class TripRow(k: Long, p: String, fare: TripFare, tips: Seq[TripTip],
+    tags: Map[String, String], ord: Long)
+
 /** Randomized model-based checks: seeded random walks of write operations
   * (upsert / delete / insert_overwrite / delete_partition) interleaved
   * with table services (compaction, clustering, cleaning, archiving,
@@ -580,6 +591,332 @@ class ModelCheckSpec extends AnyFunSuite {
     }
   }
 
+  /** Randomized walk over the NESTED schema: every data column is a
+    * complex type (struct fare, array-of-struct tips, map tags), so the
+    * merge kernels, precombine max_by, delta fold, tombstones,
+    * compaction/clustering rewrites and incremental/CDC band reads all
+    * run over nested values — the data shape no flat walk exercises.
+    * Monotonic ords keep the model deterministic (latest wins).
+    */
+  private def runComplexWalk(tableType: String, seed: Long): Unit = {
+    import spark.implicits._
+    val rnd = new Random(seed)
+    val cfg = GraftTableConfig(
+      tableName = "cx", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"))
+    val wc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 128, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024)
+    val t = GraftTable.create(spark, tmp() + "/t", cfg)
+    val w = new GraftWriteClient(t, wc)
+    val sv = new TableServices(t, wc)
+    val read = new GraftReadClient(t)
+
+    val model = mutable.Map.empty[(String, Long), TripRow]
+    var ord = 0L
+    def nextOrd(): Long = { ord += 1; ord }
+    def freshRow(k: Long, p: String): TripRow = TripRow(k, p,
+      TripFare(rnd.nextInt(10000) / 10.0, "c" + rnd.nextInt(5)),
+      (0 until rnd.nextInt(3)).map(_ =>
+        TripTip(rnd.nextInt(100) / 4.0, "t" + rnd.nextInt(3))),
+      (0 until rnd.nextInt(3)).map(i => s"k$i" -> ("v" + rnd.nextInt(9))).toMap,
+      nextOrd())
+    def toDf(rows: Seq[TripRow]): DataFrame =
+      rows.toDF("k", "p", "fare", "tips", "tags", "ord")
+    def applyUpsert(rows: Seq[TripRow]): Unit =
+      rows.groupBy(r => (r.p, r.k)).values.map(_.maxBy(_.ord))
+        .foreach(r => model((r.p, r.k)) = r)
+    def snapSet(): Set[TripRow] = {
+      val rows = read.snapshotData().select("k", "p", "fare", "tips", "tags", "ord")
+        .as[TripRow].collect().toSeq
+      val dups = rows.groupBy(identity).filter(_._2.size > 1).keys
+      assert(dups.isEmpty, s"duplicate physical rows: ${dups.take(3)}")
+      rows.toSet
+    }
+
+    val history = mutable.ArrayBuffer[(String, Set[TripRow])]()
+    def record(ts: String): Unit = history += ts -> model.values.toSet
+
+    val seedRows = (0 until 50).map(i => freshRow(i.toLong, partitions(i % 4)))
+    applyUpsert(seedRows)
+    record(w.bulkInsert(toDf(seedRows)))
+
+    for (step <- 1 to 14) {
+      rnd.nextInt(100) match {
+        case x if x < 45 => // upsert: nested values rewritten whole
+          val existing = model.values.toVector
+          val rows = (0 until 8 + rnd.nextInt(15)).map { _ =>
+            if (existing.nonEmpty && rnd.nextBoolean()) {
+              val old = existing(rnd.nextInt(existing.size))
+              freshRow(old.k, old.p)
+            } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+          }
+          applyUpsert(rows)
+          record(w.upsert(toDf(rows)))
+
+        case x if x < 62 => // delete
+          val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(8))
+          if (victims.nonEmpty) {
+            victims.foreach(r => model.remove(r.p -> r.k))
+            record(w.delete(toDf(victims.map(r => r.copy(ord = nextOrd())))))
+          }
+
+        case x if x < 75 => // insert_overwrite one partition
+          val p = partitions(rnd.nextInt(4))
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(6 + rnd.nextInt(10))
+          val rows = ks.map(k => freshRow(k.toLong, p))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          rows.foreach(r => model(r.p -> r.k) = r)
+          record(w.insertOverwrite(toDf(rows)))
+
+        case x if x < 90 => // services preserve nested content
+          if (tableType == GraftTableType.Mor) sv.compact()
+          else sv.cluster()
+
+        case _ =>
+          sv.clean()
+      }
+
+      val got = snapSet()
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, $tableType, complex): snapshot diverged; " +
+          s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+
+      if (step % 3 == 1 && history.size >= 2) {
+        // incremental band over nested rows: exactly the band-end state's
+        // new rows (ords unique -> set difference is the expectation)
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(4, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val got2 = read.dataOnly(read.incremental(ci, Some(cj)))
+          .select("k", "p", "fare", "tips", "tags", "ord").as[TripRow].collect().toSet
+        val want2 = frozenJ -- frozenI
+        assert(got2 == want2,
+          s"step $step (seed $seed, $tableType, complex): incremental " +
+            s"($ci,$cj] diverged; extra=${(got2 -- want2).take(3)} " +
+            s"missing=${(want2 -- got2).take(3)}")
+      }
+
+      if (step % 4 == 2 && history.size >= 3) {
+        // CDC replay with nested change images
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(3, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val feed = read.changes(ci, Some(cj))
+          .select(col("_change_ordinal"), col("_change_type"),
+            col("k"), col("p"), col("fare"), col("tips"), col("tags"), col("ord"))
+          .as[(Int, String, Long, String, TripFare, Seq[TripTip], Map[String, String], Long)]
+          .collect().sortBy(_._1)
+        val replay = mutable.Map[(String, Long), TripRow](
+          frozenI.map(r => (r.p, r.k) -> r).toSeq: _*)
+        feed.foreach { case (_, tpe, k, p, fare, tips, tags, o) =>
+          tpe match {
+            case "insert" | "update_postimage" =>
+              replay((p, k)) = TripRow(k, p, fare, tips, tags, o)
+            case "delete"          => replay.remove((p, k))
+            case "update_preimage" => // informational
+          }
+        }
+        assert(replay.values.toSet == frozenJ,
+          s"step $step (seed $seed, $tableType, complex): CDC replay " +
+            s"($ci,$cj] diverged; extra=${(replay.values.toSet -- frozenJ).take(3)} " +
+            s"missing=${(frozenJ -- replay.values.toSet).take(3)}")
+      }
+    }
+  }
+
+  /** Randomized walk that EVOLVES the schema mid-flight: at random steps
+    * a column is added (nullable, zero-file commit), an int column is
+    * widened to long, and a data column is renamed — interleaved with
+    * upserts, deletes and services, with snapshots, incremental pulls
+    * and CDC replay asserted ACROSS each evolution boundary (old files
+    * surface added columns as nulls and widened columns at the new
+    * type; renames resolve at the read boundary). Ref:
+    * TestCOWDataSource.scala:707 testSchemaEvolution — pinned there as
+    * one scenario; the walk composes evolution with every other op.
+    *
+    * Model rows carry the FINAL shape from the start: (k, p, v, c, w,
+    * ord) with w=None until the column exists and c small until the
+    * widening unlocks long values.
+    */
+  private def runEvolutionWalk(tableType: String, seed: Long): Unit = {
+    val rnd = new Random(seed)
+    val cfg = GraftTableConfig(
+      tableName = "ev", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"))
+    val wc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 64, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024)
+    val t = GraftTable.create(spark, tmp() + "/t", cfg)
+    val w = new GraftWriteClient(t, wc)
+    val sv = new TableServices(t, wc)
+    val read = new GraftReadClient(t)
+
+    // evolution state
+    var wAdded = false    // ALTER ADD COLUMN w STRING
+    var cWidened = false  // ALTER CHANGE c INT -> BIGINT
+    var vRenamed = false  // ALTER RENAME v -> val
+    def vName = if (vRenamed) "val" else "v"
+
+    type Row6 = (Long, String, Double, Long, Option[String], Long)
+    val model = mutable.Map.empty[(String, Long), Row6]
+    var ord = 0L
+    def nextOrd(): Long = { ord += 1; ord }
+    def freshRow(k: Long, p: String): Row6 = (k, p,
+      rnd.nextInt(10000) / 10.0,
+      if (cWidened) 3000000000L + rnd.nextInt(1000) else rnd.nextInt(1000).toLong,
+      if (wAdded) Some("w" + rnd.nextInt(50)) else None,
+      nextOrd())
+    /** Write frame in the CURRENT schema shape (c int before widening,
+      * no w before the add, v under its current logical name). */
+    def toDf(rows: Seq[Row6]): DataFrame = {
+      import spark.implicits._
+      (wAdded, cWidened) match {
+        case (false, false) => rows.map(r => (r._1, r._2, r._3, r._4.toInt, r._6))
+          .toDF("k", "p", vName, "c", "ord")
+        case (false, true) => rows.map(r => (r._1, r._2, r._3, r._4, r._6))
+          .toDF("k", "p", vName, "c", "ord")
+        case (true, false) => rows.map(r => (r._1, r._2, r._3, r._4.toInt, r._5, r._6))
+          .toDF("k", "p", vName, "c", "w", "ord")
+        case (true, true) => rows.map(r => (r._1, r._2, r._3, r._4, r._5, r._6))
+          .toDF("k", "p", vName, "c", "w", "ord")
+      }
+    }
+    def applyUpsert(rows: Seq[Row6]): Unit =
+      rows.groupBy(r => (r._2, r._1)).values.map(_.maxBy(_._6))
+        .foreach(r => model((r._2, r._1)) = r)
+    def collectSet(df: DataFrame): Set[Row6] = {
+      val cols = Seq("k", "p", vName, "c") ++
+        (if (wAdded) Seq("w") else Seq.empty) ++ Seq("ord")
+      df.select(cols.map(col): _*).collect().map { r =>
+        (r.getLong(0), r.getString(1), r.getDouble(2),
+          r.getAs[Number](3).longValue(),
+          if (wAdded) Option(r.getAs[String]("w")) else None,
+          r.getLong(cols.size - 1))
+      }.toSet
+    }
+
+    val history = mutable.ArrayBuffer[(String, Set[Row6])]()
+    def record(ts: String): Unit = history += ts -> model.values.toSet
+
+    val seedRows = (0 until 50).map(i => freshRow(i.toLong, partitions(i % 4)))
+    applyUpsert(seedRows)
+    record(w.bulkInsert(toDf(seedRows)))
+
+    // evolution steps fire once each, at random walk positions
+    val fireAdd = 1 + rnd.nextInt(5)
+    val fireWiden = 1 + rnd.nextInt(8)
+    val fireRename = 1 + rnd.nextInt(8)
+
+    for (step <- 1 to 14) {
+      if (step == fireAdd && !wAdded) {
+        w.evolveSchema(Seq(org.apache.spark.sql.types.StructField(
+          "w", org.apache.spark.sql.types.StringType)))
+        wAdded = true
+      }
+      if (step == fireWiden && !cWidened) {
+        w.changeColumnType("c", org.apache.spark.sql.types.LongType)
+        cWidened = true
+      }
+      if (step == fireRename && !vRenamed) {
+        w.renameColumn("v", "val")
+        vRenamed = true
+      }
+
+      rnd.nextInt(100) match {
+        case x if x < 50 => // upsert
+          val existing = model.values.toVector
+          val rows = (0 until 8 + rnd.nextInt(15)).map { _ =>
+            if (existing.nonEmpty && rnd.nextBoolean()) {
+              val old = existing(rnd.nextInt(existing.size))
+              freshRow(old._1, old._2)
+            } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
+          }
+          applyUpsert(rows)
+          record(w.upsert(toDf(rows)))
+
+        case x if x < 68 => // delete
+          val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(8))
+          if (victims.nonEmpty) {
+            victims.foreach(r => model.remove(r._2 -> r._1))
+            record(w.delete(toDf(victims.map(r => r.copy(_6 = nextOrd())))))
+          }
+
+        case x if x < 80 => // insert_overwrite one partition
+          val p = partitions(rnd.nextInt(4))
+          val ks = rnd.shuffle((0 until keySpace).toVector).take(6 + rnd.nextInt(10))
+          val rows = ks.map(k => freshRow(k.toLong, p))
+          model.filterInPlace { case ((mp, _), _) => mp != p }
+          rows.foreach(r => model((r._2, r._1)) = r)
+          record(w.insertOverwrite(toDf(rows)))
+
+        case x if x < 92 => // services rewrite files across the evolution
+          if (tableType == GraftTableType.Mor) sv.compact()
+          else sv.cluster()
+
+        case _ =>
+          sv.clean()
+      }
+
+      val got = collectSet(read.snapshotData())
+      val want = model.values.toSet
+      assert(got == want,
+        s"step $step (seed $seed, $tableType, evolution w=$wAdded c64=$cWidened " +
+          s"ren=$vRenamed): snapshot diverged; extra=${(got -- want).take(3)} " +
+          s"missing=${(want -- got).take(3)}")
+
+      if (step % 3 == 1 && history.size >= 2) {
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(4, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val got2 = collectSet(read.dataOnly(read.incremental(ci, Some(cj))))
+        val want2 = frozenJ -- frozenI
+        assert(got2 == want2,
+          s"step $step (seed $seed, $tableType, evolution): incremental " +
+            s"($ci,$cj] diverged; extra=${(got2 -- want2).take(3)} " +
+            s"missing=${(want2 -- got2).take(3)}")
+      }
+
+      if (step % 4 == 2 && history.size >= 3) {
+        // CDC replay across evolution boundaries: change images carry the
+        // CURRENT schema (old rows null-filled / widened / renamed)
+        val n = history.size
+        val (ci, frozenI) = history(n - 2 - rnd.nextInt(math.min(3, n - 1)) max 0)
+        val (cj, frozenJ) = history(n - 1)
+        val cols = Seq("k", "p", vName, "c") ++
+          (if (wAdded) Seq("w") else Seq.empty) ++ Seq("ord")
+        val feed = read.changes(ci, Some(cj))
+          .select((Seq(col("_change_ordinal"), col("_change_type")) ++
+            cols.map(col)): _*)
+          .collect().sortBy(_.getInt(0))
+        val replay = mutable.Map[(String, Long), Row6](
+          frozenI.map(r => (r._2, r._1) -> r).toSeq: _*)
+        feed.foreach { r =>
+          val row: Row6 = (r.getLong(2), r.getString(3), r.getDouble(4),
+            r.getAs[Number](5).longValue(),
+            if (wAdded) Option(r.getAs[String]("w")) else None,
+            r.getLong(if (wAdded) 7 else 6))
+          r.getString(1) match {
+            case "insert" | "update_postimage" => replay((row._2, row._1)) = row
+            case "delete"                      => replay.remove((row._2, row._1))
+            case "update_preimage"             => ()
+          }
+        }
+        assert(replay.values.toSet == frozenJ,
+          s"step $step (seed $seed, $tableType, evolution): CDC replay " +
+            s"($ci,$cj] diverged; extra=${(replay.values.toSet -- frozenJ).take(3)} " +
+            s"missing=${(frozenJ -- replay.values.toSet).take(3)}")
+      }
+    }
+    // every evolution fired (walk length covers the latest fire step)
+    assert(wAdded && cWidened && vRenamed, "an evolution step never fired")
+  }
+
   /** The same randomized-walk idea driven ENTIRELY through the SQL
     * surface — MERGE INTO (upsert and delete actions), UPDATE, DELETE,
     * INSERT OVERWRITE (whole-table replace through InsertableRelation),
@@ -715,6 +1052,22 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: overwrite_non_defaults walk on MOR (fold across deltas)") {
     seeds(191L).foreach(runNonDefaultsWalk(GraftTableType.Mor, _))
+  }
+
+  test("model check: schema-evolution walk on COW (add/widen/rename mid-walk)") {
+    seeds(307L).foreach(runEvolutionWalk(GraftTableType.Cow, _))
+  }
+
+  test("model check: schema-evolution walk on MOR (evolution across deltas)") {
+    seeds(311L).foreach(runEvolutionWalk(GraftTableType.Mor, _))
+  }
+
+  test("model check: complex-type walk on COW (nested struct/array/map columns)") {
+    seeds(211L).foreach(runComplexWalk(GraftTableType.Cow, _))
+  }
+
+  test("model check: complex-type walk on MOR (nested rows across deltas)") {
+    seeds(223L).foreach(runComplexWalk(GraftTableType.Mor, _))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {

@@ -26,10 +26,13 @@ object OccChildProcess {
     spark.sparkContext.setLogLevel("ERROR")
     try {
       val t = GraftTable.load(spark, tablePath)
+      // the cross-process race runs THROUGH the lock-provider trait: the
+      // [conflict check + publish] section takes the shared file lock,
+      // so the protocol is exercised end-to-end from a foreign process
       val w = new graft.write.GraftWriteClient(t, graft.write.WriteConfig(
         targetFileSizeBytes = 256 * 1024, smallFileLimitBytes = 200 * 1024,
         defaultRecordSizeBytes = 64, parallelism = 4,
-        inlineCompactDeltaCommits = 0))
+        inlineCompactDeltaCommits = 0, lockProvider = "file"))
       val rows = spark.read
         .parquet("/root/testdata/sf0.001/orders.parquet")
         .filter(col("o_orderpriority") === partition).limit(40)

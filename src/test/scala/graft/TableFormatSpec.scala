@@ -638,6 +638,91 @@ class TableFormatSpec extends AnyFunSuite {
       .filter(col("o_totalprice") =!= col("want")).count() === 0)
   }
 
+  test("ingest runner: Kafka-frame decoding, checkpoint resume, re-delivery, corrupt rows") {
+    import graft.utilities.{IngestConfig, IngestRunner, KafkaPayloadConfig}
+    import spark.implicits._
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamp(sub: String, ts: Long): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+        .filter(_.isFile).foreach(s => fs.setTimes(s.getPath, ts, ts))
+    // fixture Kafka-schema frame: binary JSON value + consumer metadata
+    def kafkaFrame(ids: Seq[Long], off0: Long, v: Double): DataFrame =
+      ids.zipWithIndex.toDF("id", "i").select(
+        lit("orders_topic").as("topic"),
+        (col("id") % 4).cast("int").as("partition"),
+        (lit(off0) + col("i")).as("offset"),
+        timestamp_micros(lit(1700000000000000L) + col("i")).as("timestamp"),
+        encode(col("id").cast("string"), "UTF-8").as("key"),
+        encode(to_json(struct(col("id"),
+          concat(lit("n"), col("id")).as("name"), lit(v).as("v"))), "UTF-8").as("value"))
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      kafkaPayload = Some(KafkaPayloadConfig(
+        valueSchemaDdl = "id BIGINT, name STRING, v DOUBLE")),
+      tableOptions = Map(
+        "recordkey.field" -> "id",
+        "partitionpath.field" -> "_kafka_topic",
+        "precombine.field" -> "_kafka_offset",
+        "payload.class" -> "event_time"))
+
+    kafkaFrame(0L until 50L, off0 = 0L, v = 1.0).write.parquet(s"$src/b1")
+    stamp("b1", 1000000L)
+    assert(IngestRunner.runOnce(spark, cfg).contains("1000000"))
+    val t1 = spark.read.format("graft").load(tgt)
+    assert(t1.count() === 50)
+    // value decoded into TYPED columns; consumer metadata rides along
+    assert(t1.schema("id").dataType.typeName === "long")
+    assert(t1.schema("v").dataType.typeName === "double")
+    assert(t1.filter(col("name") === concat(lit("n"), col("id"))).count() === 50)
+    assert(t1.select("_kafka_topic", "_kafka_partition", "_kafka_offset",
+      "_kafka_timestamp", "_kafka_key").count() === 50)
+
+    // checkpoint resume: only the NEW files are read; updates + inserts
+    kafkaFrame(25L until 60L, off0 = 100L, v = 2.0).write.parquet(s"$src/b2")
+    stamp("b2", 2000000L)
+    assert(IngestRunner.runOnce(spark, cfg).contains("2000000"))
+    val t2 = spark.read.format("graft").load(tgt)
+    assert(t2.count() === 60)
+    assert(t2.filter(col("id") >= 25 && col("v") =!= 2.0).count() === 0)
+    assert(t2.filter(col("id") < 25 && col("v") =!= 1.0).count() === 0)
+
+    // forced re-delivery of the SAME offsets plus a STALE record: the
+    // offset precombine (event_time) keeps replays and stale offsets
+    // from clobbering newer data — exactly-once effect without broker
+    // coordination (ref: KafkaOffsetGen.java offset tracking)
+    kafkaFrame(25L until 60L, off0 = 100L, v = 2.0)
+      .unionByName(kafkaFrame(Seq(30L), off0 = 10L, v = 9.9))
+      .write.parquet(s"$src/b3")
+    stamp("b3", 3000000L)
+    assert(IngestRunner.runOnce(spark, cfg).contains("3000000"))
+    val t3 = spark.read.format("graft").load(tgt)
+    assert(t3.count() === 60)
+    assert(t3.filter(col("v") === 9.9).count() === 0, "stale offset won the merge")
+    assert(t3.filter(col("id") >= 25 && col("v") =!= 2.0).count() === 0)
+
+    // corrupt value: FAILFAST (default) fails the batch loudly...
+    kafkaFrame(Seq(70L), off0 = 200L, v = 3.0)
+      .unionByName(Seq(("orders_topic", 0, 201L)).toDF("topic", "partition", "offset")
+        .select(col("topic"), col("partition"), col("offset"),
+          timestamp_micros(lit(1700000000999999L)).as("timestamp"),
+          encode(lit("x"), "UTF-8").as("key"),
+          encode(lit("{not json"), "UTF-8").as("value")))
+      .write.parquet(s"$src/b4")
+    stamp("b4", 4000000L)
+    intercept[Exception] { IngestRunner.runOnce(spark, cfg) }
+    // ...dropUndecodable routes it out and ingests the good rows
+    val lenient = cfg.copy(kafkaPayload = Some(KafkaPayloadConfig(
+      valueSchemaDdl = "id BIGINT, name STRING, v DOUBLE",
+      dropUndecodable = true)))
+    assert(IngestRunner.runOnce(spark, lenient).contains("4000000"))
+    val t4 = spark.read.format("graft").load(tgt)
+    assert(t4.count() === 61)
+    assert(t4.filter(col("id") === 70).count() === 1)
+  }
+
   test("ingest runner: table-to-table CDC ETL replicates deletes") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val srcPath = tmp() + "/src"
@@ -1012,6 +1097,82 @@ class TableFormatSpec extends AnyFunSuite {
         .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
       assert(compacted === got, s"forceShuffle=$forceShuffle: compaction diverged")
     }
+  }
+
+  test("complex types: non_defaults fold, tombstone barrier and tiebreak over nested columns") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // trip-shaped nested schema incl. decimal/date/binary (the shapes the
+    // model walk can't hold in a case class) —
+    // ref: HoodieTestDataGenerator.java:91-116
+    def trip(k: Long, amt: Double, cur: String, tip: Double, tag: String,
+        h: String, d: String, b: String): DataFrame =
+      Seq((k, "pa", amt)).toDF("k", "p", "ord").select(
+        col("k"), col("p"), col("ord"),
+        struct(lit(amt).as("amount"), lit(cur).as("currency")).as("fare"),
+        array(struct(lit(tip).as("amount"), lit(cur).as("currency"))).as("tips"),
+        map(lit("t"), lit(tag)).as("tags"),
+        lit(h).cast(DecimalType(10, 6)).as("height"),
+        lit(d).cast("date").as("trip_date"),
+        encode(lit(b), "UTF-8").as("nation"))
+    def nullTrip(k: Long, ordV: Double): DataFrame =
+      Seq((k, "pa", ordV)).toDF("k", "p", "ord").select(
+        col("k"), col("p"), col("ord"),
+        lit(null).cast("struct<amount:double,currency:string>").as("fare"),
+        lit(null).cast("array<struct<amount:double,currency:string>>").as("tips"),
+        lit(null).cast("map<string,string>").as("tags"),
+        lit(null).cast(DecimalType(10, 6)).as("height"),
+        lit(null).cast("date").as("trip_date"),
+        lit(null).cast("binary").as("nation"))
+
+    for (tt <- Seq(GraftTableType.Cow, GraftTableType.Mor)) {
+      val t = GraftTable.create(spark, tmp() + "/t", GraftTableConfig(
+        tableName = "cx", tableType = tt,
+        recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+        precombineField = Some("ord"), payloadClass = "overwrite_non_defaults"))
+      val w = new GraftWriteClient(t, wc)
+      w.bulkInsert(trip(1L, 10.0, "USD", 1.5, "orig", "12.5", "2024-01-01", "aa")
+        .unionByName(trip(2L, 20.0, "EUR", 2.5, "two", "7.25", "2024-02-02", "bb")))
+      // k=1: every nested field null -> falls back WHOLE to stored values
+      w.upsert(nullTrip(1L, 11.0))
+      // k=2: delete then re-insert with nulls -> the tombstone barrier
+      // must NOT resurrect pre-delete nested values
+      w.delete(Seq((2L, "pa", 21.0)).toDF("k", "p", "ord"))
+      w.upsert(nullTrip(2L, 22.0))
+      if (tt == GraftTableType.Mor) new TableServices(t, wc).compact()
+      val got = new GraftReadClient(t).snapshotData()
+        .select(col("k"), col("fare.amount"), col("fare.currency"),
+          try_element_at(col("tips"), lit(1)).getField("amount"),
+          element_at(col("tags"), lit("t")),
+          col("height").cast("double"), col("trip_date").cast("string"),
+          decode(col("nation"), "UTF-8"))
+        .collect().map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)),
+          Option(r.get(3)), Option(r.get(4)), Option(r.get(5)),
+          Option(r.get(6)), Option(r.get(7)))).toSet
+      assert(got === Set(
+        (1L, Some(10.0), Some("USD"), Some(1.5), Some("orig"), Some(12.5),
+          Some("2024-01-01"), Some("aa")),
+        (2L, None, None, None, None, None, None, None)), s"tableType=$tt")
+    }
+
+    // tiebreak determinism over nested columns: two in-batch duplicates
+    // with EQUAL precombine differ only in nested values — the content-
+    // hash tiebreak (xxhash64 over string-cast columns, incl. map/array/
+    // struct) must pick the same winner on every run and plan
+    def dupBatch: DataFrame =
+      trip(5L, 50.0, "AAA", 5.0, "a", "1.0", "2024-03-03", "x")
+        .unionByName(trip(5L, 50.0, "BBB", 6.0, "b", "2.0", "2024-04-04", "y"))
+    val winners = (1 to 3).map { _ =>
+      val t = GraftTable.create(spark, tmp() + "/t", GraftTableConfig(
+        tableName = "tb", tableType = GraftTableType.Cow,
+        recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+        precombineField = Some("ord")))
+      new GraftWriteClient(t, wc).upsert(dupBatch)
+      new GraftReadClient(t).snapshotData()
+        .select("fare.currency").collect().map(_.getString(0)).toSeq
+    }
+    assert(winners.forall(_.size == 1), s"precombine kept both dups: $winners")
+    assert(winners.distinct.size == 1, s"tiebreak not deterministic: $winners")
   }
 
   test("upsertPrepped skips precombine; sortedWrite keeps files key-ordered") {
@@ -2948,10 +3109,62 @@ class TableFormatSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) === srcFiles)
   }
 
+  test("lock provider: file lock mutual exclusion, TTL break, loud failure, no double-commit") {
+    import graft.write.{FileLockProvider, LockAcquireException}
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+
+    // mutual exclusion + reacquire after unlock
+    val a = new FileLockProvider(t.storage, ttlMs = 60000L)
+    val b = new FileLockProvider(t.storage, ttlMs = 60000L)
+    assert(a.tryLock(1000))
+    assert(!b.tryLock(300), "second holder acquired a held lock")
+    a.unlock()
+    assert(b.tryLock(1000))
+    b.unlock()
+
+    // TTL break: a crashed holder's stale lock is broken by a waiter...
+    assert(a.tryLock(1000))
+    val lockFile = new org.apache.hadoop.fs.Path(t.storage.metaDir, "locks/writer.lock")
+    t.storage.fs.setTimes(lockFile, System.currentTimeMillis() - 10 * 60 * 1000L, -1)
+    assert(b.tryLock(2000), "waiter failed to break a TTL-expired lock")
+    // ...and the broken holder's unlock must NOT release the new owner
+    a.unlock()
+    assert(t.storage.exists(lockFile), "stale holder's unlock deleted the new owner's lock")
+    b.unlock()
+
+    // a writer that cannot take the lock fails LOUDLY without publishing
+    val w = new GraftWriteClient(t, wc.copy(
+      lockProvider = "file", lockTimeoutMs = 500L))
+    w.bulkInsert(orders.limit(100))
+    val blocker = new FileLockProvider(t.storage, ttlMs = 60000L)
+    assert(blocker.tryLock(1000))
+    val commitsBefore = t.timeline.completedData.size
+    intercept[LockAcquireException] {
+      w.upsert(orders.limit(20).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    }
+    blocker.unlock()
+    assert(t.timeline.completedData.size === commitsBefore, "blocked write published")
+    assert(t.timeline.pending.isEmpty, "blocked write left a pending instant")
+    assert(new GraftReadClient(t).snapshotData().count() === 100)
+    // the lock released on the happy path too: a retry commits cleanly
+    w.upsert(orders.limit(20).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    assert(t.timeline.completedData.size === commitsBefore + 1)
+
+    // misconfigured provider name fails loudly before any work
+    intercept[IllegalArgumentException] {
+      new GraftWriteClient(t, wc.copy(lockProvider = "zookeeper"))
+        .upsert(orders.limit(5))
+    }
+  }
+
   test("cross-process OCC: a second JVM racing a conflicting upsert loses retryably") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
-    val w = new GraftWriteClient(t, wc)
+    // both processes publish through the FileLockProvider (the child
+    // sets lockProvider="file" too) — the cross-process race exercises
+    // the lock-provider trait end-to-end
+    val w = new GraftWriteClient(t, wc.copy(lockProvider = "file"))
     w.bulkInsert(orders)
 
     // fork a REAL second JVM — own SparkSession, own timeline cache; the
