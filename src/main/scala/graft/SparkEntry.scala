@@ -362,6 +362,49 @@ object SparkEntry {
       r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
     }),
 
+    // Kafka-frame ingest end-to-end: orders rows wrapped in the Kafka
+    // consumer schema (binary JSON value + topic/partition/offset),
+    // decoded by the ingest runner's payload seam against a DDL schema,
+    // written through the checkpointed upsert path, re-delivered once to
+    // prove offset-precombine idempotence (ref: JsonKafkaSource.java,
+    // KafkaOffsetGen.java)
+    "tf_kafka_ingest" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner, KafkaPayloadConfig}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_kafka_ingest_src", dir)
+      val tgt = freshDir("tf_kafka_ingest", dir)
+      def frame(df: DataFrame) = df.select(
+        lit("orders").as("topic"),
+        (col("o_orderkey") % 8).cast("int").as("partition"),
+        col("o_orderkey").as("offset"),
+        encode(col("o_orderkey").cast("string"), "UTF-8").as("key"),
+        encode(to_json(struct(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          col("o_orderpriority"))), "UTF-8").as("value"))
+      frame(orders).write.mode("overwrite").parquet(s"$src/b1")
+      val cfg = IngestConfig(
+        sourcePath = src, targetPath = tgt,
+        kafkaPayload = Some(KafkaPayloadConfig(
+          "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, " +
+            "o_totalprice DOUBLE, o_orderpriority STRING")),
+        tableOptions = Map(
+          "recordkey.field" -> "o_orderkey",
+          "partitionpath.field" -> "o_orderpriority",
+          "precombine.field" -> "_kafka_offset",
+          "payload.class" -> "event_time",
+          "target.file.size" -> (4L * 1024 * 1024).toString,
+          "small.file.limit" -> (3L * 1024 * 1024).toString))
+      IngestRunner.runOnce(s, cfg)
+      // re-deliver a slice with the SAME offsets (new mod-time): the
+      // offset precombine keeps the replay from changing anything
+      frame(orders.filter(col("o_orderkey") % 3 === 0))
+        .write.mode("overwrite").parquet(s"$src/b2")
+      IngestRunner.runOnce(s, cfg)
+      s.read.format("graft").load(tgt).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    }),
+
     // the reference's canonical NESTED schema through the full MOR
     // life-cycle under event_time: struct/array-of-struct/map/decimal/
     // date/binary columns ride the delta fold, a stale batch with garbage
@@ -1405,6 +1448,10 @@ object SparkEntry {
     "tf_incr_event_time" ->
       (ordersSelect("o_totalprice + 100.0 AS o_totalprice") +
         " WHERE o_orderkey % 5 = 0"),
+
+    "tf_kafka_ingest" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+        |FROM orders""".stripMargin,
 
     "tf_complex_types" ->
       """SELECT o_orderkey AS trip_id, o_orderpriority AS pri,

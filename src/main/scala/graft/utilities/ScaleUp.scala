@@ -56,12 +56,21 @@ object ScaleUp {
       shift(d, Map("l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), i)))
     write("events", reps(ev, (d, i) =>
       shift(d, Map("event_id" -> E, "user_id" -> U), i)))
-    // a replica-tag token makes cross-replica copies NEAR-duplicates
-    // (exercising minhash/simhash at scale) instead of exact clones
+    // rotate the most common letters per replica so cross-replica copies
+    // are textually UNRELATED (shingle overlap ~0): each replica keeps
+    // the base corpus's internal duplicate structure, so dedup and
+    // near-dup workloads scale ~linearly with rows, the way a real N×
+    // corpus does. (A first cut appended a replica tag instead — that
+    // made every doc 9 near-duplicates and inflated the minhash verify
+    // join quadratically, a property of the synthetic data, not of N×
+    // real data.)
+    val rotAlpha = "etaoinshrd"
     write("documents", reps(doc, (d, i) =>
       shift(d, Map("doc_id" -> D), i)
         .withColumn("text",
-          if (i == 0) col("text") else concat(col("text"), lit(s" replica$i")))))
+          if (i == 0) col("text")
+          else translate(col("text"), rotAlpha,
+            rotAlpha.drop(i % rotAlpha.length) + rotAlpha.take(i % rotAlpha.length)))))
     // deterministic per-(vector, dimension, replica) noise keeps replica
     // vectors close-but-not-parallel (a pure scalar multiple would leave
     // cosine distances exactly degenerate)

@@ -302,6 +302,55 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 370)
   }
 
+  test("streaming: Kafka-frame decode composes with the graft sink exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.utilities.{IngestRunner, KafkaPayloadConfig}
+    import spark.implicits._
+    val base = tmp()
+    val inDir = s"$base/in"; val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"
+    def frame(ids: Seq[Long], off0: Long, v: Double): DataFrame =
+      ids.zipWithIndex.toDF("id", "i").select(
+        lit("t0").as("topic"), (col("id") % 2).cast("int").as("partition"),
+        (lit(off0) + col("i")).as("offset"),
+        timestamp_micros(lit(1700000000000000L) + col("i")).as("timestamp"),
+        encode(col("id").cast("string"), "UTF-8").as("key"),
+        encode(to_json(struct(col("id"),
+          concat(lit("n"), col("id")).as("name"), lit(v).as("v"))), "UTF-8").as("value"))
+    val kafkaSchema = frame(Seq(0L), 0L, 0.0).schema
+    frame(0L until 40L, off0 = 0L, v = 1.0).write.parquet(inDir)
+    // decodeKafkaFrame is pure column expressions, so the SAME call works
+    // on a streaming frame — decode-then-sink is the JsonKafkaSource →
+    // DeltaStreamer pipeline as one structured-streaming query
+    def run(): Unit = {
+      val raw = spark.readStream.schema(kafkaSchema).parquet(inDir)
+      val q = IngestRunner.decodeKafkaFrame(raw,
+          KafkaPayloadConfig("id BIGINT, name STRING, v DOUBLE"))
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("recordkey.field", "id")
+        .option("partitionpath.field", "_kafka_topic")
+        .option("precombine.field", "_kafka_offset")
+        .option("payload.class", "event_time")
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath)
+      q.awaitTermination()
+    }
+    run()
+    val t1 = spark.read.format("graft").load(tablePath)
+    assert(t1.count() === 40)
+    assert(t1.schema("id").dataType.typeName === "long")
+    // new micro-batch: updates by offset ordering + inserts
+    frame(20L until 50L, off0 = 100L, v = 2.0).write.mode("append").parquet(inDir)
+    run()
+    val t2 = spark.read.format("graft").load(tablePath)
+    assert(t2.count() === 50)
+    assert(t2.filter(col("id") >= 20 && col("v") =!= 2.0).count() === 0)
+    // restart with nothing new: replay guard, no extra commit
+    val commits = GraftTable.load(spark, tablePath).timeline.completedData.size
+    run()
+    assert(GraftTable.load(spark, tablePath).timeline.completedData.size === commits)
+  }
+
   test("streaming source: a batch spanning a partition drop delivers no dropped rows") {
     import org.apache.spark.sql.streaming.Trigger
     val base = tmp()
@@ -1125,11 +1174,17 @@ class TableFormatSpec extends AnyFunSuite {
         lit(null).cast("date").as("trip_date"),
         lit(null).cast("binary").as("nation"))
 
-    for (tt <- Seq(GraftTableType.Cow, GraftTableType.Mor)) {
+    // COW + MOR on parquet, plus COW on ORC: nested structs/arrays/maps/
+    // decimal/date/binary must round-trip and merge identically through
+    // both base file formats
+    for ((tt, fmt) <- Seq(
+        (GraftTableType.Cow, "parquet"), (GraftTableType.Mor, "parquet"),
+        (GraftTableType.Cow, "orc"))) {
       val t = GraftTable.create(spark, tmp() + "/t", GraftTableConfig(
         tableName = "cx", tableType = tt,
         recordKeyFields = Seq("k"), partitionFields = Seq("p"),
-        precombineField = Some("ord"), payloadClass = "overwrite_non_defaults"))
+        precombineField = Some("ord"), payloadClass = "overwrite_non_defaults",
+        baseFileFormat = fmt))
       val w = new GraftWriteClient(t, wc)
       w.bulkInsert(trip(1L, 10.0, "USD", 1.5, "orig", "12.5", "2024-01-01", "aa")
         .unionByName(trip(2L, 20.0, "EUR", 2.5, "two", "7.25", "2024-02-02", "bb")))
@@ -1152,7 +1207,7 @@ class TableFormatSpec extends AnyFunSuite {
       assert(got === Set(
         (1L, Some(10.0), Some("USD"), Some(1.5), Some("orig"), Some(12.5),
           Some("2024-01-01"), Some("aa")),
-        (2L, None, None, None, None, None, None, None)), s"tableType=$tt")
+        (2L, None, None, None, None, None, None, None)), s"tableType=$tt fmt=$fmt")
     }
 
     // tiebreak determinism over nested columns: two in-batch duplicates
