@@ -1230,6 +1230,55 @@ class TableFormatSpec extends AnyFunSuite {
     assert(winners.distinct.size == 1, s"tiebreak not deterministic: $winners")
   }
 
+  test("complex types through the SQL surface: MERGE / UPDATE / DELETE on nested columns") {
+    import spark.implicits._
+    val dir = tmp() + "/t"
+    val tab = "cx_sql_tab"
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+    def trips(ks: Seq[Long], amt: Double): DataFrame =
+      ks.toDF("k").select(
+        col("k"), lit("pa").as("p"), (col("k") + 100).cast("double").as("ord"),
+        struct((col("k") * 10.0 + amt).as("amount"), lit("USD").as("currency")).as("fare"),
+        array(struct(lit(1.25).as("amount"), lit("USD").as("currency"))).as("tips"),
+        map(lit("t"), concat(lit("v"), col("k"))).as("tags"))
+    trips(0L until 20L, 0.0).write.format("graft")
+      .option("recordkey.field", "k")
+      .option("partitionpath.field", "p")
+      .option("precombine.field", "ord")
+      .option("operation", "bulk_insert")
+      .mode("overwrite").save(dir)
+    spark.sql(s"CREATE TABLE $tab USING graft OPTIONS (path '$dir')")
+
+    // MERGE: update nested columns whole + insert new nested rows
+    trips(10L until 30L, 0.5).createOrReplaceTempView("cx_sql_src")
+    spark.sql(
+      s"""MERGE INTO $tab t USING cx_sql_src s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val afterMerge = spark.table(tab)
+      .select(col("k"), col("fare.amount")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(afterMerge.size === 30)
+    assert((0L until 10L).forall(k => afterMerge(k) == k * 10.0))
+    assert((10L until 30L).forall(k => afterMerge(k) == k * 10.0 + 0.5))
+
+    // UPDATE with a predicate ON a nested field
+    spark.sql(s"UPDATE $tab SET ord = ord + 1000 WHERE fare.amount >= 250.0")
+    assert(spark.table(tab).filter(col("ord") >= 1000).count() ===
+      (0L until 30L).count(k => k * 10.0 + (if (k >= 10) 0.5 else 0.0) >= 250.0))
+
+    // DELETE with a nested-field predicate; map/array values survive intact
+    spark.sql(s"DELETE FROM $tab WHERE fare.amount < 50.0")
+    val left = spark.table(tab)
+      .select(col("k"), element_at(col("tags"), lit("t")),
+        try_element_at(col("tips"), lit(1)).getField("amount"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(left.map(_._1) === (5L until 30L).toSet)
+    assert(left.forall { case (k, tag, tip) => tag == s"v$k" && tip == 1.25 })
+    spark.sql(s"DROP TABLE IF EXISTS $tab")
+  }
+
   test("upsertPrepped skips precombine; sortedWrite keeps files key-ordered") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
