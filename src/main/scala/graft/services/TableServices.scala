@@ -136,10 +136,33 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         "on overlapping file groups; retry")
   }
 
+  /** Service publishes run their [conflict check + completed-instant
+    * transition] under the same configured lock provider as writer
+    * commits (graft.write.LockProvider; ref: TransactionManager.java —
+    * the reference wraps table-service commits in the same transaction
+    * seam). Metadata-only: data staging happened before this section.
+    */
+  private def withCommitLock[T](f: => T): T = {
+    val lock = graft.write.LockProvider.forTable(
+      wc.lockProvider, table.storage, wc.lockTtlMs)
+    if (!lock.tryLock(wc.lockTimeoutMs))
+      throw new graft.write.LockAcquireException(
+        s"table service could not acquire the '${wc.lockProvider}' commit " +
+          s"lock within ${wc.lockTimeoutMs} ms; nothing was published — retry")
+    try f finally lock.unlock()
+  }
+
   def compact(
       targetIOBytes: Long = 500L * 1024 * 1024 * 1024,
-      strategy: CompactionStrategy = CompactionStrategy.LogFileSizeBased): Option[String] =
+      strategy: CompactionStrategy = CompactionStrategy.LogFileSizeBased): Option[String] = {
+    // Drain plans left by a crashed or lock-blocked prior attempt FIRST:
+    // their groups are claimed (scheduleCompaction skips them), so
+    // without this a dead plan would exempt its groups from compaction
+    // forever; stale plans self-discard inside executeCompaction.
+    val retried = pendingCompactionPlans.flatMap(p => executeCompaction(p.instant))
     scheduleCompaction(targetIOBytes, strategy).flatMap(executeCompaction)
+      .orElse(retried.lastOption)
+  }
 
   /** Plan a compaction and persist it as a `<ts>.compaction.requested`
     * instant WITHOUT executing it — the chosen slices and the OCC floor
@@ -311,31 +334,33 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
 
       val written = publishCompacted(staging, ts)
-      if (wc.occEnabled) {
-        val touched = chosen.map(s => (s.partition, s.fileId)).toSet
-        serviceConflict(occBaseTs, ts, touched, olderOnly = true)
-          .foreach(other => abortConflicted("compact", ts, written, other))
+      withCommitLock {
+        if (wc.occEnabled) {
+          val touched = chosen.map(s => (s.partition, s.fileId)).toSet
+          serviceConflict(occBaseTs, ts, touched, olderOnly = true)
+            .foreach(other => abortConflicted("compact", ts, written, other))
+        }
+        // A chosen group whose every row was tombstoned produces no new base
+        // file; record it as replaced so the stale base version is hidden
+        // from read-optimized readers and the group stops being a compaction
+        // candidate (mirror of the COW vanished-group fix).
+        val writtenGroups = written.map(w => (w.partition, w.fileId)).toSet
+        val vanished = chosen.map(s => (s.partition, s.fileId)).toSet -- writtenGroups
+        val replacedMap = vanished.groupBy(_._1).map {
+          case (p, gs) => p -> gs.map(_._2).toSeq
+        }
+        val totalRecords = written.map(_.records).sum
+        val totalBytes = written.map(_.bytes).sum
+        table.timeline.transitionToCompleted(
+          GraftInstant(ts, GraftAction.Commit, GraftState.Inflight),
+          GraftCommitMetadata(
+            instant = ts, action = GraftAction.Commit, operation = "compact",
+            files = written,
+            replacedFileIds = replacedMap,
+            totalRecords = totalRecords,
+            avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+            schemaJson = lastSchemaJson))
       }
-      // A chosen group whose every row was tombstoned produces no new base
-      // file; record it as replaced so the stale base version is hidden
-      // from read-optimized readers and the group stops being a compaction
-      // candidate (mirror of the COW vanished-group fix).
-      val writtenGroups = written.map(w => (w.partition, w.fileId)).toSet
-      val vanished = chosen.map(s => (s.partition, s.fileId)).toSet -- writtenGroups
-      val replacedMap = vanished.groupBy(_._1).map {
-        case (p, gs) => p -> gs.map(_._2).toSeq
-      }
-      val totalRecords = written.map(_.records).sum
-      val totalBytes = written.map(_.bytes).sum
-      table.timeline.transitionToCompleted(
-        GraftInstant(ts, GraftAction.Commit, GraftState.Inflight),
-        GraftCommitMetadata(
-          instant = ts, action = GraftAction.Commit, operation = "compact",
-          files = written,
-          replacedFileIds = replacedMap,
-          totalRecords = totalRecords,
-          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-          schemaJson = lastSchemaJson))
       // the executed plan's markers die with the completion
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
@@ -430,8 +455,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     */
   def cluster(
       sortColumns: Seq[String] = Seq.empty,
-      recentPartitions: Option[Int] = None): Option[String] =
+      recentPartitions: Option[Int] = None): Option[String] = {
+    // same liveness rule as compact(): drain crashed/blocked plans first,
+    // or their claimed groups would never re-cluster (stale plans
+    // self-discard inside executeClustering)
+    val retried = pendingClusteringPlans.flatMap(p => executeClustering(p.instant))
     scheduleClustering(sortColumns, recentPartitions).flatMap(executeClustering)
+      .orElse(retried.lastOption)
+  }
 
   /** Plan a clustering run and persist it as a `<ts>.clustering.requested`
     * instant without executing — the same request/execute split as
@@ -519,23 +550,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .save(staging.toString)
 
       val written = publishUngrouped(staging, ts)
-      if (wc.occEnabled) {
-        val touched = chosen.map(s => (s.partition, s.fileId)).toSet
-        serviceConflict(occBaseTs, ts, touched, olderOnly = false)
-          .foreach(other => abortConflicted("cluster", ts, written, other))
+      withCommitLock {
+        if (wc.occEnabled) {
+          val touched = chosen.map(s => (s.partition, s.fileId)).toSet
+          serviceConflict(occBaseTs, ts, touched, olderOnly = false)
+            .foreach(other => abortConflicted("cluster", ts, written, other))
+        }
+        val replaced = chosen.groupBy(_.partition).view
+          .mapValues(_.map(_.fileId).distinct.toSeq).toMap
+        val totalRecords = written.map(_.records).sum
+        val totalBytes = written.map(_.bytes).sum
+        table.timeline.transitionToCompleted(
+          GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight),
+          GraftCommitMetadata(
+            instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
+            files = written, replacedFileIds = replaced,
+            totalRecords = totalRecords,
+            avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+            schemaJson = lastSchemaJson))
       }
-      val replaced = chosen.groupBy(_.partition).view
-        .mapValues(_.map(_.fileId).distinct.toSeq).toMap
-      val totalRecords = written.map(_.records).sum
-      val totalBytes = written.map(_.bytes).sum
-      table.timeline.transitionToCompleted(
-        GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight),
-        GraftCommitMetadata(
-          instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
-          files = written, replacedFileIds = replaced,
-          totalRecords = totalRecords,
-          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-          schemaJson = lastSchemaJson))
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
       Some(ts)

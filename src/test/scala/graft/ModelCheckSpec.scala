@@ -121,7 +121,8 @@ class ModelCheckSpec extends AnyFunSuite {
         m((r.p, r.k)) = r
       }
 
-  private def runWalk(tableType: String, global: Boolean, seed: Long): Unit = {
+  private def runWalk(tableType: String, global: Boolean, seed: Long,
+      lockProvider: String = "none"): Unit = {
     val rnd = new Random(seed)
     val cfg = GraftTableConfig(
       tableName = "m", tableType = tableType,
@@ -131,7 +132,7 @@ class ModelCheckSpec extends AnyFunSuite {
       targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
       defaultRecordSizeBytes = 64, parallelism = 4,
       inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024,
-      globalIndex = global)
+      globalIndex = global, lockProvider = lockProvider)
     val t = GraftTable.create(spark, tmp() + "/t", cfg)
     val w = new GraftWriteClient(t, wc)
     val sv = new TableServices(t, wc)
@@ -1052,6 +1053,12 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: overwrite_non_defaults walk on MOR (fold across deltas)") {
     seeds(191L).foreach(runNonDefaultsWalk(GraftTableType.Mor, _))
+  }
+
+  test("model check: MOR walk with the file lock provider on every publish") {
+    // every writer commit AND service publish acquires/releases the
+    // .graft/locks file — soaks the lock across ~17 commits + services
+    seeds(401L).foreach(runWalk(GraftTableType.Mor, global = false, _, lockProvider = "file"))
   }
 
   test("model check: schema-evolution walk on COW (add/widen/rename mid-walk)") {

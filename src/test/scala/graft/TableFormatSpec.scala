@@ -3260,6 +3260,24 @@ class TableFormatSpec extends AnyFunSuite {
       new GraftWriteClient(t, wc.copy(lockProvider = "zookeeper"))
         .upsert(orders.limit(5))
     }
+
+    // table services honor the same lock: a held lock blocks the
+    // compaction publish loudly; the plan survives and a retry lands it
+    val mt = GraftTable.create(spark, tmp() + "/t", morConfig)
+    val mw = new GraftWriteClient(mt, wc)
+    mw.bulkInsert(orders.limit(200))
+    mw.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    val msv = new TableServices(mt,
+      wc.copy(lockProvider = "file", lockTimeoutMs = 500L))
+    val svBlocker = new FileLockProvider(mt.storage, ttlMs = 60000L)
+    assert(svBlocker.tryLock(1000))
+    val beforeCompact = mt.timeline.completedData.size
+    intercept[LockAcquireException] { msv.compact() }
+    svBlocker.unlock()
+    assert(mt.timeline.completedData.size === beforeCompact,
+      "blocked compaction published a commit")
+    assert(msv.compact().nonEmpty, "compaction retry after unlock failed")
+    assert(new GraftReadClient(mt).snapshotData().count() === 200)
   }
 
   test("cross-process OCC: a second JVM racing a conflicting upsert loses retryably") {
