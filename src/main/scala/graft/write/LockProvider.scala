@@ -71,22 +71,60 @@ final class FileLockProvider(
       .getRuntimeMXBean.getName
   @volatile private var held = false
 
+  /** Atomic create-if-absent of the lock file. Hadoop's LOCAL filesystem
+    * implements `create(path, overwrite=false)` as exists-check +
+    * create — two racers can both pass the check and the second create
+    * TRUNCATES the first's lock (found by the contended-acquire stress
+    * test: two holders inside the critical section). On the `file`
+    * scheme use java.io's O_EXCL `createNewFile` instead, which is a
+    * single atomic syscall; on HDFS-like schemes `create(overwrite =
+    * false)` is atomic at the namenode already.
+    */
+  private def atomicCreate(): Unit =
+    if (storage.fs.getScheme == "file") {
+      val f = new java.io.File(lockPath.toUri.getPath)
+      if (!f.createNewFile())
+        throw new java.io.IOException(s"lock exists: $lockPath")
+      val out = new java.io.FileOutputStream(f)
+      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } else storage.createImmutable(lockPath, token)
+
   override def tryLock(timeoutMs: Long): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     if (!storage.exists(locksDir)) storage.fs.mkdirs(locksDir)
     while (System.currentTimeMillis() <= deadline) {
       try {
-        storage.createImmutable(lockPath, token)
-        held = true
-        return true
+        atomicCreate()
+        // confirm-after-acquire: a concurrent waiter that judged the
+        // PREVIOUS holder stale may delete the path right as we created
+        // it (its stale-check read raced our create). If the file no
+        // longer carries our token, we did not really win — retry.
+        if (try storage.readString(lockPath) == token
+            catch { case _: java.io.IOException => false }) {
+          held = true
+          return true
+        }
       } catch {
         case _: java.io.IOException =>
-          // lock taken: break it only when provably stale (TTL expired)
+          // lock taken: break it only when provably stale (TTL expired).
+          // Before deleting, re-read status+token and require BOTH to
+          // match the first observation, so we only ever break the EXACT
+          // lock we judged stale — never a fresh lock that replaced it
+          // between the check and the delete (tokens are unique UUIDs).
+          // The irreducible window between the final check and the
+          // delete is covered from the other side: a victim whose fresh
+          // lock we broke fails its confirm-after-acquire and retries.
           try {
-            val st = storage.fs.getFileStatus(lockPath)
-            if (System.currentTimeMillis() - st.getModificationTime > ttlMs)
-              storage.delete(lockPath) // then re-race on the atomic create
-          } catch { case _: java.io.FileNotFoundException => () /* re-race */ }
+            val st1 = storage.fs.getFileStatus(lockPath)
+            if (System.currentTimeMillis() - st1.getModificationTime > ttlMs) {
+              val t1 = storage.readString(lockPath)
+              val st2 = storage.fs.getFileStatus(lockPath)
+              if (st2.getModificationTime == st1.getModificationTime &&
+                storage.readString(lockPath) == t1)
+                storage.delete(lockPath) // then re-race on the atomic create
+            }
+          } catch { case _: java.io.IOException => () /* re-race */ }
       }
       Thread.sleep(pollMs)
     }

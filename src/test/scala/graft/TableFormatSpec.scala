@@ -3280,6 +3280,32 @@ class TableFormatSpec extends AnyFunSuite {
     assert(new GraftReadClient(mt).snapshotData().count() === 200)
   }
 
+  test("lock provider: contended acquire is mutually exclusive and starvation-free") {
+    import java.util.concurrent.atomic.AtomicInteger
+    import graft.write.FileLockProvider
+    val t = GraftTable.create(spark, tmp() + "/t", cowConfig)
+    val inside = new AtomicInteger(0)
+    val maxSeen = new AtomicInteger(0)
+    val acquired = new AtomicInteger(0)
+    val threads = (1 to 8).map(_ => new Thread(() => {
+      val lp = new FileLockProvider(t.storage, ttlMs = 60000L, pollMs = 3L)
+      (1 to 5).foreach { _ =>
+        if (lp.tryLock(30000)) {
+          val n = inside.incrementAndGet()
+          maxSeen.updateAndGet(m => math.max(m, n))
+          Thread.sleep(2)
+          inside.decrementAndGet()
+          lp.unlock()
+          acquired.incrementAndGet()
+        }
+      }
+    }))
+    threads.foreach(_.start())
+    threads.foreach(_.join(120000))
+    assert(maxSeen.get === 1, s"${maxSeen.get} holders inside the critical section")
+    assert(acquired.get === 40, s"only ${acquired.get}/40 acquisitions succeeded")
+  }
+
   test("cross-process OCC: a second JVM racing a conflicting upsert loses retryably") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
