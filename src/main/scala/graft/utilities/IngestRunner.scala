@@ -151,10 +151,12 @@ object IngestRunner {
     }
 
   /** Decode a Kafka-schema frame's binary JSON `value` into typed
-    * columns (see [[KafkaPayloadConfig]]). Pure column expressions —
-    * `from_json` is codegen'd, nothing leaves the scan task — so the
-    * decode adds no shuffle to the ingest plan at any scale. Works the
-    * same on a batch frame and a streaming one.
+    * columns (see [[KafkaPayloadConfig]]). Pure column expressions
+    * evaluated inside the scan task — no shuffle, no driver round-trip
+    * at any scale (`from_json` itself is a CodegenFallback expression,
+    * so it splits the whole-stage-codegen span; that is the standard
+    * cost of JSON parsing in Spark and per-row work is parser-bound
+    * either way). Works the same on a batch frame and a streaming one.
     */
   def decodeKafkaFrame(df: DataFrame, cfg: KafkaPayloadConfig): DataFrame = {
     import org.apache.spark.sql.functions.{decode => _, _}

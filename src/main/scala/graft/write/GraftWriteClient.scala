@@ -632,9 +632,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs)
     if (!lock.tryLock(wc.lockTimeoutMs)) {
       // fail LOUDLY without publishing: a write that cannot enter the
-      // critical section must never double-commit; clean staged files
-      // staged files were already published to their data paths — remove
-      // them; the caller's abort cleans the pending instant + staging dir
+      // critical section must never double-commit. Staged files were
+      // already moved to their data paths — remove them; the caller's
+      // abort cleans the pending instant + staging dir
       written.foreach(f =>
         table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName)))
       throw new LockAcquireException(
