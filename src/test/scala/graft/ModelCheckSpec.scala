@@ -599,7 +599,8 @@ class ModelCheckSpec extends AnyFunSuite {
     * run over nested values — the data shape no flat walk exercises.
     * Monotonic ords keep the model deterministic (latest wins).
     */
-  private def runComplexWalk(tableType: String, seed: Long): Unit = {
+  private def runComplexWalk(
+      tableType: String, seed: Long, global: Boolean = false): Unit = {
     import spark.implicits._
     val rnd = new Random(seed)
     val cfg = GraftTableConfig(
@@ -609,7 +610,8 @@ class ModelCheckSpec extends AnyFunSuite {
     val wc = WriteConfig(
       targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
       defaultRecordSizeBytes = 128, parallelism = 4,
-      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024)
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024,
+      globalIndex = global)
     val t = GraftTable.create(spark, tmp() + "/t", cfg)
     val w = new GraftWriteClient(t, wc)
     val sv = new TableServices(t, wc)
@@ -627,8 +629,12 @@ class ModelCheckSpec extends AnyFunSuite {
     def toDf(rows: Seq[TripRow]): DataFrame =
       rows.toDF("k", "p", "fare", "tips", "tags", "ord")
     def applyUpsert(rows: Seq[TripRow]): Unit =
-      rows.groupBy(r => (r.p, r.k)).values.map(_.maxBy(_.ord))
-        .foreach(r => model((r.p, r.k)) = r)
+      rows.groupBy(r => r.k -> (if (global) "" else r.p)).values
+        .map(_.maxBy(_.ord)).foreach { r =>
+          // global index: a changed partition MOVES the record
+          if (global) model.filterInPlace { case ((_, mk), _) => mk != r.k }
+          model((r.p, r.k)) = r
+        }
     def snapSet(): Set[TripRow] = {
       val rows = read.snapshotData().select("k", "p", "fare", "tips", "tags", "ord")
         .as[TripRow].collect().toSeq
@@ -644,27 +650,38 @@ class ModelCheckSpec extends AnyFunSuite {
     applyUpsert(seedRows)
     record(w.bulkInsert(toDf(seedRows)))
 
+    // savepointed frozen states; restore rewinds table AND model
+    val savepoints = mutable.ArrayBuffer[(String, Set[TripRow])]()
+
     for (step <- 1 to 14) {
       rnd.nextInt(100) match {
-        case x if x < 45 => // upsert: nested values rewritten whole
+        case x if x < 40 => // upsert: nested values rewritten whole;
+          // under the global index occasionally MOVE the partition
           val existing = model.values.toVector
           val rows = (0 until 8 + rnd.nextInt(15)).map { _ =>
             if (existing.nonEmpty && rnd.nextBoolean()) {
               val old = existing(rnd.nextInt(existing.size))
-              freshRow(old.k, old.p)
+              val p = if (global && rnd.nextInt(4) == 0)
+                partitions(rnd.nextInt(4)) else old.p
+              freshRow(old.k, p)
             } else freshRow(rnd.nextInt(keySpace).toLong, partitions(rnd.nextInt(4)))
           }
           applyUpsert(rows)
           record(w.upsert(toDf(rows)))
 
-        case x if x < 62 => // delete
+        case x if x < 55 => // delete (global: every location of the key dies)
           val victims = rnd.shuffle(model.values.toVector).take(1 + rnd.nextInt(8))
           if (victims.nonEmpty) {
-            victims.foreach(r => model.remove(r.p -> r.k))
+            if (global) {
+              val ks = victims.map(_.k).toSet
+              model.filterInPlace { case ((_, mk), _) => !ks(mk) }
+            } else victims.foreach(r => model.remove(r.p -> r.k))
             record(w.delete(toDf(victims.map(r => r.copy(ord = nextOrd())))))
           }
 
-        case x if x < 75 => // insert_overwrite one partition
+        case x if x < 66 => // insert_overwrite one partition (bypasses the
+          // index even when global — an orphaned same-key sibling survives
+          // until the next global upsert re-unifies it)
           val p = partitions(rnd.nextInt(4))
           val ks = rnd.shuffle((0 until keySpace).toVector).take(6 + rnd.nextInt(10))
           val rows = ks.map(k => freshRow(k.toLong, p))
@@ -672,9 +689,36 @@ class ModelCheckSpec extends AnyFunSuite {
           rows.foreach(r => model(r.p -> r.k) = r)
           record(w.insertOverwrite(toDf(rows)))
 
-        case x if x < 90 => // services preserve nested content
+        case x if x < 78 => // services preserve nested content
           if (tableType == GraftTableType.Mor) sv.compact()
           else sv.cluster()
+
+        case x if x < 84 => // savepoint the newest data commit
+          if (history.nonEmpty && !savepoints.exists(_._1 == history.last._1))
+            savepoints += { sv.savepoint(history.last._1); history.last }
+
+        case x if x < 88 => // restore: nested content rewinds exactly
+          if (savepoints.nonEmpty && savepoints.last._1 < history.last._1) {
+            val (ts, frozen) = savepoints.last
+            sv.restore(ts)
+            model.clear()
+            frozen.foreach(r => model(r.p -> r.k) = r)
+            while (history.nonEmpty && history.last._1 > ts)
+              history.remove(history.size - 1)
+          }
+
+        case x if x < 92 => // rollback the newest data commit (when ours)
+          if (history.size >= 2 &&
+            t.timeline.completedData.lastOption.exists(_.ts == history.last._1) &&
+            !savepoints.exists(_._1 == history.last._1)) {
+            sv.rollback(history.last._1)
+            history.remove(history.size - 1)
+            model.clear()
+            history.last._2.foreach(r => model(r.p -> r.k) = r)
+          }
+
+        case x if x < 96 => // archive (manifest checkpoint)
+          sv.archive(minCommits = 8, maxCommits = 10)
 
         case _ =>
           sv.clean()
@@ -1075,6 +1119,10 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: complex-type walk on MOR (nested rows across deltas)") {
     seeds(223L).foreach(runComplexWalk(GraftTableType.Mor, _))
+  }
+
+  test("model check: global-index complex walk (nested records move partitions)") {
+    seeds(227L).foreach(runComplexWalk(GraftTableType.Cow, _, global = true))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {
