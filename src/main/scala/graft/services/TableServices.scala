@@ -117,8 +117,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       .filter(i => i.ts > baseTs && i.ts != myTs && (!olderOnly || i.ts < myTs))
       .find { i =>
         val meta = table.timeline.metadataOf(i)
+        // .toSeq first — a Map-to-tuples flatMap would collapse to one id
+        // per partition (see GraftWriteClient.conflictingInstant)
         val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
-          meta.replacedFileIds.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+          meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
         (theirs & touched).nonEmpty
       }
       .map(_.ts)

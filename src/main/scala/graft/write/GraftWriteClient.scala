@@ -281,7 +281,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val instant = begin(GraftAction.ReplaceCommit)
     val replaced = table.view.groupsInPartitions(partitions.toSet)
     if (wc.occEnabled) {
-      val touched = replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+      // .toSeq first — a Map-to-tuples flatMap would collapse to one id
+      // per partition (see conflictingInstant)
+      val touched = replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
       conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
         table.timeline.deleteInstant(instant)
         throw new ConcurrentWriteConflictException(
@@ -590,8 +592,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .filter(i => i.ts > baseTs && i.ts != myTs)
       .find { i =>
         val meta = table.timeline.metadataOf(i)
+        // .toSeq before the flatMap: flatMapping a Map with a function
+        // that returns key/value tuples REBUILDS A MAP, silently keeping
+        // only the LAST fileId per partition — which made this check
+        // ignore every replaced group but one and let a racing writer
+        // commit into a clustered-away file group (lost update; found by
+        // the concurrent two-writer model walk, seed 239)
         val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
-          meta.replacedFileIds.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+          meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
         (theirs & touched).nonEmpty
       }
       .map(_.ts)
@@ -643,8 +651,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     }
     try {
       if (wc.occEnabled) {
+        // .toSeq first — a Map-to-tuples flatMap would collapse to one id
+        // per partition (see conflictingInstant)
         val touched = written.map(f => (f.partition, f.fileId)).toSet ++
-          replaced.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+          replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
         conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
           // the loser cleans its already-published files and aborts; they
           // were never referenced by any commit, so readers never saw them

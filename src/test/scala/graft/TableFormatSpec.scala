@@ -1011,6 +1011,40 @@ class TableFormatSpec extends AnyFunSuite {
       Set(("nowhere", "nofile"))).isEmpty)
   }
 
+  test("OCC: EVERY replaced file group conflicts, not just the last per partition") {
+    // Regression: flatMapping a Map[String, Seq[String]] with a function
+    // returning (partition, fileId) tuples rebuilds a MAP, silently
+    // keeping only the LAST fileId per partition — so a conflict on any
+    // other replaced group went undetected and a racing writer could
+    // commit into a clustered-away file group (lost update; caught by
+    // the concurrent two-writer model walk, seed 239).
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val base = w.bulkInsert(orders)
+    val replTs = InstantTimeGenerator.next()
+    val req = t.timeline.createRequested(replTs, GraftAction.ReplaceCommit)
+    val inflight = t.timeline.transitionToInflight(req)
+    t.timeline.transitionToCompleted(inflight, GraftCommitMetadata(
+      instant = replTs, action = GraftAction.ReplaceCommit,
+      operation = "cluster",
+      replacedFileIds = Map(
+        "1995" -> Seq("g0", "g1", "g2"),
+        "1996" -> Seq("h0", "h1"))))
+    // a writer based before the replacecommit conflicts on EACH replaced
+    // group — including the non-last ones a Map-collapse would drop
+    for ((p, id) <- Seq(("1995", "g0"), ("1995", "g1"), ("1995", "g2"),
+        ("1996", "h0"), ("1996", "h1")))
+      assert(w.conflictingInstant(base, "99999999999999999", Set((p, id)))
+        .contains(replTs), s"missed conflict on replaced group ($p,$id)")
+    // the service-side check applies the same rule
+    val sv = new TableServices(t, wc)
+    for ((p, id) <- Seq(("1995", "g0"), ("1996", "h0")))
+      assert(sv.serviceConflict(base, "99999999999999999", Set((p, id)),
+        olderOnly = false).contains(replTs),
+        s"service check missed conflict on replaced group ($p,$id)")
+  }
+
   test("SQL ALTER TABLE ADD COLUMNS + TRUNCATE on graft tables") {
     val sparkExt = spark // shared session carries the graft SQL extension
     val path = tmp() + "/t"
