@@ -9,7 +9,7 @@ import graft.functions.TextFunctions
 import graft.operators.{Dedup, Similarity}
 import graft.read.GraftReadClient
 import graft.services.TableServices
-import graft.write.{GraftWriteClient, WriteConfig}
+import graft.write.{ConcurrentWriteConflictException, GraftWriteClient, LockAcquireException, WriteConfig}
 
 /** Driver contract — see SURVEY.md §7 + the builder prompt.
   *
@@ -360,6 +360,63 @@ object SparkEntry {
         .withColumn("o_totalprice", col("o_totalprice") + 100.0)) // fresh
       val r = new GraftReadClient(t)
       r.dataOnly(r.incremental(c1)).select(ordersCols.map(col): _*)
+    }),
+
+    // TWO REAL WRITER THREADS race the same table through OCC + the
+    // `file` lock provider, each retrying on conflict/lock loss until
+    // its commit publishes (ref: TransactionManager.java:49-69,
+    // SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115).
+    // Writers own disjoint key parities — the reference's multi-writer
+    // contract (concurrent writers must not insert the same NEW key) —
+    // but SHARE partitions and small-file bin-packing targets, so their
+    // file groups genuinely collide and conflicts really fire. Each key
+    // is touched by at most one op after the seed, so the final table
+    // is deterministic no matter how the race interleaves — which is
+    // what makes a DuckDB oracle possible for a genuinely raced run.
+    "tf_concurrent" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_concurrent", dir),
+        ordersTableConfig(GraftTableType.Cow))
+      val wcc = testWc.copy(lockProvider = "file")
+      new GraftWriteClient(t, wcc).bulkInsert(orders)
+      def retrying(op: => Unit): Unit = {
+        var attempts = 0
+        var done = false
+        while (!done)
+          try { op; done = true }
+          catch {
+            case e @ (_: ConcurrentWriteConflictException | _: LockAcquireException) =>
+              attempts += 1
+              if (attempts > 50) throw e
+          }
+      }
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def writer(body: GraftWriteClient => Unit): Thread = {
+        val th = new Thread(() => {
+          try body(new GraftWriteClient(GraftTable.load(s, t.basePath.toString), wcc))
+          catch { case e: Throwable => errs.add(e) }
+        })
+        th.start(); th
+      }
+      val even = writer { w =>
+        retrying(w.upsert(orders.filter(col("o_orderkey") % 12 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 1000.0)))
+        retrying(w.delete(orders.filter(col("o_orderkey") % 12 === 2)
+          .select("o_orderkey", "o_orderpriority")))
+        retrying(w.upsert(orders.filter(col("o_orderkey") % 12 === 4)
+          .withColumn("o_totalprice", col("o_totalprice") + 2000.0)))
+      }
+      val odd = writer { w =>
+        retrying(w.delete(orders.filter(col("o_orderkey") % 12 === 3)
+          .select("o_orderkey", "o_orderpriority")))
+        retrying(w.upsert(orders.filter(col("o_orderkey") % 12 === 5)
+          .withColumn("o_totalprice", col("o_totalprice") + 3000.0)))
+        retrying(w.upsert(orders.filter(col("o_orderkey") % 12 === 7)
+          .withColumn("o_totalprice", col("o_totalprice") + 4000.0)))
+      }
+      Seq(even, odd).foreach(_.join(10 * 60 * 1000))
+      if (!errs.isEmpty) throw errs.peek()
+      snap(t)
     }),
 
     // Kafka-frame ingest end-to-end: orders rows wrapped in the Kafka
@@ -1448,6 +1505,15 @@ object SparkEntry {
     "tf_incr_event_time" ->
       (ordersSelect("o_totalprice + 100.0 AS o_totalprice") +
         " WHERE o_orderkey % 5 = 0"),
+
+    "tf_concurrent" ->
+      (ordersSelect(
+        """CASE WHEN o_orderkey % 12 = 0 THEN o_totalprice + 1000.0
+          |       WHEN o_orderkey % 12 = 4 THEN o_totalprice + 2000.0
+          |       WHEN o_orderkey % 12 = 5 THEN o_totalprice + 3000.0
+          |       WHEN o_orderkey % 12 = 7 THEN o_totalprice + 4000.0
+          |       ELSE o_totalprice END AS o_totalprice""".stripMargin) +
+        " WHERE o_orderkey % 12 NOT IN (2, 3)"),
 
     "tf_kafka_ingest" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority

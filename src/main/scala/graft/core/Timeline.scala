@@ -47,17 +47,64 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
     } finally in.close()
   }
 
-  /** Create-if-absent write; fails if the file already exists. */
-  def createImmutable(p: Path, content: String): Unit = {
-    val out = fs.create(p, false)
+  /** Write `content` to a private temp file and return its path. The
+    * temp dir lives inside `.graft/` so a rename into the meta dir is a
+    * same-filesystem (and on HDFS same-volume) metadata operation.
+    */
+  private def stageContent(content: String): Path = {
+    if (!fs.exists(tempDir)) fs.mkdirs(tempDir)
+    val tmp = new Path(tempDir, "meta_" + java.util.UUID.randomUUID.toString)
+    val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8))
     finally out.close()
+    tmp
   }
 
+  /** Create-if-absent write, atomic in BOTH senses: creation fails if
+    * the path already exists (the timeline's OCC backstop), and the path
+    * becomes visible only with its FULL content. A plain
+    * `create(p, false)` + write publishes an EMPTY file first — a
+    * concurrent reader listing `.graft/` can observe a completed-instant
+    * file before its commit metadata lands and fail parsing it (caught
+    * by the two-writer model walk). So: stage to `.temp/`, then one
+    * atomic move — a hard link on the `file` scheme (fails with EEXIST),
+    * a namenode-atomic rename on HDFS-like schemes (false if dst
+    * exists).
+    */
+  def createImmutable(p: Path, content: String): Unit = {
+    val tmp = stageContent(content)
+    try {
+      if (fs.getScheme == "file")
+        java.nio.file.Files.createLink(
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.Paths.get(tmp.toUri.getPath))
+      else if (fs.exists(p) || !fs.rename(tmp, p))
+        throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
+    } finally fs.delete(tmp, false)
+  }
+
+  /** Overwrite with the same full-content visibility guarantee: readers
+    * see either the old content or the new, never a truncated file.
+    */
   def overwrite(p: Path, content: String): Unit = {
-    val out = fs.create(p, true)
-    try out.write(content.getBytes(StandardCharsets.UTF_8))
-    finally out.close()
+    val tmp = stageContent(content)
+    try {
+      if (fs.getScheme == "file")
+        java.nio.file.Files.move(
+          java.nio.file.Paths.get(tmp.toUri.getPath),
+          java.nio.file.Paths.get(p.toUri.getPath),
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      else {
+        // no overwriting rename in the FileSystem API: delete-then-rename
+        // leaves a missing-file window on non-posix stores; the only
+        // overwritten files (table config, archive manifest) are
+        // republished under the commit lock, so readers retry
+        fs.delete(p, false)
+        if (!fs.rename(tmp, p))
+          throw new java.io.IOException(s"atomic overwrite failed: $p")
+      }
+    } finally if (fs.exists(tmp)) fs.delete(tmp, false)
   }
 
   def delete(p: Path, recursive: Boolean = false): Boolean = fs.delete(p, recursive)

@@ -49,6 +49,31 @@ object NoOpLockProvider extends LockProvider {
   override def unlock(): Unit = ()
 }
 
+/** Process-wide lock shared by every writer of one table inside a
+  * single JVM (ref: hudi-client/hudi-client-common/.../transaction/
+  * lock/InProcessLockProvider.java): the right provider when multiple
+  * THREADS of one driver write the same table — concurrent streaming
+  * queries, a writer racing inline table services. Keyed by the table
+  * base path so distinct tables never contend; carries zero filesystem
+  * traffic, but provides no protection against a second process (use
+  * `file` for that).
+  */
+final class InProcessLockProvider(storage: GraftStorage) extends LockProvider {
+  private val lock = InProcessLockProvider.forPath(storage.basePath.toString)
+  override def tryLock(timeoutMs: Long): Boolean =
+    try lock.tryLock(timeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    catch { case _: InterruptedException => Thread.currentThread.interrupt(); false }
+  override def unlock(): Unit =
+    if (lock.isHeldByCurrentThread) lock.unlock()
+}
+
+object InProcessLockProvider {
+  private val locks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+  private def forPath(p: String): java.util.concurrent.locks.ReentrantLock =
+    locks.computeIfAbsent(p, _ => new java.util.concurrent.locks.ReentrantLock())
+}
+
 /** Create-if-absent lock file at `.graft/locks/writer.lock`. The file
   * body carries a unique owner token; `unlock` re-reads it and deletes
   * only when the token is still ours (a TTL-broken lock belongs to the
@@ -152,8 +177,9 @@ object LockProvider {
   def forTable(selector: String, storage: GraftStorage, ttlMs: Long): LockProvider =
     selector match {
       case "none" | "" => NoOpLockProvider
+      case "jvm"       => new InProcessLockProvider(storage)
       case "file"      => new FileLockProvider(storage, ttlMs)
       case other => throw new IllegalArgumentException(
-        s"unknown lock provider '$other' (expected: none | file)")
+        s"unknown lock provider '$other' (expected: none | jvm | file)")
     }
 }

@@ -103,7 +103,9 @@ final case class WriteConfig(
     commitCallback: Option[(String, graft.core.GraftCommitMetadata) => Unit] = None,
     /** Cross-writer lock held around [conflict check + commit publish]:
       * "none" (default — create-if-absent instant files + pre-publish
-      * check, the reference's no-external-lock default) or "file" (a
+      * check, the reference's no-external-lock default), "jvm" (a
+      * process-wide per-table lock for multi-threaded single-driver
+      * writers, ref: InProcessLockProvider.java), or "file" (a
       * TTL-broken lock file under `.graft/locks/`, closing the
       * check→publish race for writers sharing one filesystem). See
       * [[LockProvider]] (ref: TransactionManager.java:49-69).

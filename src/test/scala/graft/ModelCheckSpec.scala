@@ -1060,6 +1060,212 @@ class ModelCheckSpec extends AnyFunSuite {
     spark.sql(s"DROP TABLE IF EXISTS $tab")
   }
 
+  /** TWO WRITERS, ONE TABLE: a randomized concurrent walk. Each writer
+    * races seeded upserts and deletes through its own table handle and
+    * write client (OCC on, `file` lock provider serializing every
+    * [conflict check + publish]), retrying on conflict/lock loss, while
+    * both also fire table services (compaction / clustering / cleaning)
+    * whose publishes conflict-check under the same lock. Writers draw
+    * keys from disjoint residue classes — the reference's multi-writer
+    * contract: concurrent writers must not insert the same NEW key,
+    * because file-level OCC cannot see cross-group key duplicates (ref:
+    * SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115)
+    * — but SHARE partitions and small-file bin-packing targets, so
+    * their file groups genuinely collide and conflicts really fire.
+    * The oracle replays exactly the batches whose write call RETURNED,
+    * in commit-ts order (the table's serialization order: instants are
+    * monotonic, per-writer ops are sequential, writers share no keys).
+    * So the walk asserts linearizability of the published timeline:
+    * every acknowledged write visible, every aborted attempt invisible,
+    * no lost updates under concurrent service rewrites, no duplicate
+    * physical rows from racing bin-packers.
+    */
+  private def runConcurrentWalk(
+      tableType: String, seed: Long, lockProvider: String = "file"): Unit = {
+    val path = tmp() + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "cc", tableType = tableType,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"))
+    val wcc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 64, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024,
+      // retention must cover any concurrent writer's in-flight duration
+      // (the reference's multi-writer cleaner contract: retained commits
+      // bound how long a racing merge may keep reading a superseded
+      // slice) — the walk commits ~16 times total, so retain them all
+      cleanRetainCommits = 20,
+      lockProvider = lockProvider)
+    GraftTable.create(spark, path, cfg)
+
+    val ordGen = new java.util.concurrent.atomic.AtomicLong(0L)
+    // ts -> (op, batch) for every write whose call returned successfully
+    val committed =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[ModelRow])]()
+
+    def retrying(what: String)(op: => String): String = {
+      var attempt = 0
+      var out: String = null
+      while (out == null) {
+        try out = op
+        catch {
+          case e @ (_: graft.write.ConcurrentWriteConflictException |
+                    _: graft.write.LockAcquireException) =>
+            attempt += 1
+            assert(attempt <= 25, s"$what: gave up after 25 conflict retries: $e")
+        }
+      }
+      out
+    }
+
+    // seed rows land before the race so both writers start with updates
+    locally {
+      val w0 = new GraftWriteClient(GraftTable.load(spark, path), wcc)
+      val rows = (0 until 40).map(i =>
+        ModelRow(i.toLong, partitions(i % 3), i / 10.0, ordGen.incrementAndGet()))
+      committed.put(w0.bulkInsert(toDf(rows)), ("upsert", rows))
+    }
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(idx: Int): Thread = new Thread(() => {
+      try {
+        val rnd = new Random(seed * 31 + idx)
+        val t = GraftTable.load(spark, path)
+        val w = new GraftWriteClient(t, wcc)
+        val sv = new TableServices(t, wcc)
+        def key(): Long = { val k = rnd.nextInt(40); (k - k % 2 + idx).toLong }
+        for (_ <- 1 to 7) {
+          rnd.nextInt(100) match {
+            case x if x < 60 =>
+              val rows = (0 until 4 + rnd.nextInt(8)).map(_ => ModelRow(
+                key(), partitions(rnd.nextInt(3)),
+                rnd.nextInt(10000) / 10.0, ordGen.incrementAndGet()))
+              val ts = retrying(s"writer$idx upsert")(w.upsert(toDf(rows)))
+              committed.put(ts, ("upsert", rows))
+            case x if x < 80 =>
+              val rows = (0 until 1 + rnd.nextInt(4)).map(_ => ModelRow(
+                key(), partitions(rnd.nextInt(3)), 0.0, ordGen.incrementAndGet()))
+              val ts = retrying(s"writer$idx delete")(w.delete(toDf(rows)))
+              committed.put(ts, ("delete", rows))
+            case x if x < 92 =>
+              // services: publishes conflict-check under the commit lock;
+              // losing the race is fine (nothing published), crashing is not
+              try { if (tableType == GraftTableType.Mor) sv.compact() else sv.cluster() }
+              catch { case _: graft.write.ConcurrentWriteConflictException |
+                           _: graft.write.LockAcquireException => () }
+            case _ =>
+              try sv.clean()
+              catch { case _: graft.write.LockAcquireException => () }
+          }
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+
+    // a dedicated async service runner races BOTH writers — the
+    // reference's async compaction/clustering deployment shape (ref:
+    // hudi-client/.../async/AsyncCompactService.java): its schedule and
+    // publish steps conflict-check under the same commit lock; losing a
+    // race leaves a pending plan for the next attempt's drain
+    val svc = new Thread(() => {
+      try {
+        val t = GraftTable.load(spark, path)
+        val sv = new TableServices(t, wcc)
+        for (_ <- 1 to 5) {
+          try {
+            if (tableType == GraftTableType.Mor) sv.compact() else sv.cluster()
+            sv.clean()
+          } catch {
+            case _: graft.write.ConcurrentWriteConflictException |
+                 _: graft.write.LockAcquireException => ()
+          }
+          Thread.sleep(100)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    val threads = Seq(writer(0), writer(1), svc)
+    threads.foreach(_.start())
+    threads.foreach(_.join(10 * 60 * 1000))
+    assert(threads.forall(!_.isAlive), "writer thread hung")
+    assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
+
+    import scala.jdk.CollectionConverters._
+    val model: Model = mutable.Map.empty
+    committed.asScala.toSeq.sortBy(_._1).foreach {
+      case (_, ("upsert", rows)) => modelUpsert(model, rows, global = false)
+      case (_, (_, rows))        => rows.foreach(r => model.remove(r.p -> r.k))
+    }
+    val read = new GraftReadClient(GraftTable.load(spark, path))
+    val got = rowSet(read.snapshotData())
+    val want = model.values.toSet
+    if (got != want && sys.env.contains("GRAFT_CC_DEBUG")) {
+      val sb = new StringBuilder
+      sb.append(s"=== forensics seed=$seed type=$tableType ===\n")
+      committed.asScala.toSeq.sortBy(_._1).foreach { case (ts, (op, rows)) =>
+        sb.append(s"ack $ts $op ${rows.map(r => s"(${r.k},${r.p},${r.v},${r.ord})").mkString(" ")}\n")
+      }
+      val t2 = GraftTable.load(spark, path)
+      t2.timeline.instants.foreach { i =>
+        sb.append(s"instant ${i.ts} ${i.action} ${i.state}")
+        if (i.isCompleted && GraftAction.DataActions.contains(i.action)) {
+          val m = t2.timeline.metadataOf(i)
+          sb.append(s" op=${m.operation} files=${m.files.map(f => s"${f.partition}/${f.fileId}@${f.fileName}#${f.records}").mkString(",")}")
+          sb.append(s" replaced=${m.replacedFileIds}")
+        }
+        sb.append("\n")
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"/tmp/ccdump_$seed.txt"),
+        sb.toString.getBytes("UTF-8"))
+    }
+    assert(got == want,
+      s"(seed $seed, $tableType, concurrent): snapshot diverged; " +
+        s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+
+    // the raced band (seed, last] read back two ways: incremental must
+    // return exactly the final-state rows the seeded state lacked (ords
+    // are globally unique, so set difference is the precise expectation
+    // even though writers interleaved arbitrarily); the CDC feed
+    // replayed over the seeded state must reproduce the final state.
+    // Both views run over a timeline produced by genuinely RACING
+    // writers and service rewrites.
+    val tsOrder = committed.asScala.keys.toSeq.sorted
+    val (seedTs, lastTs) = (tsOrder.head, tsOrder.last)
+    val seeded = committed.get(seedTs)._2.toSet
+    val incr = rowSet(read.dataOnly(read.incremental(seedTs, Some(lastTs))))
+    val wantIncr = want -- seeded
+    assert(incr == wantIncr,
+      s"(seed $seed, $tableType, concurrent): incremental ($seedTs,$lastTs] " +
+        s"diverged; extra=${(incr -- wantIncr).take(5)} " +
+        s"missing=${(wantIncr -- incr).take(5)}")
+    val feed = read.changes(seedTs, Some(lastTs))
+      .select(col("_change_ordinal"), col("_change_type"),
+        col("k"), col("p"), col("v"), col("ord"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val replay = mutable.Map[(String, Long), ModelRow](
+      seeded.map(r => (r.p, r.k) -> r).toSeq: _*)
+    feed.foreach { r =>
+      val row = ModelRow(r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5))
+      r.getString(1) match {
+        case "insert" | "update_postimage" => replay((row.p, row.k)) = row
+        case "delete"                      => replay.remove((row.p, row.k))
+        case "update_preimage"             => // informational
+      }
+    }
+    assert(replay.values.toSet == want,
+      s"(seed $seed, $tableType, concurrent): CDC replay ($seedTs,$lastTs] " +
+        s"diverged; extra=${(replay.values.toSet -- want).take(5)} " +
+        s"missing=${(want -- replay.values.toSet).take(5)}")
+    // no leftover pending WRITER instants once both writers are done —
+    // aborted attempts clean up after themselves. (Pending service
+    // PLANS are legitimate: a lock-blocked compact/cluster leaves its
+    // plan for the next attempt's drain, by design.)
+    val leftovers = GraftTable.load(spark, path).timeline.pending
+      .filter(i => i.action == GraftAction.Commit || i.action == GraftAction.DeltaCommit)
+    assert(leftovers.isEmpty, s"leftover pending writer instants: $leftovers")
+  }
+
   /** Soak knob: GRAFT_MODEL_EXTRA_SEEDS=41,43,... runs each walk under
     * additional seeds (dev-loop shake-out; CI keeps the pinned ones).
     */
@@ -1123,6 +1329,18 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: global-index complex walk (nested records move partitions)") {
     seeds(227L).foreach(runComplexWalk(GraftTableType.Cow, _, global = true))
+  }
+
+  test("model check: concurrent two-writer walk (OCC + file lock on COW)") {
+    seeds(229L).foreach(runConcurrentWalk(GraftTableType.Cow, _))
+  }
+
+  test("model check: concurrent two-writer walk on MOR (compaction races)") {
+    seeds(233L).foreach(runConcurrentWalk(GraftTableType.Mor, _))
+  }
+
+  test("model check: concurrent walk under the in-process (jvm) lock provider") {
+    seeds(239L).foreach(runConcurrentWalk(GraftTableType.Cow, _, lockProvider = "jvm"))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {
