@@ -638,7 +638,26 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     // routine maintenance also reaps expired reliable-CDC chunk dirs, so
     // a one-off wide-band read can't leave orphans on the table forever
     graft.read.GraftReadClient.reapStaleCdcCheckpoints(table)
+    reapStaleMetaTemp()
     commitClean(cleanCandidates(retainCommits), "clean")
+  }
+
+  /** Instant publishes stage their content under `.graft/.temp/` and move
+    * it atomically into place (GraftStorage.createImmutable); a writer
+    * that dies between stage and move leaves the staged file behind.
+    * They are invisible to every reader (not parseable instant names),
+    * so reaping is pure hygiene — an age guard keeps us clear of any
+    * in-flight publish.
+    */
+  private def reapStaleMetaTemp(maxAgeMs: Long = 60 * 60 * 1000L): Unit = {
+    val st = table.storage
+    if (!st.exists(st.tempDir)) return
+    val cutoff = System.currentTimeMillis() - maxAgeMs
+    // only loose meta_* FILES: service data staging uses <ts>/ SUBDIRS of
+    // the same temp dir and has its own lifecycle (publish + rollback)
+    st.fs.listStatus(st.tempDir).foreach { f =>
+      if (f.isFile && f.getModificationTime < cutoff) st.delete(f.getPath)
+    }
   }
 
   private def cleanCandidates(retainCommits: Int): Seq[WriteFileInfo] = {
