@@ -200,6 +200,29 @@ final class GraftTimeline(storage: GraftStorage) {
   def dataInstantsBetween(begin: String, end: String): Seq[GraftInstant] =
     completedData.filter(i => i.ts > begin && i.ts <= end)
 
+  /** The newest completed data instant an incremental CONSUMER may
+    * advance its checkpoint to. Instant ts is the BEGIN time, so a
+    * writer still in flight will complete BELOW newer already-completed
+    * instants — a checkpoint advanced beyond it would skip that commit
+    * forever (the reference's "hollow commit" guard: incremental readers
+    * must not pass the earliest pending writer instant). Pending SERVICE
+    * plans do not hold the floor: compaction/clustering complete at
+    * their plan ts without pending commit markers and introduce no
+    * logical data change an incremental consumer could miss. A crashed
+    * writer's leftover markers pin the floor until rollbackFailedWrites
+    * reclaims them — stalling beats silently losing a commit.
+    */
+  def safeIncrementalEnd: Option[String] = {
+    val floor = pending
+      .filter(i => GraftAction.DataActions.contains(i.action))
+      .map(_.ts).minOption
+    val done = completedData.map(_.ts)
+    floor match {
+      case Some(f) => done.filter(_ < f).lastOption
+      case None    => done.lastOption
+    }
+  }
+
   // --- state transitions ----------------------------------------------
 
   /** `content` defaults to an empty body; service plans (compaction) put

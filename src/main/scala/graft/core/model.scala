@@ -153,7 +153,13 @@ final case class GraftCommitMetadata(
 final case class CompactionPlan(
     instant: String,
     baseTs: String, // OCC floor: last completed data instant at schedule time
-    slices: Seq[FileSlice])
+    slices: Seq[FileSlice],
+    /** Completed data instants visible at schedule time. The precise OCC
+      * snapshot: commits complete out of ts order, so a conflict
+      * candidate is anything outside this set, not anything above
+      * `baseTs` (kept for legacy plans without it).
+      */
+    baseSeen: Seq[String] = Seq.empty)
 
 /** A persisted clustering plan — the content of a
   * `<ts>.clustering.requested` instant file; same request/execute split
@@ -163,7 +169,10 @@ final case class ClusteringPlan(
     instant: String,
     baseTs: String,
     sortColumns: Seq[String],
-    slices: Seq[FileSlice])
+    slices: Seq[FileSlice],
+    /** Completed data instants visible at schedule time (see
+      * [[CompactionPlan.baseSeen]]). */
+    baseSeen: Seq[String] = Seq.empty)
 
 /** A persisted clean plan — the content of a `<ts>.clean.requested`
   * instant file: the frozen list of obsolete `partition/fileName` data

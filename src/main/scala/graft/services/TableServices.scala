@@ -109,12 +109,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * (clustering) kills the whole group, so ANY racer is fatal there.
     */
   private[graft] def serviceConflict(
-      baseTs: String,
+      baseSeen: Set[String],
       myTs: String,
       touched: Set[(String, String)],
       olderOnly: Boolean): Option[String] =
     table.timeline.completedData
-      .filter(i => i.ts > baseTs && i.ts != myTs && (!olderOnly || i.ts < myTs))
+      .filter(i => !baseSeen.contains(i.ts) && i.ts != myTs && (!olderOnly || i.ts < myTs))
       .find { i =>
         val meta = table.timeline.metadataOf(i)
         // .toSeq first — a Map-to-tuples flatMap would collapse to one id
@@ -124,6 +124,42 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         (theirs & touched).nonEmpty
       }
       .map(_.ts)
+
+  /** Claim a scheduled plan for execution. The ATOMIC CREATE of the
+    * plan's inflight marker is the mutex between concurrent runners of
+    * the same plan — two service threads draining pending plans, or a
+    * second process via the schedule/execute split (a blind
+    * delete-marker-then-execute let both race the same staging dir and
+    * die on the completed-instant create). A live marker yields; one
+    * older than the lock TTL belongs to a crashed attempt — break it and
+    * re-race the create (the FileLockProvider's staleness reasoning; ref:
+    * the reference's heartbeat-expired instant cleanup,
+    * HoodieHeartbeatClient.java).
+    */
+  private def claimInflight(requested: GraftInstant): Option[GraftInstant] = {
+    val inflight = requested.copy(state = GraftState.Inflight)
+    val p = new Path(table.storage.metaDir, inflight.fileName)
+    def won: Boolean =
+      try { table.storage.createImmutable(p, "{}"); true }
+      catch { case _: java.io.IOException => false }
+    if (won) return Some(inflight)
+    try {
+      val st = table.storage.fs.getFileStatus(p)
+      if (System.currentTimeMillis() - st.getModificationTime <= wc.lockTtlMs)
+        return None
+      table.storage.delete(p)
+    } catch { case _: java.io.IOException => () /* owner just finished */ }
+    if (won) Some(inflight) else None
+  }
+
+  /** The OCC snapshot a persisted plan carries. Legacy plans (written
+    * before `baseSeen` existed) fall back to deriving it from the ts
+    * watermark — the old, weaker semantics, only for plans already on
+    * disk when the engine upgraded.
+    */
+  private def planBaseSeen(baseSeen: Seq[String], baseTs: String): Set[String] =
+    if (baseSeen.nonEmpty) baseSeen.toSet
+    else table.timeline.completedData.map(_.ts).filter(_ <= baseTs).toSet
 
   /** Abort a service whose publish raced a conflicting commit: the files
     * it already moved into the table were never referenced by any commit,
@@ -176,9 +212,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   def scheduleCompaction(
       targetIOBytes: Long = 500L * 1024 * 1024 * 1024,
       strategy: CompactionStrategy = CompactionStrategy.LogFileSizeBased): Option[String] = {
-    // OCC snapshot floor: read BEFORE building the view, so a commit that
+    // OCC snapshot: read BEFORE building the view, so a commit that
     // lands between the two reads conservatively conflicts
-    val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    val seen = table.timeline.completedData.map(_.ts)
     val view = table.view
     // groups already claimed by a pending plan are not re-planned
     val claimed = pendingCompactionPlans
@@ -193,7 +229,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
     val ts = InstantTimeGenerator.next()
     table.timeline.createRequested(ts, GraftAction.Compaction,
-      Json.write(CompactionPlan(ts, occBaseTs, chosen)))
+      Json.write(CompactionPlan(
+        ts, seen.lastOption.getOrElse(""), chosen, baseSeen = seen)))
     Some(ts)
   }
 
@@ -247,12 +284,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (chosen.isEmpty || planIsStale(chosen, deltasToo = false)) {
       table.timeline.deleteInstant(requested); return None
     }
-    val occBaseTs = plan.baseTs
+    val baseSeen = planBaseSeen(plan.baseSeen, plan.baseTs)
     val ts = planTs
-    // a retry after a crashed execute finds the stale inflight marker
-    table.storage.delete(new Path(table.storage.metaDir,
-      requested.copy(state = GraftState.Inflight).fileName))
-    table.timeline.transitionToInflight(requested)
+    if (claimInflight(requested).isEmpty) return None
     try {
       val staging = new Path(table.storage.tempDir, ts)
       val g = GraftWriteClient.ColTargetFile
@@ -339,7 +373,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       withCommitLock {
         if (wc.occEnabled) {
           val touched = chosen.map(s => (s.partition, s.fileId)).toSet
-          serviceConflict(occBaseTs, ts, touched, olderOnly = true)
+          serviceConflict(baseSeen, ts, touched, olderOnly = true)
             .foreach(other => abortConflicted("compact", ts, written, other))
         }
         // A chosen group whose every row was tombstoned produces no new base
@@ -475,7 +509,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   def scheduleClustering(
       sortColumns: Seq[String] = Seq.empty,
       recentPartitions: Option[Int] = None): Option[String] = {
-    val occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    val seen = table.timeline.completedData.map(_.ts)
     val view = table.view
     val all = view.latestSlices(None)
     val claimed = pendingClusteringPlans
@@ -496,7 +530,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val chosen = byPartition.values.flatten.toSeq
     val ts = InstantTimeGenerator.next()
     table.timeline.createRequested(ts, GraftAction.Clustering,
-      Json.write(ClusteringPlan(ts, occBaseTs, sortColumns, chosen)))
+      Json.write(ClusteringPlan(
+        ts, seen.lastOption.getOrElse(""), sortColumns, chosen, baseSeen = seen)))
     Some(ts)
   }
 
@@ -524,7 +559,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (chosen.isEmpty || planIsStale(chosen, deltasToo = true)) {
       table.timeline.deleteInstant(requested); return None
     }
-    val occBaseTs = plan.baseTs
+    val baseSeen = planBaseSeen(plan.baseSeen, plan.baseTs)
     val ts = planTs
     val paths = chosen.flatMap(s => s.base.map(f =>
       table.resolveDataPath(s.partition, f)))
@@ -532,9 +567,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val sortCols =
       if (plan.sortColumns.nonEmpty) plan.sortColumns.map(col)
       else Seq(col(MetaColumns.RecordKey))
-    table.storage.delete(new Path(table.storage.metaDir,
-      requested.copy(state = GraftState.Inflight).fileName))
-    table.timeline.transitionToInflight(requested)
+    if (claimInflight(requested).isEmpty) return None
     try {
       val avg = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val staging = new Path(table.storage.tempDir, ts)
@@ -555,7 +588,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       withCommitLock {
         if (wc.occEnabled) {
           val touched = chosen.map(s => (s.partition, s.fileId)).toSet
-          serviceConflict(occBaseTs, ts, touched, olderOnly = false)
+          serviceConflict(baseSeen, ts, touched, olderOnly = false)
             .foreach(other => abortConflicted("cluster", ts, written, other))
         }
         val replaced = chosen.groupBy(_.partition).view
@@ -802,10 +835,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
     require(table.storage.exists(reqPath), s"no scheduled clean $planTs")
     val plan = Json.readCleanPlan(table.storage.readString(reqPath))
-    // a retry after a crashed execute finds the stale inflight marker
-    table.storage.delete(new Path(table.storage.metaDir,
-      requested.copy(state = GraftState.Inflight).fileName))
-    val instant = tl.transitionToInflight(requested)
+    val instant = claimInflight(requested).getOrElse(return None)
     // small cleans delete driver-side; large ones fan out over executors
     GraftWriteClient.executeDeletes(spark, table.storage,
       plan.files.map { pf =>

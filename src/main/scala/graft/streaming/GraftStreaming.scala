@@ -96,7 +96,10 @@ final class GraftStreamSource(
   override def schema: StructType = GraftStreamSource.schemaOf(spark, path, cdc)
 
   override def getOffset: Option[V1Offset] =
-    table.timeline.lastCompletedData.map(i => GraftSourceOffset(i.ts))
+    // hollow-commit guard: never advance past the earliest pending
+    // writer instant — its commit will complete BELOW later instants
+    // and a passed-over offset would skip it forever
+    table.timeline.safeIncrementalEnd.map(GraftSourceOffset(_))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")

@@ -378,7 +378,8 @@ object IngestRunner {
       s"incremental ingest source is not a graft table: ${cfg.sourcePath}")
     val src = GraftTable.load(spark, cfg.sourcePath)
     val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
-    val latest = src.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    // hollow-commit guard: see GraftTimeline.safeIncrementalEnd
+    val latest = src.timeline.safeIncrementalEnd.getOrElse("")
     if (latest.isEmpty || latest <= ckpt) return None
     val read = new graft.read.GraftReadClient(src)
     val raw = read.dataOnly(read.incremental(ckpt, Some(latest)))
@@ -403,7 +404,8 @@ object IngestRunner {
       s"CDC ingest source is not a graft table: ${cfg.sourcePath}")
     val src = GraftTable.load(spark, cfg.sourcePath)
     val ckpt = lastCheckpoint(spark, cfg.targetPath).getOrElse("")
-    val latest = src.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    // hollow-commit guard: see GraftTimeline.safeIncrementalEnd
+    val latest = src.timeline.safeIncrementalEnd.getOrElse("")
     if (latest.isEmpty || latest <= ckpt) return None
     val read = new graft.read.GraftReadClient(src)
     val ch = transform(spark, cfg, read.changes(ckpt, Some(latest)))

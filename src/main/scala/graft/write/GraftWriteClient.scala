@@ -284,7 +284,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // .toSeq first — a Map-to-tuples flatMap would collapse to one id
       // per partition (see conflictingInstant)
       val touched = replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-      conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
+      conflictingInstant(occBaseSeen, instant.ts, touched).foreach { other =>
         table.timeline.deleteInstant(instant)
         throw new ConcurrentWriteConflictException(
           s"delete_partition ${instant.ts} conflicts with $other; retry")
@@ -566,30 +566,39 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   // =====================================================================
 
   private def begin(action: String): GraftInstant = {
-    // OCC baseline: every data commit visible before this write starts is
-    // not a conflict; anything completing after it is checked at publish
-    occBaseTs = table.timeline.lastCompletedData.map(_.ts).getOrElse("")
+    // OCC baseline: the SET of data commits visible before this write
+    // starts — anything completed beyond it is checked at publish. A
+    // max-ts watermark is NOT enough: instant ts is the BEGIN time, so a
+    // slow writer's commit can complete out of ts order and slot BELOW a
+    // faster writer's already-completed instant — `ts > base` never sees
+    // it and its file-group rewrite is silently shadowed (lost update;
+    // found by the concurrent two-writer model walk, seed 2027, where a
+    // no-op delete outran a racing upsert that began 4 ms earlier).
+    occBaseSeen = table.timeline.completedData.map(_.ts).toSet
     val ts = InstantTimeGenerator.next()
     val req = table.timeline.createRequested(ts, action)
     table.timeline.transitionToInflight(req)
   }
 
-  /** Timeline position when the current write began (set by begin()). */
-  @volatile private var occBaseTs: String = ""
+  /** Completed data instants visible when the current write began. */
+  @volatile private var occBaseSeen: Set[String] = Set.empty
 
   /** First concurrently-completed instant whose touched file groups
     * overlap `touched`, if any — the reference's conflict rule: two
     * writes conflict iff they wrote or replaced the same file group
     * (ref: SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115,
     * TransactionManager.java:49-69; our atomic primitive is the
-    * create-if-absent completed-instant file).
+    * create-if-absent completed-instant file). `baseSeen` is the begin
+    * snapshot: a candidate is any completed instant OUTSIDE it,
+    * regardless of how its ts orders against ours (completion order and
+    * ts order genuinely diverge under concurrency).
     */
   private[graft] def conflictingInstant(
-      baseTs: String,
+      baseSeen: Set[String],
       myTs: String,
       touched: Set[(String, String)]): Option[String] =
     table.timeline.completedData
-      .filter(i => i.ts > baseTs && i.ts != myTs)
+      .filter(i => !baseSeen.contains(i.ts) && i.ts != myTs)
       .find { i =>
         val meta = table.timeline.metadataOf(i)
         // .toSeq before the flatMap: flatMapping a Map with a function
@@ -655,7 +664,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         // per partition (see conflictingInstant)
         val touched = written.map(f => (f.partition, f.fileId)).toSet ++
           replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-        conflictingInstant(occBaseTs, instant.ts, touched).foreach { other =>
+        conflictingInstant(occBaseSeen, instant.ts, touched).foreach { other =>
           // the loser cleans its already-published files and aborts; they
           // were never referenced by any commit, so readers never saw them
           written.foreach(f =>

