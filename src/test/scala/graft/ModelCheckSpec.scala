@@ -1094,7 +1094,9 @@ class ModelCheckSpec extends AnyFunSuite {
       // retention must cover any concurrent writer's in-flight duration
       // (the reference's multi-writer cleaner contract: retained commits
       // bound how long a racing merge may keep reading a superseded
-      // slice) — the walk commits ~16 times total, so retain them all
+      // slice). The walk's racing sv.clean() calls use the service
+      // default (retain 10) so deletions genuinely happen mid-race;
+      // the end-of-run band checks anchor inside that window.
       cleanRetainCommits = 20,
       lockProvider = lockProvider)
     GraftTable.create(spark, path, cfg)
@@ -1247,29 +1249,46 @@ class ModelCheckSpec extends AnyFunSuite {
       s"(seed $seed, $tableType, concurrent): snapshot diverged; " +
         s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
 
-    // the raced band (seed, last] read back two ways: incremental must
-    // return exactly the final-state rows the seeded state lacked (ords
-    // are globally unique, so set difference is the precise expectation
-    // even though writers interleaved arbitrarily); the CDC feed
-    // replayed over the seeded state must reproduce the final state.
-    // Both views run over a timeline produced by genuinely RACING
-    // writers and service rewrites.
+    // a raced band (start, last] read back two ways: incremental must
+    // return exactly the final-state rows that state-as-of-start lacked
+    // (ords are globally unique, so set difference is the precise
+    // expectation even though writers interleaved arbitrarily); the CDC
+    // feed replayed over state-as-of-start must reproduce the final
+    // state. Both views run over a timeline produced by genuinely RACING
+    // writers and service rewrites. The band START anchors 8 data
+    // commits from the end, NOT at the seed: the walk's racing cleans
+    // retain 10 commits, so pre-band state older than that is
+    // legitimately unreconstructible (the engine fails loudly — that
+    // contract has its own spec) while the last 8 are always inside the
+    // retention window.
     val tsOrder = committed.asScala.keys.toSeq.sorted
-    val (seedTs, lastTs) = (tsOrder.head, tsOrder.last)
-    val seeded = committed.get(seedTs)._2.toSet
-    val incr = rowSet(read.dataOnly(read.incremental(seedTs, Some(lastTs))))
-    val wantIncr = want -- seeded
+    val lastTs = tsOrder.last
+    val dataTs = GraftTable.load(spark, path).timeline.completedData.map(_.ts)
+    val bandStart = if (dataTs.size <= 8) tsOrder.head else dataTs(dataTs.size - 8)
+    // the model's state as of the band start: acked batches at ts <= start
+    // (as-of reads are ts-ordered — a later-completing lower-ts commit is
+    // part of the as-of state, matching the engine's view semantics)
+    val stateAtStart: Set[ModelRow] = {
+      val m: Model = mutable.Map.empty
+      committed.asScala.toSeq.sortBy(_._1).filter(_._1 <= bandStart).foreach {
+        case (_, ("upsert", rows)) => modelUpsert(m, rows, global = false)
+        case (_, (_, rows))        => rows.foreach(r => m.remove(r.p -> r.k))
+      }
+      m.values.toSet
+    }
+    val incr = rowSet(read.dataOnly(read.incremental(bandStart, Some(lastTs))))
+    val wantIncr = want -- stateAtStart
     assert(incr == wantIncr,
-      s"(seed $seed, $tableType, concurrent): incremental ($seedTs,$lastTs] " +
+      s"(seed $seed, $tableType, concurrent): incremental ($bandStart,$lastTs] " +
         s"diverged; extra=${(incr -- wantIncr).take(5)} " +
         s"missing=${(wantIncr -- incr).take(5)}")
-    val feed = read.changes(seedTs, Some(lastTs))
+    val feed = read.changes(bandStart, Some(lastTs))
       .select(col("_change_ordinal"), col("_change_type"),
         col("k"), col("p"), col("v"), col("ord"))
       .collect()
       .sortBy(_.getInt(0))
     val replay = mutable.Map[(String, Long), ModelRow](
-      seeded.map(r => (r.p, r.k) -> r).toSeq: _*)
+      stateAtStart.map(r => (r.p, r.k) -> r).toSeq: _*)
     feed.foreach { r =>
       val row = ModelRow(r.getLong(2), r.getString(3), r.getDouble(4), r.getLong(5))
       r.getString(1) match {
@@ -1279,7 +1298,7 @@ class ModelCheckSpec extends AnyFunSuite {
       }
     }
     assert(replay.values.toSet == want,
-      s"(seed $seed, $tableType, concurrent): CDC replay ($seedTs,$lastTs] " +
+      s"(seed $seed, $tableType, concurrent): CDC replay ($bandStart,$lastTs] " +
         s"diverged; extra=${(replay.values.toSet -- want).take(5)} " +
         s"missing=${(want -- replay.values.toSet).take(5)}")
     // no leftover pending WRITER instants once both writers are done —
