@@ -462,6 +462,48 @@ object SparkEntry {
         col("o_totalprice"), col("o_orderpriority"))
     }),
 
+    // AVRO-valued Kafka frames: orders rows binary-Avro-encoded in a
+    // distributed UDF (the producer side), decoded by the avro-core
+    // payload seam against a writer schema, then a second delivery at
+    // HIGHER offsets updates a slice — the offset precombine must take
+    // the replayed values (ref: AvroKafkaSource.java:49,
+    // FilebasedSchemaProvider.java:55)
+    "tf_kafka_avro" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner, KafkaPayloadConfig}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_kafka_avro_src", dir)
+      val tgt = freshDir("tf_kafka_avro", dir)
+      val enc = udf((k: Long, c: Long, st: String, tp: Double, pri: String) =>
+        AvroOrdEncoder.encode(k, c, st, tp, pri))
+      def frame(df: DataFrame, offBase: Long) = df.select(
+        lit("orders").as("topic"),
+        (col("o_orderkey") % 8).cast("int").as("partition"),
+        (col("o_orderkey") + offBase).as("offset"),
+        enc(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          col("o_totalprice"), col("o_orderpriority")).as("value"))
+      frame(orders, 0L).write.mode("overwrite").parquet(s"$src/b1")
+      val cfg = IngestConfig(
+        sourcePath = src, targetPath = tgt,
+        kafkaPayload = Some(KafkaPayloadConfig.avro(AvroOrdEncoder.SchemaJson)),
+        tableOptions = Map(
+          "recordkey.field" -> "o_orderkey",
+          "partitionpath.field" -> "o_orderpriority",
+          "precombine.field" -> "_kafka_offset",
+          "payload.class" -> "event_time",
+          "target.file.size" -> (4L * 1024 * 1024).toString,
+          "small.file.limit" -> (3L * 1024 * 1024).toString))
+      IngestRunner.runOnce(s, cfg)
+      // second delivery at higher offsets rewrites every %5 slice's price
+      frame(orders.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") + 500.0),
+        10000000L)
+        .write.mode("overwrite").parquet(s"$src/b2")
+      IngestRunner.runOnce(s, cfg)
+      s.read.format("graft").load(tgt).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    }),
+
     // the reference's canonical NESTED schema through the full MOR
     // life-cycle under event_time: struct/array-of-struct/map/decimal/
     // date/binary columns ride the delta fold, a stale batch with garbage
@@ -1519,6 +1561,13 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
         |FROM orders""".stripMargin,
 
+    "tf_kafka_avro" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
+
     "tf_complex_types" ->
       """SELECT o_orderkey AS trip_id, o_orderpriority AS pri,
         |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS fare_amount,
@@ -1872,4 +1921,48 @@ object SparkEntry {
         |    CAST(least(16, len - (i * len) // frames) AS INT) * 2) AS frame_hex
         |FROM x, LATERAL (SELECT unnest(range(least(4, frames))) AS i) t""".stripMargin
   )
+}
+
+/** Producer-side Avro binary encoder for the tf_kafka_avro fixture —
+  * runs inside a UDF on executors; the parsed schema and thread-local
+  * writer state are per-JVM, re-initialized wherever the task lands.
+  */
+private object AvroOrdEncoder {
+  val SchemaJson: String = """{
+    "type": "record", "name": "Ord", "fields": [
+      {"name": "o_orderkey", "type": "long"},
+      {"name": "o_custkey", "type": "long"},
+      {"name": "o_orderstatus", "type": "string"},
+      {"name": "o_totalprice", "type": "double"},
+      {"name": "o_orderpriority", "type": "string"}
+    ]}"""
+
+  import org.apache.avro.Schema
+  import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+  import org.apache.avro.io.{BinaryEncoder, EncoderFactory}
+
+  @transient private lazy val schema: Schema = new Schema.Parser().parse(SchemaJson)
+  @transient private lazy val writer = new GenericDatumWriter[GenericRecord](schema)
+
+  private val local = new ThreadLocal[(java.io.ByteArrayOutputStream, BinaryEncoder)] {
+    override def initialValue(): (java.io.ByteArrayOutputStream, BinaryEncoder) = {
+      val out = new java.io.ByteArrayOutputStream()
+      (out, EncoderFactory.get().binaryEncoder(out, null))
+    }
+  }
+
+  def encode(k: Long, c: Long, st: String, tp: Double, pri: String): Array[Byte] = {
+    val rec = new GenericData.Record(schema)
+    rec.put("o_orderkey", k)
+    rec.put("o_custkey", c)
+    rec.put("o_orderstatus", st)
+    rec.put("o_totalprice", tp)
+    rec.put("o_orderpriority", pri)
+    val (out, enc0) = local.get()
+    out.reset()
+    val enc = EncoderFactory.get().binaryEncoder(out, enc0)
+    writer.write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
 }

@@ -1,0 +1,238 @@
+package graft.utilities
+
+import java.nio.ByteBuffer
+
+import scala.jdk.CollectionConverters._
+import scala.util.control.NonFatal
+
+import org.apache.avro.{Conversions, LogicalTypes, Schema}
+import org.apache.avro.Schema.Type._
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericFixed, GenericRecord, IndexedRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+
+/** Binary-Avro payload decoding for Kafka-shaped frames, built directly
+  * on avro-core (`GenericDatumReader`) — no spark-avro module needed.
+  *
+  * This is the engine's equivalent of the reference's Avro source family:
+  * the value bytes of each frame are decoded against a caller-provided
+  * writer schema (the reference reads it off DFS through
+  * `FilebasedSchemaProvider`) and surfaced as typed columns
+  * (ref: hudi-utilities/src/main/java/org/apache/hudi/utilities/sources/
+  * AvroKafkaSource.java:49-84, AvroDFSSource.java,
+  * schema/FilebasedSchemaProvider.java:38-68).
+  *
+  * Scale notes: decoding runs entirely inside the scan task via
+  * `mapPartitions` — one `Schema.Parser`/`GenericDatumReader` per
+  * partition, the `BinaryDecoder` reused across rows, no shuffle and no
+  * driver round-trip at any input size. The per-row cost is the Avro
+  * parse itself, the same work `from_avro` would do (both sit outside
+  * whole-stage codegen; JSON's `from_json` has the identical property).
+  */
+object AvroDecode {
+
+  /** Spark type for an Avro schema. Unions are supported in the
+    * `[null, T]` nullable-branch form (the shape every Avro-producing
+    * pipeline uses for optional fields); multi-branch unions have no
+    * Spark column type and fail loudly. Logical types map like
+    * spark-avro: decimal(bytes|fixed) → DecimalType, date → DateType,
+    * timestamp-millis/micros → TimestampType; other logical annotations
+    * fall back to their base primitive.
+    */
+  def sparkType(s: Schema): DataType = s.getType match {
+    case RECORD =>
+      StructType(s.getFields.asScala.toSeq.map { f =>
+        StructField(f.name, sparkType(f.schema), nullable = isNullable(f.schema))
+      })
+    case UNION =>
+      sparkType(unionBranch(s))
+    case ARRAY =>
+      ArrayType(sparkType(s.getElementType), containsNull = isNullable(s.getElementType))
+    case MAP =>
+      MapType(StringType, sparkType(s.getValueType),
+        valueContainsNull = isNullable(s.getValueType))
+    case STRING | ENUM => StringType
+    case BYTES | FIXED =>
+      s.getLogicalType match {
+        case d: LogicalTypes.Decimal => DecimalType(d.getPrecision, d.getScale)
+        case _                       => BinaryType
+      }
+    case INT =>
+      s.getLogicalType match {
+        case _: LogicalTypes.Date => DateType
+        case _                    => IntegerType
+      }
+    case LONG =>
+      s.getLogicalType match {
+        case _: LogicalTypes.TimestampMillis | _: LogicalTypes.TimestampMicros =>
+          TimestampType
+        case _ => LongType
+      }
+    case FLOAT   => FloatType
+    case DOUBLE  => DoubleType
+    case BOOLEAN => BooleanType
+    case NULL    => NullType
+  }
+
+  private def isNullable(s: Schema): Boolean =
+    s.getType == NULL ||
+      (s.getType == UNION && s.getTypes.asScala.exists(_.getType == NULL))
+
+  /** The single non-null branch of a union (`[null, T]` or `[T]`). */
+  private def unionBranch(s: Schema): Schema = {
+    val nonNull = s.getTypes.asScala.filter(_.getType != NULL)
+    require(nonNull.size == 1,
+      s"unsupported Avro union ${s}: only [null, T] unions map to a Spark column")
+    nonNull.head
+  }
+
+  /** Avro datum → Spark external row value (Utf8 → String, ByteBuffer →
+    * Array[Byte], logical decimal/date/timestamp → BigDecimal /
+    * java.sql.Date / java.sql.Timestamp, record → Row, list/map → Scala).
+    * Always copies byte content out of Avro's reused buffers — the
+    * datum reader recycles records across rows.
+    */
+  private def convert(v: Any, s: Schema, dec: Conversions.DecimalConversion): Any = {
+    if (v == null) return null
+    s.getType match {
+      case UNION =>
+        val idx = GenericData.get.resolveUnion(s, v)
+        convert(v, s.getTypes.get(idx), dec)
+      case NULL => null
+      case RECORD =>
+        val rec = v.asInstanceOf[IndexedRecord]
+        val fields = s.getFields
+        val out = new Array[Any](fields.size)
+        var i = 0
+        while (i < fields.size) {
+          out(i) = convert(rec.get(i), fields.get(i).schema, dec)
+          i += 1
+        }
+        Row.fromSeq(out.toIndexedSeq)
+      case ARRAY =>
+        v.asInstanceOf[java.util.List[Any]].asScala.toSeq
+          .map(convert(_, s.getElementType, dec))
+      case MAP =>
+        v.asInstanceOf[java.util.Map[Any, Any]].asScala
+          .map { case (k, x) => k.toString -> convert(x, s.getValueType, dec) }
+          .toMap
+      case STRING | ENUM => v.toString
+      case BYTES =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            dec.fromBytes(v.asInstanceOf[ByteBuffer].duplicate(), s, d)
+          case _ =>
+            val bb = v.asInstanceOf[ByteBuffer].duplicate()
+            val a = new Array[Byte](bb.remaining())
+            bb.get(a)
+            a
+        }
+      case FIXED =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            dec.fromFixed(v.asInstanceOf[GenericFixed], s, d)
+          case _ => v.asInstanceOf[GenericFixed].bytes.clone()
+        }
+      case INT =>
+        s.getLogicalType match {
+          case _: LogicalTypes.Date =>
+            java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong))
+          case _ => v
+        }
+      case LONG =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis =>
+            new java.sql.Timestamp(v.asInstanceOf[Long])
+          case _: LogicalTypes.TimestampMicros =>
+            val us = v.asInstanceOf[Long]
+            val ts = new java.sql.Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+            ts.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+            ts
+          case _ => v
+        }
+      case _ => v // BOOLEAN, FLOAT, DOUBLE arrive as their boxed JVM type
+    }
+  }
+
+  /** Decode a Kafka-schema frame's binary Avro `value` against
+    * `schemaJson` (the writer schema, Avro JSON). Kafka metadata columns
+    * surface as `_kafka_*` like the JSON path. Avro binary carries no
+    * framing, so each value must be exactly one datum; a truncated or
+    * garbled value throws (FAILFAST) or is dropped when
+    * `dropUndecodable` — same corrupt-record contract as the JSON
+    * decoder.
+    */
+  def decodeFrame(
+      df: DataFrame,
+      schemaJson: String,
+      keepMetaColumns: Boolean = true,
+      dropUndecodable: Boolean = false): DataFrame = {
+    require(df.columns.contains("value"),
+      s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
+    val parsed = new Schema.Parser().parse(schemaJson)
+    require(parsed.getType == RECORD,
+      s"top-level Avro schema must be a record; got ${parsed.getType}")
+    val valueStruct = sparkType(parsed).asInstanceOf[StructType]
+    val meta =
+      if (keepMetaColumns)
+        Seq("topic", "partition", "offset", "timestamp", "key")
+          .filter(df.columns.contains)
+      else Seq.empty
+    val in = df.select(col("value") +: meta.map(c => col(c).as(s"_kafka_$c")): _*)
+    val outSchema = StructType(valueStruct.fields ++ in.schema.fields.drop(1))
+    val nFields = valueStruct.fields.length
+    val nMeta = meta.length
+    in.mapPartitions { it =>
+      val schema = new Schema.Parser().parse(schemaJson)
+      val fields = schema.getFields
+      val reader = new GenericDatumReader[GenericRecord](schema)
+      val decConv = new Conversions.DecimalConversion()
+      var decoder: BinaryDecoder = null
+      var reuse: GenericRecord = null
+      it.flatMap { r =>
+        val bytes = r.getAs[Array[Byte]](0)
+        try {
+          decoder = DecoderFactory.get.binaryDecoder(bytes, decoder)
+          reuse = reader.read(reuse, decoder)
+          val out = new Array[Any](nFields + nMeta)
+          var i = 0
+          while (i < nFields) {
+            out(i) = convert(reuse.get(i), fields.get(i).schema, decConv)
+            i += 1
+          }
+          var j = 0
+          while (j < nMeta) {
+            out(nFields + j) = r.get(1 + j)
+            j += 1
+          }
+          Iterator.single(Row.fromSeq(out.toIndexedSeq))
+        } catch {
+          case NonFatal(_) if dropUndecodable => Iterator.empty
+          case NonFatal(e) =>
+            throw new IllegalArgumentException(
+              s"undecodable Avro Kafka value (${bytes.length} bytes); " +
+                "set dropUndecodable to route corrupt records out", e)
+        }
+      }
+    }(Encoders.row(outSchema))
+  }
+
+  /** Read an Avro schema (.avsc JSON) off any Hadoop filesystem — the
+    * reference's file-based schema provider seam
+    * (ref: FilebasedSchemaProvider.java:55-60).
+    */
+  def schemaFromFile(spark: org.apache.spark.sql.SparkSession, path: String): String = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+}

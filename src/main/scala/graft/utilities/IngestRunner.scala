@@ -53,11 +53,12 @@ final case class IngestConfig(
   * Structured Streaming's kafka source, a batch archive dump, or a
   * fixture (ref: hudi-utilities/.../sources/JsonKafkaSource.java —
   * value bytes JSON-decoded against the provided schema;
-  * AvroKafkaSource.java is the same seam with an Avro decoder, which
-  * needs the spark-avro module's `from_avro` and plugs in as a
-  * transformer once that module is on the classpath).
+  * AvroKafkaSource.java is the same seam with an Avro decoder —
+  * `format = "avro"` here, decoded by [[AvroDecode]] on avro-core).
   *
-  * @param valueSchemaDdl   DDL of the decoded value ("id BIGINT, name STRING")
+  * @param valueSchemaDdl   DDL of the decoded value ("id BIGINT, name STRING");
+  *                         ignored (may be empty) when `format` is avro —
+  *                         the Avro writer schema defines the columns
   * @param keepMetaColumns  surface topic/partition/offset/timestamp/key as
   *                         `_kafka_*` columns next to the decoded fields —
   *                         (`_kafka_topic`,`_kafka_partition`,`_kafka_offset`)
@@ -69,13 +70,31 @@ final case class IngestConfig(
   *                         FAILFAST so a corrupt record fails the batch
   *                         loudly instead of silently writing nulls
   * @param dropUndecodable  route corrupt records out of the batch instead
-  *                         of failing it (PERMISSIVE + drop null rows)
+  *                         of failing it (PERMISSIVE + drop null rows;
+  *                         for avro, skip values the datum reader rejects)
+  * @param format           value encoding: `json` (default) or `avro`
+  * @param avroSchemaJson   the Avro writer schema (JSON) when `format` is
+  *                         avro; load from an .avsc on DFS with
+  *                         [[AvroDecode.schemaFromFile]] for the
+  *                         reference's file-based-schema-provider shape
   */
 final case class KafkaPayloadConfig(
     valueSchemaDdl: String,
     keepMetaColumns: Boolean = true,
     jsonOptions: Map[String, String] = Map.empty,
-    dropUndecodable: Boolean = false)
+    dropUndecodable: Boolean = false,
+    format: String = "json",
+    avroSchemaJson: Option[String] = None)
+
+object KafkaPayloadConfig {
+  /** Avro-value frame config (ref: AvroKafkaSource.java:49). */
+  def avro(
+      schemaJson: String,
+      keepMetaColumns: Boolean = true,
+      dropUndecodable: Boolean = false): KafkaPayloadConfig =
+    KafkaPayloadConfig("", keepMetaColumns, Map.empty, dropUndecodable,
+      format = "avro", avroSchemaJson = Some(schemaJson))
+}
 
 /** JDBC pull source: connection + table + optional incremental column
   * (ref: hudi-utilities/.../sources/JdbcSource.java Config — url, user,
@@ -162,6 +181,11 @@ object IngestRunner {
     import org.apache.spark.sql.functions.{decode => _, _}
     require(df.columns.contains("value"),
       s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
+    if (cfg.format == "avro") {
+      val schema = cfg.avroSchemaJson.getOrElse(sys.error(
+        "format=avro needs avroSchemaJson (see AvroDecode.schemaFromFile)"))
+      return AvroDecode.decodeFrame(df, schema, cfg.keepMetaColumns, cfg.dropUndecodable)
+    }
     val parsed = "_g_kafka_parsed"
     val corrupt = "_g_kafka_corrupt"
     val meta = Seq("topic", "partition", "offset", "timestamp", "key")

@@ -3477,6 +3477,171 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap2.filter(col("o_clerk") === "CHILD-WON").count() === 40)
     assert(snap2.count() === orders.count())
   }
+
+  /** The test's Avro writer schema: every Spark-mappable shape — nullable
+    * union, nested record, array-of-record, map, logical decimal / date /
+    * timestamp-micros, enum, fixed, bytes.
+    */
+  private val avroTestSchema = """{
+    "type": "record", "name": "Evt", "fields": [
+      {"name": "id", "type": "long"},
+      {"name": "name", "type": ["null", "string"], "default": null},
+      {"name": "flag", "type": "boolean"},
+      {"name": "score", "type": "double"},
+      {"name": "amount", "type": {"type": "bytes", "logicalType": "decimal", "precision": 10, "scale": 2}},
+      {"name": "day", "type": {"type": "int", "logicalType": "date"}},
+      {"name": "at", "type": {"type": "long", "logicalType": "timestamp-micros"}},
+      {"name": "kind", "type": {"type": "enum", "name": "Kind", "symbols": ["A", "B"]}},
+      {"name": "fp", "type": {"type": "fixed", "name": "Fp", "size": 4}},
+      {"name": "raw", "type": "bytes"},
+      {"name": "geo", "type": {"type": "record", "name": "Geo", "fields": [
+        {"name": "lat", "type": "double"}, {"name": "lon", "type": "double"}]}},
+      {"name": "hops", "type": {"type": "array", "items": {"type": "record", "name": "Hop", "fields": [
+        {"name": "city", "type": "string"}, {"name": "ms", "type": "int"}]}}},
+      {"name": "tags", "type": {"type": "map", "values": "long"}}
+    ]}"""
+
+  /** Binary-encode one test datum with avro-core — the producer side a
+    * real Kafka topic would have run.
+    */
+  private def avroEncode(schemaJson: String)(fill: org.apache.avro.generic.GenericRecord => Unit): Array[Byte] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter}
+    import org.apache.avro.io.EncoderFactory
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    fill(rec)
+    val out = new java.io.ByteArrayOutputStream()
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  test("ingest: Avro Kafka values decode against a writer schema (avro-core, no spark-avro)") {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.GenericData
+    import graft.utilities.{AvroDecode, IngestRunner, KafkaPayloadConfig}
+    val schema = new Schema.Parser().parse(avroTestSchema)
+    def datum(i: Long): Array[Byte] = avroEncode(avroTestSchema) { r =>
+      r.put("id", i)
+      r.put("name", if (i % 3 == 0) null else s"n$i")
+      r.put("flag", i % 2 == 0)
+      r.put("score", i * 1.5)
+      r.put("amount", new org.apache.avro.Conversions.DecimalConversion().toBytes(
+        new java.math.BigDecimal(s"$i.25"), schema.getField("amount").schema(),
+        schema.getField("amount").schema().getLogicalType))
+      r.put("day", 19000 + i.toInt)
+      r.put("at", 1700000000000000L + i * 1000000L)
+      r.put("kind", new GenericData.EnumSymbol(
+        schema.getField("kind").schema(), if (i % 2 == 0) "A" else "B"))
+      r.put("fp", new GenericData.Fixed(
+        schema.getField("fp").schema(), Array[Byte](i.toByte, 0, 1, 2)))
+      r.put("raw", java.nio.ByteBuffer.wrap(Array[Byte](9, 8, i.toByte)))
+      val geo = new GenericData.Record(schema.getField("geo").schema())
+      geo.put("lat", 10.0 + i); geo.put("lon", -i.toDouble)
+      r.put("geo", geo)
+      val hopS = schema.getField("hops").schema().getElementType
+      val hop = new GenericData.Record(hopS)
+      hop.put("city", s"c$i"); hop.put("ms", i.toInt)
+      r.put("hops", java.util.List.of(hop))
+      r.put("tags", java.util.Map.of(s"t$i", i * 10L))
+    }
+    import spark.implicits._
+    val frames = (0L until 6L).map(i =>
+      ("evt", (i % 2).toInt, i, s"k$i".getBytes("UTF-8"), datum(i)))
+      .toDF("topic", "partition", "offset", "key", "value")
+
+    val out = IngestRunner.decodeKafkaFrame(frames, KafkaPayloadConfig.avro(avroTestSchema))
+    // schema mapping: logical types land as Spark's decimal/date/timestamp
+    val st = out.schema
+    assert(st("amount").dataType.sql === "DECIMAL(10,2)")
+    assert(st("day").dataType.typeName === "date")
+    assert(st("at").dataType.typeName === "timestamp")
+    assert(st("name").nullable)
+    // non-union Avro fields are non-nullable, and the mapping keeps that
+    assert(st("hops").dataType.sql ===
+      "ARRAY<STRUCT<city: STRING NOT NULL, ms: INT NOT NULL>>")
+    val rows = out.orderBy("id").collect()
+    assert(rows.length === 6)
+    val r4 = rows(4)
+    assert(r4.getAs[Long]("id") === 4L)
+    assert(r4.getAs[String]("name") === "n4")
+    assert(r4.getAs[java.math.BigDecimal]("amount").toPlainString === "4.25")
+    assert(r4.getAs[java.sql.Date]("day").toLocalDate ===
+      java.time.LocalDate.ofEpochDay(19004))
+    assert(r4.getAs[java.sql.Timestamp]("at").getTime === 1700000004000L)
+    assert(r4.getAs[String]("kind") === "A")
+    assert(r4.getAs[Array[Byte]]("fp").toSeq === Seq[Byte](4, 0, 1, 2))
+    assert(r4.getAs[Array[Byte]]("raw").toSeq === Seq[Byte](9, 8, 4))
+    assert(r4.getAs[org.apache.spark.sql.Row]("geo").getDouble(0) === 14.0)
+    assert(r4.getAs[Seq[org.apache.spark.sql.Row]]("hops").head.getString(0) === "c4")
+    assert(r4.getAs[Map[String, Long]]("tags") === Map("t4" -> 40L))
+    assert(rows(3).getAs[String]("name") === null)
+    assert(r4.getAs[Long]("_kafka_offset") === 4L)
+    assert(r4.getAs[String]("_kafka_topic") === "evt")
+
+    // corrupt value: FAILFAST throws with context; dropUndecodable routes it out
+    val corrupt = frames.limit(1).select(lit("evt").as("topic"),
+      lit(9).as("partition"), lit(99L).as("offset"), col("key"),
+      lit(Array[Byte](-1, -1)).as("value"))
+    val bad = frames.union(corrupt)
+    val e = intercept[org.apache.spark.SparkException] {
+      IngestRunner.decodeKafkaFrame(bad, KafkaPayloadConfig.avro(avroTestSchema)).count()
+    }
+    assert(e.getMessage.contains("undecodable Avro") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable Avro")))
+    val dropped = IngestRunner.decodeKafkaFrame(bad,
+      KafkaPayloadConfig.avro(avroTestSchema, dropUndecodable = true))
+    assert(dropped.count() === 6)
+
+    // .avsc off DFS — the reference's file-based schema provider shape
+    val dir = tmp()
+    Files.write(new java.io.File(dir, "evt.avsc").toPath,
+      avroTestSchema.getBytes("UTF-8"))
+    val loaded = AvroDecode.schemaFromFile(spark, s"$dir/evt.avsc")
+    assert(new Schema.Parser().parse(loaded) === schema)
+  }
+
+  test("ingest: Avro Kafka frames run end-to-end through the checkpointed runner") {
+    import graft.utilities.{IngestConfig, IngestRunner, KafkaPayloadConfig}
+    val avsc = """{
+      "type": "record", "name": "Ord", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "pri", "type": "string"},
+        {"name": "total", "type": "double"}
+      ]}"""
+    def batch(rows: Seq[(Long, String, Double)], off0: Long): DataFrame = {
+      import spark.implicits._
+      rows.zipWithIndex.map { case ((k, pri, total), i) =>
+        ("ord", (k % 2).toInt, off0 + i, avroEncode(avsc) { r =>
+          r.put("k", k); r.put("pri", pri); r.put("total", total)
+        })
+      }.toDF("topic", "partition", "offset", "value")
+    }
+    val base = tmp()
+    val src = s"$base/src"; val tgt = s"$base/tgt"
+    batch((0L until 30L).map(i => (i, if (i % 2 == 0) "H" else "L", i * 1.0)), 0L)
+      .write.parquet(s"$src/b1")
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      kafkaPayload = Some(KafkaPayloadConfig.avro(avsc)),
+      tableOptions = Map(
+        "recordkey.field" -> "k",
+        "partitionpath.field" -> "pri",
+        "precombine.field" -> "_kafka_offset",
+        "payload.class" -> "event_time"))
+    IngestRunner.runOnce(spark, cfg)
+    assert(spark.read.format("graft").load(tgt).count() === 30)
+    // second delivery: 10 updates at higher offsets + 5 inserts
+    batch((20L until 35L).map(i => (i, if (i % 2 == 0) "H" else "L", 1000.0 + i)), 100L)
+      .write.parquet(s"$src/b2")
+    IngestRunner.runOnce(spark, cfg)
+    val snap = spark.read.format("graft").load(tgt)
+    assert(snap.count() === 35)
+    assert(snap.filter(col("k") >= 20 && col("total") < 1000.0).count() === 0)
+    assert(snap.filter(col("k") < 20 && col("total") >= 1000.0).count() === 0)
+  }
 }
 
 /** Executor-visible latches for the OCC race test (local mode: tasks share
