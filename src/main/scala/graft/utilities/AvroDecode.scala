@@ -163,12 +163,22 @@ object AvroDecode {
     * garbled value throws (FAILFAST) or is dropped when
     * `dropUndecodable` — same corrupt-record contract as the JSON
     * decoder.
+    *
+    * `confluentWireFormat`: values produced by a Confluent-serializer
+    * pipeline carry a 5-byte header (magic 0x0 + big-endian schema id)
+    * before the Avro datum. The reference strips it via Confluent's
+    * KafkaAvroDeserializer while forcing the provided source schema as
+    * the reader (ref: deser/KafkaAvroSchemaDeserializer.java:68-77);
+    * with no registry in the loop we do the same — validate the magic
+    * byte, skip the id, decode with `schemaJson`. A wrong magic byte is
+    * a corrupt record.
     */
   def decodeFrame(
       df: DataFrame,
       schemaJson: String,
       keepMetaColumns: Boolean = true,
-      dropUndecodable: Boolean = false): DataFrame = {
+      dropUndecodable: Boolean = false,
+      confluentWireFormat: Boolean = false): DataFrame = {
     require(df.columns.contains("value"),
       s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
     val parsed = new Schema.Parser().parse(schemaJson)
@@ -194,7 +204,15 @@ object AvroDecode {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](0)
         try {
-          decoder = DecoderFactory.get.binaryDecoder(bytes, decoder)
+          val off =
+            if (!confluentWireFormat) 0
+            else {
+              require(bytes.length > 5 && bytes(0) == 0,
+                s"not Confluent-framed: ${bytes.length} bytes, " +
+                  s"magic ${if (bytes.isEmpty) "<none>" else bytes(0).toString}")
+              5
+            }
+          decoder = DecoderFactory.get.binaryDecoder(bytes, off, bytes.length - off, decoder)
           reuse = reader.read(reuse, decoder)
           val out = new Array[Any](nFields + nMeta)
           var i = 0

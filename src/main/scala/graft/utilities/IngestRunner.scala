@@ -77,6 +77,9 @@ final case class IngestConfig(
   *                         avro; load from an .avsc on DFS with
   *                         [[AvroDecode.schemaFromFile]] for the
   *                         reference's file-based-schema-provider shape
+  * @param avroConfluentWireFormat values carry the Confluent 5-byte
+  *                         header (magic + schema id) before the datum —
+  *                         stripped per [[AvroDecode.decodeFrame]]
   */
 final case class KafkaPayloadConfig(
     valueSchemaDdl: String,
@@ -84,16 +87,19 @@ final case class KafkaPayloadConfig(
     jsonOptions: Map[String, String] = Map.empty,
     dropUndecodable: Boolean = false,
     format: String = "json",
-    avroSchemaJson: Option[String] = None)
+    avroSchemaJson: Option[String] = None,
+    avroConfluentWireFormat: Boolean = false)
 
 object KafkaPayloadConfig {
   /** Avro-value frame config (ref: AvroKafkaSource.java:49). */
   def avro(
       schemaJson: String,
       keepMetaColumns: Boolean = true,
-      dropUndecodable: Boolean = false): KafkaPayloadConfig =
+      dropUndecodable: Boolean = false,
+      confluentWireFormat: Boolean = false): KafkaPayloadConfig =
     KafkaPayloadConfig("", keepMetaColumns, Map.empty, dropUndecodable,
-      format = "avro", avroSchemaJson = Some(schemaJson))
+      format = "avro", avroSchemaJson = Some(schemaJson),
+      avroConfluentWireFormat = confluentWireFormat)
 }
 
 /** JDBC pull source: connection + table + optional incremental column
@@ -147,6 +153,11 @@ object IngestRunner {
     */
   private def writeBatch(
       spark: SparkSession, cfg: IngestConfig, batch: DataFrame, ckpt: String): Unit =
+    writeBatch(spark, cfg, batch, extra = Map(CheckpointKey -> ckpt))
+
+  private def writeBatch(
+      spark: SparkSession, cfg: IngestConfig, batch: DataFrame,
+      extra: Map[String, String]): Unit =
     cfg.cdcOpColumn.filter(batch.columns.contains) match {
       case None =>
         GraftWriter.write(
@@ -155,7 +166,7 @@ object IngestRunner {
             GraftOptions.Path -> cfg.targetPath,
             GraftOptions.Operation -> cfg.operation),
           batch,
-          extra = Map(CheckpointKey -> ckpt))
+          extra = extra)
       case Some(op) =>
         val del = "_g_cdc_delete"
         val marked = batch
@@ -165,7 +176,7 @@ object IngestRunner {
           GraftOptions.tableConfig(cfg.targetPath, cfg.tableOptions))
         new graft.write.GraftWriteClient(table,
           GraftOptions.writeConfig(cfg.tableOptions)
-            .copy(commitExtra = Map(CheckpointKey -> ckpt)))
+            .copy(commitExtra = extra))
           .mergeWrite(marked, del)
     }
 
@@ -184,7 +195,8 @@ object IngestRunner {
     if (cfg.format == "avro") {
       val schema = cfg.avroSchemaJson.getOrElse(sys.error(
         "format=avro needs avroSchemaJson (see AvroDecode.schemaFromFile)"))
-      return AvroDecode.decodeFrame(df, schema, cfg.keepMetaColumns, cfg.dropUndecodable)
+      return AvroDecode.decodeFrame(df, schema, cfg.keepMetaColumns,
+        cfg.dropUndecodable, cfg.avroConfluentWireFormat)
     }
     val parsed = "_g_kafka_parsed"
     val corrupt = "_g_kafka_corrupt"
@@ -270,6 +282,21 @@ object IngestRunner {
     val batch = transform(spark, cfg, decoded)
     writeBatch(spark, cfg, batch, newCkpt.toString)
     Some(newCkpt.toString)
+  }
+
+  /** One-shot SQL backfill round (ref: SqlSource.java:36-50 — "used
+    * mainly for backfill jobs"): the batch is `spark.sql(sourceSql)` over
+    * any registered table/view, run through the same transformer chain
+    * and CDC-aware write as a DFS batch. The recorded checkpoint CARRIES
+    * FORWARD the target's last value — or none when the table has never
+    * recorded one — so a backfill commit never disturbs the regular
+    * incremental source's resume point (the reference re-stamps the
+    * latest successful checkpoint for exactly this reason).
+    */
+  def runSqlOnce(spark: SparkSession, cfg: IngestConfig, sourceSql: String): Unit = {
+    val batch = transform(spark, cfg, spark.sql(sourceSql))
+    writeBatch(spark, cfg, batch,
+      extra = lastCheckpoint(spark, cfg.targetPath).map(CheckpointKey -> _).toMap)
   }
 
   /** One JDBC sync round (ref: JdbcSource.java fetch/incrementalFetch/

@@ -3642,6 +3642,78 @@ class TableFormatSpec extends AnyFunSuite {
     assert(snap.filter(col("k") >= 20 && col("total") < 1000.0).count() === 0)
     assert(snap.filter(col("k") < 20 && col("total") >= 1000.0).count() === 0)
   }
+
+  test("ingest: Confluent-framed Avro values decode after the 5-byte header strip") {
+    import graft.utilities.{IngestRunner, KafkaPayloadConfig}
+    import spark.implicits._
+    val avsc = """{"type":"record","name":"E","fields":[
+      {"name":"id","type":"long"},{"name":"v","type":"double"}]}"""
+    def framed(id: Long): Array[Byte] = {
+      val datum = avroEncode(avsc) { r => r.put("id", id); r.put("v", id * 2.0) }
+      // Confluent wire format: magic 0x0 + 4-byte big-endian schema id
+      val out = java.nio.ByteBuffer.allocate(5 + datum.length)
+      out.put(0.toByte).putInt(7).put(datum)
+      out.array()
+    }
+    val frames = (0L until 8L).map(i => ("t", 0, i, framed(i)))
+      .toDF("topic", "partition", "offset", "value")
+    val out = IngestRunner.decodeKafkaFrame(frames,
+      KafkaPayloadConfig.avro(avsc, confluentWireFormat = true))
+    assert(out.count() === 8)
+    assert(out.filter(col("id") === 3L).select("v").as[Double].head() === 6.0)
+    // the same bytes WITHOUT the strip are corrupt (magic byte reads as a
+    // datum prefix) — and a bare datum under the strip flag is corrupt too
+    val e = intercept[org.apache.spark.SparkException] {
+      IngestRunner.decodeKafkaFrame(
+        frames.withColumn("value", expr("substring(value, 6)")),
+        KafkaPayloadConfig.avro(avsc, confluentWireFormat = true)).count()
+    }
+    assert(e.getMessage.contains("undecodable") ||
+      Option(e.getCause).exists(_.getMessage.contains("undecodable")))
+    // forgetting the strip flag doesn't error (Avro binary has no
+    // self-validation — the magic byte reads as zigzag id 0), it yields
+    // garbage: exactly why the flag must match the producer
+    val unStripped = IngestRunner.decodeKafkaFrame(frames, KafkaPayloadConfig.avro(avsc))
+    assert(unStripped.filter(col("id") === 0L).count() === 8)
+  }
+
+  test("ingest: SQL backfill writes a batch but carries the checkpoint forward") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val base = tmp()
+    val src = s"$base/src"; val tgt = s"$base/tgt"
+    // regular DFS round records a real checkpoint
+    orders.limit(50).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$src/b1")
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+    IngestRunner.runOnce(spark, cfg)
+    val ckpt1 = IngestRunner.lastCheckpoint(spark, tgt)
+    assert(ckpt1.isDefined)
+    // backfill from a SQL view: rows land, checkpoint value is UNCHANGED
+    orders.filter(col("o_orderkey") >= 50 && col("o_orderkey") < 80)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .createOrReplaceTempView("backfill_rows")
+    IngestRunner.runSqlOnce(spark, cfg, "SELECT * FROM backfill_rows")
+    assert(spark.read.format("graft").load(tgt).count() === 80)
+    assert(IngestRunner.lastCheckpoint(spark, tgt) === ckpt1)
+    // the next DFS round resumes from the carried checkpoint: only the
+    // NEW file is pulled, nothing double-ingested
+    Thread.sleep(1100) // mod-time granularity
+    orders.filter(col("o_orderkey") >= 80 && col("o_orderkey") < 90)
+      .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$src/b2")
+    IngestRunner.runOnce(spark, cfg)
+    assert(spark.read.format("graft").load(tgt).count() === 90)
+    // backfill into a FRESH table records no checkpoint at all
+    val tgt2 = s"$base/tgt2"
+    IngestRunner.runSqlOnce(spark, cfg.copy(targetPath = tgt2), "SELECT * FROM backfill_rows")
+    assert(spark.read.format("graft").load(tgt2).count() === 30)
+    assert(IngestRunner.lastCheckpoint(spark, tgt2).isEmpty)
+  }
 }
 
 /** Executor-visible latches for the OCC race test (local mode: tasks share
