@@ -1081,12 +1081,17 @@ class ModelCheckSpec extends AnyFunSuite {
     * physical rows from racing bin-packers.
     */
   private def runConcurrentWalk(
-      tableType: String, seed: Long, lockProvider: String = "file"): Unit = {
+      tableType: String, seed: Long, lockProvider: String = "file",
+      payload: String = "overwrite_latest"): Unit = {
     val path = tmp() + "/t"
+    // under event_time the replay oracle stays exact: writers share no
+    // keys and each writer is sequential, so per key the ord draw order
+    // equals the commit order — last-acked-wins and highest-ord-wins
+    // coincide even though the TIMELINE interleaves arbitrarily
     val cfg = GraftTableConfig(
       tableName = "cc", tableType = tableType,
       recordKeyFields = Seq("k"), partitionFields = Seq("p"),
-      precombineField = Some("ord"))
+      precombineField = Some("ord"), payloadClass = payload)
     val wcc = WriteConfig(
       targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
       defaultRecordSizeBytes = 64, parallelism = 4,
@@ -1385,6 +1390,11 @@ class ModelCheckSpec extends AnyFunSuite {
 
   test("model check: concurrent walk under the in-process (jvm) lock provider") {
     seeds(239L).foreach(runConcurrentWalk(GraftTableType.Cow, _, lockProvider = "jvm"))
+  }
+
+  test("model check: concurrent walk under the event_time payload (MOR)") {
+    seeds(241L).foreach(
+      runConcurrentWalk(GraftTableType.Mor, _, payload = "event_time"))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {
