@@ -128,6 +128,20 @@ final case class WriteFileInfo(
   *
   * @param replacedFileIds partition -> file-group ids invalidated by this
   *                        replacecommit (empty for commit/deltacommit)
+  * @param replacePartitions the TARGET partitions of a partition-REPLACING
+  *                        operation (delete_partition / insert_overwrite
+  *                        [_table]) — declared explicitly because the
+  *                        replaced-groups map cannot express "this whole
+  *                        partition", only the groups that existed in the
+  *                        writer's begin snapshot: a concurrent writer's
+  *                        NEW file group in the same partition intersects
+  *                        no replaced group, and an empty target partition
+  *                        replaces nothing at all, yet both races must
+  *                        conflict for partition-replace to serialize.
+  *                        Empty for every other operation, including
+  *                        clustering (content-preserving, group-level
+  *                        conflicts suffice). Older commit files without
+  *                        the field decode as empty (json4s default)
   * @param extra           free-form (streaming checkpoints, op params)
   */
 final case class GraftCommitMetadata(
@@ -136,6 +150,7 @@ final case class GraftCommitMetadata(
     operation: String,
     files: Seq[WriteFileInfo] = Seq.empty,
     replacedFileIds: Map[String, Seq[String]] = Map.empty,
+    replacePartitions: Seq[String] = Seq.empty,
     deletedFiles: Seq[String] = Seq.empty, // "partition/fileName" removed by clean/rollback
     totalRecords: Long = 0L,
     avgRecordSize: Long = 0L,

@@ -121,7 +121,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         // per partition (see GraftWriteClient.conflictingInstant)
         val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
           meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-        (theirs & touched).nonEmpty
+        // partition-replacing racers (delete_partition / insert_overwrite
+        // [_table]) also kill every group in their declared partitions;
+        // a service's input groups pre-exist so they are normally in the
+        // racer's replaced set too, but the declared-partition check keeps
+        // this safe even when the racer's begin snapshot missed a group
+        (theirs & touched).nonEmpty ||
+          meta.replacePartitions.exists(p => touched.exists(_._1 == p)) ||
+          (meta.operation == "insert_overwrite_table" && touched.nonEmpty)
       }
       .map(_.ts)
 

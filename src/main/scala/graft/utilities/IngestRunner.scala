@@ -35,6 +35,9 @@ import graft.spark.{GraftOptions, GraftWriter}
   *                       metadata) and each batch is decoded through
   *                       [[IngestRunner.decodeKafkaFrame]] before the
   *                       transformer chain
+  * @param flattenNested  flatten nested struct columns into `_`-joined
+  *                       top-level columns before the SQL transformers
+  *                       ([[IngestRunner.flatten]])
   */
 final case class IngestConfig(
     sourcePath: String,
@@ -45,7 +48,8 @@ final case class IngestConfig(
     operation: String = "upsert",
     tableOptions: Map[String, String] = Map.empty,
     cdcOpColumn: Option[String] = None,
-    kafkaPayload: Option[KafkaPayloadConfig] = None)
+    kafkaPayload: Option[KafkaPayloadConfig] = None,
+    flattenNested: Boolean = false)
 
 /** Decoding of a Kafka-shaped record frame — the schema every Kafka
   * consumer surface hands over (`key` and `value` binary, plus `topic`,
@@ -225,17 +229,43 @@ object IngestRunner {
     }
   }
 
-  /** Apply the config's transformer chain: `transformerSql` first, then
-    * each of `transformers` in order, every step reading the previous
-    * output as the temp view `source`
-    * (ref: SqlQueryBasedTransformer + ChainedTransformer).
+  /** Flatten nested STRUCT columns into top-level columns named by the
+    * `_`-joined field path (`fare.currency` → `fare_currency`), depth
+    * first in declaration order — the reference's flattening transformer
+    * contract (ref: transform/FlatteningTransformer.java:56-83). Arrays
+    * and maps pass through unexploded, exactly like the reference
+    * ("currently doesn't unnest arrays"). Pure projection: column
+    * expressions only, codegen-friendly, no shuffle.
+    */
+  def flatten(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.types.StructType
+    def expand(c: Column, dt: org.apache.spark.sql.types.DataType,
+        path: Seq[String]): Seq[Column] = dt match {
+      case s: StructType =>
+        s.fields.toSeq.flatMap(f =>
+          expand(c.getField(f.name), f.dataType, path :+ f.name))
+      case _ => Seq(c.as(path.mkString("_")))
+    }
+    df.select(df.schema.fields.toSeq.flatMap(f =>
+      expand(col(f.name), f.dataType, Seq(f.name))): _*)
+  }
+
+  /** Apply the config's transformer chain: structural flattening first
+    * (when configured), then `transformerSql`, then each of
+    * `transformers` in order, every step reading the previous output as
+    * the temp view `source`
+    * (ref: SqlQueryBasedTransformer + FlatteningTransformer +
+    * ChainedTransformer).
     */
   private def transform(
-      spark: SparkSession, cfg: IngestConfig, raw: DataFrame): DataFrame =
-    (cfg.transformerSql.toSeq ++ cfg.transformers).foldLeft(raw) { (df, sql) =>
+      spark: SparkSession, cfg: IngestConfig, raw: DataFrame): DataFrame = {
+    val base = if (cfg.flattenNested) flatten(raw) else raw
+    (cfg.transformerSql.toSeq ++ cfg.transformers).foldLeft(base) { (df, sql) =>
       df.createOrReplaceTempView("source")
       spark.sql(sql)
     }
+  }
 
   /** The checkpoint of the last commit that recorded one, read newest
     * first from the target's timeline (ref: DeltaSync.java:311-355).
@@ -529,25 +559,4 @@ object IngestRunner {
   def runMulti(spark: SparkSession, cfgs: Seq[IngestConfig]): Seq[Option[String]] =
     cfgs.map(runOnce(spark, _))
 
-  /** Flatten nested struct columns into top-level columns named
-    * `outer_inner` (recursively), leaving scalar/array/map columns
-    * untouched — the reference's FlatteningTransformer, as a plain
-    * DataFrame transform usable standalone or before a SQL transformer
-    * chain (ref: hudi-utilities/.../transform/FlatteningTransformer.java,
-    * which generates the same aliased projection in SQL).
-    */
-  def flatten(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.types.StructType
-    import org.apache.spark.sql.functions.col
-    def expand(prefix: String, schema: StructType): Seq[(String, String)] =
-      schema.fields.toSeq.flatMap { f =>
-        val path = if (prefix.isEmpty) f.name else s"$prefix.${f.name}"
-        val alias = path.replace(".", "_")
-        f.dataType match {
-          case s: StructType => expand(path, s)
-          case _             => Seq((path, alias))
-        }
-      }
-    df.select(expand("", df.schema).map { case (p, a) => col(p).as(a) }: _*)
-  }
 }

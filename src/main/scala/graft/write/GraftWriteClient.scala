@@ -261,7 +261,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val parts = df.select(partExpr.as("p")).distinct()
       .collect().map(_.getString(0)).toSet
     writeNewFilesCommit(df, "insert_overwrite", GraftAction.ReplaceCommit,
-      replaced = table.view.groupsInPartitions(parts))
+      replaced = table.view.groupsInPartitions(parts),
+      replacePartitions = parts.toSeq.sorted)
   }
 
   /** Replace every file group in the table.
@@ -270,8 +271,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   def insertOverwriteTable(df: DataFrame): String = {
     val view = table.view
     val allParts = view.partitions.toSet
+    // conflicts escalate to EVERY concurrent data commit (the operation
+    // name carries the all-partitions semantics; replacePartitions here
+    // records the snapshot's partitions for forensics only)
     writeNewFilesCommit(df, "insert_overwrite_table", GraftAction.ReplaceCommit,
-      replaced = view.groupsInPartitions(allParts))
+      replaced = view.groupsInPartitions(allParts),
+      replacePartitions = allParts.toSeq.sorted)
   }
 
   /** Drop whole partitions via a replace-commit — no data rewrite.
@@ -284,7 +289,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // .toSeq first — a Map-to-tuples flatMap would collapse to one id
       // per partition (see conflictingInstant)
       val touched = replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-      conflictingInstant(occBaseSeen, instant.ts, touched).foreach { other =>
+      conflictingInstant(occBaseSeen, instant.ts, touched,
+          myReplaceParts = partitions.toSet).foreach { other =>
         table.timeline.deleteInstant(instant)
         throw new ConcurrentWriteConflictException(
           s"delete_partition ${instant.ts} conflicts with $other; retry")
@@ -292,7 +298,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     }
     commit(instant, GraftCommitMetadata(
       instant = instant.ts, action = instant.action, operation = "delete_partition",
-      replacedFileIds = replaced, extra = wc.commitExtra,
+      replacedFileIds = replaced, replacePartitions = partitions.sorted,
+      extra = wc.commitExtra,
       // metadata-only commit: carry the schema forward so the table
       // never reads as schemaless
       schemaJson = table.storedDataSchema.map(_.json).getOrElse("")))
@@ -532,7 +539,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       df: DataFrame,
       operation: String,
       action: String,
-      replaced: Map[String, Seq[String]]): String = {
+      replaced: Map[String, Seq[String]],
+      replacePartitions: Seq[String] = Seq.empty): String = {
     val aligned = alignSchema(df, table.storedDataSchema)
     val dataSchema = aligned.schema
     val instant = begin(action)
@@ -553,7 +561,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         case _ => prepared
       }
       val written = writeUngrouped(sorted, dataSchema.fieldNames.toSeq, instant.ts, recordsPerFile)
-      finishCommit(instant, operation, written, replaced, dataSchema)
+      finishCommit(instant, operation, written, replaced, dataSchema,
+        replacePartitions = replacePartitions)
     } catch {
       case e: Throwable => abort(instant); throw e
     }
@@ -583,20 +592,35 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   /** Completed data instants visible when the current write began. */
   @volatile private var occBaseSeen: Set[String] = Set.empty
 
-  /** First concurrently-completed instant whose touched file groups
-    * overlap `touched`, if any — the reference's conflict rule: two
-    * writes conflict iff they wrote or replaced the same file group
+  /** First concurrently-completed instant that conflicts with this
+    * write, if any. The base rule is the reference's: two writes
+    * conflict iff they wrote or replaced the same file group
     * (ref: SimpleConcurrentFileWritesConflictResolutionStrategy.java:44-115,
     * TransactionManager.java:49-69; our atomic primitive is the
     * create-if-absent completed-instant file). `baseSeen` is the begin
     * snapshot: a candidate is any completed instant OUTSIDE it,
     * regardless of how its ts orders against ours (completion order and
     * ts order genuinely diverge under concurrency).
+    *
+    * Partition-REPLACING operations (delete_partition /
+    * insert_overwrite[_table]) escalate to PARTITION-level conflicts in
+    * both directions: group intersection cannot see a NEW file group
+    * born concurrently inside the replaced partition (the racer's
+    * insert intersects no replaced group, in either commit order), so
+    * without escalation an acknowledged partition delete and an
+    * acknowledged insert into it could both survive with the insert's
+    * rows outliving the "later" delete — not serializable. `myReplaceParts`
+    * is this write's declared target-partition set (empty for normal
+    * writes); the other side's declaration rides in the commit metadata
+    * (`replacePartitions`, with insert_overwrite_table conflicting with
+    * every concurrent data commit).
     */
   private[graft] def conflictingInstant(
       baseSeen: Set[String],
       myTs: String,
-      touched: Set[(String, String)]): Option[String] =
+      touched: Set[(String, String)],
+      myReplaceParts: Set[String] = Set.empty,
+      myReplaceAll: Boolean = false): Option[String] =
     table.timeline.completedData
       .filter(i => !baseSeen.contains(i.ts) && i.ts != myTs)
       .find { i =>
@@ -609,7 +633,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         // the concurrent two-writer model walk, seed 239)
         val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
           meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-        (theirs & touched).nonEmpty
+        val theirParts = theirs.map(_._1)
+        val myParts = touched.map(_._1) ++ myReplaceParts
+        (theirs & touched).nonEmpty ||
+          meta.replacePartitions.exists(myParts.contains) ||
+          (meta.operation == "insert_overwrite_table" && myParts.nonEmpty) ||
+          (myReplaceParts & theirParts).nonEmpty ||
+          (myReplaceAll && theirParts.nonEmpty)
       }
       .map(_.ts)
 
@@ -637,7 +667,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       written: Seq[WriteFileInfo],
       replaced: Map[String, Seq[String]],
       dataSchema: org.apache.spark.sql.types.StructType,
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      replacePartitions: Seq[String] = Seq.empty): Unit = {
     // the [conflict check + publish] critical section runs under the
     // configured lock provider (ref: TransactionManager.java:49-69 —
     // beginTransaction / resolve conflicts / commit / endTransaction).
@@ -664,7 +695,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         // per partition (see conflictingInstant)
         val touched = written.map(f => (f.partition, f.fileId)).toSet ++
           replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-        conflictingInstant(occBaseSeen, instant.ts, touched).foreach { other =>
+        conflictingInstant(occBaseSeen, instant.ts, touched,
+            myReplaceParts = replacePartitions.toSet,
+            myReplaceAll = operation == "insert_overwrite_table").foreach { other =>
           // the loser cleans its already-published files and aborts; they
           // were never referenced by any commit, so readers never saw them
           written.foreach(f =>
@@ -683,6 +716,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         operation = operation,
         files = written,
         replacedFileIds = replaced,
+        replacePartitions = replacePartitions,
         totalRecords = totalRecords,
         avgRecordSize = avg,
         schemaJson = dataSchema.json,

@@ -1061,8 +1061,8 @@ class ModelCheckSpec extends AnyFunSuite {
   }
 
   /** TWO WRITERS, ONE TABLE: a randomized concurrent walk. Each writer
-    * races seeded upserts and deletes through its own table handle and
-    * write client (OCC on, `file` lock provider serializing every
+    * races seeded upserts, deletes and partition drops through its own
+    * table handle and write client (OCC on, `file` lock provider serializing every
     * [conflict check + publish]), retrying on conflict/lock loss, while
     * both also fire table services (compaction / clustering / cleaning)
     * whose publishes conflict-check under the same lock. Writers draw
@@ -1150,11 +1150,19 @@ class ModelCheckSpec extends AnyFunSuite {
                 rnd.nextInt(10000) / 10.0, ordGen.incrementAndGet()))
               val ts = retrying(s"writer$idx upsert")(w.upsert(toDf(rows)))
               committed.put(ts, ("upsert", rows))
-            case x if x < 80 =>
+            case x if x < 75 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map(_ => ModelRow(
                 key(), partitions(rnd.nextInt(3)), 0.0, ordGen.incrementAndGet()))
               val ts = retrying(s"writer$idx delete")(w.delete(toDf(rows)))
               committed.put(ts, ("delete", rows))
+            case x if x < 80 =>
+              // partition-replace racing everything else: requires the
+              // partition-level OCC escalation to serialize (a group-level
+              // check lets a racing NEW file group survive the drop)
+              val p = partitions(rnd.nextInt(3))
+              val ts = retrying(s"writer$idx delete_partition")(
+                w.deletePartitions(Seq(p)))
+              committed.put(ts, ("delete_partition", Seq(ModelRow(-1L, p, 0.0, 0L))))
             case x if x < 92 =>
               // services: publishes conflict-check under the commit lock;
               // losing the race is fine (nothing published), crashing is not
@@ -1225,6 +1233,9 @@ class ModelCheckSpec extends AnyFunSuite {
     val model: Model = mutable.Map.empty
     committed.asScala.toSeq.sortBy(_._1).foreach {
       case (_, ("upsert", rows)) => modelUpsert(model, rows, global = false)
+      case (_, ("delete_partition", rows)) =>
+        val p = rows.head.p
+        model.filterInPlace { case ((mp, _), _) => mp != p }
       case (_, (_, rows))        => rows.foreach(r => model.remove(r.p -> r.k))
     }
     val read = new GraftReadClient(GraftTable.load(spark, path))
@@ -1277,6 +1288,9 @@ class ModelCheckSpec extends AnyFunSuite {
       val m: Model = mutable.Map.empty
       committed.asScala.toSeq.sortBy(_._1).filter(_._1 <= bandStart).foreach {
         case (_, ("upsert", rows)) => modelUpsert(m, rows, global = false)
+        case (_, ("delete_partition", rows)) =>
+          val p = rows.head.p
+          m.filterInPlace { case ((mp, _), _) => mp != p }
         case (_, (_, rows))        => rows.foreach(r => m.remove(r.p -> r.k))
       }
       m.values.toSet

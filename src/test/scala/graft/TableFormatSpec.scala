@@ -3714,6 +3714,99 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(tgt2).count() === 30)
     assert(IngestRunner.lastCheckpoint(spark, tgt2).isEmpty)
   }
+
+  test("occ: partition-replacing commits conflict at partition level, both directions") {
+    import graft.write.WriteConfig
+    val path = tmp()
+    val t0 = GraftTable.create(spark, path, cowConfig)
+    val wc = WriteConfig(parallelism = 2)
+    new GraftWriteClient(t0, wc).bulkInsert(orders.limit(200))
+    val t = GraftTable.load(spark, path)
+    val w = new GraftWriteClient(t, wc)
+    val baseAll = t.timeline.completedData.map(_.ts).toSet
+    val targetP = "1-URGENT"
+
+    // a dp commit lands outside a racing writer's snapshot
+    val dpTs = w.deletePartitions(Seq(targetP))
+    val t1 = GraftTable.load(spark, path)
+    val w1 = new GraftWriteClient(t1, wc)
+    // direction 1: the racer wrote a NEW file group in the dp'd partition
+    // — no replaced-group intersection exists, only the declared target
+    // partition can catch it
+    assert(w1.conflictingInstant(baseAll, "99990101000000000",
+      Set((targetP, "brand-new-group"))).contains(dpTs))
+    // an untargeted partition does not conflict
+    assert(w1.conflictingInstant(baseAll, "99990101000000000",
+      Set(("5-LOW", "brand-new-group"))).isEmpty)
+
+    // direction 2: a dp whose snapshot predates a normal commit into its
+    // target partition must conflict even when it replaces NO groups
+    // (the target partition was empty in its view)
+    val base2 = t1.timeline.completedData.map(_.ts).toSet
+    val upTs = w1.upsert(orders.filter(col("o_orderpriority") === "5-LOW").limit(20)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val w2 = new GraftWriteClient(GraftTable.load(spark, path), wc)
+    assert(w2.conflictingInstant(base2, "99990101000000000",
+      Set.empty, myReplaceParts = Set("5-LOW")).contains(upTs))
+    assert(w2.conflictingInstant(base2, "99990101000000000",
+      Set.empty, myReplaceParts = Set("3-MEDIUM")).isEmpty)
+
+    // dp vs dp on the same (even empty) partition: declared targets clash
+    val base3 = GraftTable.load(spark, path).timeline.completedData.map(_.ts).toSet
+    val dp2Ts = w2.deletePartitions(Seq(targetP)) // now-empty partition
+    val w3 = new GraftWriteClient(GraftTable.load(spark, path), wc)
+    assert(w3.conflictingInstant(base3, "99990101000000000",
+      Set.empty, myReplaceParts = Set(targetP)).contains(dp2Ts))
+
+    // insert_overwrite_table conflicts with every concurrent data commit
+    val base4 = GraftTable.load(spark, path).timeline.completedData.map(_.ts).toSet
+    val iotTs = w3.insertOverwriteTable(orders.limit(10))
+    val w4 = new GraftWriteClient(GraftTable.load(spark, path), wc)
+    assert(w4.conflictingInstant(base4, "99990101000000000",
+      Set(("5-LOW", "any-group"))).contains(iotTs))
+    assert(w4.conflictingInstant(base4, "99990101000000000",
+      Set.empty, myReplaceAll = true).contains(iotTs))
+  }
+
+  test("ingest: flattening transformer expands nested structs; arrays/maps pass through") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    import spark.implicits._
+    val df = spark.sql(
+      """SELECT 7L AS id,
+        |  named_struct('amount', 9.5D,
+        |    'cur', named_struct('code', 'USD', 'sym', '$')) AS fare,
+        |  array(named_struct('city', 'a', 'ms', 3)) AS hops,
+        |  map('k', 1) AS tags""".stripMargin)
+    val flat = IngestRunner.flatten(df)
+    assert(flat.columns.toSeq ===
+      Seq("id", "fare_amount", "fare_cur_code", "fare_cur_sym", "hops", "tags"))
+    val r = flat.collect()(0)
+    assert(r.getAs[Double]("fare_amount") === 9.5)
+    assert(r.getAs[String]("fare_cur_code") === "USD")
+    assert(r.getAs[Seq[org.apache.spark.sql.Row]]("hops").head.getString(0) === "a")
+    assert(r.getAs[Map[String, Int]]("tags") === Map("k" -> 1))
+
+    // end-to-end: a nested parquet source, flattened before the write, so
+    // the graft record key can BE a nested leaf
+    val base = tmp()
+    (0L until 25L).map(i => (i, (i * 2.0, if (i % 2 == 0) "E" else "O")))
+      .toDF("seq", "nest")
+      .select(struct(col("seq").as("k"), col("nest._1").as("v")).as("rec"),
+        col("nest._2").as("pri"))
+      .write.parquet(s"$base/src/b1")
+    val cfg = IngestConfig(
+      sourcePath = s"$base/src", targetPath = s"$base/tgt",
+      flattenNested = true,
+      tableOptions = Map(
+        "recordkey.field" -> "rec_k",
+        "partitionpath.field" -> "pri",
+        "precombine.field" -> "rec_v"))
+    IngestRunner.runOnce(spark, cfg)
+    val snap = spark.read.format("graft").load(s"$base/tgt")
+    assert(snap.count() === 25)
+    assert(snap.columns.contains("rec_k") && snap.columns.contains("rec_v"))
+    assert(snap.agg(sum("rec_v")).collect()(0).getDouble(0) === (0 until 25).map(_ * 2.0).sum)
+  }
 }
 
 /** Executor-visible latches for the OCC race test (local mode: tasks share
