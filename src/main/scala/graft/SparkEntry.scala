@@ -996,6 +996,108 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // DFS ingest of a NESTED source through the flattening transformer:
+    // record key, precombine AND partition path are all flattened struct
+    // leaves, and a second batch's higher-precombine re-deliveries prove
+    // the dedup fold runs on the flattened shape
+    // (ref: hudi-utilities/.../transform/FlatteningTransformer.java)
+    "tf_flatten_ingest" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_flatten_src", dir)
+      val target = freshDir("tf_flatten_ingest", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def stamp(sub: String, t: Long): Unit = {
+        def walk(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else fs.setTimes(st.getPath, t, t)
+          }
+        walk(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+      }
+      def nest(df: DataFrame): DataFrame = df.select(
+        struct(col("o_orderkey").as("k"), col("o_totalprice").as("price")).as("rec"),
+        struct(col("o_orderstatus").as("st"), col("o_orderpriority").as("pri")).as("meta"))
+      val cfg = IngestConfig(
+        sourcePath = src, targetPath = target, flattenNested = true,
+        tableOptions = Map(
+          "recordkey.field" -> "rec_k",
+          "partitionpath.field" -> "meta_pri",
+          "precombine.field" -> "rec_price",
+          "target.file.size" -> (4L * 1024 * 1024).toString,
+          "small.file.limit" -> (3L * 1024 * 1024).toString))
+      nest(orders).write.parquet(s"$src/b1")
+      stamp("b1", 1000000L)
+      require(IngestRunner.runOnce(s, cfg).contains("1000000"),
+        "tf_flatten_ingest: first sync did not record its checkpoint")
+      // re-deliveries with a HIGHER flattened precombine must win
+      nest(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)).write.parquet(s"$src/b2")
+      stamp("b2", 2000000L)
+      require(IngestRunner.runOnce(s, cfg).contains("2000000"),
+        "tf_flatten_ingest: second sync did not advance the checkpoint")
+      s.read.format("graft").load(target)
+        .select(col("rec_k"), col("rec_price"), col("meta_st"), col("meta_pri"))
+    }),
+
+    // SQL-source backfill BETWEEN two DFS rounds (ref: hudi-utilities/
+    // .../sources/SqlSource.java — "does not update the last checkpoint,
+    // mainly for backfill"): the backfill writes through the same
+    // transformer/write path but CARRIES the target's checkpoint forward,
+    // so the next DFS round still resumes from batch 1's mtime and pulls
+    // ONLY batch 2. Round 3's +1000 transformer poisons both failure
+    // modes: a checkpoint wrongly advanced by the backfill pulls nothing
+    // (b2's rows missing), a checkpoint reset re-reads b1 through +1000
+    "tf_sql_backfill" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_sql_backfill_src", dir)
+      val target = freshDir("tf_sql_backfill", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def stamp(sub: String, t: Long): Unit = {
+        def walk(p: org.apache.hadoop.fs.Path): Unit =
+          fs.listStatus(p).foreach { st =>
+            if (st.isDirectory) walk(st.getPath)
+            else fs.setTimes(st.getPath, t, t)
+          }
+        walk(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+      }
+      val tableOpts = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice",
+        "target.file.size" -> (4L * 1024 * 1024).toString,
+        "small.file.limit" -> (3L * 1024 * 1024).toString)
+      val cfg = IngestConfig(
+        sourcePath = src, targetPath = target, tableOptions = tableOpts)
+      orders.filter(col("o_orderkey") % 2 === 0)
+        .select(ordersCols.map(col): _*).write.parquet(s"$src/b1")
+      stamp("b1", 1000000L)
+      require(IngestRunner.runOnce(s, cfg).contains("1000000"),
+        "tf_sql_backfill: first sync did not record its checkpoint")
+      // the backfill batch comes from SQL, not the DFS source dir
+      orders.filter(col("o_orderkey") % 2 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 7.0)
+        .createOrReplaceTempView("graft_backfill_src")
+      IngestRunner.runSqlOnce(s, cfg,
+        s"SELECT ${ordersCols.mkString(", ")} FROM graft_backfill_src")
+      require(IngestRunner.lastCheckpoint(s, target).contains("1000000"),
+        "tf_sql_backfill: backfill must carry the DFS checkpoint forward")
+      orders.filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 40.0)
+        .select(ordersCols.map(col): _*).write.parquet(s"$src/b2")
+      stamp("b2", 2000000L)
+      val cfg3 = cfg.copy(transformerSql = Some(
+        """SELECT o_orderkey, o_custkey, o_orderstatus,
+          |  o_totalprice + 1000.0 AS o_totalprice, o_orderdate, o_orderpriority
+          |FROM source""".stripMargin))
+      require(IngestRunner.runOnce(s, cfg3).contains("2000000"),
+        "tf_sql_backfill: third sync did not advance past the backfill")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
     // table-to-table incremental ETL: source commits flow into a
     // downstream graft table through instant checkpoints
     // (ref: hudi-utilities/.../sources/HoodieIncrSource.java)
@@ -1566,6 +1668,21 @@ object SparkEntry {
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "tf_flatten_ingest" ->
+      """SELECT o_orderkey AS rec_k,
+        |  CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 100.0
+        |       ELSE o_totalprice END AS rec_price,
+        |  o_orderstatus AS meta_st, o_orderpriority AS meta_pri
+        |FROM orders""".stripMargin,
+
+    "tf_sql_backfill" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 1040.0
+        |       WHEN o_orderkey % 2 = 1 THEN o_totalprice + 7.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
 
     "tf_complex_types" ->
