@@ -1082,7 +1082,8 @@ class ModelCheckSpec extends AnyFunSuite {
     */
   private def runConcurrentWalk(
       tableType: String, seed: Long, lockProvider: String = "file",
-      payload: String = "overwrite_latest"): Unit = {
+      payload: String = "overwrite_latest",
+      injectCrashes: Boolean = false): Unit = {
     val path = tmp() + "/t"
     // under event_time the replay oracle stays exact: writers share no
     // keys and each writer is sequential, so per key the ord draw order
@@ -1144,18 +1145,18 @@ class ModelCheckSpec extends AnyFunSuite {
         def key(): Long = { val k = rnd.nextInt(40); (k - k % 2 + idx).toLong }
         for (_ <- 1 to 7) {
           rnd.nextInt(100) match {
-            case x if x < 60 =>
+            case x if x < 55 =>
               val rows = (0 until 4 + rnd.nextInt(8)).map(_ => ModelRow(
                 key(), partitions(rnd.nextInt(3)),
                 rnd.nextInt(10000) / 10.0, ordGen.incrementAndGet()))
               val ts = retrying(s"writer$idx upsert")(w.upsert(toDf(rows)))
               committed.put(ts, ("upsert", rows))
-            case x if x < 75 =>
+            case x if x < 70 =>
               val rows = (0 until 1 + rnd.nextInt(4)).map(_ => ModelRow(
                 key(), partitions(rnd.nextInt(3)), 0.0, ordGen.incrementAndGet()))
               val ts = retrying(s"writer$idx delete")(w.delete(toDf(rows)))
               committed.put(ts, ("delete", rows))
-            case x if x < 80 =>
+            case x if x < 75 =>
               // partition-replace racing everything else: requires the
               // partition-level OCC escalation to serialize (a group-level
               // check lets a racing NEW file group survive the drop)
@@ -1163,6 +1164,18 @@ class ModelCheckSpec extends AnyFunSuite {
               val ts = retrying(s"writer$idx delete_partition")(
                 w.deletePartitions(Seq(p)))
               committed.put(ts, ("delete_partition", Seq(ModelRow(-1L, p, 0.0, 0L))))
+            case x if x < 80 =>
+              // partition overwrite: clears BOTH writers' keys in the
+              // target partition, then lands this writer's fresh rows —
+              // exercises the escalation with actual new files in the
+              // replacing commit (dp writes none). Distinct keys per
+              // batch: insert_overwrite does not precombine within a batch
+              val p = partitions(rnd.nextInt(3))
+              val rows = (0 until 2 + rnd.nextInt(4)).map(_ => key()).distinct
+                .map(k => ModelRow(k, p, rnd.nextInt(10000) / 10.0, ordGen.incrementAndGet()))
+              val ts = retrying(s"writer$idx insert_overwrite")(
+                w.insertOverwrite(toDf(rows)))
+              committed.put(ts, ("insert_overwrite", rows))
             case x if x < 92 =>
               // services: publishes conflict-check under the commit lock;
               // losing the race is fine (nothing published), crashing is not
@@ -1205,6 +1218,39 @@ class ModelCheckSpec extends AnyFunSuite {
     // never written. Weak invariants by design — the reader races
     // arbitrary prefixes — but they catch torn metadata, resurrection
     // of replaced groups, and doubled rows from racing bin-packers.
+    // CRASHED-WRITER injection: fabricate mid-race exactly what a writer
+    // killed between begin() and commit leaves behind — requested +
+    // inflight timeline markers, an orphan data file carrying its instant
+    // in the name, a staging dir. Live writers/services/readers must be
+    // unaffected (readers resolve files from commit manifests only, OCC
+    // looks at completed instants only), the hollow-commit floor must
+    // hold below the dead instant, and rollbackFailedWrites must reclaim
+    // it all after the race (ref: HoodieHeartbeatClient expired-writer
+    // rollback + AbstractMarkerBasedRollbackStrategy).
+    val crashed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def fabricateCrash(): Unit = {
+      val t = GraftTable.load(spark, path)
+      val tl = t.timeline
+      val ts = graft.core.InstantTimeGenerator.next()
+      val action =
+        if (tableType == GraftTableType.Mor) GraftAction.DeltaCommit
+        else GraftAction.Commit
+      tl.transitionToInflight(tl.createRequested(ts, action))
+      val pdir = new org.apache.hadoop.fs.Path(t.storage.basePath, partitions(0))
+      t.storage.fs.mkdirs(pdir)
+      t.storage.createImmutable(
+        new org.apache.hadoop.fs.Path(pdir, s"dead-$ts-0_$ts.parquet"),
+        "torn half-written bytes, not parquet")
+      t.storage.fs.mkdirs(new org.apache.hadoop.fs.Path(t.storage.tempDir, ts))
+      crashed.add(ts)
+    }
+    val crasher = new Thread(() => {
+      try {
+        Thread.sleep(150); fabricateCrash()
+        Thread.sleep(500); fabricateCrash()
+      } catch { case e: Throwable => failures.add(e) }
+    })
+
     val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
     val reader = new Thread(() => {
       try {
@@ -1221,7 +1267,8 @@ class ModelCheckSpec extends AnyFunSuite {
       } catch { case e: Throwable => failures.add(e) }
     })
     reader.start()
-    val threads = Seq(writer(0), writer(1), svc)
+    val threads = Seq(writer(0), writer(1), svc) ++
+      (if (injectCrashes) Seq(crasher) else Seq.empty)
     threads.foreach(_.start())
     threads.foreach(_.join(10 * 60 * 1000))
     stopReader.set(true)
@@ -1236,6 +1283,10 @@ class ModelCheckSpec extends AnyFunSuite {
       case (_, ("delete_partition", rows)) =>
         val p = rows.head.p
         model.filterInPlace { case ((mp, _), _) => mp != p }
+      case (_, ("insert_overwrite", rows)) =>
+        val ps = rows.map(_.p).toSet
+        model.filterInPlace { case ((mp, _), _) => !ps.contains(mp) }
+        modelUpsert(model, rows, global = false)
       case (_, (_, rows))        => rows.foreach(r => model.remove(r.p -> r.k))
     }
     val read = new GraftReadClient(GraftTable.load(spark, path))
@@ -1265,6 +1316,35 @@ class ModelCheckSpec extends AnyFunSuite {
       s"(seed $seed, $tableType, concurrent): snapshot diverged; " +
         s"extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
 
+    if (injectCrashes) {
+      // the snapshot above already matched WITH the dead writers' debris
+      // in place — orphan files are invisible to manifest-driven readers
+      val deadTs = crashed.asScala.toSet
+      assert(deadTs.size == 2, s"crash injection incomplete: $deadTs")
+      val tCrash = GraftTable.load(spark, path)
+      assert(deadTs.subsetOf(tCrash.timeline.pending.map(_.ts).toSet),
+        "fabricated crash instants must still be pending")
+      // hollow-commit floor: no checkpoint may advance past a dead writer
+      tCrash.timeline.safeIncrementalEnd.foreach(end =>
+        assert(end < deadTs.min,
+          s"safeIncrementalEnd $end passed a pending writer ${deadTs.min}"))
+      def orphansOnDisk(t: GraftTable): Seq[String] = {
+        val pdir = new org.apache.hadoop.fs.Path(t.storage.basePath, partitions(0))
+        t.storage.fs.listStatus(pdir).toSeq.map(_.getPath.getName)
+          .filter(n => deadTs.exists(ts => n.contains(s"_$ts.")))
+      }
+      assert(orphansOnDisk(tCrash).size == 2, "orphan data files missing before reclaim")
+      val reclaimed = new TableServices(tCrash, wcc).rollbackFailedWrites(-60000L)
+      assert(reclaimed.toSet == deadTs,
+        s"rollbackFailedWrites reclaimed $reclaimed, wanted $deadTs")
+      val tAfter = GraftTable.load(spark, path)
+      assert(orphansOnDisk(tAfter).isEmpty, "orphan data files survived reclaim")
+      assert((tAfter.timeline.pending.map(_.ts).toSet & deadTs).isEmpty,
+        "dead instants survived reclaim")
+      assert(rowSet(new GraftReadClient(tAfter).snapshotData()) == want,
+        "snapshot changed after crashed-writer reclaim")
+    }
+
     // a raced band (start, last] read back two ways: incremental must
     // return exactly the final-state rows that state-as-of-start lacked
     // (ords are globally unique, so set difference is the precise
@@ -1291,6 +1371,10 @@ class ModelCheckSpec extends AnyFunSuite {
         case (_, ("delete_partition", rows)) =>
           val p = rows.head.p
           m.filterInPlace { case ((mp, _), _) => mp != p }
+        case (_, ("insert_overwrite", rows)) =>
+          val ps = rows.map(_.p).toSet
+          m.filterInPlace { case ((mp, _), _) => !ps.contains(mp) }
+          modelUpsert(m, rows, global = false)
         case (_, (_, rows))        => rows.foreach(r => m.remove(r.p -> r.k))
       }
       m.values.toSet
@@ -1409,6 +1493,11 @@ class ModelCheckSpec extends AnyFunSuite {
   test("model check: concurrent walk under the event_time payload (MOR)") {
     seeds(241L).foreach(
       runConcurrentWalk(GraftTableType.Mor, _, payload = "event_time"))
+  }
+
+  test("model check: concurrent walk with crashed-writer debris (MOR, lazy reclaim)") {
+    seeds(251L).foreach(
+      runConcurrentWalk(GraftTableType.Mor, _, injectCrashes = true))
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {
