@@ -504,6 +504,54 @@ object SparkEntry {
         col("o_totalprice"), col("o_orderpriority"))
     }),
 
+    // Avro Object Container Files off DFS through the splittable
+    // avro-core scan: the fixture is produced DISTRIBUTED (executor-side
+    // OCF writer), read back with ranges smaller than a file so the
+    // sync-seek split path is what actually feeds the ingest, and a
+    // second batch's higher-precombine re-deliveries must win
+    // (ref: AvroDFSSource.java:62-67 over AvroKeyInputFormat)
+    "tf_avro_dfs" -> ((s, dir) => {
+      import graft.utilities.{AvroDecode, IngestConfig, IngestRunner}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_avro_dfs_src", dir)
+      val tgt = freshDir("tf_avro_dfs", dir)
+      val fs = new org.apache.hadoop.fs.Path(src)
+        .getFileSystem(s.sessionState.newHadoopConf())
+      def stamp(sub: String, t: Long): Unit =
+        fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+          .foreach(st => fs.setTimes(st.getPath, t, t))
+      val slim = orders.select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+      AvroDecode.writeAvroFiles(slim.repartition(4),
+        AvroOrdEncoder.SchemaJson, s"$src/b1", syncBytes = 4096)
+      stamp("b1", 1000000L)
+      val cfg = IngestConfig(
+        sourcePath = src, sourceFormat = "avro", targetPath = tgt,
+        tableOptions = Map(
+          "recordkey.field" -> "o_orderkey",
+          "partitionpath.field" -> "o_orderpriority",
+          "precombine.field" -> "o_totalprice",
+          "target.file.size" -> (4L * 1024 * 1024).toString,
+          "small.file.limit" -> (3L * 1024 * 1024).toString))
+      val prev = s.conf.get("spark.sql.files.maxPartitionBytes")
+      s.conf.set("spark.sql.files.maxPartitionBytes", "16384")
+      try {
+        require(IngestRunner.runOnce(s, cfg).contains("1000000"),
+          "tf_avro_dfs: first sync did not record its checkpoint")
+        AvroDecode.writeAvroFiles(
+          slim.filter(col("o_orderkey") % 4 === 1)
+            .withColumn("o_totalprice", col("o_totalprice") + 250.0),
+          AvroOrdEncoder.SchemaJson, s"$src/b2", syncBytes = 4096)
+        stamp("b2", 2000000L)
+        require(IngestRunner.runOnce(s, cfg).contains("2000000"),
+          "tf_avro_dfs: second sync did not advance the checkpoint")
+      } finally s.conf.set("spark.sql.files.maxPartitionBytes", prev)
+      s.read.format("graft").load(tgt).select(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), col("o_orderpriority"))
+    }),
+
     // the reference's canonical NESTED schema through the full MOR
     // life-cycle under event_time: struct/array-of-struct/map/decimal/
     // date/binary columns ride the delta fold, a stale batch with garbage
@@ -1666,6 +1714,13 @@ object SparkEntry {
     "tf_kafka_avro" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus,
         |  CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+        |       ELSE o_totalprice END AS o_totalprice,
+        |  o_orderpriority
+        |FROM orders""".stripMargin,
+
+    "tf_avro_dfs" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  CASE WHEN o_orderkey % 4 = 1 THEN o_totalprice + 250.0
         |       ELSE o_totalprice END AS o_totalprice,
         |  o_orderpriority
         |FROM orders""".stripMargin,

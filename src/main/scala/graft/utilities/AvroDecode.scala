@@ -237,6 +237,216 @@ object AvroDecode {
     }(Encoders.row(outSchema))
   }
 
+  /** Spark external row value → Avro datum against `s` (the writer
+    * schema) — the exact inverse of [[convert]], used by
+    * [[writeAvroFiles]]. Nulls pass through only when the schema has a
+    * null branch.
+    */
+  private def toAvro(v: Any, s: Schema, dec: Conversions.DecimalConversion): Any = {
+    if (v == null) {
+      require(isNullable(s) || s.getType == NULL, s"null for non-nullable Avro $s")
+      return null
+    }
+    s.getType match {
+      case UNION => toAvro(v, unionBranch(s), dec)
+      case RECORD =>
+        val row = v.asInstanceOf[Row]
+        val rec = new GenericData.Record(s)
+        val fields = s.getFields
+        var i = 0
+        while (i < fields.size) {
+          rec.put(i, toAvro(row.get(i), fields.get(i).schema, dec))
+          i += 1
+        }
+        rec
+      case ARRAY =>
+        v.asInstanceOf[scala.collection.Seq[Any]]
+          .map(toAvro(_, s.getElementType, dec)).asJava
+      case MAP =>
+        v.asInstanceOf[scala.collection.Map[String, Any]]
+          .map { case (k, x) => k -> toAvro(x, s.getValueType, dec) }.asJava
+      case ENUM   => new GenericData.EnumSymbol(s, v.toString)
+      case STRING => v.toString
+      case BYTES =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            dec.toBytes(v.asInstanceOf[java.math.BigDecimal].setScale(d.getScale), s, d)
+          case _ => ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+        }
+      case FIXED =>
+        s.getLogicalType match {
+          case d: LogicalTypes.Decimal =>
+            dec.toFixed(v.asInstanceOf[java.math.BigDecimal].setScale(d.getScale), s, d)
+          case _ => new GenericData.Fixed(s, v.asInstanceOf[Array[Byte]])
+        }
+      case INT =>
+        s.getLogicalType match {
+          case _: LogicalTypes.Date =>
+            v.asInstanceOf[java.sql.Date].toLocalDate.toEpochDay.toInt
+          case _ => v
+        }
+      case LONG =>
+        s.getLogicalType match {
+          case _: LogicalTypes.TimestampMillis =>
+            v.asInstanceOf[java.sql.Timestamp].getTime
+          case _: LogicalTypes.TimestampMicros =>
+            val ts = v.asInstanceOf[java.sql.Timestamp]
+            Math.multiplyExact(Math.floorDiv(ts.getTime, 1000L), 1000000L) +
+              ts.getNanos / 1000L
+          case _ => v
+        }
+      case _ => v // BOOLEAN, FLOAT, DOUBLE box as-is
+    }
+  }
+
+  /** Distributed scan of Avro Object Container Files — the engine's
+    * AvroDFSSource (ref: hudi-utilities/.../sources/AvroDFSSource.java:
+    * 62-67, which delegates to AvroKeyInputFormat). OCF files are
+    * block-structured behind 16-byte sync markers, so they SPLIT: each
+    * task seeks to the first sync at-or-after its range start
+    * (`DataFileReader.sync`) and drains blocks until one begins past its
+    * range end (`pastSync`) — the same contract Hadoop's input format
+    * uses, so a 10 GB file fans out across executors instead of pinning
+    * one task. No driver round-trip of data; the driver only lists files
+    * and plans ranges.
+    *
+    * `readerSchemaJson` resolves schema evolution (added fields take
+    * their defaults, dropped fields are skipped — standard Avro reader/
+    * writer resolution); when absent the writer schema is sniffed from
+    * the first file's header.
+    *
+    * @param splitBytes target range size per task; defaults to
+    *                   `spark.sql.files.maxPartitionBytes`
+    */
+  def readAvroFiles(
+      spark: org.apache.spark.sql.SparkSession,
+      paths: Seq[String],
+      readerSchemaJson: Option[String] = None,
+      splitBytes: Long = 0L): DataFrame = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    val conf = spark.sessionState.newHadoopConf()
+    def list(p: Path): Seq[FileStatus] = {
+      val fs = p.getFileSystem(conf)
+      val st = fs.getFileStatus(p)
+      if (!st.isDirectory) Seq(st)
+      else fs.listStatus(p).toSeq
+        .filterNot(c => c.getPath.getName.startsWith("_") ||
+          c.getPath.getName.startsWith("."))
+        .flatMap(c => if (c.isDirectory) list(c.getPath) else Seq(c))
+    }
+    val files = paths.map(new Path(_)).flatMap(list).filter(_.getLen > 0)
+    require(files.nonEmpty, s"no Avro files under ${paths.mkString(", ")}")
+    val schemaJson = readerSchemaJson.getOrElse {
+      val in = files.head.getPath.getFileSystem(conf).open(files.head.getPath)
+      try {
+        val s = new org.apache.avro.file.DataFileStream(
+          in, new GenericDatumReader[GenericRecord]())
+        val js = s.getSchema.toString
+        s.close()
+        js
+      } finally in.close()
+    }
+    val readerSchema = new Schema.Parser().parse(schemaJson)
+    require(readerSchema.getType == RECORD,
+      s"top-level Avro schema must be a record; got ${readerSchema.getType}")
+    val rowType = sparkType(readerSchema).asInstanceOf[StructType]
+    val split = if (splitBytes > 0) splitBytes
+      else spark.sessionState.conf.filesMaxPartitionBytes
+    val ranges = files.flatMap { st =>
+      (0L until st.getLen by split).map(off =>
+        (st.getPath.toString, off, math.min(off + split, st.getLen)))
+    }
+    val serConf = new graft.core.SerializableHadoopConf(conf)
+    val rows = spark.sparkContext
+      .parallelize(ranges, ranges.size)
+      .mapPartitions { it =>
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fields = schema.getFields
+        val n = fields.size
+        val decConv = new Conversions.DecimalConversion()
+        it.flatMap { case (pathStr, start, end) =>
+          val datumReader = new GenericDatumReader[GenericRecord]()
+          datumReader.setExpected(schema)
+          val reader = new org.apache.avro.file.DataFileReader[GenericRecord](
+            new org.apache.avro.mapred.FsInput(new Path(pathStr), serConf.value),
+            datumReader)
+          reader.sync(start)
+          Option(org.apache.spark.TaskContext.get).foreach(
+            _.addTaskCompletionListener[Unit](_ => reader.close()))
+          var reuse: GenericRecord = null
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val more = reader.hasNext && !reader.pastSync(end)
+              if (!more) reader.close()
+              more
+            }
+            def next(): Row = {
+              reuse = reader.next(reuse)
+              val out = new Array[Any](n)
+              var i = 0
+              while (i < n) {
+                out(i) = convert(reuse.get(i), fields.get(i).schema, decConv)
+                i += 1
+              }
+              Row.fromSeq(out.toIndexedSeq)
+            }
+          }
+        }
+      }
+    spark.createDataFrame(rows, rowType)
+  }
+
+  /** Write `df` as Avro Object Container Files under `dir`, one file per
+    * partition, written on the executors (no driver collect). The inverse
+    * seam of [[readAvroFiles]] — it exists so round-trips and ingest
+    * fixtures can produce real OCF inputs at any scale. `syncBytes`
+    * bounds the approximate block size (small values create many sync
+    * markers, which is what makes the files split-friendly).
+    */
+  def writeAvroFiles(
+      df: DataFrame,
+      schemaJson: String,
+      dir: String,
+      syncBytes: Int = 64 * 1024): Unit = {
+    import org.apache.hadoop.fs.Path
+    val parsed = new Schema.Parser().parse(schemaJson)
+    require(parsed.getType == RECORD,
+      s"top-level Avro schema must be a record; got ${parsed.getType}")
+    val spark = df.sparkSession
+    val serConf = new graft.core.SerializableHadoopConf(
+      spark.sessionState.newHadoopConf())
+    val names = df.schema.fieldNames
+    val avroNames = parsed.getFields.asScala.map(_.name)
+    require(avroNames == names.toBuffer,
+      s"schema fields ${avroNames.mkString(",")} != df columns ${names.mkString(",")}")
+    df.foreachPartition { (it: Iterator[Row]) =>
+      if (it.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fields = schema.getFields
+        val decConv = new Conversions.DecimalConversion()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val path = new Path(dir, f"part-$pid%05d.avro")
+        val fs = path.getFileSystem(serConf.value)
+        val out = fs.create(path, true)
+        val writer = new org.apache.avro.file.DataFileWriter(
+          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+        writer.setSyncInterval(syncBytes)
+        writer.create(schema, out)
+        try {
+          it.foreach { r =>
+            val rec = new GenericData.Record(schema)
+            var i = 0
+            while (i < fields.size) {
+              rec.put(i, toAvro(r.get(i), fields.get(i).schema, decConv))
+              i += 1
+            }
+            writer.append(rec)
+          }
+        } finally writer.close()
+      }
+    }
+  }
+
   /** Read an Avro schema (.avsc JSON) off any Hadoop filesystem — the
     * reference's file-based schema provider seam
     * (ref: FilebasedSchemaProvider.java:55-60).

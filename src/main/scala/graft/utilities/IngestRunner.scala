@@ -38,6 +38,11 @@ import graft.spark.{GraftOptions, GraftWriter}
   * @param flattenNested  flatten nested struct columns into `_`-joined
   *                       top-level columns before the SQL transformers
   *                       ([[IngestRunner.flatten]])
+  * @param avroReaderSchema with `sourceFormat = "avro"`: optional reader
+  *                       schema (Avro JSON) resolving schema evolution
+  *                       across the source files; absent, each batch is
+  *                       read with the writer schema sniffed from its
+  *                       first file (see [[AvroDecode.readAvroFiles]])
   */
 final case class IngestConfig(
     sourcePath: String,
@@ -49,7 +54,8 @@ final case class IngestConfig(
     tableOptions: Map[String, String] = Map.empty,
     cdcOpColumn: Option[String] = None,
     kafkaPayload: Option[KafkaPayloadConfig] = None,
-    flattenNested: Boolean = false)
+    flattenNested: Boolean = false,
+    avroReaderSchema: Option[String] = None)
 
 /** Decoding of a Kafka-shaped record frame — the schema every Kafka
   * consumer surface hands over (`key` and `value` binary, plus `topic`,
@@ -306,8 +312,16 @@ object IngestRunner {
     if (fresh.isEmpty) return None
     val newCkpt = fresh.map(_.getModificationTime).max
 
-    val raw = spark.read.format(cfg.sourceFormat)
-      .load(fresh.map(_.getPath.toString): _*)
+    // "avro" means Object Container Files, read through our splittable
+    // avro-core scan (no spark-avro module on the classpath); everything
+    // else is a Spark batch format (ref: AvroDFSSource.java vs
+    // ParquetDFSSource/JsonDFSSource/CsvDFSSource)
+    val raw =
+      if (cfg.sourceFormat == "avro")
+        AvroDecode.readAvroFiles(spark, fresh.map(_.getPath.toString),
+          cfg.avroReaderSchema)
+      else spark.read.format(cfg.sourceFormat)
+        .load(fresh.map(_.getPath.toString): _*)
     val decoded = cfg.kafkaPayload.map(decodeKafkaFrame(raw, _)).getOrElse(raw)
     val batch = transform(spark, cfg, decoded)
     writeBatch(spark, cfg, batch, newCkpt.toString)
