@@ -38,6 +38,12 @@ import graft.spark.{GraftOptions, GraftWriter}
   * @param flattenNested  flatten nested struct columns into `_`-joined
   *                       top-level columns before the SQL transformers
   *                       ([[IngestRunner.flatten]])
+  * @param sourceOptions  reader options passed through to the Spark
+  *                       batch source — header/delimiter/inferSchema for
+  *                       csv, multiLine for json, a DDL `schema` entry to
+  *                       fix column types without inference (ref:
+  *                       CsvDFSSource.java:64-75's
+  *                       hoodie.deltastreamer.csv.* passthrough)
   * @param avroReaderSchema with `sourceFormat = "avro"`: optional reader
   *                       schema (Avro JSON) resolving schema evolution
   *                       across the source files; absent, each batch is
@@ -55,7 +61,8 @@ final case class IngestConfig(
     cdcOpColumn: Option[String] = None,
     kafkaPayload: Option[KafkaPayloadConfig] = None,
     flattenNested: Boolean = false,
-    avroReaderSchema: Option[String] = None)
+    avroReaderSchema: Option[String] = None,
+    sourceOptions: Map[String, String] = Map.empty)
 
 /** Decoding of a Kafka-shaped record frame — the schema every Kafka
   * consumer surface hands over (`key` and `value` binary, plus `topic`,
@@ -320,8 +327,12 @@ object IngestRunner {
       if (cfg.sourceFormat == "avro")
         AvroDecode.readAvroFiles(spark, fresh.map(_.getPath.toString),
           cfg.avroReaderSchema)
-      else spark.read.format(cfg.sourceFormat)
-        .load(fresh.map(_.getPath.toString): _*)
+      else {
+        val reader = spark.read.format(cfg.sourceFormat)
+          .options(cfg.sourceOptions - "schema")
+        cfg.sourceOptions.get("schema").foreach(reader.schema)
+        reader.load(fresh.map(_.getPath.toString): _*)
+      }
     val decoded = cfg.kafkaPayload.map(decodeKafkaFrame(raw, _)).getOrElse(raw)
     val batch = transform(spark, cfg, decoded)
     writeBatch(spark, cfg, batch, newCkpt.toString)

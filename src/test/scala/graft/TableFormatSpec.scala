@@ -642,6 +642,42 @@ class TableFormatSpec extends AnyFunSuite {
     assert(out.filter(col("doubled_plus") =!= col("o_totalprice") * 2 + 1).count() === 0)
   }
 
+  test("ingest runner: CSV and JSON DFS sources with reader options") {
+    // ref: CsvDFSSource.java:64-75 (csv option passthrough + schema
+    // provider override), JsonDFSSource.java — the same DFS selector over
+    // a different decoder. A fixed DDL schema beats inferSchema: types
+    // stay stable across batches whatever a batch's value range is.
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val slim = orders.limit(80).select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderpriority"))
+    val ddl = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
+      "o_orderpriority STRING"
+    for (fmt <- Seq("csv", "json")) {
+      val src = tmp() + "/src"
+      val tgt = tmp() + "/tgt"
+      if (fmt == "csv")
+        slim.write.options(Map("header" -> "true", "sep" -> "|")).csv(src)
+      else slim.write.json(src)
+      val cfg = IngestConfig(
+        sourcePath = src, sourceFormat = fmt, targetPath = tgt,
+        sourceOptions =
+          (if (fmt == "csv") Map("header" -> "true", "sep" -> "|")
+           else Map.empty[String, String]) + ("schema" -> ddl),
+        tableOptions = Map(
+          "recordkey.field" -> "o_orderkey",
+          "partitionpath.field" -> "o_orderpriority",
+          "precombine.field" -> "o_totalprice"))
+      assert(IngestRunner.runOnce(spark, cfg).nonEmpty, fmt)
+      val out = spark.read.format("graft").load(tgt)
+        .select(slim.columns.map(col).toIndexedSeq: _*)
+      assert(out.schema("o_totalprice").dataType ===
+        org.apache.spark.sql.types.DoubleType, fmt)
+      assert(out.exceptAll(slim).count() === 0, fmt)
+      assert(slim.exceptAll(out).count() === 0, fmt)
+    }
+  }
+
   test("ingest runner: CDC apply mode turns op-D rows into deletes") {
     import graft.utilities.{IngestConfig, IngestRunner}
     val src = tmp() + "/src"
