@@ -19,6 +19,12 @@ import graft.spark.{GraftOptions, GraftWriter}
   *                       after `transformerSql`, each seeing the previous
   *                       output as the view `source` (ref: the
   *                       reference's ChainedTransformer)
+  * @param transformerSqlFile DFS path of a `;`-separated SQL template
+  *                       file run between `transformerSql` and
+  *                       `transformers`; side-effect statements (CACHE
+  *                       TABLE ...) keep the running payload, the last
+  *                       result-bearing statement is the batch (ref:
+  *                       SqlFileBasedTransformer.java:56-82)
   * @param targetPath     graft table base path (created on first run)
   * @param operation      write operation per batch (default upsert)
   * @param tableOptions   graft datasource options (recordkey.field, ...)
@@ -44,6 +50,13 @@ import graft.spark.{GraftOptions, GraftWriter}
   *                       fix column types without inference (ref:
   *                       CsvDFSSource.java:64-75's
   *                       hoodie.deltastreamer.csv.* passthrough)
+  * @param maxBytesPerRound cap on source bytes per sync round (the
+  *                       reference's `sourceLimit`); a backlog drains
+  *                       over several checkpointed commits, oldest
+  *                       mod-times first, never splitting an mtime group
+  * @param datePartition  prune a date-partitioned source tree to the
+  *                       lookback window before listing (see
+  *                       [[DatePartitionConfig]])
   * @param avroReaderSchema with `sourceFormat = "avro"`: optional reader
   *                       schema (Avro JSON) resolving schema evolution
   *                       across the source files; absent, each batch is
@@ -54,6 +67,7 @@ final case class IngestConfig(
     sourcePath: String,
     sourceFormat: String = "parquet",
     transformerSql: Option[String] = None,
+    transformerSqlFile: Option[String] = None,
     transformers: Seq[String] = Seq.empty,
     targetPath: String,
     operation: String = "upsert",
@@ -62,7 +76,22 @@ final case class IngestConfig(
     kafkaPayload: Option[KafkaPayloadConfig] = None,
     flattenNested: Boolean = false,
     avroReaderSchema: Option[String] = None,
-    sourceOptions: Map[String, String] = Map.empty)
+    sourceOptions: Map[String, String] = Map.empty,
+    maxBytesPerRound: Option[Long] = None,
+    datePartition: Option[DatePartitionConfig] = None)
+
+/** Date-partitioned source listing window (ref: the reference's
+  * DatePartitionPathSelector configs `datepartitioned.selector.{depth,
+  * lookback.days,currentdate}` and `date.format`): date dirs named
+  * `yyyy-MM-dd` or `field=yyyy-MM-dd` sit `depth` levels below the
+  * source root; only those within `lookbackDays` of `currentDate`
+  * (defaults to today — tests pin it) are listed for fresh files.
+  */
+final case class DatePartitionConfig(
+    depth: Int,
+    lookbackDays: Int = 2,
+    dateFormat: String = "yyyy-MM-dd",
+    currentDate: Option[String] = None)
 
 /** Decoding of a Kafka-shaped record frame — the schema every Kafka
   * consumer surface hands over (`key` and `value` binary, plus `topic`,
@@ -274,10 +303,44 @@ object IngestRunner {
   private def transform(
       spark: SparkSession, cfg: IngestConfig, raw: DataFrame): DataFrame = {
     val base = if (cfg.flattenNested) flatten(raw) else raw
-    (cfg.transformerSql.toSeq ++ cfg.transformers).foldLeft(base) { (df, sql) =>
-      df.createOrReplaceTempView("source")
-      spark.sql(sql)
+    val fromFile = cfg.transformerSqlFile.toSeq.flatMap { f =>
+      // a ;-separated template file; every statement runs in order over
+      // the view `source`, the LAST result is the payload (ref:
+      // SqlFileBasedTransformer.java:56-82 — CACHE TABLE prelude +
+      // final SELECT)
+      readUtf8(spark, f).split(';').map(_.trim).filter(_.nonEmpty).toSeq
     }
+    val cacheTable = "(?is)\\s*CACHE\\s+(?:LAZY\\s+)?TABLE\\s+([\\w.]+).*".r
+    (cfg.transformerSql.toSeq ++ fromFile ++ cfg.transformers)
+      .foldLeft(base) { (df, sql) =>
+        df.createOrReplaceTempView("source")
+        // the template re-runs EVERY sync round, but CACHE TABLE x AS
+        // fails once x exists — drop the previous round's view first
+        // (dropTempView also uncaches its data)
+        sql match {
+          case cacheTable(name) => spark.catalog.dropTempView(name)
+          case _                =>
+        }
+        val out = spark.sql(sql)
+        // a side-effect statement (CACHE TABLE ...) keeps the running
+        // payload; only a result-bearing statement replaces it
+        if (out.schema.isEmpty) df else out
+      }
+  }
+
+  /** Whole small text file off any Hadoop filesystem (SQL templates,
+    * schema files).
+    */
+  private def readUtf8(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, java.nio.charset.StandardCharsets.UTF_8)
+    } finally in.close()
   }
 
   /** The checkpoint of the last commit that recorded one, read newest
@@ -303,20 +366,90 @@ object IngestRunner {
     }
   }
 
+  /** Prune a date-partitioned source tree to the lookback window —
+    * `<root>/(any fixed levels)/<date or field=date>/...` with the date
+    * dirs at exactly `depth` levels below the root (ref:
+    * DatePartitionPathSelector.java:175-221). Only dirs whose date falls
+    * in `[currentDate - lookbackDays, currentDate]` are listed further,
+    * so a source holding years of daily drops costs a listing of the
+    * window, not the history. A non-date name at the date depth is a
+    * loud failure, like the reference's parse.
+    */
+  private def pruneDatePartitions(
+      fs: FileSystem, root: Path, dp: DatePartitionConfig): Seq[Path] = {
+    if (dp.depth <= 0) return Seq(root)
+    var level: Seq[Path] = Seq(root)
+    for (_ <- 0 until dp.depth)
+      level = level.flatMap { p =>
+        fs.listStatus(p).toSeq.filter { st =>
+          st.isDirectory && !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith(".")
+        }.map(_.getPath)
+      }
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(dp.dateFormat)
+    val cur = dp.currentDate.map(java.time.LocalDate.parse)
+      .getOrElse(java.time.LocalDate.now())
+    val from = cur.minusDays(dp.lookbackDays.toLong)
+    level.filter { p =>
+      val name = p.getName
+      val ds =
+        if (!name.contains("=")) name
+        else {
+          val s = name.split("=")
+          require(s.length == 2, s"date partition dir not in expected format: $name")
+          s(1)
+        }
+      val d = java.time.LocalDate.parse(ds, fmt)
+      !d.isBefore(from) && !d.isAfter(cur)
+    }
+  }
+
+  /** Bound a round to ~`limit` bytes of source files, oldest mod-times
+    * first, WITHOUT splitting an mtime group: the checkpoint is an mtime
+    * with strictly-greater resume semantics, so cutting inside a group
+    * would silently skip its same-mtime leftovers next round. The first
+    * group always ships even when alone over the limit (ref:
+    * DatePartitionPathSelector.java:146-160 — the break requires the
+    * file's mtime to exceed the rolling checkpoint).
+    */
+  private def capByMtimeGroups(
+      files: Seq[FileStatus], limit: Long): Seq[FileStatus] = {
+    val groups = files.groupBy(_.getModificationTime).toSeq.sortBy(_._1)
+    val out = Seq.newBuilder[FileStatus]
+    var bytes = 0L
+    var stop = false
+    groups.foreach { case (_, grp) =>
+      val sz = grp.map(_.getLen).sum
+      if (!stop && (bytes == 0L || bytes + sz <= limit)) {
+        out ++= grp
+        bytes += sz
+      } else stop = true
+    }
+    out.result()
+  }
+
   /** One sync round: ingest source files newer than the stored
     * checkpoint; returns the new checkpoint, or None when the source had
     * nothing new. Files sharing the exact boundary mod-time are treated
     * as already processed (strictly-greater semantics), matching the
     * reference's DFSPathSelector contract that a batch's boundary instant
-    * belongs to the batch that recorded it.
+    * belongs to the batch that recorded it. With `maxBytesPerRound` a
+    * too-large backlog drains across several commits (call until None);
+    * with `datePartition` only the lookback window of a date-partitioned
+    * tree is even listed.
     */
   def runOnce(spark: SparkSession, cfg: IngestConfig): Option[String] = {
     val conf = spark.sessionState.newHadoopConf()
     val srcDir = new Path(cfg.sourcePath)
     val fs = srcDir.getFileSystem(conf)
     val ckpt = lastCheckpoint(spark, cfg.targetPath).map(_.toLong).getOrElse(-1L)
-    val fresh = listDataFiles(fs, srcDir).filter(_.getModificationTime > ckpt)
-    if (fresh.isEmpty) return None
+    val roots = cfg.datePartition
+      .map(pruneDatePartitions(fs, srcDir, _)).getOrElse(Seq(srcDir))
+    val eligible = roots.flatMap(listDataFiles(fs, _))
+      .filter(_.getModificationTime > ckpt)
+    if (eligible.isEmpty) return None
+    val fresh = cfg.maxBytesPerRound
+      .map(capByMtimeGroups(eligible, _)).getOrElse(eligible)
     val newCkpt = fresh.map(_.getModificationTime).max
 
     // "avro" means Object Container Files, read through our splittable

@@ -648,7 +648,7 @@ class TableFormatSpec extends AnyFunSuite {
     // a different decoder. A fixed DDL schema beats inferSchema: types
     // stay stable across batches whatever a batch's value range is.
     import graft.utilities.{IngestConfig, IngestRunner}
-    val slim = orders.limit(80).select(
+    val slim = orders.filter(col("o_orderkey") < 80).select(
       col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
       col("o_orderpriority"))
     val ddl = "o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE, " +
@@ -676,6 +676,127 @@ class TableFormatSpec extends AnyFunSuite {
       assert(out.exceptAll(slim).count() === 0, fmt)
       assert(slim.exceptAll(out).count() === 0, fmt)
     }
+  }
+
+  test("ingest runner: SQL template file with a CACHE TABLE prelude") {
+    // ref: SqlFileBasedTransformer.java:56-82
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    val sqlFile = tmp() + "/transform.sql"
+    orders.filter(col("o_orderkey") < 60).write.parquet(src)
+    java.nio.file.Files.write(java.nio.file.Paths.get(sqlFile),
+      """CACHE TABLE graft_tmp_high AS SELECT * FROM source WHERE o_totalprice > 1000;
+        |SELECT o_orderkey, o_custkey, o_totalprice * 10 AS o_totalprice,
+        |       o_orderpriority
+        |FROM graft_tmp_high;
+        |""".stripMargin.getBytes("UTF-8"))
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      transformerSqlFile = Some(sqlFile),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+    assert(IngestRunner.runOnce(spark, cfg).nonEmpty)
+    val out = spark.read.format("graft").load(tgt)
+    val want = orders.filter(col("o_orderkey") < 60 && col("o_totalprice") > 1000)
+    assert(out.count() === want.count())
+    assert(out.filter(col("o_totalprice") <= 10000).count() === 0)
+    // the template re-runs next round: CACHE TABLE must not trip over
+    // the previous round's temp view
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    orders.filter(col("o_orderkey") >= 60 && col("o_orderkey") < 90)
+      .write.mode("append").parquet(src)
+    val boundary = IngestRunner.lastCheckpoint(spark, tgt).get.toLong
+    fs.listStatus(new org.apache.hadoop.fs.Path(src))
+      .filter(st => st.isFile && st.getModificationTime > boundary)
+      .foreach(st => fs.setTimes(st.getPath, boundary + 5000L, -1))
+    assert(IngestRunner.runOnce(spark, cfg).nonEmpty)
+    assert(spark.read.format("graft").load(tgt).count() ===
+      orders.filter(col("o_orderkey") < 90 && col("o_totalprice") > 1000).count())
+    spark.catalog.dropTempView("graft_tmp_high")
+  }
+
+  test("ingest runner: source byte cap drains a backlog over rounds, mtime groups never split") {
+    // ref: DatePartitionPathSelector.java:146-160 sourceLimit semantics
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    def stamp(sub: String, ts: Long): Unit =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+        .filter(_.isFile).foreach(s => fs.setTimes(s.getPath, ts, ts))
+    def groupBytes(sub: String): Long =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/$sub"))
+        .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+        .map(_.getLen).sum
+    // batch 1 is TWO files sharing one mtime and together over the cap;
+    // batches 2 and 3 are one slice each
+    orders.filter(col("o_orderkey") % 3 === 0).repartition(2).write.parquet(s"$src/b1")
+    orders.filter(col("o_orderkey") % 3 === 1).write.parquet(s"$src/b2")
+    orders.filter(col("o_orderkey") % 3 === 2).write.parquet(s"$src/b3")
+    stamp("b1", 1000000L); stamp("b2", 2000000L); stamp("b3", 3000000L)
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      maxBytesPerRound = Some(groupBytes("b1") / 2),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+    def count(): Long = spark.read.format("graft").load(tgt).count()
+    // round 1: the whole first mtime group ships although it alone tops
+    // the cap — splitting it would strand its sibling file forever
+    assert(IngestRunner.runOnce(spark, cfg) === Some("1000000"))
+    assert(count() === orders.filter(col("o_orderkey") % 3 === 0).count())
+    // rounds 2 and 3 drain one group each; then the source is dry
+    assert(IngestRunner.runOnce(spark, cfg) === Some("2000000"))
+    assert(IngestRunner.runOnce(spark, cfg) === Some("3000000"))
+    assert(count() === orders.count())
+    assert(IngestRunner.runOnce(spark, cfg) === None)
+  }
+
+  test("ingest runner: date-partitioned source lists only the lookback window") {
+    // ref: DatePartitionPathSelector.java:175-221
+    import graft.utilities.{DatePartitionConfig, IngestConfig, IngestRunner}
+    val src = tmp() + "/src"
+    val tgt = tmp() + "/tgt"
+    val slim = orders.filter(col("o_orderkey") < 120).select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+    for ((day, m) <- Seq("2021-03-01" -> 0, "2021-03-02" -> 1,
+        "2021-03-03" -> 2, "2021-03-04" -> 3))
+      slim.filter(col("o_orderkey") % 4 === m)
+        .write.parquet(s"$src/region=eu/day=$day")
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = tgt,
+      datePartition = Some(DatePartitionConfig(
+        depth = 2, lookbackDays = 1, currentDate = Some("2021-03-04"))),
+      tableOptions = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice"))
+    assert(IngestRunner.runOnce(spark, cfg).nonEmpty)
+    val got = spark.read.format("graft").load(tgt)
+      .select(col("o_orderkey")).orderBy("o_orderkey")
+    val want = slim.filter(col("o_orderkey") % 4 >= 2)
+      .select(col("o_orderkey")).orderBy("o_orderkey")
+    assert(got.collect().toSeq === want.collect().toSeq,
+      "only the 03-03 and 03-04 partitions fall in the 1-day lookback")
+    // a new drop INSIDE the window is picked up next round
+    val fs = new org.apache.hadoop.fs.Path(src)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    slim.filter(col("o_orderkey") % 4 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .write.mode("append").parquet(s"$src/region=eu/day=2021-03-04")
+    val boundary = IngestRunner.lastCheckpoint(spark, tgt).get.toLong
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$src/region=eu/day=2021-03-04"))
+      .filter(st => st.isFile && st.getModificationTime > boundary)
+      .foreach(st => fs.setTimes(st.getPath, boundary + 5000L, boundary + 5000L))
+    assert(IngestRunner.runOnce(spark, cfg).nonEmpty)
+    assert(spark.read.format("graft").load(tgt).count() ===
+      slim.filter(col("o_orderkey") % 4 =!= 1).count())
   }
 
   test("ingest runner: CDC apply mode turns op-D rows into deletes") {
