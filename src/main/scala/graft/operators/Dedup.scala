@@ -104,10 +104,20 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hint =
       if (cand.count() < BroadcastCandidateLimit) broadcast(cand) else cand
-    val aSide = shingles
+    // intersect 64-bit shingle hashes, not the shingle STRINGS: the
+    // arrays that ride the pair join (and its sort/shuffle buffers, and
+    // the per-row intersection hash set) shrink ~8x, which is the
+    // difference between fitting and OOM once LSH clusters get large —
+    // a corpus of near-identical replicas generates O(clusterSize^2)
+    // candidate pairs, each carrying two full arrays. Shingle sets are
+    // array_distinct, so |A∩B| is unchanged short of an xxhash64
+    // collision inside one document pair (~1e-19 per pair).
+    val hashed = shingles.select(col("id"),
+      transform(col("sh"), s => xxhash64(s)).as("sh"), col("n"))
+    val aSide = hashed
       .select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
       .join(hint, "id_a")
-    val bSide = shingles
+    val bSide = hashed
       .select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
       .join(hint, "id_b")
     aSide.join(bSide, Seq("id_a", "id_b"))

@@ -127,6 +127,12 @@ object GraftOptions {
     * change-feed plan through parquet on the table's storage instead of
     * executor-local checkpoint blocks. Default false (localCheckpoint). */
   val CdcReliableCheckpoint = "cdc.reliable.checkpoint"
+  /** Streaming-source admission control: at most this many commit
+    * instants per micro-batch, so a (re)start against a long backlog
+    * catches up in bounded, checkpointable steps instead of one giant
+    * batch (the reference's DeltaStreamer bounds catch-up the same way
+    * through its source limit). */
+  val MaxInstantsPerBatch = "read.stream.maxInstantsPerBatch"
   val TableName = "table.name"
   val TableType = "table.type" // cow | mor
   val RecordKeyField = "recordkey.field"

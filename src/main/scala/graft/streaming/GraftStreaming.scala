@@ -90,6 +90,41 @@ final class GraftStreamSource(
   private val cdc =
     parameters.get(GraftOptions.IncrementalFormat).contains("cdc")
 
+  /** Admission control: at most this many commit instants per
+    * micro-batch (option `read.stream.maxInstantsPerBatch`). A stream
+    * (re)starting against a long backlog otherwise replays the WHOLE
+    * backlog as one giant batch — at scale that batch is the job that
+    * never finishes. Bounding the offset makes catch-up incremental and
+    * checkpointable; the hollow-commit guard still caps the window's
+    * end (the reference's DeltaStreamer bounds catch-up the same way
+    * through its source limit).
+    */
+  private val maxInstants =
+    parameters.get(GraftOptions.MaxInstantsPerBatch).map(_.toInt)
+
+  private def cappedEnd(t: GraftTable): Option[String] = {
+    val safe = t.timeline.safeIncrementalEnd
+    maxInstants match {
+      case None => safe
+      case Some(n) =>
+        require(n > 0, s"${GraftOptions.MaxInstantsPerBatch} must be > 0, got $n")
+        safe.map { end =>
+          // the committed offset of the running query is not visible
+          // here; bound from the LAST batch's end that this source saw
+          val from = lastSeenEnd
+          val window = t.timeline.completedData.map(_.ts)
+            .filter(ts => from.forall(_ < ts) && ts <= end)
+          if (window.size <= n) end else window.take(n).last
+        }
+    }
+  }
+
+  /** End offset of the last batch handed to getBatch — the stream's
+    * committed position (Spark replays getBatch(start=checkpointed)
+    * on restart, so this self-corrects after recovery).
+    */
+  @volatile private var lastSeenEnd: Option[String] = None
+
   /** Incremental-read schema: meta columns ++ data columns (tombstones
     * already dropped by the read); change-feed schema under cdc.
     */
@@ -99,11 +134,14 @@ final class GraftStreamSource(
     // hollow-commit guard: never advance past the earliest pending
     // writer instant — its commit will complete BELOW later instants
     // and a passed-over offset would skip it forever
-    table.timeline.safeIncrementalEnd.map(GraftSourceOffset(_))
+    cappedEnd(table).map(GraftSourceOffset(_))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")
     val endTs = GraftSourceOffset.of(end).ts
+    // on restart Spark replays getBatch with the recovered window before
+    // calling getOffset again, so this also re-seeds the catch-up cap
+    lastSeenEnd = Some((lastSeenEnd.toSeq :+ endTs).max)
     val read = new GraftReadClient(table)
     val df = if (cdc) read.changes(begin, Some(endTs))
              else read.incremental(begin, Some(endTs))

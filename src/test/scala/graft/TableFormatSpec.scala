@@ -302,6 +302,43 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() === 370)
   }
 
+  test("streaming source: maxInstantsPerBatch bounds catch-up batches") {
+    // a stream (re)starting against a long backlog must catch up in
+    // bounded, checkpointable steps — not one giant batch
+    import org.apache.spark.sql.streaming.Trigger
+    val base = tmp()
+    val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"; val out = s"$base/out"
+    val t = GraftTable.create(spark, tablePath, cowConfig.copy(
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord")))
+    val w = new GraftWriteClient(t)
+    import spark.implicits._
+    for (c <- 0 until 6)
+      w.upsert((0 until 10).map(i => (c * 100 + i, "x", c.toDouble))
+        .toDF("k", "p", "ord"))
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option(graft.spark.GraftOptions.MaxInstantsPerBatch, "2")
+        .load(tablePath)
+        .writeStream.format("parquet")
+        .option("checkpointLocation", ckpt).option("path", out)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    def keys(): Set[Int] =
+      spark.read.parquet(out).select("k").collect().map(_.getInt(0)).toSet
+    runOnce()
+    assert(keys() === (0 until 20).map(i => i / 10 * 100 + i % 10).toSet,
+      "first bounded batch must hold exactly the first two commits")
+    runOnce()
+    assert(keys().size === 40, "second batch must add commits 3 and 4")
+    runOnce()
+    assert(keys().size === 60, "third batch must finish the backlog")
+    val before = keys()
+    runOnce()
+    assert(keys() === before, "a dry source must add nothing")
+  }
+
   test("streaming: Kafka-frame decode composes with the graft sink exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.utilities.{IngestRunner, KafkaPayloadConfig}
