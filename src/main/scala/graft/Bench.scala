@@ -88,6 +88,16 @@ object Bench {
         timings(name) :+= (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      } finally {
+        // rep isolation: operators persist intermediates (shingle
+        // corpora, candidate lists, bloom frames) and leave reclamation
+        // to the ContextCleaner, which only fires on a GC of the plan —
+        // across 19 queries x reps those blocks stack up and the heap
+        // headroom of the LAST queries silently depends on when GC ran.
+        // Dropping the cache between reps makes every timing
+        // self-contained (the persist+consume cost is part of the
+        // query; holding blocks across queries is not).
+        spark.catalog.clearCache()
       }
     }
     val results = names.map(n => (n, timings(n): Seq[Double]))
