@@ -165,9 +165,27 @@ final class GraftReadClient(val table: GraftTable) {
     * (ref: IncrementalRelation.scala:60-181 — file list from commit
     * metadata, then a `_hoodie_commit_time` band filter)
     */
-  def incremental(beginTs: String, endTs: Option[String] = None): DataFrame = {
+  /** Glob → full-match predicate over partition paths (Hadoop glob
+    * syntax: `*`, `?`, `[...]`, `{a,b}`), for partition-scoped
+    * incremental pulls (ref: hoodie.datasource.read.incr.path.glob,
+    * IncrementalRelation.scala:136-147). Pruning happens at the FILE
+    * GROUP level — non-matching partitions are never scanned.
+    */
+  private def partitionMatcher(glob: Option[String]): String => Boolean =
+    glob match {
+      case None => _ => true
+      case Some(g) =>
+        val p = new org.apache.hadoop.fs.GlobPattern(g)
+        s => p.matches(s)
+    }
+
+  def incremental(
+      beginTs: String,
+      endTs: Option[String] = None,
+      partitionGlob: Option[String] = None): DataFrame = {
     val end = endTs.getOrElse(
       table.timeline.lastCompletedData.map(_.ts).getOrElse(beginTs))
+    val inGlob = partitionMatcher(partitionGlob)
     // Commits archived out of the active timeline would be silently
     // missing from the per-commit file-list path (their metadata is gone
     // from `.graft/`). Rows keep their ORIGINAL _graft_commit_time
@@ -180,9 +198,18 @@ final class GraftReadClient(val table: GraftTable) {
     // state is not reconstructible.
     val archivedInRange = table.timeline.archivedInstants.exists(i =>
       GraftAction.DataActions.contains(i.action) && i.ts > beginTs && i.ts <= end)
-    if (archivedInRange)
-      return snapshot(Some(end)).filter(
+    if (archivedInRange) {
+      val band = snapshot(Some(end)).filter(
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end)
+      // the full-snapshot fallback has no file-group list to prune, so
+      // the glob applies as a row filter on the partition-path meta
+      // column (GlobPattern compiles to a java regex; anchor for the
+      // full match its matches() performs)
+      return partitionGlob.fold(band) { g =>
+        val regex = new org.apache.hadoop.fs.GlobPattern(g).compiled.pattern
+        band.filter(col(MetaColumns.PartitionPath).rlike(s"^(?:$regex)$$"))
+      }
+    }
     val instants = table.timeline.dataInstantsBetween(beginTs, end)
     // The pull is the SNAPSHOT state of the groups the band touched,
     // band-filtered on the rows' original commit times — i.e. a merge
@@ -201,7 +228,7 @@ final class GraftReadClient(val table: GraftTable) {
     // reason — only latest slices are read.
     val touched: Set[(String, String)] = instants.flatMap { i =>
       table.timeline.metadataOf(i).files.map(f => (f.partition, f.fileId))
-    }.toSet
+    }.filter(g => inGlob(g._1)).toSet
     if (touched.isEmpty) // metadata-only band (e.g. delete_partition)
       return table.logicalize(emptyFrame(None).filter(lit(false)))
     val slices = table.view.latestSlices(Some(end))
@@ -238,7 +265,9 @@ final class GraftReadClient(val table: GraftTable) {
   def changes(
       beginTs: String,
       endTs: Option[String] = None,
-      reliableCheckpoint: Boolean = false): DataFrame = {
+      reliableCheckpoint: Boolean = false,
+      partitionGlob: Option[String] = None): DataFrame = {
+    val inGlob = partitionMatcher(partitionGlob)
     val tl = table.timeline
     if (table.storedFileSchema.isEmpty) { // empty table: no changes, bare schema
       import org.apache.spark.sql.types._
@@ -274,8 +303,9 @@ final class GraftReadClient(val table: GraftTable) {
     val perCommit = commits.zipWithIndex.flatMap { case (c, i) =>
       val meta = tl.metadataOf(c)
       val touched: Set[(String, String)] =
-        meta.files.map(f => (f.partition, f.fileId)).toSet ++
-          meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }
+        (meta.files.map(f => (f.partition, f.fileId)).toSet ++
+          meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) })
+          .filter(g => inGlob(g._1))
       if (touched.isEmpty) None
       else {
         val prev = allData.filter(_ < c.ts).lastOption.getOrElse("0")

@@ -133,6 +133,10 @@ object GraftOptions {
     * batch (the reference's DeltaStreamer bounds catch-up the same way
     * through its source limit). */
   val MaxInstantsPerBatch = "read.stream.maxInstantsPerBatch"
+  /** Partition-path glob scoping incremental / CDC reads to matching
+    * partitions — file-group pruning, non-matching partitions are never
+    * scanned (ref: hoodie.datasource.read.incr.path.glob). */
+  val IncrPathGlob = "incr.path.glob"
   val TableName = "table.name"
   val TableType = "table.type" // cow | mor
   val RecordKeyField = "recordkey.field"
@@ -349,11 +353,14 @@ object GraftRelation {
           // (no meta columns — the include-meta drop below is a no-op)
           read.changes(
             parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant),
-            parameters.get(CdcReliableCheckpoint).exists(_.toBoolean))
+            parameters.get(CdcReliableCheckpoint).exists(_.toBoolean),
+            parameters.get(IncrPathGlob))
         case "incremental" =>
-          // partition pruning does not apply: the band is commit-based
+          // commit-based band; `incr.path.glob` scopes it to matching
+          // partitions (file-group pruning, not a row filter)
           read.incremental(
-            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant))
+            parameters.getOrElse(BeginInstant, ""), parameters.get(EndInstant),
+            parameters.get(IncrPathGlob))
         case other =>
           sys.error(s"unknown $QueryType '$other' " +
             "(expected snapshot | read_optimized | incremental)")

@@ -2243,6 +2243,52 @@ class TableFormatSpec extends AnyFunSuite {
     assert(c1.nonEmpty)
   }
 
+  test("incremental and CDC reads scope to a partition glob") {
+    // ref: hoodie.datasource.read.incr.path.glob — a partition-scoped
+    // downstream ETL should prune at the FILE GROUP level, not scan the
+    // band and filter rows
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(300))
+    val mark = t.timeline.lastCompletedData.get.ts
+    w.upsert(orders.limit(300).filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0))
+    w.upsert(orders.limit(300).filter(col("o_orderkey") % 3 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 60.0))
+    val read = new GraftReadClient(t)
+    val all = read.dataOnly(read.incremental(mark))
+    val urgentOnly = read.dataOnly(read.incremental(mark,
+      partitionGlob = Some("1*")))
+    val wantUrgent = all.filter(col("o_orderpriority").startsWith("1"))
+    assert(urgentOnly.count() === wantUrgent.count())
+    assert(urgentOnly.exceptAll(wantUrgent).count() === 0)
+    assert(urgentOnly.filter(!col("o_orderpriority").startsWith("1")).count() === 0)
+    // brace alternation, through the datasource option
+    val two = spark.read.format("graft")
+      .option("query.type", "incremental").option("begin.instant", mark)
+      .option("incr.path.glob", "{1*,2*}").load(path)
+    assert(two.count() ===
+      all.filter(col("o_orderpriority").rlike("^[12]")).count())
+    // CDC: only changes in matching partitions, same change types
+    val cdcAll = read.changes(mark)
+    val cdcGlob = read.changes(mark, partitionGlob = Some("1*"))
+    assert(cdcGlob.filter(!col("o_orderpriority").startsWith("1")).count() === 0)
+    assert(cdcGlob.count() ===
+      cdcAll.filter(col("o_orderpriority").startsWith("1")).count())
+    // glob survives the archived-commit snapshot fallback (row filter
+    // on the partition-path meta column)
+    for (i <- 1 to 10)
+      w.upsert(orders.limit(300).filter(col("o_orderkey") % 10 === i % 10)
+        .withColumn("o_totalprice", col("o_totalprice") + i * 7.0))
+    assert(new TableServices(t, wc).archive(minCommits = 3, maxCommits = 5).nonEmpty)
+    val globArch = read.dataOnly(read.incremental(mark, partitionGlob = Some("1*")))
+    val allArch = read.dataOnly(read.incremental(mark))
+    assert(globArch.filter(!col("o_orderpriority").startsWith("1")).count() === 0)
+    assert(globArch.count() ===
+      allArch.filter(col("o_orderpriority").startsWith("1")).count())
+  }
+
   test("incremental band hides rows whose file group a later band commit replaced") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
