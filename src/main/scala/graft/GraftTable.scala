@@ -22,7 +22,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
   def config: GraftTableConfig = {
     if (_config == null)
       _config = Json.readTableConfig(
-        storage.readString(new Path(storage.metaDir, GraftTable.ConfigFile)))
+        storage.readOverwritable(new Path(storage.metaDir, GraftTable.ConfigFile)))
     _config
   }
 

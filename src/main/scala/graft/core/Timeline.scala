@@ -84,7 +84,19 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
   }
 
   /** Overwrite with the same full-content visibility guarantee: readers
-    * see either the old content or the new, never a truncated file.
+    * see either the old content or the new, never a truncated file —
+    * and a crash mid-overwrite can never LOSE the target (the only
+    * overwritten files are the table config and the archive manifest;
+    * losing the config makes the table unloadable). Three tiers:
+    *  - `file`: posix ATOMIC_MOVE.
+    *  - FileContext Rename.OVERWRITE: a single namenode op on
+    *    HDFS-like stores — atomic, no missing-file window.
+    *  - stores without an AbstractFileSystem binding: publish a durable
+    *    `.new` sibling FIRST, then delete + rename. A crash between the
+    *    delete and the final rename leaves `.new` as the surviving
+    *    copy; [[listNames]] completes the swap on the next load (the
+    *    sibling lives next to its target, NOT in `.temp/`, so the
+    *    staging reaper can never collect the sole surviving copy).
     */
   def overwrite(p: Path, content: String): Unit = {
     val tmp = stageContent(content)
@@ -96,15 +108,32 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
           java.nio.file.StandardCopyOption.REPLACE_EXISTING,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
       else {
-        // no overwriting rename in the FileSystem API: delete-then-rename
-        // leaves a missing-file window on non-posix stores; the only
-        // overwritten files (table config, archive manifest) are
-        // republished under the commit lock, so readers retry
-        fs.delete(p, false)
-        if (!fs.rename(tmp, p))
-          throw new java.io.IOException(s"atomic overwrite failed: $p")
+        try {
+          val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+          fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        } catch {
+          case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+            val staged = new Path(p.getParent, p.getName + ".new")
+            fs.delete(staged, false)
+            if (!fs.rename(tmp, staged))
+              throw new java.io.IOException(s"overwrite failed staging: $p")
+            fs.delete(p, false)
+            if (!fs.rename(staged, p))
+              throw new java.io.IOException(s"atomic overwrite failed: $p")
+        }
       }
     } finally if (fs.exists(tmp)) fs.delete(tmp, false)
+  }
+
+  /** Read a target maintained by [[overwrite]], completing an
+    * interrupted swap if only the `.new` sibling survived a crash.
+    */
+  def readOverwritable(p: Path): String = {
+    if (!fs.exists(p)) {
+      val staged = new Path(p.getParent, p.getName + ".new")
+      if (fs.exists(staged)) fs.rename(staged, p)
+    }
+    readString(p)
   }
 
   def delete(p: Path, recursive: Boolean = false): Boolean = fs.delete(p, recursive)
@@ -117,7 +146,22 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
 
   def listNames(dir: Path): Seq[String] =
     if (!fs.exists(dir)) Seq.empty
-    else fs.listStatus(dir).toSeq.map(_.getPath.getName)
+    else {
+      val names = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+      // complete any [[overwrite]] swap a crash interrupted: a `.new`
+      // sibling whose target is missing IS the newest (and only) copy.
+      // Pure in-memory check when no orphan exists — no extra RPC on
+      // the hot instant-listing path.
+      val orphans = names.filter(n =>
+        n.endsWith(".new") && !names.contains(n.stripSuffix(".new")))
+      if (orphans.isEmpty) names.filterNot(_.endsWith(".new"))
+      else {
+        orphans.foreach(n =>
+          fs.rename(new Path(dir, n), new Path(dir, n.stripSuffix(".new"))))
+        fs.listStatus(dir).toSeq.map(_.getPath.getName)
+          .filterNot(_.endsWith(".new"))
+      }
+    }
 
   def partitionDir(partition: String): Path =
     if (partition.isEmpty) basePath else new Path(basePath, partition)

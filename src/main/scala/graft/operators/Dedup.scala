@@ -73,8 +73,8 @@ object Dedup {
     */
   private val BroadcastCandidateLimit = 4000000L
 
-  /** Exact-Jaccard verification of candidate pairs: join the full shingle
-    * sets back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
+  /** Exact-Jaccard verification of candidate pairs: join the shingle sets
+    * back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
     *
     * Join strategy matters more than the set intersection here: a naive
     * candidates⋈shingles⋈shingles plan sort-merge-shuffles the (large)
@@ -85,10 +85,23 @@ object Dedup {
     *  2. the surviving pair list is materialized eagerly (it is the small
     *     side by LSH design) and BROADCAST into two streaming passes over
     *     the cached shingle frame — the corpus arrays are never shuffled;
-    *  3. only candidate-matched rows (O(candidates), not O(corpus)) meet
-    *     in the final pair-keyed join.
+    *  3. |A∩B| is computed over SCALAR rows end-to-end: each side
+    *     explodes its matched documents' shingles to (id_a, id_b, h)
+    *     rows (h = xxhash64 of the shingle string — 8 bytes instead of
+    *     the string), the two sides equi-join on the full (pair, hash)
+    *     key, and a map-side-combinable count per pair IS the
+    *     intersection size. No row ever carries a shingle array, so the
+    *     whole verify is spill-managed by the standard shuffle machinery
+    *     even when LSH clusters of near-identical replicas generate
+    *     O(clusterSize²) pairs over long documents — the shape that OOMed
+    *     the previous array-carrying formulation (two full hash arrays
+    *     per pair row resist spilling; size-estimated sort buffers blew
+    *     past the executor share at corpus scale).
     * Falls back to shuffled joins if the candidate list is too large to
-    * broadcast; cost is then still O(candidates) in the final join.
+    * broadcast; cost is then still O(candidate-doc shingles) in the
+    * exploded joins. Shingle sets are array_distinct, so the per-pair
+    * match count equals |A∩B| short of an xxhash64 collision between two
+    * distinct shingles inside one document pair (~1e-19 per pair).
     */
   private def verifyJaccard(
       candidates: DataFrame, // (id_a, id_b)
@@ -100,28 +113,18 @@ object Dedup {
       .join(sizes.toDF("id_b", "n_b"), "id_b")
       .filter(least(col("n_a"), col("n_b")).cast("double") /
         greatest(col("n_a"), col("n_b")) >= threshold)
-      .select("id_a", "id_b")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pairs = cand.select("id_a", "id_b")
     val hint =
-      if (cand.count() < BroadcastCandidateLimit) broadcast(cand) else cand
-    // intersect 64-bit shingle hashes, not the shingle STRINGS: the
-    // arrays that ride the pair join (and its sort/shuffle buffers, and
-    // the per-row intersection hash set) shrink ~8x, which is the
-    // difference between fitting and OOM once LSH clusters get large —
-    // a corpus of near-identical replicas generates O(clusterSize^2)
-    // candidate pairs, each carrying two full arrays. Shingle sets are
-    // array_distinct, so |A∩B| is unchanged short of an xxhash64
-    // collision inside one document pair (~1e-19 per pair).
-    val hashed = shingles.select(col("id"),
-      transform(col("sh"), s => xxhash64(s)).as("sh"), col("n"))
-    val aSide = hashed
-      .select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a"))
-      .join(hint, "id_a")
-    val bSide = hashed
-      .select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b"))
-      .join(hint, "id_b")
-    aSide.join(bSide, Seq("id_a", "id_b"))
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      if (cand.count() < BroadcastCandidateLimit) broadcast(pairs) else pairs
+    val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val aSide = hashed.select(col("id").as("id_a"), col("h")).join(hint, "id_a")
+    val bSide = hashed.select(col("id").as("id_b"), col("h")).join(hint, "id_b")
+    val inter = aSide.join(bSide, Seq("id_a", "id_b", "h"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("inter"))
+    cand.join(inter, Seq("id_a", "id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -132,31 +132,70 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
       .map(_.ts)
 
+  /** A won plan claim: the inflight marker plus the daemon heartbeat
+    * that keeps it visibly alive (mtime refresh) for as long as the
+    * execution runs. `close()` stops the heartbeat; it never deletes
+    * the marker — completion and failure cleanup own that.
+    */
+  private final class ServiceClaim(
+      val instant: GraftInstant, p: Path, intervalMs: Long) {
+    private val exec =
+      java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+        val t = new Thread(r, s"graft-claim-heartbeat-${instant.ts}")
+        t.setDaemon(true); t
+      }
+    exec.scheduleAtFixedRate(
+      () => try table.storage.fs.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () /* marker already completed */ },
+      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    def close(): Unit = exec.shutdownNow()
+  }
+
   /** Claim a scheduled plan for execution. The ATOMIC CREATE of the
     * plan's inflight marker is the mutex between concurrent runners of
     * the same plan — two service threads draining pending plans, or a
     * second process via the schedule/execute split (a blind
     * delete-marker-then-execute let both race the same staging dir and
     * die on the completed-instant create). A live marker yields; one
-    * older than the lock TTL belongs to a crashed attempt — break it and
-    * re-race the create (the FileLockProvider's staleness reasoning; ref:
-    * the reference's heartbeat-expired instant cleanup,
-    * HoodieHeartbeatClient.java).
+    * older than `serviceClaimTtlMs` belongs to a crashed attempt —
+    * break it and re-race the create. Three guards make "live" reliable
+    * for executions of ANY length (a legitimate compaction easily
+    * outruns the commit-lock TTL, so that TTL must not apply here):
+    *  - the winner HEARTBEATS the marker (ref: the reference's
+    *    heartbeat-expired instant cleanup, HoodieHeartbeatClient.java),
+    *    so staleness means crashed, not slow;
+    *  - markers carry a unique claim token, and a breaker re-reads
+    *    status+token before deleting so it only ever breaks the EXACT
+    *    marker it judged stale, never a fresh claim that replaced it;
+    *  - a creator CONFIRMS its token after the create (a breaker's
+    *    delete racing the create is decided by whose content survives —
+    *    same protocol as FileLockProvider).
     */
-  private def claimInflight(requested: GraftInstant): Option[GraftInstant] = {
+  private def claimInflight(requested: GraftInstant): Option[ServiceClaim] = {
     val inflight = requested.copy(state = GraftState.Inflight)
     val p = new Path(table.storage.metaDir, inflight.fileName)
-    def won: Boolean =
-      try { table.storage.createImmutable(p, "{}"); true }
-      catch { case _: java.io.IOException => false }
-    if (won) return Some(inflight)
+    val token = s"""{"claim":"${java.util.UUID.randomUUID}"}"""
+    def tryWin(): Boolean = {
+      val created =
+        try { table.storage.createImmutable(p, token); true }
+        catch { case _: java.io.IOException => false }
+      created && (try table.storage.readString(p) == token
+        catch { case _: java.io.IOException => false })
+    }
+    def won(): Option[ServiceClaim] = Some(
+      new ServiceClaim(inflight, p, math.max(1000L, wc.serviceClaimTtlMs / 5)))
+    if (tryWin()) return won()
     try {
-      val st = table.storage.fs.getFileStatus(p)
-      if (System.currentTimeMillis() - st.getModificationTime <= wc.lockTtlMs)
+      val st1 = table.storage.fs.getFileStatus(p)
+      if (System.currentTimeMillis() - st1.getModificationTime <= wc.serviceClaimTtlMs)
         return None
-      table.storage.delete(p)
+      val t1 = table.storage.readString(p)
+      val st2 = table.storage.fs.getFileStatus(p)
+      if (st2.getModificationTime == st1.getModificationTime &&
+        table.storage.readString(p) == t1)
+        table.storage.delete(p)
     } catch { case _: java.io.IOException => () /* owner just finished */ }
-    if (won) Some(inflight) else None
+    if (tryWin()) won() else None
   }
 
   /** The OCC snapshot a persisted plan carries. Legacy plans (written
@@ -293,7 +332,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     }
     val baseSeen = planBaseSeen(plan.baseSeen, plan.baseTs)
     val ts = planTs
-    if (claimInflight(requested).isEmpty) return None
+    val claim = claimInflight(requested).getOrElse(return None)
     try {
       val staging = new Path(table.storage.tempDir, ts)
       val g = GraftWriteClient.ColTargetFile
@@ -422,7 +461,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           requested.copy(state = GraftState.Inflight).fileName))
         table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
         throw e
-    }
+    } finally claim.close()
   }
 
   private def publishCompacted(staging: Path, ts: String): Seq[WriteFileInfo] = {
@@ -574,7 +613,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val sortCols =
       if (plan.sortColumns.nonEmpty) plan.sortColumns.map(col)
       else Seq(col(MetaColumns.RecordKey))
-    if (claimInflight(requested).isEmpty) return None
+    val claim = claimInflight(requested).getOrElse(return None)
     try {
       val avg = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val staging = new Path(table.storage.tempDir, ts)
@@ -624,7 +663,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           requested.copy(state = GraftState.Inflight).fileName))
         table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
         throw e
-    }
+    } finally claim.close()
   }
 
   private def publishUngrouped(staging: Path, ts: String): Seq[WriteFileInfo] = {
@@ -842,17 +881,19 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
     require(table.storage.exists(reqPath), s"no scheduled clean $planTs")
     val plan = Json.readCleanPlan(table.storage.readString(reqPath))
-    val instant = claimInflight(requested).getOrElse(return None)
-    // small cleans delete driver-side; large ones fan out over executors
-    GraftWriteClient.executeDeletes(spark, table.storage,
-      plan.files.map { pf =>
-        val i = pf.lastIndexOf('/')
-        table.storage.dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
-      })
-    tl.transitionToCompleted(instant, GraftCommitMetadata(
-      instant = planTs, action = GraftAction.Clean, operation = plan.operation,
-      deletedFiles = plan.files))
-    Some(planTs)
+    val claim = claimInflight(requested).getOrElse(return None)
+    try {
+      // small cleans delete driver-side; large ones fan out over executors
+      GraftWriteClient.executeDeletes(spark, table.storage,
+        plan.files.map { pf =>
+          val i = pf.lastIndexOf('/')
+          table.storage.dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
+        })
+      tl.transitionToCompleted(claim.instant, GraftCommitMetadata(
+        instant = planTs, action = GraftAction.Clean, operation = plan.operation,
+        deletedFiles = plan.files))
+      Some(planTs)
+    } finally claim.close()
   }
 
   // =====================================================================

@@ -25,6 +25,27 @@ object ScaleUp {
   private def keySpace(df: DataFrame, c: String): Long =
     df.agg(max(col(c).cast("long"))).head.getLong(0) + 1L
 
+  /** Deterministic Fisher–Yates permutation of a–z keyed by the replica
+    * index (splitmix64 stream). Never the identity in practice (odds
+    * ~1/26!); `scale` asserts pairwise distinctness across replicas.
+    */
+  private def replicaPerm(i: Int): String = {
+    val arr = ('a' to 'z').toArray
+    var s = i.toLong * 0x9E3779B97F4A7C15L + 0xBF58476D1CE4E5B9L
+    def next(): Long = {
+      s += 0x9E3779B97F4A7C15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    for (k <- arr.length - 1 to 1 by -1) {
+      val j = math.floorMod(next(), k + 1).toInt
+      val t = arr(k); arr(k) = arr(j); arr(j) = t
+    }
+    new String(arr)
+  }
+
   def scale(spark: SparkSession, src: String, out: String, n: Int): Unit = {
     def T(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
     def write(name: String, df: DataFrame): Unit =
@@ -56,21 +77,28 @@ object ScaleUp {
       shift(d, Map("l_orderkey" -> O, "l_partkey" -> P, "l_suppkey" -> S), i)))
     write("events", reps(ev, (d, i) =>
       shift(d, Map("event_id" -> E, "user_id" -> U), i)))
-    // rotate the most common letters per replica so cross-replica copies
-    // are textually UNRELATED (shingle overlap ~0): each replica keeps
-    // the base corpus's internal duplicate structure, so dedup and
-    // near-dup workloads scale ~linearly with rows, the way a real N×
-    // corpus does. (A first cut appended a replica tag instead — that
-    // made every doc 9 near-duplicates and inflated the minhash verify
-    // join quadratically, a property of the synthetic data, not of N×
-    // real data.)
-    val rotAlpha = "etaoinshrd"
+    // substitute the alphabet per replica so cross-replica copies are
+    // textually UNRELATED (shingle overlap ~0): each replica keeps the
+    // base corpus's internal duplicate structure, so dedup and near-dup
+    // workloads scale ~linearly with rows, the way a real N× corpus
+    // does. (A first cut appended a replica tag instead — that made
+    // every doc 9 near-duplicates and inflated the minhash verify join
+    // quadratically, a property of the synthetic data, not of N× real
+    // data. A second cut rotated a 10-letter alphabet by i%10 — the
+    // identity rotation at i=10,20,… reintroduced exact cross-replica
+    // clones above factor 10.) A full-alphabet permutation keyed by the
+    // replica index is injective for ANY factor (enforced below), and
+    // two distinct random permutations agree on a letter with
+    // probability ~1/26, so a 5-char shingle survives both with
+    // probability ~26⁻⁵ — cross-replica Jaccard stays ~0.
+    val alpha = ('a' to 'z').mkString
+    val perms = (0 until n).map(i => if (i == 0) alpha else replicaPerm(i))
+    require(perms.distinct.size == n,
+      s"replica alphabet permutations must be pairwise distinct (n=$n)")
     write("documents", reps(doc, (d, i) =>
       shift(d, Map("doc_id" -> D), i)
         .withColumn("text",
-          if (i == 0) col("text")
-          else translate(col("text"), rotAlpha,
-            rotAlpha.drop(i % rotAlpha.length) + rotAlpha.take(i % rotAlpha.length)))))
+          if (i == 0) col("text") else translate(col("text"), alpha, perms(i)))))
     // deterministic per-(vector, dimension, replica) noise keeps replica
     // vectors close-but-not-parallel (a pure scalar multiple would leave
     // cosine distances exactly degenerate)

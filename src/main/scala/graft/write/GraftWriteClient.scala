@@ -285,24 +285,39 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   def deletePartitions(partitions: Seq[String]): String = {
     val instant = begin(GraftAction.ReplaceCommit)
     val replaced = table.view.groupsInPartitions(partitions.toSet)
-    if (wc.occEnabled) {
-      // .toSeq first — a Map-to-tuples flatMap would collapse to one id
-      // per partition (see conflictingInstant)
-      val touched = replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
-      conflictingInstant(occBaseSeen, instant.ts, touched,
-          myReplaceParts = partitions.toSet).foreach { other =>
-        table.timeline.deleteInstant(instant)
-        throw new ConcurrentWriteConflictException(
-          s"delete_partition ${instant.ts} conflicts with $other; retry")
-      }
+    // [conflict check + publish] under the SAME lock seam as
+    // finishCommit: a partition-replacing commit racing a keyed write
+    // is exactly the escalated-conflict case the lock exists for, so
+    // leaving it outside the lock would reopen the check→publish window
+    // for the most dangerous operation.
+    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs)
+    if (!lock.tryLock(wc.lockTimeoutMs)) {
+      table.timeline.deleteInstant(instant)
+      throw new LockAcquireException(
+        s"delete_partition ${instant.ts} could not acquire the " +
+          s"'${wc.lockProvider}' commit lock within ${wc.lockTimeoutMs} ms; " +
+          "nothing was published — retry")
     }
-    commit(instant, GraftCommitMetadata(
-      instant = instant.ts, action = instant.action, operation = "delete_partition",
-      replacedFileIds = replaced, replacePartitions = partitions.sorted,
-      extra = wc.commitExtra,
-      // metadata-only commit: carry the schema forward so the table
-      // never reads as schemaless
-      schemaJson = table.storedDataSchema.map(_.json).getOrElse("")))
+    try {
+      if (wc.occEnabled) {
+        // .toSeq first — a Map-to-tuples flatMap would collapse to one id
+        // per partition (see conflictingInstant)
+        val touched = replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        conflictingInstant(occBaseSeen, instant.ts, touched,
+            myReplaceParts = partitions.toSet).foreach { other =>
+          table.timeline.deleteInstant(instant)
+          throw new ConcurrentWriteConflictException(
+            s"delete_partition ${instant.ts} conflicts with $other; retry")
+        }
+      }
+      commit(instant, GraftCommitMetadata(
+        instant = instant.ts, action = instant.action, operation = "delete_partition",
+        replacedFileIds = replaced, replacePartitions = partitions.sorted,
+        extra = wc.commitExtra,
+        // metadata-only commit: carry the schema forward so the table
+        // never reads as schemaless
+        schemaJson = table.storedDataSchema.map(_.json).getOrElse("")))
+    } finally lock.unlock()
     instant.ts
   }
 

@@ -96,24 +96,22 @@ final class FileLockProvider(
       .getRuntimeMXBean.getName
   @volatile private var held = false
 
-  /** Atomic create-if-absent of the lock file. Hadoop's LOCAL filesystem
-    * implements `create(path, overwrite=false)` as exists-check +
-    * create — two racers can both pass the check and the second create
-    * TRUNCATES the first's lock (found by the contended-acquire stress
-    * test: two holders inside the critical section). On the `file`
-    * scheme use java.io's O_EXCL `createNewFile` instead, which is a
-    * single atomic syscall; on HDFS-like schemes `create(overwrite =
-    * false)` is atomic at the namenode already.
+  /** Atomic create-if-absent of the lock file WITH its token: the file
+    * appears fully written or not at all, in one step. Hadoop's LOCAL
+    * filesystem implements `create(path, overwrite=false)` as
+    * exists-check + create (two racers can both pass the check and the
+    * second create TRUNCATES the first's lock — found by the
+    * contended-acquire stress test), and `createNewFile` + a separate
+    * token write is no better: a TTL-breaker's delete landing between
+    * the two steps lets the truncating token write RECREATE the file,
+    * producing interleavings where each contender reads its own token
+    * at its own confirm moment. GraftStorage.createImmutable avoids
+    * both: the token is staged to a private temp file and hard-linked
+    * into place (EEXIST-atomic on `file`; namenode-atomic rename on
+    * HDFS-like schemes), so content+create is one indivisible step and
+    * confirm-after-acquire reads are trustworthy.
     */
-  private def atomicCreate(): Unit =
-    if (storage.fs.getScheme == "file") {
-      val f = new java.io.File(lockPath.toUri.getPath)
-      if (!f.createNewFile())
-        throw new java.io.IOException(s"lock exists: $lockPath")
-      val out = new java.io.FileOutputStream(f)
-      try out.write(token.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    } else storage.createImmutable(lockPath, token)
+  private def atomicCreate(): Unit = storage.createImmutable(lockPath, token)
 
   override def tryLock(timeoutMs: Long): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs

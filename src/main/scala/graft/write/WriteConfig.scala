@@ -117,4 +117,13 @@ final case class WriteConfig(
     /** Age past which a holder's lock file counts as crashed and may be
       * broken by a waiter. Must far exceed the metadata-only critical
       * section (seconds); minutes by default. */
-    lockTtlMs: Long = 5 * 60 * 1000L)
+    lockTtlMs: Long = 5 * 60 * 1000L,
+    /** Age past which a service plan's inflight marker counts as a
+      * crashed execution and may be claimed by another runner. Unlike
+      * the commit lock (metadata-only, seconds), a claim covers the
+      * whole compaction/clustering EXECUTION — minutes to hours of data
+      * rewriting — so it gets its own, much larger TTL, and live
+      * executions heartbeat the marker (mtime refresh every TTL/5; ref:
+      * HoodieHeartbeatClient.java) so a healthy run is never judged
+      * crashed no matter how long it takes. */
+    serviceClaimTtlMs: Long = 15 * 60 * 1000L)
