@@ -137,21 +137,8 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       .filter(_.endsWith(".manifest"))
       .sorted
     val base: Seq[(GraftInstant, GraftCommitMetadata)] = manifests.lastOption match {
-      case Some(name) =>
-        val meta = Json.readCommitMetadata(
-          storage.readString(new Path(storage.archiveDir, name)))
-        // Re-expand the manifest into one synthetic instant per original
-        // write instant (parsed from the file names) — collapsing them all
-        // under the archive ts would break MOR base-vs-delta ordering
-        // (latestSlices keeps deltas only when delta ts > base ts).
-        meta.files
-          .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
-          .toSeq.sortBy(_._1)
-          .map { case (its, fs) =>
-            (GraftInstant(its, GraftAction.Commit, GraftState.Completed),
-              meta.copy(instant = its, files = fs))
-          }
-      case None => Seq.empty
+      case Some(name) => expandedManifest(name)
+      case None       => Seq.empty
     }
     val afterTs = manifests.lastOption.map(_.stripSuffix(".manifest")).getOrElse("")
     val active = timeline.completedData
@@ -168,6 +155,38 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     // would have chosen a cleaned version fails loudly.
     new FileSystemView(cappedBase ++ active, physicallyDeletedFiles,
       cleanDeletedFiles)
+  }
+
+  /** The newest archive manifest, parsed once per process and re-expanded
+    * into one synthetic instant per original write instant (parsed from
+    * the file names — collapsing them all under the archive ts would
+    * break MOR base-vs-delta ordering: latestSlices keeps deltas only
+    * when delta ts > base ts). MEMOIZED by manifest name: at 100 TB
+    * (~10⁶ live files of ~120 MB) the manifest is a few hundred MB of
+    * JSON and parsing it costs ~10 s — paying that on EVERY view build
+    * (several per write/read) would dominate planning, while the
+    * manifest itself changes only at archive time. Manifests are
+    * immutable once written, so name-keyed memoization is always
+    * consistent; a new archive publishes a new name and naturally
+    * invalidates.
+    */
+  @volatile private var manifestCache
+      : (String, Seq[(GraftInstant, GraftCommitMetadata)]) = null
+  private[graft] def expandedManifest(
+      name: String): Seq[(GraftInstant, GraftCommitMetadata)] = {
+    val cached = manifestCache
+    if (cached != null && cached._1 == name) return cached._2
+    val meta = Json.readCommitMetadata(
+      storage.readString(new Path(storage.archiveDir, name)))
+    val expanded = meta.files
+      .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
+      .toSeq.sortBy(_._1)
+      .map { case (its, fs) =>
+        (GraftInstant(its, GraftAction.Commit, GraftState.Completed),
+          meta.copy(instant = its, files = fs))
+      }
+    manifestCache = (name, expanded)
+    expanded
   }
 
   /** `partition/fileName` entries removed from storage by completed

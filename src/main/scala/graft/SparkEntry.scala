@@ -1044,6 +1044,45 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // Real Structured Streaming end-to-end through the graft sink: a
+    // file stream source micro-batches into the sink (Trigger
+    // .AvailableNow), the query is STOPPED and RESTARTED on the same
+    // checkpoint for a batch of updates, and a third restart with
+    // nothing new must add no commit (the batch-id replay guard, ref:
+    // HoodieStreamingSink.scala:70-135). The oracle enforces
+    // exactly-once upsert semantics across the restarts.
+    "tf_stream" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_stream_src", dir)
+      val target = freshDir("tf_stream", dir)
+      val ckpt = freshDir("tf_stream_ckpt", dir)
+      def runSink(): Unit = {
+        val q = s.readStream.schema(orders.schema).parquet(src)
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .option("recordkey.field", "o_orderkey")
+          .option("partitionpath.field", "o_orderpriority")
+          .option("precombine.field", "o_totalprice")
+          .option("target.file.size", (4L * 1024 * 1024).toString)
+          .option("small.file.limit", (3L * 1024 * 1024).toString)
+          .trigger(Trigger.AvailableNow())
+          .start(target)
+        q.awaitTermination()
+      }
+      orders.write.mode("overwrite").parquet(src)
+      runSink()
+      orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0)
+        .write.mode("append").parquet(src)
+      runSink() // restart on the same checkpoint picks up only the update files
+      val commits = GraftTable.load(s, target).timeline.completedData.size
+      runSink() // nothing new: replay guard must not add a commit
+      require(GraftTable.load(s, target).timeline.completedData.size == commits,
+        "tf_stream: idle restart added a commit")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
     // DFS ingest of a NESTED source through the flattening transformer:
     // record key, precombine AND partition path are all flattened struct
     // leaves, and a second batch's higher-precombine re-deliveries prove
@@ -1872,6 +1911,9 @@ object SparkEntry {
 
     "tf_ingest_checkpoint" -> ordersSelect(
       "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_stream" -> ordersSelect(
+      "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice"),
 
     "tf_incr_etl" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 120.0 ELSE o_totalprice END AS o_totalprice"),

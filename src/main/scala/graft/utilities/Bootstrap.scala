@@ -55,4 +55,57 @@ object Bootstrap {
     val table = GraftTable.create(spark, targetPath, config)
     new GraftWriteClient(table, wc).bootstrapMetadataOnly(sourceDir)
   }
+
+  /** Per-partition mode routing in ONE bootstrap call (ref:
+    * hudi-client/hudi-client-common/.../bootstrap/selector/
+    * BootstrapRegexModeSelector.java): partitions whose path matches
+    * `partitionRegex` (anchored, whole-path match like the reference's
+    * Pattern.matches) take `regexMode`; every other partition takes the
+    * opposite mode. Lands as two commits — METADATA_ONLY adoption first,
+    * then a FULL_RECORD bulk_insert of the remaining partitions' rows —
+    * mirroring the reference's paired bootstrap instants (metadata
+    * bootstrap at 00000000000001, full bootstrap at 00000000000002).
+    * Lazy conversion is preserved: adopted groups stay external until
+    * their first rewrite. Returns the commit instants (1 or 2 — a mode
+    * that matched no partition writes nothing).
+    */
+  def selective(
+      spark: SparkSession,
+      sourceDir: String,
+      targetPath: String,
+      config: GraftTableConfig,
+      partitionRegex: String,
+      regexMode: String = "METADATA_ONLY",
+      wc: WriteConfig = WriteConfig(),
+      sourceFormat: String = "parquet"): Seq[String] = {
+    require(Seq("METADATA_ONLY", "FULL_RECORD").contains(regexMode.toUpperCase),
+      s"unknown bootstrap mode '$regexMode'")
+    val pattern = java.util.regex.Pattern.compile(partitionRegex)
+    val metaOnMatch = regexMode.equalsIgnoreCase("METADATA_ONLY")
+    val metaKeep: String => Boolean = p => pattern.matcher(p).matches() == metaOnMatch
+
+    val table = GraftTable.create(spark, targetPath, config)
+    val w = new GraftWriteClient(table, wc)
+    val src = spark.read.format(sourceFormat).load(sourceDir)
+    // the full-record side filters ROWS through the writer's own
+    // partition-path expression, so both modes route on identical
+    // values; rlike is anchored to mirror Pattern.matches (codegen'd —
+    // no UDF on the scan)
+    val partCol = graft.write.KeyGen.partExpr(config)
+    val rowMatches = partCol.rlike(s"^(?:$partitionRegex)$$")
+    val fullSide = src.filter(if (metaOnMatch) !rowMatches else rowMatches)
+
+    val metaTs =
+      try Some(w.bootstrapMetadataOnly(sourceDir, Some(metaKeep)))
+      catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("matched none") =>
+          None
+      }
+    val fullTs =
+      if (fullSide.isEmpty) None
+      else Some(new GraftWriteClient(GraftTable.load(spark, targetPath), wc)
+        .bulkInsert(fullSide))
+    (metaTs.toSeq ++ fullTs.toSeq)
+  }
 }

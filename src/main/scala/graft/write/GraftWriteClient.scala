@@ -96,7 +96,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * and no file spans two partition values of the table's partitioning.
     * Key uniqueness is trusted, as in bulk_insert.
     */
-  def bootstrapMetadataOnly(sourceDir: String): String = {
+  /** @param partitionKeep when set, adopt only source files whose
+    *   partition path passes the predicate — the per-partition routing
+    *   half of a selective bootstrap (see Bootstrap.selective; ref:
+    *   BootstrapRegexModeSelector.java). Excluded partitions stay
+    *   untouched for a FULL_RECORD pass. Applied to the collected
+    *   per-file stats rows (planning metadata), never row data.
+    */
+  def bootstrapMetadataOnly(
+      sourceDir: String,
+      partitionKeep: Option[String => Boolean] = None): String = {
     require(table.timeline.completedData.isEmpty,
       "metadata-only bootstrap requires an empty table")
     val instant = begin(GraftAction.Commit)
@@ -149,7 +158,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         m
       }
       try {
-        val files = rows.toSeq.map { r =>
+        val allFiles = rows.toSeq.map { r =>
           val path = GraftWriteClient.decodedPath(r.getString(0))
           val fileId = r.getString(1)
           val (p0, p1) = (r.getString(5), r.getString(6))
@@ -171,11 +180,25 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             // filesystem (s3a://…, hdfs://…), not the session default
             externalPath = Some(GraftWriteClient.decodedFullPath(r.getString(0))))
         }
+        val files = partitionKeep match {
+          case Some(keep) => allFiles.filter(f => keep(f.partition))
+          case None       => allFiles
+        }
+        require(files.nonEmpty,
+          "metadata-only bootstrap adopted no source files" +
+            partitionKeep.map(_ => " (partition selector matched none)").getOrElse(""))
         require(files.map(_.fileId).distinct.size == files.size,
           "file-id hash collision across source files (re-layout the source)")
         cachedAgg.foreach { c =>
+          // sidecar only for ADOPTED files — excluded partitions belong
+          // to the full-record pass, whose own write builds their blooms
+          val frame = partitionKeep match {
+            case Some(_) =>
+              c.filter(col("_id").isInCollection(files.map(_.fileId)))
+            case None => c
+          }
           GraftWriteClient.writeBloomSidecar(table.storage, instant.ts,
-            c.select(
+            frame.select(
               concat(col("_id"),
                 lit("_" + instant.ts + table.config.baseFileSuffix)).as("file_name"),
               col("_bf").as("bloom")),
@@ -635,7 +658,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       myTs: String,
       touched: Set[(String, String)],
       myReplaceParts: Set[String] = Set.empty,
-      myReplaceAll: Boolean = false): Option[String] =
+      myReplaceAll: Boolean = false,
+      myLayeringGroups: Set[(String, String)] = Set.empty): Option[String] =
     table.timeline.completedData
       .filter(i => !baseSeen.contains(i.ts) && i.ts != myTs)
       .find { i =>
@@ -646,11 +670,30 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         // ignore every replaced group but one and let a racing writer
         // commit into a clustered-away file group (lost update; found by
         // the concurrent two-writer model walk, seed 239)
-        val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++
+        val theirReplaced =
           meta.replacedFileIds.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        val theirs = meta.files.map(f => (f.partition, f.fileId)).toSet ++ theirReplaced
         val theirParts = theirs.map(_._1)
         val myParts = touched.map(_._1) ++ myReplaceParts
-        (theirs & touched).nonEmpty ||
+        // A compaction that completed BELOW our instant does not conflict
+        // with our pure delta appends: our delta (ts > compaction ts)
+        // layers above the freshly compacted base and stays fully visible
+        // — this is what makes async compaction race-free against live
+        // MOR ingestion (ref: SimpleConcurrentFileWritesConflictResolution
+        // Strategy.java resolveConflict — a COMPACTION_ACTION racer below
+        // an ingestion commit is not a conflict). The exemption is
+        // LAYERING-ONLY: groups where we wrote a base file (MOR small-file
+        // bin-pack, COW rewrites) would shadow the compacted base and its
+        // folded deltas, and groups the compaction VANISHED (all-tombstone
+        // replacedFileIds) would swallow our delta — both still conflict.
+        // The opposite ts order (compaction ts above ours) would drop our
+        // delta from every slice (deltas live only above their base) and
+        // always conflicts.
+        val myBlocking =
+          if (meta.operation == "compact" && i.ts < myTs)
+            touched -- (myLayeringGroups -- theirReplaced)
+          else touched
+        (theirs & myBlocking).nonEmpty ||
           meta.replacePartitions.exists(myParts.contains) ||
           (meta.operation == "insert_overwrite_table" && myParts.nonEmpty) ||
           (myReplaceParts & theirParts).nonEmpty ||
@@ -708,11 +751,18 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       if (wc.occEnabled) {
         // .toSeq first — a Map-to-tuples flatMap would collapse to one id
         // per partition (see conflictingInstant)
-        val touched = written.map(f => (f.partition, f.fileId)).toSet ++
+        val replacedSet =
           replaced.toSeq.flatMap { case (p, ids) => ids.map((p, _)) }.toSet
+        val touched = written.map(f => (f.partition, f.fileId)).toSet ++ replacedSet
+        // groups we touched with ONLY delta files (and did not replace)
+        // layer safely above a concurrently compacted base
+        val layering = written.groupBy(f => (f.partition, f.fileId))
+          .collect { case (g, fs) if fs.forall(_.isDelta) => g }
+          .toSet -- replacedSet
         conflictingInstant(occBaseSeen, instant.ts, touched,
             myReplaceParts = replacePartitions.toSet,
-            myReplaceAll = operation == "insert_overwrite_table").foreach { other =>
+            myReplaceAll = operation == "insert_overwrite_table",
+            myLayeringGroups = layering).foreach { other =>
           // the loser cleans its already-published files and aborts; they
           // were never referenced by any commit, so readers never saw them
           written.foreach(f =>

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.utilities.CatalogSync
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** Forked-JVM Hive-metastore sync proof (ref: hudi-sync/hudi-hive-sync/
+  * .../HiveSyncTool.java:144-255 + HoodieHiveClient partition
+  * registration): a REAL `spark.sql.catalogImplementation=hive` session
+  * backed by an embedded Derby metastore — forked because the catalog
+  * implementation is a static conf the shared test session can't switch.
+  * Registers a graft table through CatalogSync into the HMS-backed
+  * external catalog, evolves its schema, diffs partitions incrementally,
+  * and reads back BY CATALOG NAME with the partition filter pushed into
+  * the graft relation scan.
+  *
+  * args: workDir (scratch for warehouse + metastore + table)
+  * exit codes: 0 = all assertions held, 1 = failure (stack in log)
+  */
+object HiveSyncChildProcess {
+  def main(args: Array[String]): Unit = {
+    val Array(workDir) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-hive-sync-child")
+      .config("spark.sql.catalogImplementation", "hive")
+      .config("spark.sql.warehouse.dir", s"$workDir/warehouse")
+      .config("spark.hadoop.javax.jdo.option.ConnectionURL",
+        s"jdbc:derby:;databaseName=$workDir/metastore_db;create=true")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .enableHiveSupport()
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      require(spark.sharedState.externalCatalog.unwrapped.getClass.getName
+        .contains("Hive"), "session is not HMS-backed")
+
+      val path = s"$workDir/t_hive"
+      val t = GraftTable.create(spark, path, GraftTableConfig(
+        tableName = "t_hive", tableType = GraftTableType.Mor,
+        recordKeyFields = Seq("o_orderkey"),
+        partitionFields = Seq("o_orderpriority"),
+        precombineField = Some("o_totalprice")))
+      val wc = WriteConfig(inlineCompactDeltaCommits = 0)
+      val w = new GraftWriteClient(t, wc)
+      val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .filter(col("o_orderkey") < 400)
+      val firstParts = Seq("1-URGENT", "2-HIGH")
+      w.bulkInsert(orders.filter(col("o_orderpriority").isInCollection(firstParts)))
+
+      // first sync: creates snapshot + _ro entries in the Hive catalog
+      val r1 = CatalogSync.sync(spark, path, "graft_hive_t")
+      require(r1.map(_.table).sorted == Seq("graft_hive_t", "graft_hive_t_ro"),
+        s"expected rt+ro registration, got ${r1.map(_.table)}")
+      require(r1.forall(_.created), "first sync must create both entries")
+      require(r1.head.newPartitions.toSet == firstParts.toSet,
+        s"first sync partitions: ${r1.head.newPartitions}")
+      require(spark.sharedState.externalCatalog
+        .tableExists("default", "graft_hive_t"), "table missing from HMS")
+
+      // read back BY CATALOG NAME through the metastore
+      val byName = spark.table("graft_hive_t")
+      require(byName.count() == orders
+        .filter(col("o_orderpriority").isInCollection(firstParts)).count(),
+        "catalog-name read row count")
+
+      // partition filter is pushed into the graft relation scan (manifest
+      // partition pruning happens behind it — GraftRelation
+      // .partitionCandidates); PushedFilters in the scan node proves the
+      // filter reached buildScan rather than being applied post-scan only
+      val pruned = spark.table("graft_hive_t")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val plan = pruned.queryExecution.executedPlan.toString
+      require(plan.contains("PushedFilters") && plan.contains("o_orderpriority"),
+        s"partition filter not pushed into the catalog-name scan:\n$plan")
+      require(pruned.count() ==
+        orders.filter(col("o_orderpriority") === "1-URGENT").count())
+
+      // incremental partition diff: a commit into a NEW partition shows
+      // up in the next sync, already-known ones do not repeat
+      w.upsert(orders.filter(col("o_orderpriority") === "3-MEDIUM"))
+      val r2 = CatalogSync.sync(spark, path, "graft_hive_t")
+      require(r2.forall(!_.created), "second sync must not recreate")
+      require(r2.head.newPartitions == Seq("3-MEDIUM"),
+        s"incremental partition diff: ${r2.head.newPartitions}")
+      val props = spark.sharedState.externalCatalog
+        .getTable("default", "graft_hive_t").properties
+      require(props.get(CatalogSync.PartitionsProp)
+        .exists(_.split(',').toSet == Set("1-URGENT", "2-HIGH", "3-MEDIUM")),
+        s"partition registry property: ${props.get(CatalogSync.PartitionsProp)}")
+      require(props.getOrElse(CatalogSync.LastSyncProp, "") ==
+        t.timeline.lastCompletedData.map(_.ts).getOrElse(""),
+        "last-sync instant property must track the newest commit")
+
+      // schema evolution lands in the HMS entry on the next sync
+      val t2 = GraftTable.load(spark, path)
+      val w2 = new GraftWriteClient(t2, wc)
+      w2.upsert(orders.filter(col("o_orderpriority") === "3-MEDIUM")
+        .withColumn("o_extra", lit("x")))
+      val r3 = CatalogSync.sync(spark, path, "graft_hive_t")
+      require(r3.head.schemaUpdated, "schema evolution not synced")
+      require(spark.table("graft_hive_t").columns.contains("o_extra"),
+        "evolved column missing from catalog-name read")
+
+      // the MOR read-optimized registration reads (bases only)
+      require(spark.table("graft_hive_t_ro").count() > 0, "_ro read")
+      spark.stop()
+      System.exit(0)
+    } catch {
+      case e: Throwable => e.printStackTrace(); System.exit(1)
+    }
+  }
+}

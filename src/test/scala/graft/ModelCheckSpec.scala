@@ -35,6 +35,13 @@ case class TripTip(amount: Double, currency: String)
 case class TripRow(k: Long, p: String, fare: TripFare, tips: Seq[TripTip],
     tags: Map[String, String], ord: Long)
 
+/** Trips row AFTER the mid-walk evolution of the combined concurrent+
+  * nested+evolution walk: `note` is the column added while two writers
+  * race (None for every row written through the pre-evolution shape).
+  */
+case class NTripRow(k: Long, p: String, fare: TripFare, tips: Seq[TripTip],
+    tags: Map[String, String], note: Option[String], ord: Long)
+
 /** Randomized model-based checks: seeded random walks of write operations
   * (upsert / delete / insert_overwrite / delete_partition) interleaved
   * with table services (compaction, clustering, cleaning, archiving,
@@ -1413,6 +1420,202 @@ class ModelCheckSpec extends AnyFunSuite {
     assert(leftovers.isEmpty, s"leftover pending writer instants: $leftovers")
   }
 
+  /** The COMBINED walk: two RACING writers over a NESTED (trips-schema)
+    * MOR table, with schema evolution LANDING MID-RACE — the three walk
+    * dimensions that were previously only exercised separately. Each
+    * writer switches from the pre-evolution frame shape (no `note`
+    * column) to the evolved shape at a different step, so the timeline
+    * interleaves evolved and pre-evolution commits arbitrarily: the
+    * stored-schema union must never regress (an old-shape commit landing
+    * AFTER the evolution must not drop the added column), nested merge
+    * kernels must fold across the boundary, and a concurrent compaction
+    * must rewrite mixed-schema deltas correctly. Writers own disjoint
+    * keys and draw globally-unique ords, so replaying acknowledged
+    * batches in ts order is an exact oracle despite arbitrary
+    * interleaving (same argument as runConcurrentWalk).
+    */
+  private def runConcurrentNestedEvolutionWalk(seed: Long): Unit = {
+    import spark.implicits._
+    val path = tmp() + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "cne", tableType = GraftTableType.Mor,
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord"))
+    val wcc = WriteConfig(
+      targetFileSizeBytes = 128 * 1024, smallFileLimitBytes = 96 * 1024,
+      defaultRecordSizeBytes = 128, parallelism = 4,
+      inlineCompactDeltaCommits = 0, bloomExpectedEntries = 1024,
+      cleanRetainCommits = 20, lockProvider = "file")
+    GraftTable.create(spark, path, cfg)
+
+    val ordGen = new java.util.concurrent.atomic.AtomicLong(0L)
+    val committed =
+      new java.util.concurrent.ConcurrentHashMap[String, (String, Seq[NTripRow])]()
+
+    def retrying(what: String)(op: => String): String = {
+      var attempt = 0
+      var out: String = null
+      while (out == null) {
+        try out = op
+        catch {
+          case e @ (_: graft.write.ConcurrentWriteConflictException |
+                    _: graft.write.LockAcquireException) =>
+            attempt += 1
+            assert(attempt <= 25, s"$what: gave up after 25 conflict retries: $e")
+        }
+      }
+      out
+    }
+
+    def freshRow(rnd: Random, k: Long, p: String, evolved: Boolean): NTripRow =
+      NTripRow(k, p,
+        TripFare(rnd.nextInt(10000) / 10.0, "c" + rnd.nextInt(5)),
+        (0 until rnd.nextInt(3)).map(_ =>
+          TripTip(rnd.nextInt(100) / 4.0, "t" + rnd.nextInt(3))),
+        (0 until rnd.nextInt(3)).map(i => s"k$i" -> ("v" + rnd.nextInt(9))).toMap,
+        if (evolved) Some("n" + rnd.nextInt(5)) else None,
+        ordGen.incrementAndGet())
+    // pre-evolution frames carry the ORIGINAL six columns only
+    def toDfOld(rows: Seq[NTripRow]): DataFrame =
+      rows.map(r => TripRow(r.k, r.p, r.fare, r.tips, r.tags, r.ord))
+        .toDF("k", "p", "fare", "tips", "tags", "ord")
+    def toDfNew(rows: Seq[NTripRow]): DataFrame =
+      rows.toDF("k", "p", "fare", "tips", "tags", "note", "ord")
+
+    locally {
+      val w0 = new GraftWriteClient(GraftTable.load(spark, path), wcc)
+      val rnd0 = new Random(seed)
+      val rows = (0 until 40).map(i =>
+        freshRow(rnd0, i.toLong, partitions(i % 3), evolved = false))
+      committed.put(w0.bulkInsert(toDfOld(rows)), ("upsert", rows))
+    }
+
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def writer(idx: Int, evolveAtStep: Int): Thread = new Thread(() => {
+      try {
+        val rnd = new Random(seed * 37 + idx)
+        val t = GraftTable.load(spark, path)
+        val w = new GraftWriteClient(t, wcc)
+        def key(): Long = { val k = rnd.nextInt(40); (k - k % 2 + idx).toLong }
+        for (step <- 1 to 7) {
+          val evolved = step >= evolveAtStep
+          def frame(rows: Seq[NTripRow]): DataFrame =
+            if (evolved) toDfNew(rows) else toDfOld(rows)
+          rnd.nextInt(100) match {
+            case x if x < 60 =>
+              val rows = (0 until 4 + rnd.nextInt(8)).map(_ => freshRow(
+                rnd, key(), partitions(rnd.nextInt(3)), evolved))
+              val ts = retrying(s"writer$idx upsert")(w.upsert(frame(rows)))
+              committed.put(ts, ("upsert", rows))
+            case x if x < 80 =>
+              val rows = (0 until 1 + rnd.nextInt(4)).map(_ => freshRow(
+                rnd, key(), partitions(rnd.nextInt(3)), evolved = false))
+              val ts = retrying(s"writer$idx delete")(w.delete(frame(rows)))
+              committed.put(ts, ("delete", rows))
+            case _ =>
+              val sv = new TableServices(t, wcc)
+              try sv.compact()
+              catch { case _: graft.write.ConcurrentWriteConflictException |
+                           _: graft.write.LockAcquireException => () }
+          }
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+
+    // async services race both writers across the evolution boundary
+    val svc = new Thread(() => {
+      try {
+        val sv = new TableServices(GraftTable.load(spark, path), wcc)
+        for (_ <- 1 to 4) {
+          try { sv.compact(); sv.clean() }
+          catch { case _: graft.write.ConcurrentWriteConflictException |
+                       _: graft.write.LockAcquireException => () }
+          Thread.sleep(120)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    // racing reader: snapshot resolution must stay sound THROUGH the
+    // schema change (no torn metadata, no duplicate (p,k), no unknown key)
+    val stopReader = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val reader = new Thread(() => {
+      try {
+        while (!stopReader.get()) {
+          val r = new GraftReadClient(GraftTable.load(spark, path))
+          val keys = r.snapshotData().select("k", "p").collect()
+            .map(x => (x.getString(1), x.getLong(0)))
+          assert(keys.length == keys.distinct.length,
+            "reader observed duplicate (p,k) rows mid-race")
+          assert(keys.forall(_._2 < 40L),
+            "reader observed a key that was never written")
+          Thread.sleep(60)
+        }
+      } catch { case e: Throwable => failures.add(e) }
+    })
+    reader.start()
+    // writer 0 evolves at step 3, writer 1 at step 5 — between the two,
+    // old-shape and evolved commits interleave on the live timeline
+    val threads = Seq(writer(0, 3), writer(1, 5), svc)
+    threads.foreach(_.start())
+    threads.foreach(_.join(10 * 60 * 1000))
+    stopReader.set(true)
+    reader.join(60 * 1000)
+    assert(threads.forall(!_.isAlive), "writer thread hung")
+    assert(failures.isEmpty, s"walk thread failed: ${failures.peek()}")
+
+    import scala.jdk.CollectionConverters._
+    val model = mutable.Map.empty[(String, Long), NTripRow]
+    committed.asScala.toSeq.sortBy(_._1).foreach {
+      case (_, ("upsert", rows)) =>
+        rows.groupBy(r => (r.p, r.k)).values
+          .map(_.maxBy(_.ord)).foreach(r => model((r.p, r.k)) = r)
+      case (_, (_, rows)) => rows.foreach(r => model.remove(r.p -> r.k))
+    }
+    val t = GraftTable.load(spark, path)
+    // the added column must have survived every later old-shape commit
+    assert(t.storedDataSchema.exists(_.fieldNames.contains("note")),
+      "schema union regressed: evolved column lost to an old-shape commit")
+    val read = new GraftReadClient(t)
+    val got = read.snapshotData()
+      .select("k", "p", "fare", "tips", "tags", "note", "ord")
+      .as[NTripRow].collect().toSet
+    val want = model.values.toSet
+    assert(got == want,
+      s"(seed $seed, concurrent+nested+evolution): snapshot diverged; " +
+        s"extra=${(got -- want).take(3)} missing=${(want -- got).take(3)}")
+    assert(got.exists(_.note.nonEmpty) && got.exists(_.note.isEmpty),
+      "walk failed to mix evolved and pre-evolution rows")
+
+    // raced incremental band across the evolution boundary (same
+    // 8-commits-from-the-end anchor as runConcurrentWalk — racing cleans
+    // bound how far back state is reconstructible)
+    val tsOrder = committed.asScala.keys.toSeq.sorted
+    val lastTs = tsOrder.last
+    val dataTs = t.timeline.completedData.map(_.ts)
+    val bandStart = if (dataTs.size <= 8) tsOrder.head else dataTs(dataTs.size - 8)
+    val stateAtStart: Set[NTripRow] = {
+      val m = mutable.Map.empty[(String, Long), NTripRow]
+      committed.asScala.toSeq.sortBy(_._1).filter(_._1 <= bandStart).foreach {
+        case (_, ("upsert", rows)) =>
+          rows.groupBy(r => (r.p, r.k)).values
+            .map(_.maxBy(_.ord)).foreach(r => m((r.p, r.k)) = r)
+        case (_, (_, rows)) => rows.foreach(r => m.remove(r.p -> r.k))
+      }
+      m.values.toSet
+    }
+    val incr = read.dataOnly(read.incremental(bandStart, Some(lastTs)))
+      .select("k", "p", "fare", "tips", "tags", "note", "ord")
+      .as[NTripRow].collect().toSet
+    val wantIncr = want -- stateAtStart
+    assert(incr == wantIncr,
+      s"(seed $seed, concurrent+nested+evolution): incremental " +
+        s"($bandStart,$lastTs] diverged; extra=${(incr -- wantIncr).take(3)} " +
+        s"missing=${(wantIncr -- incr).take(3)}")
+
+    val leftovers = t.timeline.pending
+      .filter(i => i.action == GraftAction.Commit || i.action == GraftAction.DeltaCommit)
+    assert(leftovers.isEmpty, s"leftover pending writer instants: $leftovers")
+  }
+
   /** Soak knob: GRAFT_MODEL_EXTRA_SEEDS=41,43,... runs each walk under
     * additional seeds (dev-loop shake-out; CI keeps the pinned ones).
     */
@@ -1498,6 +1701,10 @@ class ModelCheckSpec extends AnyFunSuite {
   test("model check: concurrent walk with crashed-writer debris (MOR, lazy reclaim)") {
     seeds(251L).foreach(
       runConcurrentWalk(GraftTableType.Mor, _, injectCrashes = true))
+  }
+
+  test("model check: concurrent two-writer walk over a NESTED MOR table with mid-race schema evolution") {
+    seeds(263L).foreach(runConcurrentNestedEvolutionWalk)
   }
 
   test("model check: event_time payload walk (stale updates and deletes lose)") {

