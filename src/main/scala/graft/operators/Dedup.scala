@@ -73,6 +73,18 @@ object Dedup {
     */
   private val BroadcastCandidateLimit = 4000000L
 
+  /** Exact-verify path selector: total hash elements in flight
+    * (Σ_pairs n_a+n_b) up to this bound use the per-pair ARRAY
+    * intersect (fast — no row multiplication); beyond it the verify
+    * explodes to scalar (pair, hash) rows that spill at element
+    * granularity. 10⁹ elements ≈ 8 GB of long payload across the join:
+    * sized so the array path's per-task sort footprint stays within a
+    * 250 MB/core execution share at the sizing floor (32 cores × 8 GB —
+    * measured: array OOMs the sf3 bench [2.2B elements] at that floor,
+    * exploded runs it failed:[]; array is 4× faster at sf1 [0.7B]).
+    */
+  private val ArrayVerifyMaxElements = 1000000000L
+
   /** Exact-Jaccard verification of candidate pairs: join the shingle sets
     * back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
     *
@@ -85,23 +97,32 @@ object Dedup {
     *  2. the surviving pair list is materialized eagerly (it is the small
     *     side by LSH design) and BROADCAST into two streaming passes over
     *     the cached shingle frame — the corpus arrays are never shuffled;
-    *  3. |A∩B| is computed over SCALAR rows end-to-end: each side
-    *     explodes its matched documents' shingles to (id_a, id_b, h)
-    *     rows (h = xxhash64 of the shingle string — 8 bytes instead of
-    *     the string), the two sides equi-join on the full (pair, hash)
-    *     key, and a map-side-combinable count per pair IS the
-    *     intersection size. No row ever carries a shingle array, so the
-    *     whole verify is spill-managed by the standard shuffle machinery
-    *     even when LSH clusters of near-identical replicas generate
-    *     O(clusterSize²) pairs over long documents — the shape that OOMed
-    *     the previous array-carrying formulation (two full hash arrays
-    *     per pair row resist spilling; size-estimated sort buffers blew
-    *     past the executor share at corpus scale).
+    *  3. |A∩B| is computed one of two EXACT ways, chosen by the
+    *     in-flight volume Σ_pairs (n_a + n_b) — known for free from the
+    *     prefilter's narrow stats:
+    *     - ARRAY path (small/medium volume): each pair row carries the
+    *       two xxhash64'd shingle arrays and `array_intersect` counts
+    *       in place. One row per PAIR — no row multiplication — so the
+    *       constant factors are 3-5× better than any exploded design;
+    *       per-task sort footprint is bounded by sizing the pair join's
+    *       partitioning off the known volume.
+    *     - EXPLODED path (cluster-quadratic volume): each side explodes
+    *       its matched documents' shingles to (id_a, id_b, h) scalar
+    *       rows, the sides equi-join on the full (pair, hash) key, and
+    *       a map-side-combinable count per pair IS the intersection.
+    *       Strictly more rows (one per shingle OCCURRENCE per pair),
+    *       but every row is 24 bytes and spills at element granularity
+    *       with explicitly sized partitions — the only shape that
+    *       survives O(clusterSize²) pairs over a replica-heavy corpus
+    *       at stock executor memory (the array path OOMed the sf3
+    *       bench at the default 8 GB driver; the exploded path runs it
+    *       failed:[], measured this round — and the reverse holds at
+    *       sf1, where the array path is 4× faster).
     * Falls back to shuffled joins if the candidate list is too large to
-    * broadcast; cost is then still O(candidate-doc shingles) in the
-    * exploded joins. Shingle sets are array_distinct, so the per-pair
-    * match count equals |A∩B| short of an xxhash64 collision between two
-    * distinct shingles inside one document pair (~1e-19 per pair).
+    * broadcast; cost is then still O(candidate-doc shingles). Shingle
+    * sets are array_distinct, so the per-pair count equals |A∩B| short
+    * of an xxhash64 collision between two distinct shingles inside one
+    * document pair (~1e-19 per pair) — identical on both paths.
     */
   private def verifyJaccard(
       candidates: DataFrame, // (id_a, id_b)
@@ -117,13 +138,47 @@ object Dedup {
     val pairs = cand.select("id_a", "id_b")
     val hint =
       if (cand.count() < BroadcastCandidateLimit) broadcast(pairs) else pairs
-    val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val aSide = hashed.select(col("id").as("id_a"), col("h")).join(hint, "id_a")
-    val bSide = hashed.select(col("id").as("id_b"), col("h")).join(hint, "id_b")
-    val inter = aSide.join(bSide, Seq("id_a", "id_b", "h"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("inter"))
+    // In-flight element volume Σ_pairs (n_a + n_b), from the already-
+    // materialized pair stats (one tiny agg over the persisted list).
+    // Both verify paths move this many 8-byte hashes; what differs is
+    // packaging (per-pair arrays vs per-element rows) and therefore
+    // memory behavior under the executor pool.
+    val expectedRows = Option(
+      cand.agg(sum((col("n_a") + col("n_b")).cast("long"))).head.get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val defaultPar = shingles.sparkSession.sparkContext.defaultParallelism
+    val inter =
+      if (expectedRows <= ArrayVerifyMaxElements) {
+        // ARRAY path: hash arrays ride the pair join once; partitions
+        // sized so each task's sort holds ~64 MB of array payload
+        val joinParts = math.max(defaultPar,
+          math.min(65536L, expectedRows * 8L / (64L * 1024 * 1024) + 1L).toInt)
+        val hashedArr = shingles.select(col("id"),
+          transform(col("sh"), s => xxhash64(s)).as("sh"))
+        val aSide = hashedArr.select(col("id").as("id_a"), col("sh").as("sh_a"))
+          .join(hint, "id_a").repartition(joinParts, col("id_a"), col("id_b"))
+        val bSide = hashedArr.select(col("id").as("id_b"), col("sh").as("sh_b"))
+          .join(hint, "id_b").repartition(joinParts, col("id_a"), col("id_b"))
+        aSide.join(bSide, Seq("id_a", "id_b"))
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"))
+      } else {
+        // EXPLODED path: scalar rows end-to-end, partitions sized to
+        // ~3M elements per task — spills gracefully where the array
+        // path's per-task footprint would exhaust the execution pool
+        val joinParts = math.max(defaultPar,
+          math.min(65536L, expectedRows / 3000000L + 1L).toInt)
+        val joinKeys = Seq(col("id_a"), col("id_b"), col("h"))
+        val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
+          .select(col("id"), xxhash64(col("s")).as("h"))
+        val aSide = hashed.select(col("id").as("id_a"), col("h")).join(hint, "id_a")
+          .repartition(joinParts, joinKeys: _*)
+        val bSide = hashed.select(col("id").as("id_b"), col("h")).join(hint, "id_b")
+          .repartition(joinParts, joinKeys: _*)
+        aSide.join(bSide, Seq("id_a", "id_b", "h"))
+          .groupBy("id_a", "id_b")
+          .agg(count(lit(1)).as("inter"))
+      }
     cand.join(inter, Seq("id_a", "id_b"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
