@@ -162,7 +162,7 @@ object GraftOptions {
   /** Comma-separated data columns to collect per-file min/max stats for
     * (read-time data skipping; see graft.core.ColumnStats). */
   val ColStatsColumns = "col.stats.columns"
-  val LockProviderKey = "lock.provider" // none | file
+  val LockProviderKey = "lock.provider" // none | jvm | file
   val LockTimeoutMs = "lock.timeout.ms"
   /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
   val KeygenTimestampFormat = "keygen.timestamp.format"
