@@ -83,7 +83,11 @@ object Dedup {
     * measured: array OOMs the sf3 bench [2.2B elements] at that floor,
     * exploded runs it failed:[]; array is 4× faster at sf1 [0.7B]).
     */
-  private val ArrayVerifyMaxElements = 1000000000L
+  private def ArrayVerifyMaxElements: Long =
+    // overridable so tests can force the exploded path on small corpora
+    // (production selection is the measured 1e9 default)
+    sys.props.get("graft.dedup.array.verify.max.elements")
+      .map(_.toLong).getOrElse(1000000000L)
 
   /** Exact-Jaccard verification of candidate pairs: join the shingle sets
     * back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
