@@ -90,7 +90,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       .filter(_.endsWith(".manifest"))
       .sorted.lastOption
       .map(n => Json.readCommitMetadata(
-        storage.readString(new Path(storage.archiveDir, n))).schemaJson)
+        storage.readOverwritable(new Path(storage.archiveDir, n))).schemaJson)
       .filter(_.nonEmpty)
     active.orElse(archived)
       .map(s => GraftTable.relaxNullability(
@@ -177,7 +177,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     val cached = manifestCache
     if (cached != null && cached._1 == name) return cached._2
     val meta = Json.readCommitMetadata(
-      storage.readString(new Path(storage.archiveDir, name)))
+      storage.readOverwritable(new Path(storage.archiveDir, name)))
     val expanded = meta.files
       .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
       .toSeq.sortBy(_._1)
@@ -324,8 +324,16 @@ object GraftTable {
 
   def exists(spark: SparkSession, basePath: String): Boolean = {
     val s = new GraftStorage(new Path(basePath), spark.sessionState.newHadoopConf())
-    s.exists(new Path(s.metaDir, ConfigFile))
+    configPresent(s)
   }
+
+  /** A table exists when its config — or the `.new` sibling of a config
+    * overwrite a crash interrupted — is present; readOverwritable heals
+    * or falls back when the config is actually read.
+    */
+  private def configPresent(s: GraftStorage): Boolean =
+    s.exists(new Path(s.metaDir, ConfigFile)) ||
+      s.exists(new Path(s.metaDir, ConfigFile + ".new"))
 
   /** Initialize a fresh table (fails if one already exists). */
   def create(spark: SparkSession, basePath: String, config: GraftTableConfig): GraftTable = {
@@ -334,7 +342,7 @@ object GraftTable {
     require(Set("parquet", "orc").contains(config.baseFileFormat),
       s"base.file.format must be 'parquet' or 'orc', got '${config.baseFileFormat}'")
     val t = new GraftTable(spark, basePath)
-    require(!t.storage.exists(new Path(t.storage.metaDir, ConfigFile)),
+    require(!configPresent(t.storage),
       s"Graft table already exists at $basePath")
     t.storage.fs.mkdirs(t.storage.metaDir)
     t.storage.createImmutable(new Path(t.storage.metaDir, ConfigFile), Json.write(config))
@@ -343,8 +351,7 @@ object GraftTable {
 
   def load(spark: SparkSession, basePath: String): GraftTable = {
     val t = new GraftTable(spark, basePath)
-    require(t.storage.exists(new Path(t.storage.metaDir, ConfigFile)),
-      s"Not a Graft table: $basePath")
+    require(configPresent(t.storage), s"Not a Graft table: $basePath")
     t
   }
 

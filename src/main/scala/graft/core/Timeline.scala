@@ -60,6 +60,38 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
     tmp
   }
 
+  /** Whether this filesystem supports mtime refresh (several object-store
+    * connectors throw on setTimes) — probed by actually bumping `p`'s
+    * mtime once, so the heartbeat path is validated at claim time, not
+    * discovered dead mid-execution.
+    */
+  private[graft] def probeSetTimes(p: Path): Boolean =
+    try { fs.setTimes(p, System.currentTimeMillis(), -1); true }
+    catch { case _: Exception => false }
+
+  /** One heartbeat of a claim marker: verify ownership (the marker still
+    * carries `token`), then refresh its mtime — setTimes when supported,
+    * else an overwrite with the same token (bumps mtime on every store;
+    * the breaker's stable-mtime double-read yields to either form).
+    * Returns FALSE only when the claim is lost: the marker exists with a
+    * foreign token (a breaker judged us crashed and re-claimed) or it
+    * persists but cannot be refreshed (it WILL be crash-judged after the
+    * TTL). A missing marker is benign — the execution completed and
+    * cleaned it up.
+    */
+  private[graft] def refreshMarker(p: Path, token: String, canSetTimes: Boolean): Boolean =
+    try {
+      if (readString(p) != token) false
+      else {
+        if (canSetTimes) fs.setTimes(p, System.currentTimeMillis(), -1)
+        else overwrite(p, token)
+        true
+      }
+    } catch {
+      case _: Exception =>
+        !(try exists(p) catch { case _: Exception => true })
+    }
+
   /** Create-if-absent write, atomic in BOTH senses: creation fails if
     * the path already exists (the timeline's OCC backstop), and the path
     * becomes visible only with its FULL content. A plain
@@ -118,8 +150,17 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
             if (!fs.rename(tmp, staged))
               throw new java.io.IOException(s"overwrite failed staging: $p")
             fs.delete(p, false)
-            if (!fs.rename(staged, p))
-              throw new java.io.IOException(s"atomic overwrite failed: $p")
+            if (!fs.rename(staged, p)) {
+              // a concurrent reader's heal (readOverwritable / listNames)
+              // may have completed OUR swap between the delete and this
+              // rename — the staged content is then already live at the
+              // target. Only a target that is missing or carries foreign
+              // bytes is a real failure.
+              val healed =
+                try readString(p) == content catch { case _: Exception => false }
+              if (!healed)
+                throw new java.io.IOException(s"atomic overwrite failed: $p")
+            }
         }
       }
     } finally if (fs.exists(tmp)) fs.delete(tmp, false)
@@ -131,7 +172,14 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
   def readOverwritable(p: Path): String = {
     if (!fs.exists(p)) {
       val staged = new Path(p.getParent, p.getName + ".new")
-      if (fs.exists(staged)) fs.rename(staged, p)
+      // the heal is BEST-EFFORT: a read path must stay a read path when
+      // the store denies mutations (scan-only credentials), and a
+      // concurrent writer/reader may complete the swap first — fall back
+      // to reading the surviving sibling directly
+      val healed =
+        try fs.exists(staged) && fs.rename(staged, p)
+        catch { case _: Exception => false }
+      if (!healed && fs.exists(staged) && !fs.exists(p)) return readString(staged)
     }
     readString(p)
   }
@@ -156,10 +204,20 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
         n.endsWith(".new") && !names.contains(n.stripSuffix(".new")))
       if (orphans.isEmpty) names.filterNot(_.endsWith(".new"))
       else {
-        orphans.foreach(n =>
-          fs.rename(new Path(dir, n), new Path(dir, n.stripSuffix(".new"))))
-        fs.listStatus(dir).toSeq.map(_.getPath.getName)
-          .filterNot(_.endsWith(".new"))
+        // best-effort, like readOverwritable: a rename denied to
+        // scan-only credentials (or lost to a concurrent healer) must
+        // not fail the listing — an orphan that stays unhealed is still
+        // surfaced under its TARGET name, and readOverwritable falls
+        // back to the `.new` sibling when the target is missing
+        orphans.foreach { n =>
+          try fs.rename(new Path(dir, n), new Path(dir, n.stripSuffix(".new")))
+          catch { case _: Exception => () }
+        }
+        val after = fs.listStatus(dir).toSeq.map(_.getPath.getName)
+        (after.filterNot(_.endsWith(".new")) ++
+          after.filter(n => n.endsWith(".new") &&
+              !after.contains(n.stripSuffix(".new")))
+            .map(_.stripSuffix(".new"))).distinct
       }
     }
 

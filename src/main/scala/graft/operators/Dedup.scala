@@ -132,6 +132,12 @@ object Dedup {
       candidates: DataFrame, // (id_a, id_b)
       shingles: DataFrame,   // (id, sh, n) — expected persisted by caller
       threshold: Double): DataFrame = {
+    // the two verify paths agree only for threshold > 0: the exploded
+    // plan's inner join never materializes zero-intersection pairs,
+    // while the array plan emits them with inter=0. A non-positive
+    // threshold is also semantically meaningless for near-dup gating
+    // (every candidate would qualify), so reject it loudly.
+    require(threshold > 0, s"jaccard threshold must be > 0, got $threshold")
     val sizes = shingles.select(col("id"), col("n"))
     val cand = candidates
       .join(sizes.toDF("id_a", "n_a"), "id_a")

@@ -138,16 +138,38 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * the marker — completion and failure cleanup own that.
     */
   private final class ServiceClaim(
-      val instant: GraftInstant, p: Path, intervalMs: Long) {
+      val instant: GraftInstant, p: Path, intervalMs: Long, token: String) {
+    // mtime refresh is the cheap heartbeat, but several object-store
+    // connectors do not support setTimes — a silently dead heartbeat
+    // would get any execution longer than serviceClaimTtlMs judged
+    // crashed and double-executed. Probe once at claim time; when
+    // unsupported, refreshMarker falls back to rewriting the marker with
+    // its own token. Every beat also re-reads the token, so a zombie
+    // owner (paused past the TTL, marker broken and re-claimed) detects
+    // the loss instead of silently refreshing the new owner's claim.
+    private val canSetTimes = table.storage.probeSetTimes(p)
+    /** True once the claim is lost — the marker carries a foreign token,
+      * or it persists but cannot be refreshed (it WILL be crash-judged
+      * after the TTL): a second runner may legitimately own the plan now,
+      * so this owner must stop before publishing instead of racing it.
+      */
+    @volatile var refreshFailed: Boolean = false
+    private def refresh(): Unit =
+      if (!table.storage.refreshMarker(p, token, canSetTimes)) refreshFailed = true
     private val exec =
       java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
         val t = new Thread(r, s"graft-claim-heartbeat-${instant.ts}")
         t.setDaemon(true); t
       }
-    exec.scheduleAtFixedRate(
-      () => try table.storage.fs.setTimes(p, System.currentTimeMillis(), -1)
-        catch { case _: Exception => () /* marker already completed */ },
-      intervalMs, intervalMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+    exec.scheduleAtFixedRate(() => refresh(), intervalMs, intervalMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+    /** Throw if the heartbeat lost the marker — called at the last point
+      * before a publish/cleanup decision that assumes exclusive ownership.
+      */
+    def ensureLive(): Unit =
+      if (refreshFailed) throw new IllegalStateException(
+        s"service claim heartbeat lost for ${instant.ts}: the inflight " +
+          "marker could not be refreshed and may have been re-claimed")
     def close(): Unit = exec.shutdownNow()
   }
 
@@ -183,7 +205,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         catch { case _: java.io.IOException => false })
     }
     def won(): Option[ServiceClaim] = Some(
-      new ServiceClaim(inflight, p, math.max(1000L, wc.serviceClaimTtlMs / 5)))
+      new ServiceClaim(inflight, p, math.max(1000L, wc.serviceClaimTtlMs / 5), token))
     if (tryWin()) return won()
     try {
       val st1 = table.storage.fs.getFileStatus(p)
@@ -415,6 +437,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         dLatest.unpersist()
       }
 
+      claim.ensureLive()
       val written = publishCompacted(staging, ts)
       withCommitLock {
         if (wc.occEnabled) {
@@ -425,9 +448,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         // A chosen group whose every row was tombstoned produces no new base
         // file; record it as replaced so the stale base version is hidden
         // from read-optimized readers and the group stops being a compaction
-        // candidate (mirror of the COW vanished-group fix).
+        // candidate (mirror of the COW vanished-group fix). EXCEPT: a racer
+        // ABOVE our instant that appended a delta to such a group is exempt
+        // from serviceConflict (olderOnly) because its delta would layer
+        // over our new base — but a vanished group has no new base, and
+        // replacing it would drop the racer's committed delta from every
+        // slice (committed data loss). Re-read the timeline here, under the
+        // commit lock, and keep any such group un-replaced: its stale slice
+        // stays latest with the live delta layering above it, and a later
+        // compaction folds the tombstones for real.
         val writtenGroups = written.map(w => (w.partition, w.fileId)).toSet
-        val vanished = chosen.map(s => (s.partition, s.fileId)).toSet -- writtenGroups
+        val allVanished = chosen.map(s => (s.partition, s.fileId)).toSet -- writtenGroups
+        val newerTouched: Set[(String, String)] =
+          if (allVanished.isEmpty) Set.empty
+          else table.timeline.completedData
+            .filter(i => !baseSeen.contains(i.ts) && i.ts != ts)
+            .flatMap(i => table.timeline.metadataOf(i).files
+              .map(f => (f.partition, f.fileId)))
+            .toSet
+        val vanished = allVanished -- newerTouched
         val replacedMap = vanished.groupBy(_._1).map {
           case (p, gs) => p -> gs.map(_._2).toSeq
         }
@@ -456,10 +495,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         throw e
       case e: Throwable =>
         // keep the requested plan on the timeline for a retry; only the
-        // inflight marker and staging output are swept
-        table.storage.delete(new Path(table.storage.metaDir,
-          requested.copy(state = GraftState.Inflight).fileName))
-        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        // inflight marker and staging output are swept. A LOST claim
+        // (heartbeat could not keep the marker alive) cleans nothing:
+        // the marker and staging dir may belong to a re-claiming runner.
+        if (!claim.refreshFailed) {
+          table.storage.delete(new Path(table.storage.metaDir,
+            requested.copy(state = GraftState.Inflight).fileName))
+          table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        }
         throw e
     } finally claim.close()
   }
@@ -630,6 +673,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .format(table.config.baseFileFormat)
         .save(staging.toString)
 
+      claim.ensureLive()
       val written = publishUngrouped(staging, ts)
       withCommitLock {
         if (wc.occEnabled) {
@@ -659,9 +703,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
         throw e
       case e: Throwable =>
-        table.storage.delete(new Path(table.storage.metaDir,
-          requested.copy(state = GraftState.Inflight).fileName))
-        table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        // same lost-claim guard as executeCompaction: never sweep a
+        // marker/staging dir a re-claiming runner may now own
+        if (!claim.refreshFailed) {
+          table.storage.delete(new Path(table.storage.metaDir,
+            requested.copy(state = GraftState.Inflight).fileName))
+          table.storage.delete(new Path(table.storage.tempDir, ts), recursive = true)
+        }
         throw e
     } finally claim.close()
   }
@@ -889,6 +937,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           val i = pf.lastIndexOf('/')
           table.storage.dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
         })
+      claim.ensureLive()
       tl.transitionToCompleted(claim.instant, GraftCommitMetadata(
         instant = planTs, action = GraftAction.Clean, operation = plan.operation,
         deletedFiles = plan.files))
@@ -1078,8 +1127,17 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       schemaJson = lastSchemaJson)
     if (!table.storage.fs.exists(table.storage.archiveDir))
       table.storage.fs.mkdirs(table.storage.archiveDir)
-    table.storage.overwrite(
-      new Path(table.storage.archiveDir, s"$archiveTs.manifest"), Json.write(manifest))
+    // manifests are IMMUTABLE once published (expandedManifest memoizes
+    // by name): a crashed-then-retried archive at the same boundary must
+    // KEEP the prior attempt's manifest, never replace its bytes — a
+    // clean that ran between the attempts would otherwise change the
+    // content under a name other processes may have cached. The older
+    // content stays consistent because clean/rollback deletions are
+    // applied to every view UNCAPPED (see viewAt).
+    val mPath = new Path(table.storage.archiveDir, s"$archiveTs.manifest")
+    if (!table.storage.exists(mPath))
+      try table.storage.createImmutable(mPath, Json.write(manifest))
+      catch { case _: java.io.IOException => () /* a racer published it */ }
     tl.archive(toArchive)
     Some(archiveTs)
   }

@@ -76,4 +76,17 @@ class DedupVerifyPathSpec extends AnyFunSuite {
     assert(viaArray === Set((1L, 3L, 1.0)))
     assert(viaExploded === viaArray)
   }
+
+  test("verify entry points reject a non-positive jaccard threshold") {
+    import spark.implicits._
+    // the two verify plans diverge at threshold <= 0 (the exploded inner
+    // join never materializes zero-intersection pairs) — the engine must
+    // refuse the parameter instead of silently picking a side
+    val docs = Seq((1L, "aaaaaaaaaabbbbbbbbbb"), (2L, "aaaaaaaaaabbbbbbbbbb"))
+      .toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException](
+      Dedup.ngramJaccardPairs(docs, "text", "doc_id", threshold = 0.0,
+        maxShingleDf = 100).collect())
+    assert(e.getMessage.contains("threshold"))
+  }
 }

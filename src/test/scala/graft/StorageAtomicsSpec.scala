@@ -72,4 +72,111 @@ class StorageAtomicsSpec extends AnyFunSuite {
     assert(st.fs.listStatus(st.tempDir).forall(!_.isFile),
       "staged meta temp file leaked after overwrite")
   }
+
+  test("claim heartbeat: refreshMarker refreshes mtime and detects a lost claim") {
+    val st = freshStorage()
+    val p = new Path(st.metaDir, "0005.compaction.inflight")
+    st.createImmutable(p, "tok-A")
+    assert(st.probeSetTimes(p), "local fs supports setTimes")
+    st.fs.setTimes(p, 1000L, -1)
+    assert(st.refreshMarker(p, "tok-A", canSetTimes = true))
+    assert(st.fs.getFileStatus(p).getModificationTime > 1000L,
+      "heartbeat must advance the marker mtime")
+    // foreign token: a breaker judged us crashed and re-claimed — the
+    // zombie owner must observe the loss, and must NOT clobber the new
+    // owner's marker
+    assert(!st.refreshMarker(p, "tok-B", canSetTimes = true))
+    assert(st.readString(p) === "tok-A")
+    // missing marker: execution completed and cleaned it — benign
+    st.delete(p)
+    assert(st.refreshMarker(p, "tok-A", canSetTimes = true))
+  }
+
+  test("claim heartbeat falls back to overwrite-refresh where setTimes is unsupported") {
+    val dir = Files.createTempDirectory("storage_nost_").toString
+    val conf = new Configuration()
+    conf.set("fs.nost.impl", classOf[NoSetTimesFileSystem].getName)
+    conf.set("fs.nost.impl.disable.cache", "true")
+    val st = new GraftStorage(new Path("nost:" + dir), conf)
+    st.fs.mkdirs(st.metaDir)
+    val p = new Path(st.metaDir, "0005.compaction.inflight")
+    st.createImmutable(p, "tok-A")
+    assert(!st.probeSetTimes(p), "probe must detect the unsupported setTimes")
+    val m0 = st.fs.getFileStatus(p).getModificationTime
+    Thread.sleep(50)
+    assert(st.refreshMarker(p, "tok-A", canSetTimes = false))
+    assert(st.fs.getFileStatus(p).getModificationTime > m0,
+      "overwrite-refresh must advance the marker mtime")
+    assert(st.readString(p) === "tok-A", "refresh must preserve the claim token")
+  }
+
+  test("read paths survive scan-only credentials: .new fallback without healing") {
+    val dir = Files.createTempDirectory("storage_deny_").toString
+    // fixture written through the normal local fs: only the .new sibling
+    // of an interrupted overwrite survived the crash
+    val local = new GraftStorage(new Path(dir), new Configuration())
+    local.fs.mkdirs(local.metaDir)
+    local.createImmutable(new Path(local.metaDir, "table_config.json.new"), "cfg-v2")
+    local.createImmutable(new Path(local.metaDir, "0001.commit.completed"), "{}")
+    val conf = new Configuration()
+    conf.set("fs.denyfs.impl", classOf[DenyMutationsFileSystem].getName)
+    conf.set("fs.denyfs.impl.disable.cache", "true")
+    val ro = new GraftStorage(new Path("denyfs:" + dir), conf)
+    // the heal rename is denied — the surviving sibling is read directly
+    assert(ro.readOverwritable(new Path(ro.metaDir, "table_config.json")) === "cfg-v2")
+    // the listing surfaces the orphan under its TARGET name (so loads
+    // resolve it via readOverwritable) instead of failing outright
+    val names = ro.listNames(ro.metaDir)
+    assert(names.contains("table_config.json"))
+    assert(names.contains("0001.commit.completed"))
+    assert(!names.exists(_.endsWith(".new")))
+    // and a marker that persists but cannot be refreshed reports loss
+    assert(!ro.refreshMarker(
+      new Path(ro.metaDir, "0001.commit.completed"), "{}", canSetTimes = false))
+  }
+
+  test("overwrite works via the .new-swap tier on a scheme without a FileContext binding") {
+    val dir = Files.createTempDirectory("storage_nost2_").toString
+    val conf = new Configuration()
+    conf.set("fs.nost.impl", classOf[NoSetTimesFileSystem].getName)
+    conf.set("fs.nost.impl.disable.cache", "true")
+    val st = new GraftStorage(new Path("nost:" + dir), conf)
+    st.fs.mkdirs(st.metaDir)
+    val p = new Path(st.metaDir, "table_config.json")
+    st.createImmutable(p, "v1")
+    st.overwrite(p, "v2")
+    assert(st.readString(p) === "v2")
+  }
+}
+
+/** Local filesystem whose setTimes is unsupported — the shape of several
+  * object-store connectors; drives the heartbeat's overwrite fallback and
+  * the non-FileContext overwrite tier.
+  */
+class NoSetTimesFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "nost"
+  override def getUri: java.net.URI = java.net.URI.create("nost:///")
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit =
+    throw new UnsupportedOperationException("setTimes is not supported")
+}
+
+/** Local filesystem that denies every mutation — the shape of scan-only
+  * credentials on an object store.
+  */
+class DenyMutationsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
+  override def getScheme: String = "denyfs"
+  override def getUri: java.net.URI = java.net.URI.create("denyfs:///")
+  private def deny[T]: T =
+    throw new java.io.IOException("permission denied (scan-only credentials)")
+  override def setTimes(p: Path, mtime: Long, atime: Long): Unit = deny
+  override def rename(src: Path, dst: Path): Boolean = deny
+  override def delete(p: Path, recursive: Boolean): Boolean = deny
+  override def mkdirs(p: Path,
+      perm: org.apache.hadoop.fs.permission.FsPermission): Boolean = deny
+  override def create(p: Path,
+      perm: org.apache.hadoop.fs.permission.FsPermission,
+      overwrite: Boolean, bufferSize: Int, replication: Short,
+      blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = deny
 }

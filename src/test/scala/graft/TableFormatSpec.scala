@@ -3263,6 +3263,36 @@ class TableFormatSpec extends AnyFunSuite {
     assert(expect.exceptAll(snap).count() === 0)
   }
 
+  test("vanished-group compaction keeps groups a newer racer appended deltas to") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    val small = orders.filter(col("o_orderkey") <= 512)
+    w.bulkInsert(small)
+    w.delete(small) // every row tombstoned: compacting now vanishes all groups
+    val svc = new TableServices(t, wc)
+    val planTs = svc.scheduleCompaction().get
+    // racer ABOVE the plan instant: re-upserting a tombstoned key tags back
+    // to its original group (the index scans raw file keys) and lands as a
+    // delta there. serviceConflict(olderOnly) rightly exempts it — but the
+    // publish must then NOT record that group as replaced, or the racer's
+    // committed row would silently drop out of every slice.
+    val revivedKey = small.select(min("o_orderkey")).head.getLong(0)
+    w.upsert(small.filter(col("o_orderkey") === revivedKey)
+      .withColumn("o_comment", lit("revived")))
+    assert(svc.executeCompaction(planTs).contains(planTs))
+    val compactMeta = t.timeline.metadataOf(
+      t.timeline.completedData.find(_.ts == planTs).get)
+    val snap = new GraftReadClient(t).snapshotData()
+    assert(snap.count() === 1)
+    assert(snap.head.getAs[String]("o_comment") === "revived")
+    // the revived group stayed out of replacedFileIds; all other vanished
+    // groups were replaced as usual
+    val keptGroups = t.view.latestSlices(None).map(_.fileId).toSet
+    assert(keptGroups.size === 1)
+    assert(!compactMeta.replacedFileIds.values.flatten.exists(keptGroups.contains))
+  }
+
   test("overwrite_non_defaults treats a user column starting with _g as data") {
     val path = tmp()
     val t = GraftTable.create(spark, path,
