@@ -1083,6 +1083,98 @@ object SparkEntry {
       s.read.format("graft").load(target).select(ordersCols.map(col): _*)
     }),
 
+    // Streaming SOURCE end-to-end: a graft-to-graft pipeline. The
+    // upstream table takes batch commits; readStream.format("graft")
+    // tails its timeline as incremental micro-batches — capped to ONE
+    // commit per batch so catch-up is genuinely multi-batch — upserting
+    // into a downstream graft table. The query is stopped and restarted
+    // on its checkpoint between the upstream waves; commit-count
+    // requires pin that the restart resumes from the checkpointed
+    // offset instead of replaying the backlog, and an idle restart adds
+    // nothing (ref: HoodieStreamSource.scala:49-190 offsets-as-instants).
+    "tf_stream_source" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (t, w, orders) = cowOrders("tf_stream_source_up", s, dir)
+      val target = freshDir("tf_stream_source", dir)
+      val ckpt = freshDir("tf_stream_source_ckpt", dir)
+      def runPipe(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("read.stream.maxInstantsPerBatch", "1")
+          .load(t.basePath)
+          .select(ordersCols.map(col): _*) // transform: drop meta columns
+          .writeStream.format("graft")
+          .option("checkpointLocation", ckpt)
+          .option("recordkey.field", "o_orderkey")
+          .option("partitionpath.field", "o_orderpriority")
+          .option("precombine.field", "o_totalprice")
+          .option("target.file.size", (4L * 1024 * 1024).toString)
+          .option("small.file.limit", (3L * 1024 * 1024).toString)
+          .trigger(Trigger.AvailableNow())
+          .start(target)
+        q.awaitTermination()
+      }
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 111.0))
+      runPipe() // two upstream commits -> exactly two capped micro-batches
+      require(GraftTable.load(s, target).timeline.completedData.size == 2,
+        "tf_stream_source: catch-up was not one micro-batch per commit")
+      // a wave landing while the stream is DOWN: the restart must sync
+      // ONLY it (a replayed backlog would add more than one commit)
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      runPipe()
+      val commits = GraftTable.load(s, target).timeline.completedData.size
+      require(commits == 3,
+        "tf_stream_source: restart did not resume from the checkpointed offset")
+      runPipe() // idle restart: no new upstream instants, no new commit
+      require(GraftTable.load(s, target).timeline.completedData.size == commits,
+        "tf_stream_source: idle restart added a commit")
+      s.read.format("graft").load(target).select(ordersCols.map(col): _*)
+    }),
+
+    // Streaming CDC source: the same timeline tailed as a CHANGE FEED
+    // (incremental.format=cdc) — downstream sees insert rows, update
+    // pre/post images and deletes rather than collapsed latest images.
+    // Restarted mid-backlog on its checkpoint; the file sink's manifest
+    // plus the source's instant offsets make the union of batches
+    // exactly the per-commit change sets (ref: the reference's
+    // hoodie.datasource.query.incremental.format=cdc streaming read).
+    // `_change_ordinal` is batch-relative under a capped stream, so only
+    // `_change_type` + data columns are asserted.
+    "tf_stream_cdc" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val (t, w, orders) = cowOrders("tf_stream_cdc_up", s, dir)
+      val out = freshDir("tf_stream_cdc", dir)
+      val ckpt = freshDir("tf_stream_cdc_ckpt", dir)
+      def runPipe(): Unit = {
+        val q = s.readStream.format("graft")
+          .option("incremental.format", "cdc")
+          .option("read.stream.maxInstantsPerBatch", "1")
+          .load(t.basePath)
+          .select((col("_change_type") +: ordersCols.map(col)): _*)
+          .writeStream.format("parquet")
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start(out)
+        q.awaitTermination()
+      }
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 4 === 1)
+        .withColumn("o_totalprice", col("o_totalprice") + 500.0))
+      runPipe() // bulk load emits inserts; the update wave pre+post images
+      // delete + insert land while the stream is DOWN; the restart
+      // resumes from the checkpointed offset and emits exactly their
+      // change rows
+      w.delete(orders.filter(col("o_orderkey") % 4 === 2)
+        .select("o_orderkey", "o_orderpriority"))
+      val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+      w.insert(orders.filter(col("o_orderkey") % 10 === 0)
+        .withColumn("o_orderkey", col("o_orderkey") + lit(maxKey + 1L)))
+      runPipe()
+      s.read.parquet(out)
+    }),
+
     // DFS ingest of a NESTED source through the flattening transformer:
     // record key, precombine AND partition path are all flattened struct
     // leaves, and a second batch's higher-precombine re-deliveries prove
@@ -1914,6 +2006,33 @@ object SparkEntry {
 
     "tf_stream" -> ordersSelect(
       "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_stream_source" -> ordersSelect(
+      "CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1000.0 " +
+        "WHEN o_orderkey % 5 = 0 THEN o_totalprice + 111.0 " +
+        "ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_stream_cdc" ->
+      """SELECT 'insert' AS _change_type,
+        |  o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |UNION ALL
+        |SELECT 'update_preimage', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 'update_postimage', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice + 500.0, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 1
+        |UNION ALL
+        |SELECT 'delete', o_orderkey, o_custkey, o_orderstatus,
+        |  o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 4 = 2
+        |UNION ALL
+        |SELECT 'insert',
+        |  o_orderkey + (SELECT max(o_orderkey) + 1 FROM orders),
+        |  o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 10 = 0""".stripMargin,
 
     "tf_incr_etl" -> ordersSelect(
       "CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 120.0 ELSE o_totalprice END AS o_totalprice"),

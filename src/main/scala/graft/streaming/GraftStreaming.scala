@@ -43,6 +43,14 @@ object GraftSourceOffset {
     case g: GraftSourceOffset => g
     case other                => GraftSourceOffset(other.json)
   }
+
+  /** V2 (admission-control) offsets deserialize the same way. */
+  def ofV2(
+      o: org.apache.spark.sql.connector.read.streaming.Offset): GraftSourceOffset =
+    o match {
+      case g: GraftSourceOffset => g
+      case other                => GraftSourceOffset(other.json)
+    }
 }
 
 final class GraftStreamingSink(
@@ -75,7 +83,8 @@ final class GraftStreamingSink(
 final class GraftStreamSource(
     sqlContext: SQLContext,
     path: String,
-    parameters: Map[String, String]) extends Source {
+    parameters: Map[String, String]) extends Source
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = sqlContext.sparkSession
   private def table = GraftTable.load(spark, path)
@@ -102,16 +111,13 @@ final class GraftStreamSource(
   private val maxInstants =
     parameters.get(GraftOptions.MaxInstantsPerBatch).map(_.toInt)
 
-  private def cappedEnd(t: GraftTable): Option[String] = {
+  private def cappedEnd(t: GraftTable, from: Option[String]): Option[String] = {
     val safe = t.timeline.safeIncrementalEnd
     maxInstants match {
       case None => safe
       case Some(n) =>
         require(n > 0, s"${GraftOptions.MaxInstantsPerBatch} must be > 0, got $n")
         safe.map { end =>
-          // the committed offset of the running query is not visible
-          // here; bound from the LAST batch's end that this source saw
-          val from = lastSeenEnd
           val window = t.timeline.completedData.map(_.ts)
             .filter(ts => from.forall(_ < ts) && ts <= end)
           if (window.size <= n) end else window.take(n).last
@@ -119,29 +125,61 @@ final class GraftStreamSource(
     }
   }
 
-  /** End offset of the last batch handed to getBatch — the stream's
-    * committed position (Spark replays getBatch(start=checkpointed)
-    * on restart, so this self-corrects after recovery).
-    */
-  @volatile private var lastSeenEnd: Option[String] = None
-
   /** Incremental-read schema: meta columns ++ data columns (tombstones
     * already dropped by the read); change-feed schema under cdc.
     */
   override def schema: StructType = GraftStreamSource.schemaOf(spark, path, cdc)
 
+  /** Admission control replaces [[getOffset]]: the engine hands the
+    * committed start offset in, so catch-up capping needs no self-kept
+    * position. Under Trigger.AvailableNow the end is additionally
+    * frozen at prepare time — batches drain the backlog in capped
+    * windows and the query terminates AT the frozen point even while
+    * new commits keep landing (same protocol as Spark's own
+    * FileStreamSource).
+    */
+  @volatile private var availableNowCap: Option[Option[String]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(table.timeline.safeIncrementalEnd)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def reportLatestOffset()
+      : org.apache.spark.sql.connector.read.streaming.Offset =
+    table.timeline.safeIncrementalEnd.map(GraftSourceOffset(_)).orNull
+
+  override def latestOffset(
+      startOffset: org.apache.spark.sql.connector.read.streaming.Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
+      : org.apache.spark.sql.connector.read.streaming.Offset = {
+    val t = table
+    val from = Option(startOffset).map(GraftSourceOffset.ofV2(_).ts)
+    val capped = cappedEnd(t, from)
+    // freeze at the prepared point under AvailableNow (an empty table at
+    // prepare time means: drain nothing)
+    val end = availableNowCap match {
+      case Some(prepared) =>
+        prepared.flatMap(p => capped.map(c => if (c < p) c else p))
+      case None => capped
+    }
+    end.filter(e => from.forall(_ < e)).map(GraftSourceOffset(_)).orNull
+  }
+
+  /** Legacy pull path — not called once SupportsAdmissionControl is
+    * detected, kept for completeness: the hollow-commit guard inside
+    * safeIncrementalEnd never advances past the earliest pending writer
+    * instant, whose commit would otherwise complete BELOW later instants
+    * and be skipped forever.
+    */
   override def getOffset: Option[V1Offset] =
-    // hollow-commit guard: never advance past the earliest pending
-    // writer instant — its commit will complete BELOW later instants
-    // and a passed-over offset would skip it forever
-    cappedEnd(table).map(GraftSourceOffset(_))
+    cappedEnd(table, None).map(GraftSourceOffset(_))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")
     val endTs = GraftSourceOffset.of(end).ts
-    // on restart Spark replays getBatch with the recovered window before
-    // calling getOffset again, so this also re-seeds the catch-up cap
-    lastSeenEnd = Some((lastSeenEnd.toSeq :+ endTs).max)
     val read = new GraftReadClient(table)
     val df = if (cdc) read.changes(begin, Some(endTs))
              else read.incremental(begin, Some(endTs))
