@@ -161,14 +161,15 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     * into one synthetic instant per original write instant (parsed from
     * the file names — collapsing them all under the archive ts would
     * break MOR base-vs-delta ordering: latestSlices keeps deltas only
-    * when delta ts > base ts). MEMOIZED by manifest name: at 100 TB
-    * (~10⁶ live files of ~120 MB) the manifest is a few hundred MB of
-    * JSON and parsing it costs ~10 s — paying that on EVERY view build
-    * (several per write/read) would dominate planning, while the
-    * manifest itself changes only at archive time. Manifests are
-    * immutable once written, so name-keyed memoization is always
-    * consistent; a new archive publishes a new name and naturally
-    * invalidates.
+    * when delta ts > base ts). MEMOIZED by manifest name: even with the
+    * parquet manifest format (ArchiveManifest — a distributed columnar
+    * load instead of the legacy ~10 s / ~260 MB JSON parse at the 100 TB
+    * shape), paying the load on EVERY view build (several per
+    * write/read) would dominate planning, while the manifest itself
+    * changes only at archive time. Manifests are immutable once written
+    * (ArchiveManifest.write keeps a prior attempt's bytes), so
+    * name-keyed memoization is always consistent; a new archive
+    * publishes a new name and naturally invalidates.
     */
   @volatile private var manifestCache
       : (String, Seq[(GraftInstant, GraftCommitMetadata)]) = null
@@ -176,8 +177,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       name: String): Seq[(GraftInstant, GraftCommitMetadata)] = {
     val cached = manifestCache
     if (cached != null && cached._1 == name) return cached._2
-    val meta = Json.readCommitMetadata(
-      storage.readOverwritable(new Path(storage.archiveDir, name)))
+    val meta = ArchiveManifest.read(spark, storage, name)
     val expanded = meta.files
       .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
       .toSeq.sortBy(_._1)

@@ -1128,16 +1128,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     if (!table.storage.fs.exists(table.storage.archiveDir))
       table.storage.fs.mkdirs(table.storage.archiveDir)
     // manifests are IMMUTABLE once published (expandedManifest memoizes
-    // by name): a crashed-then-retried archive at the same boundary must
-    // KEEP the prior attempt's manifest, never replace its bytes — a
+    // by name): a crashed-then-retried archive at the same boundary
+    // KEEPS the prior attempt's manifest, never replaces its bytes — a
     // clean that ran between the attempts would otherwise change the
     // content under a name other processes may have cached. The older
     // content stays consistent because clean/rollback deletions are
     // applied to every view UNCAPPED (see viewAt).
-    val mPath = new Path(table.storage.archiveDir, s"$archiveTs.manifest")
-    if (!table.storage.exists(mPath))
-      try table.storage.createImmutable(mPath, Json.write(manifest))
-      catch { case _: java.io.IOException => () /* a racer published it */ }
+    graft.core.ArchiveManifest.write(spark, table.storage, archiveTs, manifest)
     tl.archive(toArchive)
     Some(archiveTs)
   }

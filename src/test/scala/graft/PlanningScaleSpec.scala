@@ -146,4 +146,69 @@ class PlanningScaleSpec extends AnyFunSuite {
     val want = orders.agg(sum(col("o_totalprice") + 4)).head.getDouble(0)
     assert(math.abs(got - want) < 1e-6)
   }
+
+  /** 1M file entries shaped like synthView's 100 TB table. */
+  private def synthManifestFiles(): Seq[WriteFileInfo] =
+    (0 until 10000).flatMap { p =>
+      (0 until 100).map { g =>
+        val fid = s"g${p}_$g"
+        WriteFileInfo(s"p=$p", fid, s"${fid}_20260101000000100.parquet",
+          100000L, 120L * 1000 * 1000, isDelta = false,
+          minKey = "k0", maxKey = "k9",
+          colStats = Map("o_custkey" -> Seq("1", "99999")),
+          colNulls = Map("o_custkey" -> 0L))
+      }
+    }
+
+  test("COLD archive-manifest load at the 1M-file shape is seconds, not tens") {
+    val dir = Files.createTempDirectory("graft_planscale_cold_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "psc", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val ts = "20260101000000200"
+    val meta = GraftCommitMetadata(ts, GraftAction.Commit, "manifest",
+      files = synthManifestFiles())
+    val (_, tWrite) = time(
+      ArchiveManifest.write(spark, t.storage, ts, meta))
+    val name = t.storage.listNames(t.storage.archiveDir)
+      .filter(_.endsWith(".manifest")).sorted.last
+
+    // a FRESH table handle has a cold memo — this is the per-process
+    // first-touch cost the parquet format exists to cut (the legacy
+    // single-JSON parse measured ~10 s at this shape)
+    val t2 = GraftTable.load(spark, dir)
+    val (expanded, tCold) = time(t2.expandedManifest(name))
+    assert(expanded.map(_._2.files.size).sum === 1000000)
+    info(f"1M-entry manifest: write $tWrite%.2f s, cold load $tCold%.2f s")
+    assert(tCold < 4.0,
+      f"cold 1M-entry manifest load took $tCold%.2f s (bound 4 s; legacy JSON was ~10 s)")
+
+    // warm: memoized, same object
+    assert(t2.expandedManifest(name) eq expanded)
+  }
+
+  test("legacy single-JSON manifests stay readable next to the parquet format") {
+    val dir = Files.createTempDirectory("graft_planscale_legacy_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "psl", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val files = Seq(WriteFileInfo("p=0", "g0", "g0_20260101000000100.parquet",
+      10L, 1000L, isDelta = false))
+    val meta = GraftCommitMetadata("20260101000000200", GraftAction.Commit,
+      "manifest", files = files, schemaJson = "")
+    // a manifest written by an older version: ONE json document, files inline
+    t.storage.fs.mkdirs(t.storage.archiveDir)
+    t.storage.createImmutable(
+      new org.apache.hadoop.fs.Path(t.storage.archiveDir,
+        "20260101000000200.manifest"),
+      Json.write(meta))
+    val loaded = ArchiveManifest.read(spark, t.storage, "20260101000000200.manifest")
+    assert(loaded.files === files)
+    assert(t.expandedManifest("20260101000000200.manifest")
+      .map(_._2.files.size).sum === 1)
+  }
 }
