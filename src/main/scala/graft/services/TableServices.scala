@@ -439,7 +439,17 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
       claim.ensureLive()
       val written = publishCompacted(staging, ts)
+      TableServices.prePublishHook()
       withCommitLock {
+        // plan liveness, re-checked under the lock: a rollback/restore
+        // that ran while this execution was in flight DISCARDED the plan
+        // (its inputs were undone) — publishing anyway would resurrect
+        // rolled-back rows into a fresh commit. The requested marker is
+        // the liveness token; rollback's discard happens under this same
+        // lock, so the two can never interleave.
+        if (!table.storage.exists(reqPath))
+          abortConflicted("compact", ts, written,
+            "a rollback/restore that discarded the plan")
         if (wc.occEnabled) {
           val touched = chosen.map(s => (s.partition, s.fileId)).toSet
           serviceConflict(baseSeen, ts, touched, olderOnly = true)
@@ -675,7 +685,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
       claim.ensureLive()
       val written = publishUngrouped(staging, ts)
+      TableServices.prePublishHook()
       withCommitLock {
+        // same plan-liveness re-check as executeCompaction: a concurrent
+        // rollback/restore discards plans whose inputs it undid
+        if (!table.storage.exists(reqPath))
+          abortConflicted("cluster", ts, written,
+            "a rollback/restore that discarded the plan")
         if (wc.occEnabled) {
           val touched = chosen.map(s => (s.partition, s.fileId)).toSet
           serviceConflict(baseSeen, ts, touched, olderOnly = false)
@@ -788,6 +804,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   }
 
   private def cleanCandidates(retainCommits: Int): Seq[WriteFileInfo] = {
+    // retaining ZERO commit views would make even the current state a
+    // cleaning candidate (and indexed past the timeline end) — the
+    // reference's cleaner has the same >= 1 floor
+    require(retainCommits >= 1, s"clean must retain >= 1 commits, got $retainCommits")
     val tl = table.timeline
     val dataCommits = tl.completedData
     if (dataCommits.size <= retainCommits) return Seq.empty
@@ -931,17 +951,31 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val plan = Json.readCleanPlan(table.storage.readString(reqPath))
     val claim = claimInflight(requested).getOrElse(return None)
     try {
-      // small cleans delete driver-side; large ones fan out over executors
-      GraftWriteClient.executeDeletes(spark, table.storage,
-        plan.files.map { pf =>
-          val i = pf.lastIndexOf('/')
-          table.storage.dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
-        })
-      claim.ensureLive()
-      tl.transitionToCompleted(claim.instant, GraftCommitMetadata(
-        instant = planTs, action = GraftAction.Clean, operation = plan.operation,
-        deletedFiles = plan.files))
-      Some(planTs)
+      TableServices.prePublishHook()
+      // Unlike compaction/clustering, the DELETES are the harmful action
+      // here, so they sit inside the commit lock next to the publish: a
+      // rollback/restore changes which file version is LATEST per group,
+      // discards pending clean plans (under this same lock), and a stale
+      // plan executing anyway would delete files that are current again.
+      withCommitLock {
+        if (!table.storage.exists(reqPath)) None
+        else {
+          // small cleans delete driver-side; large ones fan out over
+          // executors
+          GraftWriteClient.executeDeletes(spark, table.storage,
+            plan.files.map { pf =>
+              val i = pf.lastIndexOf('/')
+              table.storage.dataFilePath(
+                pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
+            })
+          claim.ensureLive()
+          tl.transitionToCompleted(claim.instant, GraftCommitMetadata(
+            instant = planTs, action = GraftAction.Clean,
+            operation = plan.operation,
+            deletedFiles = plan.files))
+          Some(planTs)
+        }
+      }
     } finally claim.close()
   }
 
@@ -973,7 +1007,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * from the timeline. Only the latest data instant (or a pending one)
     * can be rolled back.
     */
-  def rollback(instantTs: String): String = {
+  def rollback(instantTs: String): String = withCommitLock {
+    // under the commit lock so the plan-discard below can never
+    // interleave with a racing service's [plan-liveness re-check +
+    // publish] section — without it a mid-flight compaction could
+    // publish a base folded from the deltas this rollback deletes
     val tl = table.timeline
     val target = tl.instants.filter(_.ts == instantTs)
     require(target.nonEmpty, s"unknown instant $instantTs")
@@ -992,6 +1030,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         table.storage.delete(table.storage.bloomSidecar(instantTs), recursive = true)
         // pending service plans whose inputs just vanished are dead
         discardPlansReferencing(deleted.toSet)
+        // pending CLEAN plans die wholesale: the undo changes which file
+        // version is LATEST per touched group, so a plan computed before
+        // it may now target files that are current again. Clean targets
+        // OLD versions — never this commit's own files — so reference
+        // matching cannot catch this; re-scheduling is cheap.
+        tl.pending.filter(_.action == GraftAction.Clean)
+          .foreach(tl.deleteInstant)
       case _ => // pending instant: wipe staging only
         table.storage.delete(
           new Path(table.storage.tempDir, instantTs), recursive = true)
@@ -1138,4 +1183,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     tl.archive(toArchive)
     Some(archiveTs)
   }
+}
+
+object TableServices {
+  /** Test-only fault-injection seam: runs between a service's staging
+    * work and its locked publish section, the exact window where a
+    * concurrent rollback/restore can discard the plan mid-execution.
+    * Deterministic interleaving for the specs; a no-op in production.
+    */
+  private[graft] var prePublishHook: () => Unit = () => ()
 }

@@ -47,7 +47,7 @@ class AsyncServicesSpec extends AnyFunSuite {
     rows.toDF("k", "p", "v", "ord")
   }
 
-  private def runWalk(seed: Long): Unit = {
+  private def runWalk(seed: Long, cluster: Boolean = false): Unit = {
     val rnd = new Random(seed)
     val src = tmp() + "/src"
     val tgt = tmp() + "/tgt"
@@ -58,7 +58,15 @@ class AsyncServicesSpec extends AnyFunSuite {
       GraftOptions.TableType -> "mor",
       GraftOptions.LockProviderKey -> "jvm",
       // the writer does NO inline maintenance — the async thread owns it
-      GraftOptions.InlineCompactDeltaCommits -> "0")
+      GraftOptions.InlineCompactDeltaCommits -> "0") ++
+      // the clustered walk needs MULTIPLE small delta-free groups per
+      // partition or scheduleClustering never finds a consolidation
+      // worth planning: a tiny target fans the bin-pack out into many
+      // one-or-two-record groups for the service to merge back
+      (if (cluster) Map(
+        GraftOptions.TargetFileSize -> "1024",
+        GraftOptions.SmallFileLimit -> "524288")
+      else Map.empty)
     val cfg = IngestConfig(sourcePath = src, targetPath = tgt, tableOptions = opts)
     val parts = Seq("a", "b", "c")
     val ordGen = new java.util.concurrent.atomic.AtomicLong(0L)
@@ -85,6 +93,11 @@ class AsyncServicesSpec extends AnyFunSuite {
     // the ingest loop's contract, like the reference DeltaStreamer's, is
     // to retry the round: the checkpoint never advanced, so the retry
     // re-reads the same source batch.
+    // The clustered walk needs a bigger budget: clustering replace-commits
+    // conflict with EVERY racing writer on a chosen group, and this walk
+    // deliberately re-clusters far more often than any production cadence
+    // (a per-poll cycle vs minutes/hours), so back-to-back losses happen.
+    val retryBudget = if (cluster) 20 else 8
     def syncRound(): Int = {
       var attempts = 0
       var out = -1
@@ -93,7 +106,8 @@ class AsyncServicesSpec extends AnyFunSuite {
         catch {
           case e: graft.write.ConcurrentWriteConflictException =>
             attempts += 1
-            assert(attempts <= 8, s"sync gave up after 8 conflict retries: $e")
+            assert(attempts <= retryBudget,
+              s"sync gave up after $retryBudget conflict retries: $e")
         }
       }
       out
@@ -105,7 +119,13 @@ class AsyncServicesSpec extends AnyFunSuite {
     val table = GraftTable.load(spark, tgt)
     val wc = GraftOptions.writeConfig(opts).copy(cleanRetainCommits = 6)
     val async = new AsyncTableServices(
-      table, wc, compact = true, clean = true, pollMs = 5L).start()
+      table, wc, compact = true, cluster = cluster, clean = true,
+      // clustering must cycle SLOWER than a sync round or the writer
+      // starves outright — every cycle re-clusters the tiny groups and
+      // each replace invalidates the racing round. 1.5s vs ~1s syncs
+      // still interleaves a clustering into roughly every other round
+      // (production cadence is minutes/hours vs minute-scale syncs)
+      pollMs = if (cluster) 1500L else 5L).start()
     try {
       val rounds = 10
       (2 to rounds + 1).foreach { r =>
@@ -126,6 +146,8 @@ class AsyncServicesSpec extends AnyFunSuite {
       .map(i => table.timeline.metadataOf(i).operation)
     assert(ops.contains("compact"),
       s"async thread never compacted (ops=${ops.distinct.mkString(",")})")
+    if (cluster) assert(ops.contains("cluster"),
+      s"async thread never clustered (ops=${ops.distinct.mkString(",")})")
 
     // snapshot == model, exactly
     val snap = spark.read.format("graft").load(tgt)
@@ -144,6 +166,16 @@ class AsyncServicesSpec extends AnyFunSuite {
   }
 
   test("async compact+clean race continuous ingest; snapshot stays model-exact") {
-    seeds(9001L).foreach(runWalk)
+    seeds(9001L).foreach(runWalk(_))
+  }
+
+  // Clustering is the highest-conflict service: its replace-commits kill
+  // whole groups, so EVERY racing writer on a chosen group conflicts
+  // (serviceConflict olderOnly=false) and the ingest loop's
+  // retry-on-conflict carries the round — the reference's
+  // SparkRejectUpdateStrategy shape. The model must stay exact through
+  // group ids changing under the writer's index between rounds.
+  test("async compact+CLUSTER+clean race continuous ingest; snapshot stays model-exact") {
+    seeds(7001L).foreach(runWalk(_, cluster = true))
   }
 }
