@@ -126,6 +126,14 @@ final case class DatePartitionConfig(
   * @param avroConfluentWireFormat values carry the Confluent 5-byte
   *                         header (magic + schema id) before the datum —
   *                         stripped per [[AvroDecode.decodeFrame]]
+  * @param schemaRegistryUrl with `format = "avro"` and no explicit
+  *                         `avroSchemaJson`: resolve the writer schema
+  *                         from a Confluent-compatible registry by the
+  *                         id embedded in the batch's first framed value
+  *                         (implies `avroConfluentWireFormat`; ref:
+  *                         SchemaRegistryProvider.java). One writer
+  *                         schema per batch, the same contract as the
+  *                         reference's provider
   */
 final case class KafkaPayloadConfig(
     valueSchemaDdl: String,
@@ -134,7 +142,8 @@ final case class KafkaPayloadConfig(
     dropUndecodable: Boolean = false,
     format: String = "json",
     avroSchemaJson: Option[String] = None,
-    avroConfluentWireFormat: Boolean = false)
+    avroConfluentWireFormat: Boolean = false,
+    schemaRegistryUrl: Option[String] = None)
 
 object KafkaPayloadConfig {
   /** Avro-value frame config (ref: AvroKafkaSource.java:49). */
@@ -239,10 +248,24 @@ object IngestRunner {
     require(df.columns.contains("value"),
       s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
     if (cfg.format == "avro") {
-      val schema = cfg.avroSchemaJson.getOrElse(sys.error(
-        "format=avro needs avroSchemaJson (see AvroDecode.schemaFromFile)"))
+      val schema = cfg.avroSchemaJson
+        .orElse(cfg.schemaRegistryUrl.map { url =>
+          // fetch-by-id seam: the Confluent frame's first value names its
+          // writer schema; ids are immutable so the fetch memoizes. One
+          // driver-side limit(1) job — the id, not the data, is needed
+          val first = df.select("value").limit(1).collect()
+          require(first.nonEmpty,
+            "cannot resolve a registry schema id from an empty batch; " +
+              "set avroSchemaJson for empty-batch tolerance")
+          SchemaRegistryProvider.fetchById(url,
+            SchemaRegistryProvider.wireSchemaId(first.head.getAs[Array[Byte]](0)))
+        })
+        .getOrElse(sys.error(
+          "format=avro needs avroSchemaJson (see AvroDecode.schemaFromFile) " +
+            "or schemaRegistryUrl"))
       return AvroDecode.decodeFrame(df, schema, cfg.keepMetaColumns,
-        cfg.dropUndecodable, cfg.avroConfluentWireFormat)
+        cfg.dropUndecodable,
+        cfg.avroConfluentWireFormat || cfg.schemaRegistryUrl.nonEmpty)
     }
     val parsed = "_g_kafka_parsed"
     val corrupt = "_g_kafka_corrupt"

@@ -1,0 +1,70 @@
+package graft.utilities
+
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets
+
+import org.json4s.DefaultFormats
+import org.json4s.jackson.JsonMethods
+
+/** Confluent-compatible schema-registry client for Kafka Avro ingest
+  * (ref: hudi-utilities/src/main/java/org/apache/hudi/utilities/schema/
+  * SchemaRegistryProvider.java — the reference fetches the source schema
+  * over the registry's REST API; we add the fetch-BY-ID path the
+  * Confluent wire format enables, since every framed value already
+  * carries its writer-schema id).
+  *
+  * Endpoints (the registry's stable REST contract):
+  *  - `GET {url}/schemas/ids/{id}`                 → `{"schema": "<avro json>"}`
+  *  - `GET {url}/subjects/{subject}/versions/latest` → `{..., "schema": "..."}`
+  *
+  * By-id responses are memoized per (url, id) — registry ids are
+  * immutable, so the cache can never go stale; `latest` is never cached.
+  * Driver-side only: the resolved schema JSON is what ships to executors
+  * (AvroDecode), exactly like a file-provided schema.
+  */
+object SchemaRegistryProvider {
+
+  private val byId =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), String]()
+
+  /** Writer schema for a registry id. */
+  def fetchById(registryUrl: String, id: Int): String =
+    byId.computeIfAbsent((registryUrl, id),
+      _ => schemaOf(httpGet(s"${registryUrl.stripSuffix("/")}/schemas/ids/$id")))
+
+  /** Latest registered schema of a subject (the reference provider's
+    * shape — `{subject}-value` for a topic's values).
+    */
+  def fetchLatestBySubject(registryUrl: String, subject: String): String =
+    schemaOf(httpGet(
+      s"${registryUrl.stripSuffix("/")}/subjects/$subject/versions/latest"))
+
+  /** Schema id embedded in one Confluent-framed value:
+    * magic byte 0 + 4-byte big-endian id before the Avro datum.
+    */
+  def wireSchemaId(value: Array[Byte]): Int = {
+    require(value != null && value.length >= 5 && value(0) == 0,
+      "value is not Confluent-wire-framed (expect magic 0 + 4-byte schema id)")
+    ByteBuffer.wrap(value, 1, 4).getInt
+  }
+
+  private def schemaOf(body: String): String = {
+    implicit val fmt: DefaultFormats = DefaultFormats
+    (JsonMethods.parse(body) \ "schema").extract[String]
+  }
+
+  private def httpGet(url: String): String = {
+    val conn = new java.net.URI(url).toURL.openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("GET")
+    conn.setConnectTimeout(10000)
+    conn.setReadTimeout(10000)
+    try {
+      require(conn.getResponseCode == 200,
+        s"schema registry GET $url -> HTTP ${conn.getResponseCode}")
+      val in = conn.getInputStream
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    } finally conn.disconnect()
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import java.net.InetSocketAddress
+import java.nio.ByteBuffer
+import java.util.concurrent.atomic.AtomicInteger
+
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.utilities.{IngestRunner, KafkaPayloadConfig, SchemaRegistryProvider}
+
+/** Kafka Avro ingest resolving its writer schema from a Confluent-
+  * compatible schema registry (ref: hudi-utilities/.../schema/
+  * SchemaRegistryProvider.java), against a stub HTTP server implementing
+  * the registry's REST contract. Proves: the schema id is read from the
+  * wire frame, the by-id fetch resolves and MEMOIZES (ids are immutable),
+  * the decoded batch is exact, and the subject/latest endpoint works.
+  */
+class SchemaRegistrySpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[2]")
+    .appName("graft-schema-registry-test")
+    .config("spark.sql.shuffle.partitions", "2")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val schemaJson =
+    """{"type":"record","name":"Evt","fields":[
+      |  {"name":"id","type":"long"},
+      |  {"name":"name","type":"string"},
+      |  {"name":"score","type":"double"}
+      |]}""".stripMargin
+
+  /** One Confluent-framed Avro value: magic 0 + 4-byte BE id + datum. */
+  private def frame(schemaId: Int, id: Long, name: String, score: Double): Array[Byte] = {
+    import org.apache.avro.Schema
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    import org.apache.avro.io.EncoderFactory
+    val schema = new Schema.Parser().parse(schemaJson)
+    val rec = new GenericData.Record(schema)
+    rec.put("id", id); rec.put("name", name); rec.put("score", score)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(0)
+    out.write(ByteBuffer.allocate(4).putInt(schemaId).array())
+    val enc = EncoderFactory.get().binaryEncoder(out, null)
+    new GenericDatumWriter[GenericRecord](schema).write(rec, enc)
+    enc.flush()
+    out.toByteArray
+  }
+
+  /** Stub registry: /schemas/ids/{id} and /subjects/{s}/versions/latest,
+    * counting hits so the memoization is observable.
+    */
+  private def withStubRegistry[T](schemaId: Int)(f: (String, AtomicInteger) => T): T = {
+    val hits = new AtomicInteger(0)
+    val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
+    def reply(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b)
+      ex.close()
+    }
+    val escaped = org.json4s.jackson.JsonMethods.compact(
+      org.json4s.JString(schemaJson))
+    server.createContext("/", (ex: HttpExchange) => {
+      val path = ex.getRequestURI.getPath
+      if (path == s"/schemas/ids/$schemaId") {
+        hits.incrementAndGet()
+        reply(ex, 200, s"""{"schema": $escaped}""")
+      } else if (path == "/subjects/evt-value/versions/latest")
+        reply(ex, 200,
+          s"""{"subject": "evt-value", "version": 3, "id": $schemaId, "schema": $escaped}""")
+      else reply(ex, 404, """{"error_code": 40403, "message": "not found"}""")
+    })
+    server.start()
+    try f(s"http://127.0.0.1:${server.getAddress.getPort}", hits)
+    finally server.stop(0)
+  }
+
+  test("kafka avro frames decode with the writer schema fetched by wire id") {
+    import spark.implicits._
+    // a FRESH id per test run: the provider memoizes per (url, id) in a
+    // process-wide cache, and the url's port changes per stub instance
+    val schemaId = 700000 + scala.util.Random.nextInt(10000)
+    withStubRegistry(schemaId) { (url, hits) =>
+      val frames = (1L to 5L).map(i =>
+        (s"t", 0, i, frame(schemaId, i, s"n$i", i * 1.5)))
+        .toDF("topic", "partition", "offset", "value")
+      val cfg = KafkaPayloadConfig("", format = "avro",
+        schemaRegistryUrl = Some(url))
+      val decoded = IngestRunner.decodeKafkaFrame(frames, cfg)
+      val rows = decoded.select("id", "name", "score", "_kafka_offset")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+        .sortBy(_._1)
+      assert(rows.toSeq === (1L to 5L).map(i => (i, s"n$i", i * 1.5)))
+      assert(hits.get() === 1, "by-id fetch must happen exactly once")
+      // a second batch with the same id resolves from the memo — zero
+      // additional registry traffic
+      val more = Seq(("t", 0, 9L, frame(schemaId, 9L, "n9", 0.5)))
+        .toDF("topic", "partition", "offset", "value")
+      assert(IngestRunner.decodeKafkaFrame(more, cfg).count() === 1)
+      assert(hits.get() === 1, "memoized id must not re-fetch")
+    }
+  }
+
+  test("subject/latest endpoint and wire-frame guards") {
+    val schemaId = 710000 + scala.util.Random.nextInt(10000)
+    withStubRegistry(schemaId) { (url, _) =>
+      val latest = SchemaRegistryProvider.fetchLatestBySubject(url, "evt-value")
+      assert(new org.apache.avro.Schema.Parser().parse(latest).getName === "Evt")
+      // unknown id -> loud HTTP failure, not a silent fallback
+      val e = intercept[IllegalArgumentException](
+        SchemaRegistryProvider.fetchById(url, schemaId + 1))
+      assert(e.getMessage.contains("404"))
+    }
+    // non-framed bytes must be rejected before any fetch
+    intercept[IllegalArgumentException](
+      SchemaRegistryProvider.wireSchemaId(Array[Byte](1, 2, 3)))
+  }
+}
