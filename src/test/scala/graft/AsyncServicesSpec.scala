@@ -29,6 +29,7 @@ import graft.utilities.{IngestConfig, IngestRunner}
 class AsyncServicesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-async-services-test")
     .config("spark.sql.shuffle.partitions", "4")

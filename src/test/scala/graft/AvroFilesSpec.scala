@@ -19,6 +19,7 @@ import graft.utilities.{AvroDecode, IngestConfig, IngestRunner}
 class AvroFilesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-avro-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -25,6 +25,7 @@ import graft.utilities.{IngestConfig, IngestRunner}
 class CrossProcessServicesSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-crossproc-services-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -19,6 +19,7 @@ import graft.operators.Dedup
 class DedupVerifyPathSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-dedup-path-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -24,6 +24,7 @@ object HiveSyncChildProcess {
   def main(args: Array[String]): Unit = {
     val Array(workDir) = args
     val spark = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .master("local[2]")
       .appName("graft-hive-sync-child")
       .config("spark.sql.catalogImplementation", "hive")

@@ -30,6 +30,7 @@ case class IngestWalkRow(k: Long, p: String, v: Double, ord: Long)
 class IngestModelSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-ingest-walk")
     .config("spark.sql.shuffle.partitions", "4")

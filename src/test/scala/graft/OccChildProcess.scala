@@ -17,6 +17,7 @@ object OccChildProcess {
   def main(args: Array[String]): Unit = {
     val Array(tablePath, gateDir, marker, partition) = args
     val spark = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .master("local[2]")
       .appName("graft-occ-child")
       .config("spark.sql.shuffle.partitions", "2")

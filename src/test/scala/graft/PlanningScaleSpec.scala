@@ -37,6 +37,7 @@ import graft.write.{GraftWriteClient, WriteConfig}
 class PlanningScaleSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-planning-scale-test")
     .config("spark.sql.shuffle.partitions", "4")

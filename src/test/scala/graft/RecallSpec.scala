@@ -36,6 +36,7 @@ import graft.operators.Similarity
 class RecallSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-recall-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -33,6 +33,7 @@ import graft.write.{GraftWriteClient, WriteConfig}
 class RestoreRaceSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[4]")
     .appName("graft-restore-race-test")
     .config("spark.sql.shuffle.partitions", "4")

@@ -20,6 +20,7 @@ import graft.utilities.{IngestRunner, KafkaPayloadConfig, SchemaRegistryProvider
 class SchemaRegistrySpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .master("local[2]")
     .appName("graft-schema-registry-test")
     .config("spark.sql.shuffle.partitions", "2")

@@ -20,6 +20,7 @@ object ServiceRunnerChildProcess {
   def main(args: Array[String]): Unit = {
     val Array(tablePath, stopFile, statusFile) = args
     val spark = SparkSession.builder()
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
       .master("local[2]")
       .appName("graft-service-runner-child")
       .config("spark.sql.shuffle.partitions", "2")
