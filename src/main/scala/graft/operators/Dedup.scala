@@ -89,6 +89,21 @@ object Dedup {
     sys.props.get("graft.dedup.array.verify.max.elements")
       .map(_.toLong).getOrElse(1000000000L)
 
+  /** Peak-shuffle bound of the exploded verify: above this many
+    * in-flight elements the candidate pairs split into sequential
+    * CHUNKS, each chunk's shuffle files reclaimed (lineage truncated +
+    * ContextCleaner) before the next starts — so peak disk is bounded
+    * by the chunk size no matter how cluster-quadratic the pair volume
+    * gets. 2.5e9 elements ≈ 75 GB shuffle+sort-spill, measured to fit
+    * this node class (the sf3 bench ran 2.2B single-shot inside it;
+    * sf10's 7.3B single-shot overflowed the local disk). Nodes with
+    * TB-class local disk can raise it and get the one-plan shape back;
+    * overridable so tests can force multi-chunk runs on tiny corpora.
+    */
+  private def ExplodedChunkElements: Long =
+    sys.props.get("graft.dedup.exploded.verify.chunk.elements")
+      .map(_.toLong).getOrElse(2500000000L)
+
   /** Exact-Jaccard verification of candidate pairs: join the shingle sets
     * back and compute |A∩B| / |A∪B|. Touches candidate pairs only.
     *
@@ -146,8 +161,9 @@ object Dedup {
         greatest(col("n_a"), col("n_b")) >= threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cand.select("id_a", "id_b")
-    val hint =
-      if (cand.count() < BroadcastCandidateLimit) broadcast(pairs) else pairs
+    val bcastPairs = cand.count() < BroadcastCandidateLimit
+    def hintOf(p: DataFrame): DataFrame = if (bcastPairs) broadcast(p) else p
+    val hint = hintOf(pairs)
     // In-flight element volume Σ_pairs (n_a + n_b), from the already-
     // materialized pair stats (one tiny agg over the persisted list).
     // Both verify paths move this many 8-byte hashes; what differs is
@@ -176,18 +192,46 @@ object Dedup {
         // EXPLODED path: scalar rows end-to-end, partitions sized to
         // ~3M elements per task — spills gracefully where the array
         // path's per-task footprint would exhaust the execution pool
-        val joinParts = math.max(defaultPar,
-          math.min(65536L, expectedRows / 3000000L + 1L).toInt)
-        val joinKeys = Seq(col("id_a"), col("id_b"), col("h"))
-        val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
-          .select(col("id"), xxhash64(col("s")).as("h"))
-        val aSide = hashed.select(col("id").as("id_a"), col("h")).join(hint, "id_a")
-          .repartition(joinParts, joinKeys: _*)
-        val bSide = hashed.select(col("id").as("id_b"), col("h")).join(hint, "id_b")
-          .repartition(joinParts, joinKeys: _*)
-        aSide.join(bSide, Seq("id_a", "id_b", "h"))
-          .groupBy("id_a", "id_b")
-          .agg(count(lit(1)).as("inter"))
+        def explodedInter(pairHint: DataFrame, vol: Long): DataFrame = {
+          val joinParts = math.max(defaultPar,
+            math.min(65536L, vol / 3000000L + 1L).toInt)
+          val joinKeys = Seq(col("id_a"), col("id_b"), col("h"))
+          val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
+            .select(col("id"), xxhash64(col("s")).as("h"))
+          val aSide = hashed.select(col("id").as("id_a"), col("h"))
+            .join(pairHint, "id_a")
+            .repartition(joinParts, joinKeys: _*)
+          val bSide = hashed.select(col("id").as("id_b"), col("h"))
+            .join(pairHint, "id_b")
+            .repartition(joinParts, joinKeys: _*)
+          aSide.join(bSide, Seq("id_a", "id_b", "h"))
+            .groupBy("id_a", "id_b")
+            .agg(count(lit(1)).as("inter"))
+        }
+        val chunks = math.min(64L,
+          (expectedRows + ExplodedChunkElements - 1) / ExplodedChunkElements).toInt
+        if (chunks <= 1) explodedInter(hint, expectedRows)
+        else {
+          // SEQUENTIAL pair-chunks: the exploded plan's shuffle is
+          // Σ(n_a+n_b) rows on local disk; past the chunk bound that
+          // exceeds a node's shuffle capacity, so the pair list splits
+          // by hash and each chunk materializes (localCheckpoint
+          // truncates lineage) before the next runs — the dropped
+          // shuffle dependencies become reclaimable, bounding PEAK disk
+          // at one chunk. Wall-clock is the same total work serialized;
+          // results are identical because pair chunks are disjoint and
+          // the per-pair intersection never crosses pairs.
+          val perChunk = expectedRows / chunks + 1
+          (0 until chunks).map { c =>
+            val slice = hintOf(pairs.filter(
+              pmod(xxhash64(col("id_a"), col("id_b")), lit(chunks)) === lit(c)))
+            val r = explodedInter(slice, perChunk).localCheckpoint(true)
+            // hand the chunk's now-unreferenced shuffle deps to the
+            // ContextCleaner before the next chunk fills the disk
+            System.gc()
+            r
+          }.reduce(_ unionByName _)
+        }
       }
     cand.join(inter, Seq("id_a", "id_b"))
       .withColumn("jaccard",

@@ -28,10 +28,24 @@ class DedupVerifyPathSpec extends AnyFunSuite {
     .getOrCreate()
 
   private val PathProp = "graft.dedup.array.verify.max.elements"
+  private val ChunkProp = "graft.dedup.exploded.verify.chunk.elements"
 
   private def withExplodedPath[T](f: => T): T = {
     System.setProperty(PathProp, "0")
     try f finally System.clearProperty(PathProp)
+  }
+
+  /** Force the exploded path AND a tiny chunk bound, so the fixture
+    * corpus runs the disk-bounded multi-chunk plan (what sf10-class
+    * volumes select).
+    */
+  private def withChunkedPath[T](f: => T): T = {
+    System.setProperty(PathProp, "0")
+    System.setProperty(ChunkProp, "1000")
+    try f finally {
+      System.clearProperty(PathProp)
+      System.clearProperty(ChunkProp)
+    }
   }
 
   private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
@@ -46,6 +60,15 @@ class DedupVerifyPathSpec extends AnyFunSuite {
       pairsOf(Dedup.minhashNearDups(docs, "text", "doc_id")))
     assert(viaArray.nonEmpty, "fixture produced no pairs — test is vacuous")
     assert(viaExploded === viaArray)
+  }
+
+  test("CHUNKED exploded verify ≡ array verify, bit-exact (disk-bounded plan)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaArray = pairsOf(Dedup.minhashNearDups(docs, "text", "doc_id"))
+    val viaChunked = withChunkedPath(
+      pairsOf(Dedup.minhashNearDups(docs, "text", "doc_id")))
+    assert(viaArray.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(viaChunked === viaArray)
   }
 
   test("ngram jaccard pairs: exploded verify ≡ array verify, bit-exact") {
