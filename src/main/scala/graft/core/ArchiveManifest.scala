@@ -34,6 +34,12 @@ object ArchiveManifest {
   val FormatKey = "manifest.format"
   val FilesDirKey = "manifest.files.dir"
 
+  /** Test-only fault-injection seam, fired just before the marker
+    * publish: lets specs simulate a transient create failure or a racing
+    * archiver landing its marker first. No-op in production.
+    */
+  private[graft] var markerFault: () => Unit = () => ()
+
   /** Publish `meta` as the checkpoint for `archiveTs`. No-op when a
     * manifest for the boundary already exists.
     */
@@ -54,12 +60,18 @@ object ArchiveManifest {
       .write.mode("overwrite").parquet(filesDir.toString)
     val header = meta.copy(files = Seq.empty,
       extra = meta.extra + (FormatKey -> "parquet") + (FilesDirKey -> dirName))
-    try storage.createImmutable(marker, Json.write(header))
+    try { markerFault(); storage.createImmutable(marker, Json.write(header)) }
     catch {
-      case _: java.io.IOException =>
-        // a racing archiver published the boundary first — its marker
-        // references its OWN dir; this attempt's dir is an orphan
+      case e: java.io.IOException =>
+        // Either a racing archiver published the boundary first (its
+        // marker references its OWN dir — this attempt's dir is an
+        // orphan) or the create genuinely failed. Only swallow when the
+        // competing marker PROVABLY exists: returning normally without a
+        // published manifest would let the caller archive the instants
+        // off the active timeline with no checkpoint holding their file
+        // entries — silent committed-data loss from every view.
         storage.delete(filesDir, recursive = true)
+        if (!storage.exists(marker)) throw e
     }
   }
 

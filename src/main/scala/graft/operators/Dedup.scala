@@ -215,17 +215,30 @@ object Dedup {
           // SEQUENTIAL pair-chunks: the exploded plan's shuffle is
           // Σ(n_a+n_b) rows on local disk; past the chunk bound that
           // exceeds a node's shuffle capacity, so the pair list splits
-          // by hash and each chunk materializes (localCheckpoint
-          // truncates lineage) before the next runs — the dropped
-          // shuffle dependencies become reclaimable, bounding PEAK disk
-          // at one chunk. Wall-clock is the same total work serialized;
-          // results are identical because pair chunks are disjoint and
-          // the per-pair intersection never crosses pairs.
+          // by hash and each chunk materializes (checkpoint truncates
+          // lineage) before the next runs — the dropped shuffle
+          // dependencies become reclaimable, bounding PEAK disk at one
+          // chunk. Wall-clock is the same total work serialized; results
+          // are identical because pair chunks are disjoint and the
+          // per-pair intersection never crosses pairs.
+          //
+          // Lineage cut: when the session has a RELIABLE checkpoint dir
+          // (sc.setCheckpointDir — shared storage on a real cluster) the
+          // chunk checkpoints there, so an executor loss mid-run recovers
+          // from the checkpointed blocks instead of failing a
+          // 20-minute-class query outright. localCheckpoint (executor
+          // blocks, no lineage — dies with an executor) is only the
+          // single-node fallback, where "executor loss" means the whole
+          // JVM is gone anyway.
           val perChunk = expectedRows / chunks + 1
+          val sc = shingles.sparkSession.sparkContext
+          val reliable = sc.getCheckpointDir.isDefined
           (0 until chunks).map { c =>
             val slice = hintOf(pairs.filter(
               pmod(xxhash64(col("id_a"), col("id_b")), lit(chunks)) === lit(c)))
-            val r = explodedInter(slice, perChunk).localCheckpoint(true)
+            val chunk = explodedInter(slice, perChunk)
+            val r = if (reliable) chunk.checkpoint(true)
+                    else chunk.localCheckpoint(true)
             // hand the chunk's now-unreferenced shuffle deps to the
             // ContextCleaner before the next chunk fills the disk
             System.gc()

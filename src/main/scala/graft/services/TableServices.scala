@@ -782,6 +782,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     // a one-off wide-band read can't leave orphans on the table forever
     graft.read.GraftReadClient.reapStaleCdcCheckpoints(table)
     reapStaleMetaTemp()
+    reapUnfinishedCleanDeletes()
     commitClean(cleanCandidates(retainCommits), "clean")
   }
 
@@ -952,22 +953,17 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val claim = claimInflight(requested).getOrElse(return None)
     try {
       TableServices.prePublishHook()
-      // Unlike compaction/clustering, the DELETES are the harmful action
-      // here, so they sit inside the commit lock next to the publish: a
-      // rollback/restore changes which file version is LATEST per group,
-      // discards pending clean plans (under this same lock), and a stale
-      // plan executing anyway would delete files that are current again.
-      withCommitLock {
+      // PUBLISH FIRST, under the commit lock — metadata-only, so the
+      // lock-hold is constant in the number of files cleaned (a large
+      // clean can neither stall every writer for its delete duration nor
+      // outlive the lock TTL and get broken mid-delete). The liveness
+      // re-check closes the rollback/restore race: a restore that
+      // discarded this plan (under this same lock) removed reqPath, and
+      // a stale plan must not publish deletions of files that are
+      // current again.
+      val published = withCommitLock {
         if (!table.storage.exists(reqPath)) None
         else {
-          // small cleans delete driver-side; large ones fan out over
-          // executors
-          GraftWriteClient.executeDeletes(spark, table.storage,
-            plan.files.map { pf =>
-              val i = pf.lastIndexOf('/')
-              table.storage.dataFilePath(
-                pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
-            })
           claim.ensureLive()
           tl.transitionToCompleted(claim.instant, GraftCommitMetadata(
             instant = planTs, action = GraftAction.Clean,
@@ -976,8 +972,47 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           Some(planTs)
         }
       }
+      // Physical deletes OUTSIDE the lock (ref: CleanActionExecutor runs
+      // deletes with no table-level lock): once the clean commit is on
+      // the timeline every view masks its deletedFiles and rollback's
+      // plan-discard is moot for these versions, so deletion cannot race
+      // anything. A crash in this window leaves unreferenced orphans on
+      // disk; the next clean() re-issues the latest clean's deletes
+      // (idempotent — missing files are no-ops) to sweep them.
+      published.foreach { _ =>
+        TableServices.postCleanPublishHook()
+        // small cleans delete driver-side; large ones fan out over
+        // executors
+        GraftWriteClient.executeDeletes(spark, table.storage,
+          plan.files.map { pf =>
+            val i = pf.lastIndexOf('/')
+            table.storage.dataFilePath(
+              pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
+          })
+      }
+      published
     } finally claim.close()
   }
+
+  /** Crash-window hygiene for publish-then-delete cleans: a process that
+    * died after publishing its clean commit but before (or mid-way
+    * through) the physical deletes leaves files on disk that NO view
+    * resolves — invisible to readers, pure storage leakage. Re-issuing
+    * the most recent clean's deletes is idempotent (deleting a missing
+    * file is a cheap no-op) and bounded by one plan's file count.
+    */
+  private def reapUnfinishedCleanDeletes(): Unit =
+    table.timeline.completed.filter(_.action == GraftAction.Clean)
+      .sortBy(_.ts).lastOption.foreach { i =>
+        val files = table.timeline.metadataOf(i).deletedFiles
+        if (files.nonEmpty)
+          GraftWriteClient.executeDeletes(spark, table.storage,
+            files.map { pf =>
+              val j = pf.lastIndexOf('/')
+              table.storage.dataFilePath(
+                pf.substring(0, math.max(j, 0)), pf.substring(j + 1))
+            })
+      }
 
   // =====================================================================
   // Rollback / savepoint / restore
@@ -1192,4 +1227,12 @@ object TableServices {
     * Deterministic interleaving for the specs; a no-op in production.
     */
   private[graft] var prePublishHook: () => Unit = () => ()
+
+  /** Test-only seam: runs after a clean commit is PUBLISHED (lock
+    * released) but before its physical deletes start — the window where
+    * writers must not be blocked and a crash leaves unreferenced
+    * orphans. Deterministic interleaving for the specs; no-op in
+    * production.
+    */
+  private[graft] var postCleanPublishHook: () => Unit = () => ()
 }

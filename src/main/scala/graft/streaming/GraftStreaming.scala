@@ -169,13 +169,18 @@ final class GraftStreamSource(
   }
 
   /** Legacy pull path — not called once SupportsAdmissionControl is
-    * detected, kept for completeness: the hollow-commit guard inside
-    * safeIncrementalEnd never advances past the earliest pending writer
-    * instant, whose commit would otherwise complete BELOW later instants
-    * and be skipped forever.
+    * detected (Spark 4.x always detects it), kept correct for
+    * completeness. It has no access to the committed start offset, so
+    * the per-batch instant cap CANNOT apply here: capping from the
+    * timeline start would return the first-n-commits offset forever and
+    * stall the stream after one batch. Uncapped, it returns the full
+    * safe backlog as one batch — the hollow-commit guard inside
+    * safeIncrementalEnd still never advances past the earliest pending
+    * writer instant, whose commit would otherwise complete BELOW later
+    * instants and be skipped forever.
     */
   override def getOffset: Option[V1Offset] =
-    cappedEnd(table, None).map(GraftSourceOffset(_))
+    table.timeline.safeIncrementalEnd.map(GraftSourceOffset(_))
 
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val begin = start.map(GraftSourceOffset.of(_).ts).getOrElse("")

@@ -71,6 +71,22 @@ class DedupVerifyPathSpec extends AnyFunSuite {
     assert(viaChunked === viaArray)
   }
 
+  test("CHUNKED exploded verify under a RELIABLE checkpoint dir ≡ array verify") {
+    // with sc.setCheckpointDir set (the cluster deployment shape), chunk
+    // lineage cuts go through reliable checkpoint — survives executor
+    // loss — instead of localCheckpoint; results must stay bit-exact
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val viaArray = pairsOf(Dedup.minhashNearDups(docs, "text", "doc_id"))
+    // the shared session keeps the dir for the rest of the JVM (no unset
+    // API) — harmless: later chunked runs just checkpoint reliably too
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(ckpt)
+    val viaReliable = withChunkedPath(
+      pairsOf(Dedup.minhashNearDups(docs, "text", "doc_id")))
+    assert(viaArray.nonEmpty, "fixture produced no pairs — test is vacuous")
+    assert(viaReliable === viaArray)
+  }
+
   test("ngram jaccard pairs: exploded verify ≡ array verify, bit-exact") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val viaArray = pairsOf(

@@ -190,6 +190,64 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(t2.expandedManifest(name) eq expanded)
   }
 
+  test("a transient marker-publish failure RETHROWS — never a silent no-manifest archive") {
+    // if write() swallowed a genuine create failure, the caller would
+    // archive the instants off the active timeline with NO checkpoint
+    // holding their file entries: silent committed-data loss
+    val dir = Files.createTempDirectory("graft_planscale_fault_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "psf", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val ts = "20260101000000300"
+    val meta = GraftCommitMetadata(ts, GraftAction.Commit, "manifest",
+      files = Seq(WriteFileInfo("p=0", "g0", "g0_x.parquet", 10L, 1000L,
+        isDelta = false)))
+    ArchiveManifest.markerFault =
+      () => throw new java.io.IOException("simulated transient storage failure")
+    try {
+      intercept[java.io.IOException](
+        ArchiveManifest.write(spark, t.storage, ts, meta))
+    } finally ArchiveManifest.markerFault = () => ()
+    val left = t.storage.listNames(t.storage.archiveDir)
+    assert(!left.exists(_ == s"$ts.manifest"), "no marker may exist after the failure")
+    assert(!left.exists(_.startsWith(s"$ts.manifest.files")),
+      "the failed attempt's parquet dir must not be leaked")
+    // a retry after the transient failure succeeds normally
+    ArchiveManifest.write(spark, t.storage, ts, meta)
+    assert(ArchiveManifest.read(spark, t.storage, s"$ts.manifest").files === meta.files)
+  }
+
+  test("losing the marker race to a competing archiver is swallowed; the winner's manifest survives") {
+    val dir = Files.createTempDirectory("graft_planscale_race_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "psr", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val ts = "20260101000000400"
+    val winner = GraftCommitMetadata(ts, GraftAction.Commit, "manifest",
+      files = Seq(WriteFileInfo("p=0", "gw", "gw_x.parquet", 10L, 1000L,
+        isDelta = false)))
+    val loser = winner.copy(files = Seq(WriteFileInfo("p=0", "gl",
+      "gl_x.parquet", 10L, 1000L, isDelta = false)))
+    val marker = new org.apache.hadoop.fs.Path(t.storage.archiveDir, s"$ts.manifest")
+    // the competing archiver lands its marker INSIDE the race window
+    // (after our exists() check, before our create)
+    ArchiveManifest.markerFault = () => {
+      ArchiveManifest.markerFault = () => ()
+      ArchiveManifest.write(spark, t.storage, ts, winner)
+    }
+    try ArchiveManifest.write(spark, t.storage, ts, loser) // returns normally
+    finally ArchiveManifest.markerFault = () => ()
+    // the winner's manifest is what the boundary resolves to, and the
+    // loser's orphan parquet dir is gone (exactly one files dir remains)
+    assert(ArchiveManifest.read(spark, t.storage, s"$ts.manifest").files === winner.files)
+    assert(t.storage.listNames(t.storage.archiveDir)
+      .count(_.startsWith(s"$ts.manifest.files")) === 1)
+  }
+
   test("legacy single-JSON manifests stay readable next to the parquet format") {
     val dir = Files.createTempDirectory("graft_planscale_legacy_").toString + "/t"
     val cfg = GraftTableConfig(
