@@ -854,8 +854,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * files and slices claimed by a pending service plan are never
     * deleted. (ref: CleanPlanner.getFilesToCleanKeepingLatestVersions)
     */
-  def cleanVersions(retainVersions: Int = 3): Option[String] =
+  def cleanVersions(retainVersions: Int = 3): Option[String] = {
+    reapUnfinishedCleanDeletes()
     commitClean(cleanVersionCandidates(retainVersions), "clean_versions")
+  }
 
   private def cleanVersionCandidates(retainVersions: Int): Seq[WriteFileInfo] = {
     require(retainVersions >= 1, "retainVersions must be >= 1")

@@ -110,6 +110,41 @@ object HiveSyncChildProcess {
 
       // the MOR read-optimized registration reads (bases only)
       require(spark.table("graft_hive_t_ro").count() > 0, "_ro read")
+
+      // ------------------------------------------------------------------
+      // The NON-SPARK ENGINE read recipe (the supported Trino/Presto/Hive
+      // path, replacing the reference's HoodieParquetInputFormat):
+      // SnapshotExporter → plain partitioned parquet → a PLAIN parquet
+      // catalog entry. The export contains exactly one live version per
+      // row (no superseded files to double-count), so any engine that
+      // reads HMS parquet tables consumes it correctly with no
+      // graft-aware input format. See README "Reading from non-Spark
+      // engines".
+      // ------------------------------------------------------------------
+      val exportDir = s"$workDir/t_hive_export"
+      graft.utilities.SnapshotExporter.exportColumnar(spark, path, exportDir)
+      spark.sql(
+        s"""CREATE TABLE graft_hive_t_export
+           |USING parquet
+           |LOCATION '$exportDir'""".stripMargin)
+      spark.sql("MSCK REPAIR TABLE graft_hive_t_export")
+      require(spark.sharedState.externalCatalog
+        .tableExists("default", "graft_hive_t_export"),
+        "export table missing from HMS")
+      // catalog-name read of the EXPORT == the graft snapshot, column for
+      // column (partition column comes back from the dir layout)
+      val snapNow = new graft.read.GraftReadClient(GraftTable.load(spark, path))
+        .snapshotData()
+      val exp = spark.table("graft_hive_t_export")
+        .select(snapNow.columns.map(col).toSeq: _*)
+      require(exp.exceptAll(snapNow).count() == 0 &&
+        snapNow.exceptAll(exp).count() == 0,
+        "exported catalog table must equal the graft snapshot exactly")
+      // and the plain entry prunes partitions like any parquet table
+      val exPruned = spark.table("graft_hive_t_export")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      require(exPruned.queryExecution.executedPlan.toString
+        .contains("PartitionFilters"), "export table must partition-prune")
       spark.stop()
       System.exit(0)
     } catch {

@@ -183,8 +183,11 @@ class PlanningScaleSpec extends AnyFunSuite {
     val (expanded, tCold) = time(t2.expandedManifest(name))
     assert(expanded.map(_._2.files.size).sum === 1000000)
     info(f"1M-entry manifest: write $tWrite%.2f s, cold load $tCold%.2f s")
-    assert(tCold < 4.0,
-      f"cold 1M-entry manifest load took $tCold%.2f s (bound 4 s; legacy JSON was ~10 s)")
+    // bound: isolated runs measure ~2.2-3 s; 6 s leaves full-suite
+    // contention margin (32 specs share the JVM) while still failing a
+    // regression to the ~10 s legacy single-JSON parse
+    assert(tCold < 6.0,
+      f"cold 1M-entry manifest load took $tCold%.2f s (bound 6 s; legacy JSON was ~10 s)")
 
     // warm: memoized, same object
     assert(t2.expandedManifest(name) eq expanded)

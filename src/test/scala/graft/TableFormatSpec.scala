@@ -1871,13 +1871,19 @@ class TableFormatSpec extends AnyFunSuite {
     val nExpect = expect.count()
     assert(nExpect === 350)
 
-    // columnar export: partition-preserving plain parquet, no meta columns
+    // columnar export: partition-preserving plain parquet, no meta
+    // columns, and FULL content equality with the live snapshot — this
+    // is the supported non-Spark-engine handoff (see README "Reading
+    // from non-Spark engines"), so exactness is the whole contract
     val out = tmp() + "/export"
     SnapshotExporter.exportColumnar(spark, path, out)
     val exported = spark.read.parquet(out)
     assert(exported.columns.forall(!_.startsWith("_graft")))
     assert(exported.count() === nExpect)
-    assert(exported.select("o_orderkey").exceptAll(expect.select("o_orderkey")).count() === 0)
+    val exAligned = exported.select(expect.columns.map(col).toSeq: _*)
+    assert(exAligned.exceptAll(expect).count() === 0 &&
+      expect.exceptAll(exAligned).count() === 0,
+      "exported snapshot must equal the graft snapshot row for row")
     // partition layout preserved on disk
     assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("o_orderpriority=")))
 
@@ -1887,6 +1893,64 @@ class TableFormatSpec extends AnyFunSuite {
     val t2 = GraftTable.load(spark, out2)
     assert(t2.timeline.completedData.size === 1)
     assert(new GraftReadClient(t2).snapshotData().count() === nExpect)
+
+    // as-of export: later commits don't bleed into an instant-pinned
+    // export; it equals the time-travel snapshot of the SAME instant
+    val pinned = t.timeline.lastCompletedData.get.ts
+    w.upsert(orders.limit(400).withColumn("o_totalprice", col("o_totalprice") + 3.0))
+    val outAsOf = tmp() + "/export_asof"
+    SnapshotExporter.exportColumnar(spark, path, outAsOf, asOf = Some(pinned))
+    val tt = new GraftReadClient(GraftTable.load(spark, path)).snapshotData(Some(pinned))
+    val exAsOf = spark.read.parquet(outAsOf).select(tt.columns.map(col).toSeq: _*)
+    assert(exAsOf.exceptAll(tt).count() === 0 && tt.exceptAll(exAsOf).count() === 0,
+      "as-of export must equal the time-travel snapshot at that instant")
+  }
+
+  test("incremental export refreshes touched partitions only and drops vanished ones") {
+    import graft.utilities.SnapshotExporter
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val out = tmp() + "/export"
+    SnapshotExporter.exportColumnar(spark, path, out)
+    val e0 = t.timeline.lastCompletedData.get.ts
+
+    // churn TWO partitions: rewrite one, drop one (with a SPACE in its
+    // value — the Hive-escaping corner of the export dir naming)
+    w.upsert(orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0))
+    w.deletePartitions(Seq("4-NOT SPECIFIED"))
+
+    // untouched partitions must not be rewritten: pin their export files
+    def exportFiles(part: String): Map[String, Long] = {
+      val d = new java.io.File(out, s"o_orderpriority=$part")
+      d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val untouchedBefore = exportFiles("3-MEDIUM")
+    assert(untouchedBefore.nonEmpty)
+
+    val (e1, touched) = SnapshotExporter.exportIncrementalColumnar(
+      spark, path, out, sinceTs = e0)
+    assert(touched.toSet === Set("1-URGENT", "4-NOT SPECIFIED"),
+      s"touched partitions: $touched")
+    assert(e1 === GraftTable.load(spark, path)
+      .timeline.lastCompletedData.get.ts)
+    // untouched partition: byte-untouched on disk
+    assert(exportFiles("3-MEDIUM") === untouchedBefore,
+      "untouched export partitions must not be rewritten")
+    // vanished partition dir is gone (space-escaped name handled)
+    assert(!new java.io.File(out, "o_orderpriority=4-NOT SPECIFIED").exists(),
+      "dropped partition must disappear from the export")
+    // the refreshed export equals the live snapshot row for row
+    val expect = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    val got = spark.read.parquet(out).select(expect.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(expect).count() === 0 && expect.exceptAll(got).count() === 0)
+
+    // idempotent cursor: nothing new → no work, same instant back
+    assert(SnapshotExporter.exportIncrementalColumnar(spark, path, out, e1)
+      === (e1, Seq.empty))
   }
 
   test("ALTER TABLE RENAME COLUMN + ALTER COLUMN TYPE: zero-file, old files read correctly") {
