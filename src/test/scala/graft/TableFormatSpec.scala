@@ -339,6 +339,32 @@ class TableFormatSpec extends AnyFunSuite {
     assert(keys() === before, "a dry source must add nothing")
   }
 
+  test("legacy V1 getOffset ignores the per-batch cap (it cannot track a start position)") {
+    // Spark 4.x always drives the source through admission control, but
+    // the V1 pull path stays on the Source trait; with the cap applied it
+    // would recompute the first-n-commits window from the timeline start
+    // forever and stall a stream after one batch. Pin: uncapped full safe
+    // end, identical with and without the cap option.
+    val tablePath = tmp() + "/t"
+    val t = GraftTable.create(spark, tablePath, cowConfig.copy(
+      recordKeyFields = Seq("k"), partitionFields = Seq("p"),
+      precombineField = Some("ord")))
+    val w = new GraftWriteClient(t)
+    import spark.implicits._
+    for (c <- 0 until 4)
+      w.upsert((0 until 5).map(i => (c * 100 + i, "x", c.toDouble))
+        .toDF("k", "p", "ord"))
+    val wantEnd = t.timeline.safeIncrementalEnd
+    assert(wantEnd.nonEmpty)
+    def sourceWith(opts: Map[String, String]) = new graft.streaming.GraftStreamSource(
+      spark.sqlContext, tablePath, opts + (graft.spark.GraftOptions.Path -> tablePath))
+    val capped = sourceWith(Map(graft.spark.GraftOptions.MaxInstantsPerBatch -> "1"))
+    val plain = sourceWith(Map.empty)
+    assert(capped.getOffset.map(_.json) === wantEnd,
+      "capped legacy getOffset must return the FULL safe end, not first-n-commits")
+    assert(plain.getOffset.map(_.json) === wantEnd)
+  }
+
   test("streaming: Kafka-frame decode composes with the graft sink exactly-once") {
     import org.apache.spark.sql.streaming.Trigger
     import graft.utilities.{IngestRunner, KafkaPayloadConfig}
