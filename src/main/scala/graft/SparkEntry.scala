@@ -945,6 +945,27 @@ object SparkEntry {
         col("o_comment"))
     }),
 
+    // upsertPrepped: caller-guaranteed-deduplicated records skip the
+    // precombine pass entirely; final state must equal a plain upsert of
+    // the same (already-unique) batch (ref: SparkRDDWriteClient.java:162)
+    "tf_upsert_prepped" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_upsert_prepped", s, dir)
+      w.bulkInsert(orders)
+      w.upsertPrepped(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      snap(t)
+    }),
+
+    // ALTER TABLE DROP PARTITION hides the partition's file groups under
+    // a replace-commit — zero data files rewritten, the snapshot loses
+    // the partition, TRUNCATE-style SQL maintenance at any scale
+    // (ref: AlterHoodieTableDropPartitionCommand.scala)
+    "tf_sql_drop_partition" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_drop_partition", s, dir)
+      s.sql(s"ALTER TABLE $tab DROP PARTITION (o_orderpriority = '5-LOW')")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
     "tf_sql_insert_into" -> ((s, dir) => {
       val (path, tab) = sqlBootstrap("tf_sql_insert_into", s, dir)
       s.sql(s"""INSERT INTO $tab
@@ -2076,6 +2097,11 @@ object SparkEntry {
 
     "tf_sql_ctas" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 2 = 0"),
+
+    "tf_sql_drop_partition" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderpriority <> '5-LOW'"),
+
+    "tf_upsert_prepped" -> ordersSelect(caseUpsert),
 
     "tf_read_by_keys" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
