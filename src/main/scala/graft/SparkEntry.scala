@@ -911,11 +911,9 @@ object SparkEntry {
       val meta = tl.metadataOf(
         tl.completed.filter(_.action == GraftAction.Clean).last)
       require(meta.deletedFiles.nonEmpty, "tf_clean: empty clean commit")
-      require(meta.deletedFiles.forall { pf =>
-        val i = pf.lastIndexOf('/')
-        !t.storage.exists(t.storage.dataFilePath(
-          pf.substring(0, math.max(i, 0)), pf.substring(i + 1)))
-      }, "tf_clean: cleaned versions must be physically deleted")
+      require(meta.deletedFiles.forall(pf =>
+        !t.storage.exists(t.storage.dataFilePathOf(pf))),
+        "tf_clean: cleaned versions must be physically deleted")
       // time travel to a cleaned-away state must fail with the as-of
       // guard, never silently serve an older/partial version
       val timeTravelOk =

@@ -226,6 +226,14 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
 
   def dataFilePath(partition: String, fileName: String): Path =
     new Path(partitionDir(partition), fileName)
+
+  /** `partition/fileName` (the deletedFiles / clean-plan encoding) → full
+    * data-file path. Empty partition (non-partitioned tables) supported.
+    */
+  def dataFilePathOf(pf: String): Path = {
+    val i = pf.lastIndexOf('/')
+    dataFilePath(pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
+  }
 }
 
 object GraftStorage {

@@ -237,8 +237,17 @@ object Dedup {
             val slice = hintOf(pairs.filter(
               pmod(xxhash64(col("id_a"), col("id_b")), lit(chunks)) === lit(c)))
             val chunk = explodedInter(slice, perChunk)
-            val r = if (reliable) chunk.checkpoint(true)
-                    else chunk.localCheckpoint(true)
+            val r = if (reliable) {
+              // persist first: an unpersisted reliable checkpoint runs
+              // the whole lineage TWICE (once for the eager count, once
+              // for ReliableCheckpointRDD's write pass) — the cache makes
+              // the second pass a block read, then drops immediately
+              val cached = chunk.persist(
+                org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              val ck = cached.checkpoint(true)
+              cached.unpersist(false)
+              ck
+            } else chunk.localCheckpoint(true)
             // hand the chunk's now-unreferenced shuffle deps to the
             // ContextCleaner before the next chunk fills the disk
             System.gc()

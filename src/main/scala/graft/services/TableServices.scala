@@ -947,6 +947,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * with the plan's file list so every view drops them.
     */
   def executeClean(planTs: String): Option[String] = {
+    // standalone runners reach this without going through clean(): sweep
+    // any earlier clean's crash-window orphans here too
+    reapUnfinishedCleanDeletes()
     val tl = table.timeline
     val requested = GraftInstant(planTs, GraftAction.Clean, GraftState.Requested)
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
@@ -979,42 +982,59 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       // the timeline every view masks its deletedFiles and rollback's
       // plan-discard is moot for these versions, so deletion cannot race
       // anything. A crash in this window leaves unreferenced orphans on
-      // disk; the next clean() re-issues the latest clean's deletes
-      // (idempotent — missing files are no-ops) to sweep them.
+      // disk; the deletes-done marker below bounds the sweep — cleans
+      // without one are re-issued (idempotently) by the next clean run.
       published.foreach { _ =>
         TableServices.postCleanPublishHook()
         // small cleans delete driver-side; large ones fan out over
         // executors
         GraftWriteClient.executeDeletes(spark, table.storage,
-          plan.files.map { pf =>
-            val i = pf.lastIndexOf('/')
-            table.storage.dataFilePath(
-              pf.substring(0, math.max(i, 0)), pf.substring(i + 1))
-          })
+          plan.files.map(table.storage.dataFilePathOf))
+        markCleanDeletesDone(planTs)
       }
       published
     } finally claim.close()
   }
 
+  private def cleanDoneDir =
+    new Path(table.storage.metaDir, ".clean_done")
+
+  /** Record that a clean commit's physical deletes all completed, so
+    * routine maintenance never re-issues them. Plain create — a marker
+    * raced by a concurrent reaper is already what we wanted.
+    */
+  private def markCleanDeletesDone(ts: String): Unit =
+    try {
+      table.storage.fs.mkdirs(cleanDoneDir)
+      table.storage.createImmutable(new Path(cleanDoneDir, ts), "")
+    } catch { case _: java.io.IOException => () /* raced or exists */ }
+
   /** Crash-window hygiene for publish-then-delete cleans: a process that
     * died after publishing its clean commit but before (or mid-way
     * through) the physical deletes leaves files on disk that NO view
-    * resolves — invisible to readers, pure storage leakage. Re-issuing
-    * the most recent clean's deletes is idempotent (deleting a missing
-    * file is a cheap no-op) and bounded by one plan's file count.
+    * resolves — invisible to readers, pure storage leakage. Every
+    * completed clean on the active timeline WITHOUT a deletes-done
+    * marker gets its deletes re-issued (idempotent — missing files are
+    * no-ops) and marked; markers whose instants left the active timeline
+    * (archived) are swept. Bounded: the healthy path marks immediately,
+    * so this is one small listing per clean run.
     */
-  private def reapUnfinishedCleanDeletes(): Unit =
-    table.timeline.completed.filter(_.action == GraftAction.Clean)
-      .sortBy(_.ts).lastOption.foreach { i =>
-        val files = table.timeline.metadataOf(i).deletedFiles
-        if (files.nonEmpty)
-          GraftWriteClient.executeDeletes(spark, table.storage,
-            files.map { pf =>
-              val j = pf.lastIndexOf('/')
-              table.storage.dataFilePath(
-                pf.substring(0, math.max(j, 0)), pf.substring(j + 1))
-            })
-      }
+  private def reapUnfinishedCleanDeletes(): Unit = {
+    val cleans = table.timeline.completed.filter(_.action == GraftAction.Clean)
+    val done: Set[String] =
+      if (!table.storage.exists(cleanDoneDir)) Set.empty
+      else table.storage.listNames(cleanDoneDir).toSet
+    cleans.filterNot(i => done(i.ts)).foreach { i =>
+      val files = table.timeline.metadataOf(i).deletedFiles
+      if (files.nonEmpty)
+        GraftWriteClient.executeDeletes(spark, table.storage,
+          files.map(table.storage.dataFilePathOf))
+      markCleanDeletesDone(i.ts)
+    }
+    val active = cleans.map(_.ts).toSet
+    done.filterNot(active)
+      .foreach(ts => table.storage.delete(new Path(cleanDoneDir, ts)))
+  }
 
   // =====================================================================
   // Rollback / savepoint / restore

@@ -60,11 +60,20 @@ object SchemaRegistryProvider {
     // HttpURLConnection never sends userinfo itself, so extract it into
     // a Basic Authorization header and STRIP it from the request URL —
     // and from every log/error message, so credentials never leak.
-    val uri = new java.net.URI(url)
-    val userinfo = Option(uri.getUserInfo).filter(_.nonEmpty)
-    val cleanUri = new java.net.URI(uri.getScheme, null, uri.getHost,
-      uri.getPort, uri.getPath, uri.getQuery, uri.getFragment)
-    val conn = cleanUri.toURL.openConnection()
+    // The strip is TEXTUAL (remove `userinfo@` after the scheme), never
+    // a URI-component rebuild: java.net.URI cannot round-trip
+    // underscore hostnames (getHost = null) and getPath decodes
+    // percent-encoded segments, so a rebuild corrupts URLs that work.
+    // java.net.URL (not URI) for userinfo: URI returns null userinfo for
+    // registry-based authorities (underscore hostnames), URL does not
+    val userinfo =
+      Option(new java.net.URI(url).toURL.getUserInfo).filter(_.nonEmpty)
+    val cleanUrl = userinfo match {
+      case Some(creds) => url.replaceFirst(
+        "//" + java.util.regex.Pattern.quote(creds) + "@", "//")
+      case None => url
+    }
+    val conn = new java.net.URI(cleanUrl).toURL.openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("GET")
     conn.setConnectTimeout(10000)
@@ -76,7 +85,7 @@ object SchemaRegistryProvider {
     }
     try {
       require(conn.getResponseCode == 200,
-        s"schema registry GET $cleanUri -> HTTP ${conn.getResponseCode}")
+        s"schema registry GET $cleanUrl -> HTTP ${conn.getResponseCode}")
       val in = conn.getInputStream
       try new String(in.readAllBytes(), StandardCharsets.UTF_8)
       finally in.close()

@@ -3,6 +3,7 @@ package graft.utilities
 import org.apache.spark.sql.SparkSession
 
 import graft.GraftTable
+import graft.core.GraftAction
 import graft.read.GraftReadClient
 
 /** Export the latest (or as-of) snapshot of a graft table to a plain
@@ -56,16 +57,34 @@ object SnapshotExporter {
       outputDir: String,
       sinceTs: String,
       format: String = "parquet"): (String, Seq[String]) = {
+    import org.apache.spark.sql.functions.{col, concat_ws}
     val table = GraftTable.load(spark, tablePath)
     val parts = table.config.partitionSourceFields
     val tl = table.timeline
-    val now = tl.lastCompletedData.map(_.ts).getOrElse(sinceTs)
+    // Partition-level incrementality needs the export dir layout
+    // (raw source-column values) to coincide with the table's internal
+    // partition paths; transform keygens (`field:timestamp` etc.) break
+    // that mapping, and a non-partitioned table has no partitions to
+    // diff — both fall back to a full (still exact) refresh.
+    val identityLayout =
+      parts.nonEmpty && !table.config.partitionFields.exists(_.contains(":"))
+    // The band scans rollback instants TOO: a rollback/restore rewinds
+    // content (its metadata's deletedFiles name the partitions whose
+    // rows changed) without leaving a data commit, and after a restore
+    // the newest DATA instant can even order below the cursor — `now`
+    // must advance past the rollback instants or the export would
+    // silently serve rolled-back rows forever.
+    def contentInstants = tl.completed.filter(i =>
+      GraftAction.DataActions.contains(i.action) ||
+        i.action == GraftAction.Rollback)
+    val now = contentInstants.map(_.ts).maxOption.getOrElse(sinceTs)
     if (now <= sinceTs) return (sinceTs, Seq.empty)
-    if (parts.isEmpty) { // non-partitioned: a refresh IS a full export
-      exportColumnar(spark, tablePath, outputDir, format, Some(now))
+    if (!identityLayout) {
+      exportColumnar(spark, tablePath, outputDir, format,
+        asOf = tl.completedData.map(_.ts).maxOption)
       return (now, Seq(""))
     }
-    val touched = tl.completedData
+    val touched = contentInstants
       .filter(i => i.ts > sinceTs && i.ts <= now)
       .flatMap { i =>
         val m = tl.metadataOf(i)
@@ -75,17 +94,27 @@ object SnapshotExporter {
       }.distinct
     if (touched.isEmpty) return (now, Seq.empty)
     val touchedSet = touched.toSet
-    val df = new GraftReadClient(table).snapshotData(Some(now), touchedSet.contains)
+    // rows are read from the CURRENT snapshot (not pinned to `now`): a
+    // rollback instant at `now` has no data view of its own, and any
+    // commit landing between `now` and the read only makes rows in the
+    // touched partitions fresher — the next refresh re-exports its
+    // partitions again (idempotent)
+    val df = new GraftReadClient(table).snapshotData(None, touchedSet.contains)
     df.write.mode("overwrite").format(format)
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy(parts: _*).save(outputDir)
-    // vanished partitions (delete_partition / all rows tombstoned): no
-    // rows were written above, so their stale export dirs must go
-    val live = table.view.latestSlices(Some(now)).map(_.partition).toSet
+    // Vanished partitions: dynamic overwrite only replaces partitions it
+    // writes rows to, so a touched partition with ZERO surviving rows
+    // (delete_partition, or every row tombstoned — slices may still
+    // exist pre-compaction) keeps a stale export dir unless deleted
+    // explicitly. Row-liveness comes from df itself.
+    val alive = df
+      .select(concat_ws("/", parts.map(f => col(f).cast("string")): _*))
+      .distinct().collect().map(_.getString(0)).toSet
     val fs = new org.apache.hadoop.fs.Path(outputDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    touched.filterNot(live).foreach { p =>
+    touched.filterNot(alive).foreach { p =>
       val rel = parts.zip(p.split("/", -1))
         .map { case (f, v) => s"$f=${escapePathName(v)}" }.mkString("/")
       fs.delete(new org.apache.hadoop.fs.Path(s"$outputDir/$rel"), true)

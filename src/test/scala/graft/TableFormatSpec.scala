@@ -1979,6 +1979,57 @@ class TableFormatSpec extends AnyFunSuite {
       === (e1, Seq.empty))
   }
 
+  test("incremental export tracks rollbacks and all-tombstoned MOR partitions") {
+    import graft.utilities.SnapshotExporter
+    // ROLLBACK: a refresh cursor taken at commit c2 must still re-export
+    // c2's partitions after c2 is rolled back — the rollback instant is
+    // the only content signal left on the timeline (no new data commit),
+    // and the export would otherwise serve rolled-back rows forever
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val c2 = w.upsert(orders.filter(col("o_orderpriority") === "1-URGENT")
+      .withColumn("o_totalprice", col("o_totalprice") + 99.0))
+    val out = tmp() + "/export"
+    SnapshotExporter.exportColumnar(spark, path, out)
+    val cursor = c2
+    new TableServices(t, wc).rollback(c2)
+    val (e1, touched) = SnapshotExporter.exportIncrementalColumnar(
+      spark, path, out, sinceTs = cursor)
+    assert(touched.contains("1-URGENT"), s"rollback band missed: $touched")
+    assert(e1 > cursor, "cursor must advance past the rollback instant")
+    val expect = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    val got = spark.read.parquet(out).select(expect.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(expect).count() === 0 && expect.exceptAll(got).count() === 0,
+      "post-rollback refresh must equal the (rolled-back) snapshot")
+
+    // ALL-TOMBSTONED MOR partition: delta tombstones kill every row of a
+    // partition but its file slices survive until compaction — the
+    // export dir must vanish on row-liveness, not slice-liveness
+    val mPath = tmp() + "/mor"
+    val mt = GraftTable.create(spark, mPath, morConfig)
+    val mw = new GraftWriteClient(mt, wc)
+    mw.bulkInsert(orders)
+    val mOut = tmp() + "/mor_export"
+    SnapshotExporter.exportColumnar(spark, mPath, mOut)
+    val mCursor = mt.timeline.lastCompletedData.get.ts
+    mw.delete(orders.filter(col("o_orderpriority") === "2-HIGH")
+      .select("o_orderkey", "o_orderpriority"))
+    // precondition: the partition's slices still exist (no compaction)
+    assert(GraftTable.load(spark, mPath).view.latestSlices(None)
+      .exists(_.partition == "2-HIGH"))
+    val (_, mTouched) = SnapshotExporter.exportIncrementalColumnar(
+      spark, mPath, mOut, sinceTs = mCursor)
+    assert(mTouched.contains("2-HIGH"))
+    assert(!new java.io.File(mOut, "o_orderpriority=2-HIGH").exists(),
+      "all-tombstoned partition must vanish from the export")
+    val mExpect = new GraftReadClient(GraftTable.load(spark, mPath)).snapshotData()
+    val mGot = spark.read.parquet(mOut).select(mExpect.columns.map(col).toSeq: _*)
+    assert(mGot.exceptAll(mExpect).count() === 0 &&
+      mExpect.exceptAll(mGot).count() === 0)
+  }
+
   test("ALTER TABLE RENAME COLUMN + ALTER COLUMN TYPE: zero-file, old files read correctly") {
     val sparkExt = spark
     val path = tmp() + "/t"
