@@ -13,15 +13,15 @@ import org.scalatest.funsuite.AnyFunSuite
   * registration, incremental partition diff, schema evolution,
   * catalog-name reads with the partition filter pushed into the scan.
   *
-  * Remaining external-HMS delta (deployment concern, documented here and
-  * in SURVEY §7): the sync registers a Spark DATASOURCE table (`USING
-  * graft`), which any Spark cluster sharing the metastore resolves and
-  * plans from the commit manifest. Non-Spark engines (Presto/Trino/Hive
-  * QL) would additionally need per-partition HMS partition OBJECTS over
-  * raw file paths plus a version-filtering input format (the reference
-  * ships HoodieParquetInputFormat for exactly this) — without one, raw
-  * parquet listings double-count superseded file versions, so
-  * registering them would be incorrect rather than incomplete.
+  * The sync registers a Spark DATASOURCE table (`USING graft`), which
+  * any Spark cluster sharing the metastore resolves and plans from the
+  * commit manifest. Non-Spark engines (Presto/Trino/Hive QL) use the
+  * EXPORT RECIPE instead (raw-path registration would double-count
+  * superseded file versions without a version-filtering input format
+  * like the reference's HoodieParquetInputFormat): the child process
+  * also drives SnapshotExporter → plain parquet → plain HMS entry and
+  * proves the registered export reads back exactly equal to the graft
+  * snapshot. See README "Reading from non-Spark engines".
   */
 class HiveSyncSpec extends AnyFunSuite {
 
