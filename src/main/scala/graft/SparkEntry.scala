@@ -943,6 +943,44 @@ object SparkEntry {
         col("o_comment"))
     }),
 
+    // FULL_RECORD bootstrap: rewrite an existing plain dataset into a
+    // graft table in one call, then prove it's live with a post-bootstrap
+    // upsert (ref: FullRecordBootstrapDataProvider / bulk_insert path)
+    "tf_bootstrap_full" -> ((s, dir) => {
+      val path = freshDir("tf_bootstrap_full", dir)
+      graft.utilities.Bootstrap.fullRecord(
+        s, s"$dir/orders.parquet", path, ordersTableConfig(GraftTableType.Cow),
+        testWc)
+      val t = GraftTable.load(s, path)
+      val w = new GraftWriteClient(t, testWc)
+      w.upsert(T(s, dir, "orders").filter(col("o_orderkey") % 6 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+      snap(t)
+    }),
+
+    // per-partition regex bootstrap routing: the matching partition is
+    // ADOPTED in place (metadata-only, no rewrite), every other
+    // partition is rewritten FULL_RECORD — two commits, one call
+    // (ref: BootstrapRegexModeSelector.java)
+    "tf_bootstrap_selective" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val root = freshDir("tf_bootstrap_selective", dir)
+      val srcDir = s"$root/src"
+      // adoption needs single-partition files with the partition column
+      // present IN the file (same source shape as tf_bootstrap_meta)
+      val prios = orders.select("o_orderpriority").distinct.collect().map(_.getString(0))
+      prios.foreach(p => orders.filter(col("o_orderpriority") === p)
+        .coalesce(1).write.mode("append")
+        .option("maxRecordsPerFile", 4000).parquet(srcDir))
+      val commits = graft.utilities.Bootstrap.selective(
+        s, srcDir, s"$root/t", ordersTableConfig(GraftTableType.Cow),
+        partitionRegex = "1-URGENT",
+        regexMode = "METADATA_ONLY", wc = testWc)
+      require(commits.size == 2,
+        s"selective bootstrap expected 2 commits, got $commits")
+      snap(GraftTable.load(s, s"$root/t"))
+    }),
+
     // upsertPrepped: caller-guaranteed-deduplicated records skip the
     // precombine pass entirely; final state must equal a plain upsert of
     // the same (already-unique) batch (ref: SparkRDDWriteClient.java:162)
@@ -961,6 +999,19 @@ object SparkEntry {
     "tf_sql_drop_partition" -> ((s, dir) => {
       val (path, tab) = sqlBootstrap("tf_sql_drop_partition", s, dir)
       s.sql(s"ALTER TABLE $tab DROP PARTITION (o_orderpriority = '5-LOW')")
+      s.read.format("graft").load(path).select(ordersCols.map(col): _*)
+    }),
+
+    // TRUNCATE hides every live file group under one replace-commit
+    // (zero files rewritten), and the table stays fully writable after
+    "tf_sql_truncate" -> ((s, dir) => {
+      val (path, tab) = sqlBootstrap("tf_sql_truncate", s, dir)
+      s.sql(s"TRUNCATE TABLE $tab")
+      T(s, dir, "orders").createOrReplaceTempView("tf_trunc_src")
+      s.sql(s"""INSERT INTO $tab
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM tf_trunc_src WHERE o_orderkey % 5 = 2""")
       s.read.format("graft").load(path).select(ordersCols.map(col): _*)
     }),
 
@@ -2100,6 +2151,15 @@ object SparkEntry {
       (ordersSelect("o_totalprice") + " WHERE o_orderpriority <> '5-LOW'"),
 
     "tf_upsert_prepped" -> ordersSelect(caseUpsert),
+
+    "tf_bootstrap_full" -> ordersSelect(
+      "CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 11.0 " +
+        "ELSE o_totalprice END AS o_totalprice"),
+
+    "tf_bootstrap_selective" -> ordersSelect("o_totalprice"),
+
+    "tf_sql_truncate" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderkey % 5 = 2"),
 
     "tf_read_by_keys" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 100 = 7"),
