@@ -943,6 +943,63 @@ object SparkEntry {
         col("o_comment"))
     }),
 
+    // SortedMergeHandle: sortedWrite keeps every staged file key-ordered
+    // through bulk load AND merge (in-task sort, no extra shuffle) —
+    // content identical to a plain upsert, plus an in-query proof that
+    // the stored base files really are key-sorted
+    // (ref: HoodieSortedMergeHandle.java)
+    "tf_sorted_write" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_sorted_write", dir),
+        ordersTableConfig(GraftTableType.Cow))
+      val w = new GraftWriteClient(t, testWc.copy(sortedWrite = true))
+      w.bulkInsert(orders)
+      w.upsert(orders.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 1000.0))
+      val slice = GraftTable.load(s, t.storage.basePath.toString)
+        .view.latestSlices(None).head
+      val keys = s.read.parquet(
+        t.storage.dataFilePath(slice.partition, slice.base.get.fileName).toString)
+        .select(graft.core.MetaColumns.RecordKey)
+        .collect().map(_.getString(0)).toSeq
+      require(keys == keys.sorted,
+        "tf_sorted_write: merged base file must be key-ordered")
+      snap(t)
+    }),
+
+    // multi-table streamer: one runMulti call syncs N configs into N
+    // independent tables, each with its own transformer and checkpoint
+    // (ref: HoodieMultiTableDeltaStreamer.java)
+    "tf_multi_table" -> ((s, dir) => {
+      import graft.utilities.{IngestConfig, IngestRunner}
+      val orders = T(s, dir, "orders")
+      val src = freshDir("tf_multi_src", dir)
+      orders.write.parquet(src)
+      val root = freshDir("tf_multi_table", dir)
+      val tableOpts = Map(
+        "recordkey.field" -> "o_orderkey",
+        "partitionpath.field" -> "o_orderpriority",
+        "precombine.field" -> "o_totalprice",
+        "target.file.size" -> (4L * 1024 * 1024).toString,
+        "small.file.limit" -> (3L * 1024 * 1024).toString,
+        "compact.inline.max.delta.commits" -> "0")
+      val res = IngestRunner.runMulti(s, Seq(
+        IngestConfig(sourcePath = src, targetPath = s"$root/evens",
+          tableOptions = tableOpts,
+          transformerSql = Some("SELECT * FROM source WHERE o_orderkey % 2 = 0")),
+        IngestConfig(sourcePath = src, targetPath = s"$root/odds",
+          tableOptions = tableOpts,
+          transformerSql = Some(
+            """SELECT o_orderkey, o_custkey, o_orderstatus,
+              |  o_totalprice + 5.0 AS o_totalprice, o_orderdate, o_orderpriority
+              |FROM source WHERE o_orderkey % 2 = 1""".stripMargin))))
+      require(res.forall(_.nonEmpty), "tf_multi_table: a sync made no progress")
+      new GraftReadClient(GraftTable.load(s, s"$root/evens")).snapshotData()
+        .select(ordersCols.map(col): _*)
+        .unionByName(new GraftReadClient(GraftTable.load(s, s"$root/odds"))
+          .snapshotData().select(ordersCols.map(col): _*))
+    }),
+
     // FULL_RECORD bootstrap: rewrite an existing plain dataset into a
     // graft table in one call, then prove it's live with a post-bootstrap
     // upsert (ref: FullRecordBootstrapDataProvider / bulk_insert path)
@@ -2151,6 +2208,14 @@ object SparkEntry {
       (ordersSelect("o_totalprice") + " WHERE o_orderpriority <> '5-LOW'"),
 
     "tf_upsert_prepped" -> ordersSelect(caseUpsert),
+
+    "tf_sorted_write" -> ordersSelect(caseUpsert),
+
+    "tf_multi_table" ->
+      (ordersSelect("o_totalprice") + " WHERE o_orderkey % 2 = 0" +
+        " UNION ALL " +
+        ordersSelect("o_totalprice + 5.0 AS o_totalprice") +
+        " WHERE o_orderkey % 2 = 1"),
 
     "tf_bootstrap_full" -> ordersSelect(
       "CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 11.0 " +
