@@ -175,27 +175,51 @@ object GraftCli {
     })
 
   private def usage: String =
-    s"usage: GraftCli <${(commands.keys ++ services.keys).toSeq.sorted.mkString("|")}> <tablePath>"
+    s"usage: GraftCli <${(commands.keys ++ services.keys).toSeq.sorted.mkString("|")}> <tablePath>\n" +
+      "       GraftCli export <tablePath> <outDir>\n" +
+      "       GraftCli export_incremental <tablePath> <outDir> <sinceInstant>"
 
   /** `GraftCli <command> <tablePath>` — inspection commands print a
     * DataFrame; service commands run the maintenance action and print the
-    * resulting instant.
+    * resulting instant. The export subcommands are the non-Spark-engine
+    * handoff runners (ref: HoodieSnapshotExporter.java; README "Reading
+    * from non-Spark engines"): `export` writes a full plain-parquet
+    * snapshot, `export_incremental` refreshes only partitions churned
+    * since the printed instant of the previous run.
     */
   def main(args: Array[String]): Unit = {
-    require(
-      args.length == 2 && (commands.contains(args(0)) || services.contains(args(0))),
-      usage)
+    val ok = args.headOption match {
+      case Some("export")             => args.length == 3
+      case Some("export_incremental") => args.length == 4
+      case Some(c) =>
+        args.length == 2 && (commands.contains(c) || services.contains(c))
+      case None => false
+    }
+    require(ok, usage)
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[4]"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val table = GraftTable.load(spark, args(1))
-    commands.get(args(0)) match {
-      case Some(cmd) => cmd(table).show(200, truncate = false)
-      case None =>
-        val r = services(args(0))(table)
-        println(s"${args(0)}: ${r.getOrElse("nothing to do")}")
+    args(0) match {
+      case "export" =>
+        SnapshotExporter.exportColumnar(spark, args(1), args(2))
+        val instant = GraftTable.load(spark, args(1))
+          .timeline.lastCompletedData.map(_.ts).getOrElse("")
+        println(s"export: wrote snapshot at instant=$instant to ${args(2)}")
+      case "export_incremental" =>
+        val (ts, touched) = SnapshotExporter.exportIncrementalColumnar(
+          spark, args(1), args(2), args(3))
+        println(s"export_incremental: instant=$ts refreshed=${touched.size} " +
+          s"partitions=${touched.take(20).mkString(",")}")
+      case c =>
+        val table = GraftTable.load(spark, args(1))
+        commands.get(c) match {
+          case Some(cmd) => cmd(table).show(200, truncate = false)
+          case None =>
+            val r = services(c)(table)
+            println(s"$c: ${r.getOrElse("nothing to do")}")
+        }
     }
     spark.stop()
   }
