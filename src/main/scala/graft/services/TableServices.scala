@@ -782,7 +782,6 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     // a one-off wide-band read can't leave orphans on the table forever
     graft.read.GraftReadClient.reapStaleCdcCheckpoints(table)
     reapStaleMetaTemp()
-    reapUnfinishedCleanDeletes()
     commitClean(cleanCandidates(retainCommits), "clean")
   }
 
@@ -854,10 +853,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * files and slices claimed by a pending service plan are never
     * deleted. (ref: CleanPlanner.getFilesToCleanKeepingLatestVersions)
     */
-  def cleanVersions(retainVersions: Int = 3): Option[String] = {
-    reapUnfinishedCleanDeletes()
+  def cleanVersions(retainVersions: Int = 3): Option[String] =
     commitClean(cleanVersionCandidates(retainVersions), "clean_versions")
-  }
 
   private def cleanVersionCandidates(retainVersions: Int): Seq[WriteFileInfo] = {
     require(retainVersions >= 1, "retainVersions must be >= 1")
@@ -908,9 +905,15 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * plan). Files already claimed by an earlier pending plan are not
     * re-planned.
     */
+  /** Exactly one crash-orphan sweep per clean run: executeClean reaps
+    * itself (covering standalone runners); the no-plan path reaps here.
+    */
   private def commitClean(
       deletable: Seq[WriteFileInfo], operation: String): Option[String] =
-    scheduleCleanPlan(deletable, operation).flatMap(executeClean)
+    scheduleCleanPlan(deletable, operation) match {
+      case Some(ts) => executeClean(ts)
+      case None     => reapUnfinishedCleanDeletes(); None
+    }
 
   private def scheduleCleanPlan(
       deletable: Seq[WriteFileInfo], operation: String): Option[String] = {
@@ -1074,11 +1077,19 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     require(target.nonEmpty, s"unknown instant $instantTs")
     val completedData = tl.completedData
     val deleted = scala.collection.mutable.ArrayBuffer[String]()
+    // partitions whose CONTENT this rollback changes beyond the deleted
+    // files — a zero-file replace commit (delete_partition / TRUNCATE)
+    // resurrects its replaced partitions with no deletedFiles entry, and
+    // incremental consumers (exportIncrementalColumnar) scan rollback
+    // metadata to learn what to refresh
+    val resurrected = scala.collection.mutable.LinkedHashSet[String]()
     target.find(_.isCompleted) match {
       case Some(done) if GraftAction.DataActions.contains(done.action) =>
         require(completedData.lastOption.exists(_.ts == instantTs),
           s"can only roll back the latest commit, not $instantTs")
         val meta = tl.metadataOf(done)
+        resurrected ++= meta.replacePartitions
+        resurrected ++= meta.replacedFileIds.keys
         meta.files.foreach { f =>
           table.storage.delete(table.storage.dataFilePath(f.partition, f.fileName))
           deleted += s"${f.partition}/${f.fileName}"
@@ -1104,6 +1115,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     tl.transitionToCompleted(i, GraftCommitMetadata(
       instant = ts, action = GraftAction.Rollback, operation = "rollback",
       deletedFiles = deleted.toSeq,
+      replacePartitions = resurrected.toSeq,
       extra = Map("rolled_back_instant" -> instantTs)))
     ts
   }

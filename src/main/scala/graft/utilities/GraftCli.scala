@@ -203,10 +203,16 @@ object GraftCli {
     spark.sparkContext.setLogLevel("WARN")
     args(0) match {
       case "export" =>
-        SnapshotExporter.exportColumnar(spark, args(1), args(2))
-        val instant = GraftTable.load(spark, args(1))
-          .timeline.lastCompletedData.map(_.ts).getOrElse("")
-        println(s"export: wrote snapshot at instant=$instant to ${args(2)}")
+        // resolve the cursor FIRST and pin the export to it — a commit
+        // landing mid-export would otherwise be covered by the printed
+        // cursor but absent from the data, permanently staling its
+        // partitions for every later incremental run
+        val cursor = SnapshotExporter.exportCursor(spark, args(1))
+        val asOf = GraftTable.load(spark, args(1)).timeline.completedData
+          .map(_.ts).filter(ts => cursor.forall(ts <= _)).lastOption
+        SnapshotExporter.exportColumnar(spark, args(1), args(2), asOf = asOf)
+        println(s"export: wrote snapshot at instant=${cursor.getOrElse("")} " +
+          s"to ${args(2)}")
       case "export_incremental" =>
         val (ts, touched) = SnapshotExporter.exportIncrementalColumnar(
           spark, args(1), args(2), args(3))

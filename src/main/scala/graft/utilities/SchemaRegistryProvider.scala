@@ -48,6 +48,27 @@ object SchemaRegistryProvider {
     ByteBuffer.wrap(value, 1, 4).getInt
   }
 
+  /** RFC-3986 percent-decoding only: `%XX` → byte; every other char
+    * (including '+') passes through; malformed escapes pass through.
+    */
+  private def percentDecode(s: String): String = {
+    val out = new java.io.ByteArrayOutputStream()
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length &&
+        Character.digit(s.charAt(i + 1), 16) >= 0 &&
+        Character.digit(s.charAt(i + 2), 16) >= 0) {
+        out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
+        i += 3
+      } else {
+        out.write(c.toString.getBytes(StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    new String(out.toByteArray, StandardCharsets.UTF_8)
+  }
+
   private def schemaOf(body: String): String = {
     implicit val fmt: DefaultFormats = DefaultFormats
     (JsonMethods.parse(body) \ "schema").extract[String]
@@ -79,9 +100,13 @@ object SchemaRegistryProvider {
     conn.setConnectTimeout(10000)
     conn.setReadTimeout(10000)
     userinfo.foreach { creds =>
+      // %-decode before encoding the header: a password containing '@'
+      // or ':' MUST be percent-escaped in the URL, and the server
+      // expects the decoded form inside Basic auth. (Not URLDecoder —
+      // it also turns '+' into space, corrupting literal-plus passwords.)
       conn.setRequestProperty("Authorization", "Basic " +
         java.util.Base64.getEncoder.encodeToString(
-          creds.getBytes(StandardCharsets.UTF_8)))
+          percentDecode(creds).getBytes(StandardCharsets.UTF_8)))
     }
     try {
       require(conn.getResponseCode == 200,

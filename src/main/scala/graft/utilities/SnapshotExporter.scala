@@ -51,40 +51,65 @@ object SnapshotExporter {
     * partitions with no surviving rows are deleted explicitly (dynamic
     * overwrite cannot drop a partition it writes zero rows to).
     */
+  /** Content instants an incremental consumer must scan: data commits
+    * PLUS rollbacks — a rollback/restore rewinds content (deletedFiles +
+    * resurrected replacePartitions on its metadata) without leaving a
+    * data commit, and after a restore the newest DATA instant can even
+    * order below a previously-taken cursor.
+    */
+  private def contentInstants(table: GraftTable) =
+    table.timeline.completed.filter(i =>
+      GraftAction.DataActions.contains(i.action) ||
+        i.action == GraftAction.Rollback)
+
+  /** The export cursor: newest content instant, CAPPED below the
+    * earliest still-pending data instant — a writer that began earlier
+    * but completes later would otherwise land below an already-taken
+    * cursor and be skipped forever (the same hollow-commit guard as
+    * Timeline.safeIncrementalEnd).
+    */
+  def exportCursor(spark: SparkSession, tablePath: String): Option[String] = {
+    val table = GraftTable.load(spark, tablePath)
+    cursorOf(table)
+  }
+
+  private def cursorOf(table: GraftTable): Option[String] = {
+    val pendingFloor = table.timeline.pending
+      .filter(i => GraftAction.DataActions.contains(i.action))
+      .map(_.ts).minOption
+    val eligible = contentInstants(table).map(_.ts)
+      .filter(ts => pendingFloor.forall(ts < _))
+    eligible.maxOption
+  }
+
   def exportIncrementalColumnar(
       spark: SparkSession,
       tablePath: String,
       outputDir: String,
       sinceTs: String,
       format: String = "parquet"): (String, Seq[String]) = {
-    import org.apache.spark.sql.functions.{col, concat_ws}
+    import org.apache.spark.sql.functions.col
     val table = GraftTable.load(spark, tablePath)
     val parts = table.config.partitionSourceFields
     val tl = table.timeline
-    // Partition-level incrementality needs the export dir layout
-    // (raw source-column values) to coincide with the table's internal
-    // partition paths; transform keygens (`field:timestamp` etc.) break
-    // that mapping, and a non-partitioned table has no partitions to
-    // diff — both fall back to a full (still exact) refresh.
-    val identityLayout =
-      parts.nonEmpty && !table.config.partitionFields.exists(_.contains(":"))
-    // The band scans rollback instants TOO: a rollback/restore rewinds
-    // content (its metadata's deletedFiles name the partitions whose
-    // rows changed) without leaving a data commit, and after a restore
-    // the newest DATA instant can even order below the cursor — `now`
-    // must advance past the rollback instants or the export would
-    // silently serve rolled-back rows forever.
-    def contentInstants = tl.completed.filter(i =>
-      GraftAction.DataActions.contains(i.action) ||
-        i.action == GraftAction.Rollback)
-    val now = contentInstants.map(_.ts).maxOption.getOrElse(sinceTs)
+    // Partition-level incrementality needs the export dir layout to be
+    // recoverable from the table's internal partition paths; transform
+    // keygens (`field:timestamp` and the single-field
+    // partitionTimestampFormat shorthand) format values so the mapping
+    // breaks, and a non-partitioned table has no partitions to diff —
+    // all fall back to a full (still exact) refresh.
+    val identityLayout = parts.nonEmpty &&
+      !table.config.partitionFields.exists(_.contains(":")) &&
+      !(table.config.partitionTimestampFormat.isDefined &&
+        table.config.partitionFields.size == 1)
+    val now = cursorOf(table).getOrElse(sinceTs)
     if (now <= sinceTs) return (sinceTs, Seq.empty)
     if (!identityLayout) {
       exportColumnar(spark, tablePath, outputDir, format,
         asOf = tl.completedData.map(_.ts).maxOption)
       return (now, Seq(""))
     }
-    val touched = contentInstants
+    val touched = contentInstants(table)
       .filter(i => i.ts > sinceTs && i.ts <= now)
       .flatMap { i =>
         val m = tl.metadataOf(i)
@@ -94,32 +119,52 @@ object SnapshotExporter {
       }.distinct
     if (touched.isEmpty) return (now, Seq.empty)
     val touchedSet = touched.toSet
-    // rows are read from the CURRENT snapshot (not pinned to `now`): a
+    // rows come from the CURRENT snapshot (not pinned to `now`): a
     // rollback instant at `now` has no data view of its own, and any
     // commit landing between `now` and the read only makes rows in the
     // touched partitions fresher — the next refresh re-exports its
-    // partitions again (idempotent)
+    // partitions again (idempotent). Persisted: the partitioned write
+    // AND the row-liveness pass below both consume it; without the
+    // persist a MOR merge scan of every touched partition runs twice.
     val df = new GraftReadClient(table).snapshotData(None, touchedSet.contains)
-    df.write.mode("overwrite").format(format)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy(parts: _*).save(outputDir)
-    // Vanished partitions: dynamic overwrite only replaces partitions it
-    // writes rows to, so a touched partition with ZERO surviving rows
-    // (delete_partition, or every row tombstoned — slices may still
-    // exist pre-compaction) keeps a stale export dir unless deleted
-    // explicitly. Row-liveness comes from df itself.
-    val alive = df
-      .select(concat_ws("/", parts.map(f => col(f).cast("string")): _*))
-      .distinct().collect().map(_.getString(0)).toSet
-    val fs = new org.apache.hadoop.fs.Path(outputDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-    touched.filterNot(alive).foreach { p =>
-      val rel = parts.zip(p.split("/", -1))
-        .map { case (f, v) => s"$f=${escapePathName(v)}" }.mkString("/")
-      fs.delete(new org.apache.hadoop.fs.Path(s"$outputDir/$rel"), true)
-    }
-    (now, touched)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      df.write.mode("overwrite").format(format)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*).save(outputDir)
+      // Vanished partitions: dynamic overwrite only replaces partitions
+      // it writes rows to, so a touched partition with ZERO surviving
+      // rows (delete_partition, or every row tombstoned — slices may
+      // still exist pre-compaction) keeps a stale export dir unless
+      // deleted explicitly. Row-liveness uses the WRITER's own partition
+      // expression (KeyGen.partExpr), so null/empty values route to the
+      // same `default` sentinel as the internal paths in `touched`.
+      val alive = df
+        .select(graft.write.KeyGen.partExpr(table.config))
+        .distinct().collect().map(_.getString(0)).toSet
+      val fs = new org.apache.hadoop.fs.Path(outputDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      touched.filterNot(alive).foreach { p =>
+        // an internal `default` component may have come from NULL/empty
+        // values (exported as __HIVE_DEFAULT_PARTITION__) or from the
+        // literal string "default" — both export dirs are dead when the
+        // internal partition has no surviving rows, so delete every
+        // combination
+        val rels = parts.zip(p.split("/", -1))
+          .foldLeft(Seq("")) { case (acc, (f, v)) =>
+            val opts =
+              if (v == "default")
+                Seq(s"$f=default", s"$f=__HIVE_DEFAULT_PARTITION__")
+              else Seq(s"$f=${escapePathName(v)}")
+            for (a <- acc; o <- opts)
+              yield if (a.isEmpty) o else s"$a/$o"
+          }
+        rels.foreach(r =>
+          fs.delete(new org.apache.hadoop.fs.Path(s"$outputDir/$r"), true))
+      }
+      (now, touched)
+    } finally df.unpersist(false)
   }
 
   /** Re-materialize the snapshot as a new graft table at `outputDir`

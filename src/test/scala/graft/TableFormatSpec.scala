@@ -2030,6 +2030,53 @@ class TableFormatSpec extends AnyFunSuite {
       mExpect.exceptAll(mGot).count() === 0)
   }
 
+  test("incremental export: rolled-back ZERO-FILE replace commits resurrect partitions; pending writers floor the cursor") {
+    import graft.utilities.SnapshotExporter
+    val path = tmp() + "/t"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    val out = tmp() + "/export"
+    SnapshotExporter.exportColumnar(spark, path, out)
+    val c0 = t.timeline.lastCompletedData.get.ts
+
+    // delete_partition writes NO files (replacePartitions-only commit);
+    // refresh drops the partition's export dir
+    val dp = w.deletePartitions(Seq("3-MEDIUM"))
+    val (e1, t1) = SnapshotExporter.exportIncrementalColumnar(spark, path, out, c0)
+    assert(t1.contains("3-MEDIUM"))
+    assert(!new java.io.File(out, "o_orderpriority=3-MEDIUM").exists())
+
+    // rolling that commit back leaves a rollback instant whose ONLY
+    // content signal is the resurrected replacePartitions — the refresh
+    // must re-export the partition, not silently serve the deletion
+    new TableServices(t, wc).rollback(dp)
+    val (e2, t2) = SnapshotExporter.exportIncrementalColumnar(spark, path, out, e1)
+    assert(t2.contains("3-MEDIUM"),
+      "zero-file replace rollback must mark its partitions touched")
+    assert(e2 > e1)
+    val expect = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    val got = spark.read.parquet(out).select(expect.columns.map(col).toSeq: _*)
+    assert(got.exceptAll(expect).count() === 0 && expect.exceptAll(got).count() === 0,
+      "resurrected partition must be back in the export")
+
+    // hollow-commit floor: a PENDING data instant older than the newest
+    // completed commit caps the cursor below itself, so the writer's
+    // eventual completion can never land under an already-taken cursor
+    val c3 = w.upsert(orders.limit(40)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    val pendingTs = graft.core.InstantTimeGenerator.next()
+    t.timeline.createRequested(pendingTs, GraftAction.Commit, "{}")
+    val c4 = w.upsert(orders.limit(40)
+      .withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    assert(c3 < pendingTs && pendingTs < c4, "fixture ordering")
+    val cursor = SnapshotExporter.exportCursor(spark, path)
+    assert(cursor === Some(c3),
+      s"cursor must stop below the pending instant, got $cursor")
+    t.timeline.deleteInstant(
+      GraftInstant(pendingTs, GraftAction.Commit, GraftState.Requested))
+  }
+
   test("ALTER TABLE RENAME COLUMN + ALTER COLUMN TYPE: zero-file, old files read correctly") {
     val sparkExt = spark
     val path = tmp() + "/t"
