@@ -1656,6 +1656,24 @@ object SparkEntry {
         .select("doc_id", "lang")
     }),
 
+    // concat-and-chunk sequence packing: every doc's chunk id + token
+    // offset in the concatenated corpus stream, via the distributed
+    // two-pass prefix sum (never a single-partition global window)
+    "doc_pack_chunks" -> ((s, dir) => {
+      graft.operators.Packing.packChunks(
+        T(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 2048L)
+    }),
+
+    // corpus mixture by absolute per-domain token budgets, kept in
+    // deterministic md5-of-id order (rerun-stable unbiased sample)
+    "doc_mixture_budget" -> ((s, dir) => {
+      graft.operators.Packing.mixtureByTokenBudget(
+        T(s, dir, "documents"), "doc_id", "lang",
+        TextFunctions.tokenCount(col("text")),
+        budgets = Map("en" -> 6000L, "de" -> 2000L), defaultBudget = 3000L)
+    }),
+
     "doc_minhash_pairs" -> ((s, dir) => {
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
         shingleLen = 5, numHashes = 64, bands = 16, threshold = 0.6)
@@ -2375,6 +2393,25 @@ object SparkEntry {
         |       substr(md5(CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1))-1)::UBIGINT
         |      * (1::UBIGINT << CAST((15-i)*4 AS INT)))) AS UBIGINT) % 10000
         |  < CASE lang WHEN 'en' THEN 3000 WHEN 'de' THEN 6000 ELSE 10000 END""".stripMargin,
+
+    // independent single-window recomputation of the distributed
+    // prefix-sum packing: exact integer chunk arithmetic must agree
+    "doc_pack_chunks" ->
+      s"""WITH t AS (SELECT doc_id, CAST($duckTokens AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum FROM t)
+         |SELECT doc_id, n AS n_tokens,
+         |  CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
+         |  CAST((cum - n) % 2048 AS BIGINT) AS pack_offset
+         |FROM c""".stripMargin,
+
+    // same md5 hash order, same boundary-doc-kept budget floor
+    "doc_mixture_budget" ->
+      s"""WITH t AS (SELECT doc_id, lang, CAST($duckTokens AS BIGINT) AS n,
+         |             md5(CAST(doc_id AS VARCHAR)) AS h FROM documents),
+         |c AS (SELECT doc_id, lang, n,
+         |        sum(n) OVER (PARTITION BY lang ORDER BY h, doc_id) AS cum FROM t)
+         |SELECT doc_id, lang, n AS n_tokens FROM c
+         |WHERE cum - n < CASE lang WHEN 'en' THEN 6000 WHEN 'de' THEN 2000 ELSE 3000 END""".stripMargin,
 
     // exact 5-char-shingle Jaccard pairs >= 0.6 — independent ground
     // truth for both near-dup candidate strategies; the engines must emit

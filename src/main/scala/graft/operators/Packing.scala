@@ -1,0 +1,179 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.storage.StorageLevel
+
+/** Sequence packing and token-budget mixture for training-data
+  * pipelines: assign every document its position in the concatenated
+  * token stream (pretraining "concat-and-chunk" packing), and cap each
+  * domain of a corpus mixture at a token budget in deterministic hash
+  * order.
+  *
+  * Both reduce to one primitive — an EXACT GLOBAL PREFIX SUM in a total
+  * order — which naively is `Window.orderBy(...)` with no partition
+  * spec: Spark executes that by moving the entire dataset to a single
+  * partition, the canonical 100 TB scale-killer. [[distributedCumsum]]
+  * is the two-pass distributed form instead:
+  *
+  *   1. range-shuffle the skinny (order, value) projection so partition
+  *      p holds a contiguous key range, and persist it (the range
+  *      boundaries are sampled, so the SAME materialized layout must
+  *      feed both passes);
+  *   2. one tiny aggregate computes per-(partition, group) sums —
+  *      at most `numPartitions x |groups|` rows of planning metadata on
+  *      the driver, from which exclusive per-partition offsets follow;
+  *   3. a within-partition window (partitioned by the captured physical
+  *      partition id, so ~numPartitions independent window groups, never
+  *      one global one) plus the broadcast-joined offset yields the
+  *      exact global cumsum.
+  *
+  * The result is identical to the single-partition window — prefix sums
+  * do not depend on where partition boundaries fall, only on the total
+  * order, which is why every step is oracle-exact — but the largest
+  * single-node obligation is one partition's sort instead of the whole
+  * corpus. Callers pass a SKINNY projection (id + value columns, ~16
+  * bytes/row); assignments join back to the full rows by id, so the
+  * wide document data is never shuffled at all.
+  */
+object Packing {
+
+  /** Exact cumulative sum of `valueCol` over the total order
+    * `orderCols`, within each distinct value of `groupCols` (empty =
+    * one global stream). Appends:
+    *
+    *   - `_cum`: inclusive prefix sum (long)
+    *
+    * The input should already be projected down to the columns the
+    * caller needs; it is range-partitioned and persisted
+    * MEMORY_AND_DISK for the duration of the two passes (the caller
+    * may `unpersist` the RETURNED frame's lineage once consumed —
+    * results are deterministic either way, re-computation only costs
+    * time).
+    */
+  def distributedCumsum(
+      df: DataFrame,
+      valueCol: String,
+      orderCols: Seq[String],
+      groupCols: Seq[String] = Seq.empty): DataFrame = {
+    val spark = df.sparkSession
+    val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val rangeKeys = (groupCols ++ orderCols).map(col)
+
+    // Pass 0: range layout. Persist is REQUIRED for exactness, not a
+    // cache hint: RangePartitioner samples its bounds per plan
+    // execution, so an unpersisted frame could land rows in different
+    // partitions between the stats pass and the final pass, corrupting
+    // the offsets.
+    val ranged = df
+      .repartitionByRange(nPart, rangeKeys: _*)
+      .withColumn("_pid", spark_partition_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Pass 1: per-(pid, group) sums — planning metadata, <= nPart x
+    // |groups| rows. Exclusive offset of (pid, group) = sum over
+    // earlier pids of the same group (range partitioning keeps each
+    // group's rows in ascending-pid contiguous runs).
+    val stats = ranged
+      .groupBy(("_pid" +: groupCols).map(col): _*)
+      .agg(sum(col(valueCol).cast("long")).as("_psum"))
+      .collect()
+    val offsets: Seq[(Int, Seq[Any], Long)] = stats
+      .map(r => (r.getInt(0), groupCols.map(g => r.getAs[Any](g)), r.getLong(r.length - 1)))
+      .toSeq
+      .groupBy(_._2)
+      .flatMap { case (grp, rows) =>
+        val sorted = rows.sortBy(_._1)
+        val cums = sorted.scanLeft(0L)(_ + _._3)
+        sorted.zip(cums).map { case ((pid, _, _), off) => (pid, grp, off) }
+      }
+      .toSeq
+
+    // Pass 2: within-partition window + broadcast offset join. The
+    // window's partition key includes _pid, so no window group exceeds
+    // one physical partition of the ranged layout.
+    val offSchema = new org.apache.spark.sql.types.StructType()
+      .add("_pid", "int")
+    val offRows = offsets.map { case (pid, grp, off) =>
+      org.apache.spark.sql.Row.fromSeq(pid +: grp :+ off)
+    }
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offRows, 1),
+      groupCols.foldLeft(offSchema)((s, g) => s.add(g, df.schema(g).dataType))
+        .add("_offset", "long"))
+
+    // ROWS frame (not the default RANGE): with unique order keys the
+    // results are identical, but ROWS avoids peer-group semantics and
+    // Spark's RANGE restrictions on multi-column orderings.
+    val w = Window
+      .partitionBy(("_pid" +: groupCols).map(col): _*)
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged
+      .join(broadcast(offDf), "_pid" +: groupCols)
+      .withColumn("_cum",
+        sum(col(valueCol).cast("long")).over(w) + col("_offset"))
+      .drop("_pid", "_offset")
+  }
+
+  /** Concat-and-chunk packing assignment: documents are concatenated in
+    * ascending `idCol` order and the token stream is cut every `budget`
+    * tokens; each document reports the chunk it starts in and its token
+    * offset within that chunk (a doc may span into later chunks —
+    * `pack_id` of the next doc tells you how far). Output:
+    * `(id, n_tokens, pack_id, pack_offset)`, suitable for a downstream
+    * gather that builds fixed-length training batches.
+    *
+    * Exact integer arithmetic throughout (`div`/`%` on longs — no
+    * floating-point floor), so assignments are bit-stable across
+    * engines and scales.
+    */
+  def packChunks(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      budget: Long): DataFrame = {
+    val skinny = df.select(col(idCol), tokenCountCol.cast("long").as("n_tokens"))
+    distributedCumsum(skinny, "n_tokens", Seq(idCol))
+      .withColumn("_start", col("_cum") - col("n_tokens"))
+      .select(
+        col(idCol),
+        col("n_tokens"),
+        expr(s"_start div ${budget}L").as("pack_id"),
+        (col("_start") % budget).as("pack_offset"))
+  }
+
+  /** Token-budget mixture: keep each domain's documents in
+    * deterministic md5-of-id order until the domain's cumulative token
+    * count reaches its budget (the document that crosses the boundary
+    * is kept — budgets are floors, not ceilings). Unlisted domains fall
+    * back to `defaultBudget`; the hash order makes the kept set an
+    * unbiased, rerun-stable sample of the domain, the same determinism
+    * contract as [[Sampling.hashSample]].
+    *
+    * This is the corpus-mixture primitive (Pile/DoReMi-style domain
+    * weighting expressed as absolute token budgets): upstream decides
+    * tokens-per-domain, this operator materializes the document set.
+    * Returns `(id, domain, n_tokens)` of the kept documents.
+    */
+  def mixtureByTokenBudget(
+      df: DataFrame,
+      idCol: String,
+      domainCol: String,
+      tokenCountCol: Column,
+      budgets: Map[String, Long],
+      defaultBudget: Long): DataFrame = {
+    val skinny = df.select(
+      col(idCol),
+      col(domainCol),
+      tokenCountCol.cast("long").as("n_tokens"),
+      md5(col(idCol).cast("string")).as("_h"))
+    val budget = budgets.foldLeft(lit(defaultBudget)) {
+      case (acc, (dom, b)) => when(col(domainCol) === dom, lit(b)).otherwise(acc)
+    }
+    distributedCumsum(skinny, "n_tokens", Seq("_h", idCol), Seq(domainCol))
+      .filter(col("_cum") - col("n_tokens") < budget)
+      .select(col(idCol), col(domainCol), col("n_tokens"))
+  }
+}

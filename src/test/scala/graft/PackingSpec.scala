@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Packing
+
+/** The distributed two-pass prefix sum must be BIT-IDENTICAL to the
+  * naive single-partition global window it replaces — partition
+  * boundaries must not be observable in the result. These tests run
+  * with a small shuffle-partition count over data large enough that the
+  * range layout genuinely splits every group across partitions, then
+  * compare row-for-row against `Window.orderBy` with no partition spec
+  * (fine at test scale; the scale-killer the operator exists to avoid).
+  */
+class PackingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-packing-test")
+    .config("spark.sql.shuffle.partitions", "7")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  // Deterministic fixture: 2000 docs, 5 domains, irregular token counts
+  // (including zero-token docs), ids deliberately NOT contiguous so
+  // range boundaries fall on awkward keys.
+  private lazy val docs = {
+    val rows = (0 until 2000).map { i =>
+      val id = i * 7L + (i % 3)          // non-contiguous, still unique
+      val dom = s"d${i % 5}"
+      val n = if (i % 97 == 0) 0L else (i * 31 % 213).toLong
+      (id, dom, n)
+    }
+    rows.toDF("id", "dom", "n")
+  }
+
+  test("distributedCumsum equals the global single-window cumsum") {
+    val dist = Packing.distributedCumsum(docs, "n", Seq("id"))
+      .select($"id", $"_cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val w = Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.withColumn("_cum", sum($"n").over(w))
+      .select($"id", $"_cum").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist.size === 2000)
+    assert(dist === naive)
+  }
+
+  test("grouped distributedCumsum equals per-group global windows") {
+    val dist = Packing.distributedCumsum(docs, "n", Seq("id"), Seq("dom"))
+      .select($"id", $"dom", $"_cum").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    val w = Window.partitionBy($"dom").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs.withColumn("_cum", sum($"n").over(w))
+      .select($"id", $"dom", $"_cum").collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toMap
+    assert(dist === naive)
+  }
+
+  test("packChunks assigns exact chunk ids and offsets") {
+    val out = Packing.packChunks(docs, "id", $"n", budget = 1000L)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val w = Window.orderBy($"id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("start", sum($"n").over(w) - $"n")
+      .collect().map { r =>
+        val (id, n, st) = (r.getLong(0), r.getLong(2), r.getLong(3))
+        (id, (n, st / 1000L, st % 1000L))
+      }.toMap
+    assert(out === naive)
+    // offsets are always inside the chunk; chunk ids are monotone in id
+    assert(out.values.forall { case (_, _, off) => off >= 0 && off < 1000L })
+    val byId = out.toSeq.sortBy(_._1).map(_._2._2)
+    assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
+  }
+
+  test("mixtureByTokenBudget keeps hash-prefix docs up to the budget floor") {
+    val budgets = Map("d0" -> 5000L, "d1" -> 0L)
+    val out = Packing.mixtureByTokenBudget(docs, "id", "dom", $"n", budgets, 8000L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+
+    // naive recomputation: per-domain md5 order, exclusive cumsum < budget
+    val w = Window.partitionBy($"dom")
+      .orderBy(md5($"id".cast("string")), $"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = docs
+      .withColumn("cum", sum($"n").over(w))
+      .filter($"cum" - $"n" <
+        when($"dom" === "d0", 5000L).when($"dom" === "d1", 0L).otherwise(8000L))
+      .select($"id", $"dom", $"n")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(out.toSet === naive.toSet)
+    assert(out.length === naive.length)
+
+    // a zero budget keeps nothing; the boundary doc is kept elsewhere:
+    // each non-empty domain's kept token sum reaches >= its budget or
+    // includes the whole domain
+    assert(!out.exists(_._2 === "d1"))
+    val keptSums = out.groupBy(_._2).map { case (d, rs) => d -> rs.map(_._3).sum }
+    val totalSums = docs.groupBy($"dom").agg(sum($"n").as("s")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptSums.foreach { case (d, s) =>
+      val b = budgets.getOrElse(d, 8000L)
+      assert(s >= math.min(b, totalSums(d)))
+    }
+  }
+
+  test("results are invariant to input partitioning") {
+    val repartitioned = docs.repartition(13, $"dom")
+    val a = Packing.packChunks(docs, "id", $"n", 777L).collect()
+      .map(r => r.toSeq).toSet
+    val b = Packing.packChunks(repartitioned, "id", $"n", 777L).collect()
+      .map(r => r.toSeq).toSet
+    assert(a === b)
+  }
+}
