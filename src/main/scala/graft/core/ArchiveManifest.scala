@@ -63,15 +63,34 @@ object ArchiveManifest {
     try { markerFault(); storage.createImmutable(marker, Json.write(header)) }
     catch {
       case e: java.io.IOException =>
-        // Either a racing archiver published the boundary first (its
-        // marker references its OWN dir — this attempt's dir is an
-        // orphan) or the create genuinely failed. Only swallow when the
-        // competing marker PROVABLY exists: returning normally without a
-        // published manifest would let the caller archive the instants
-        // off the active timeline with no checkpoint holding their file
-        // entries — silent committed-data loss from every view.
-        storage.delete(filesDir, recursive = true)
-        if (!storage.exists(marker)) throw e
+        // Three distinct outcomes hide behind one exception type, and
+        // only reading the surviving marker tells them apart:
+        //  - OUR marker was actually published and a post-create step
+        //    threw (createImmutable's tmp cleanup): the marker
+        //    references THIS attempt's dir — success; the dir must
+        //    survive, deleting it would orphan a published manifest.
+        //  - a racing archiver published the boundary first: its marker
+        //    references its OWN dir — this attempt's dir is an orphan
+        //    to delete, then swallow.
+        //  - the create genuinely failed (no marker): delete the orphan
+        //    and rethrow — returning normally without a published
+        //    manifest would let the caller archive the instants off the
+        //    active timeline with no checkpoint holding their file
+        //    entries (silent committed-data loss from every view).
+        if (!storage.exists(marker)) {
+          storage.delete(filesDir, recursive = true) // genuine failure
+          throw e
+        }
+        val survivor = // None = marker present but unreadable right now
+          try Json.readCommitMetadata(storage.readOverwritable(marker))
+            .extra.get(FilesDirKey)
+          catch { case _: Throwable => None }
+        if (survivor.contains(dirName)) () // ours — published, keep dir
+        else if (survivor.isDefined)
+          storage.delete(filesDir, recursive = true) // lost the race
+        else throw e // can't prove ownership: keep the dir (recoverable
+        // orphan at worst) and surface the failure rather than risk
+        // deleting the dir a published marker references
     }
   }
 

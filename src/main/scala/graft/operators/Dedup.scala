@@ -230,6 +230,19 @@ object Dedup {
           // blocks, no lineage — dies with an executor) is only the
           // single-node fallback, where "executor loss" means the whole
           // JVM is gone anyway.
+          //
+          // Checkpoint-file lifetime: what lands on checkpoint storage
+          // is each chunk's AGGREGATED output — one (id_a,id_b,inter)
+          // row per candidate pair, not the exploded element volume —
+          // so a single query accumulates ~the candidate-pair list, and
+          // Spark only deletes those files at application exit. The
+          // files cannot be deleted here (the returned frame stays lazy
+          // and may replay from them); long-lived sessions running many
+          // verifies should set
+          // spark.cleaner.referenceTracking.cleanCheckpoints=true, which
+          // lets the ContextCleaner reclaim each chunk's files as soon
+          // as its RDD is unreachable (the System.gc() below already
+          // forces that discovery per chunk).
           val perChunk = expectedRows / chunks + 1
           val sc = shingles.sparkSession.sparkContext
           val reliable = sc.getCheckpointDir.isDefined

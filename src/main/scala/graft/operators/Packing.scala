@@ -46,17 +46,20 @@ object Packing {
     *   - `_cum`: inclusive prefix sum (long)
     *
     * The input should already be projected down to the columns the
-    * caller needs; it is range-partitioned and persisted
-    * MEMORY_AND_DISK for the duration of the two passes (the caller
-    * may `unpersist` the RETURNED frame's lineage once consumed —
-    * results are deterministic either way, re-computation only costs
-    * time).
+    * caller needs; `finish` is the caller's final projection/filter,
+    * applied before the result persist so the returned frame stays
+    * caller-unpersistable. The function materializes its result eagerly
+    * (the intermediate range layout must stay pinned until the offsets
+    * are consumed) and returns it persisted MEMORY_AND_DISK — the
+    * caller unpersists the returned frame when done. NULL values sum as
+    * 0; NULL group keys form their own group (matched null-safely).
     */
   def distributedCumsum(
       df: DataFrame,
       valueCol: String,
       orderCols: Seq[String],
-      groupCols: Seq[String] = Seq.empty): DataFrame = {
+      groupCols: Seq[String] = Seq.empty,
+      finish: DataFrame => DataFrame = identity): DataFrame = {
     val spark = df.sparkSession
     val nPart = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
     val rangeKeys = (groupCols ++ orderCols).map(col)
@@ -74,10 +77,13 @@ object Packing {
     // Pass 1: per-(pid, group) sums — planning metadata, <= nPart x
     // |groups| rows. Exclusive offset of (pid, group) = sum over
     // earlier pids of the same group (range partitioning keeps each
-    // group's rows in ascending-pid contiguous runs).
+    // group's rows in ascending-pid contiguous runs). NULL values count
+    // as 0 (same as a window sum, which skips them), so _psum is never
+    // null even for an all-null run.
+    val safeValue = coalesce(col(valueCol).cast("long"), lit(0L))
     val stats = ranged
       .groupBy(("_pid" +: groupCols).map(col): _*)
-      .agg(sum(col(valueCol).cast("long")).as("_psum"))
+      .agg(sum(safeValue).as("_psum"))
       .collect()
     val offsets: Seq[(Int, Seq[Any], Long)] = stats
       .map(r => (r.getInt(0), groupCols.map(g => r.getAs[Any](g)), r.getLong(r.length - 1)))
@@ -110,11 +116,31 @@ object Packing {
       .partitionBy(("_pid" +: groupCols).map(col): _*)
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranged
-      .join(broadcast(offDf), "_pid" +: groupCols)
-      .withColumn("_cum",
-        sum(col(valueCol).cast("long")).over(w) + col("_offset"))
-      .drop("_pid", "_offset")
+    // NULL-SAFE offset join: a plain equi-join would silently drop every
+    // row of a null group (null = null is never true); <=> matches them.
+    val joinCond = groupCols.foldLeft(ranged("_pid") === offDf("_pid")) {
+      (c, g) => c && (ranged(g) <=> offDf(g))
+    }
+    val joined0 = ranged.join(broadcast(offDf), joinCond).drop(offDf("_pid"))
+    // `finish` (the caller's final projection/filter) applies BEFORE the
+    // persist so the RETURNED frame is exactly the cached one —
+    // Dataset.unpersist matches by plan, so anything layered on top
+    // afterwards would make the cache unreachable to the caller.
+    val result = finish(
+      groupCols.foldLeft(joined0)((d, g) => d.drop(offDf(g)))
+        .withColumn("_cum", sum(safeValue).over(w) + col("_offset"))
+        .drop("_pid", "_offset"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize the (skinny) result while the ranged layout is still
+    // pinned, then release the intermediate cache: unpersisting `ranged`
+    // any earlier would let a later action re-execute the range shuffle
+    // with freshly sampled bounds and corrupt the offsets; never
+    // unpersisting it leaks a cache entry per call that the caller
+    // cannot reach. The RETURNED frame is the only cached artifact —
+    // callers unpersist it directly when done.
+    result.count()
+    ranged.unpersist(false)
+    result
   }
 
   /** Concat-and-chunk packing assignment: documents are concatenated in
@@ -134,14 +160,15 @@ object Packing {
       idCol: String,
       tokenCountCol: Column,
       budget: Long): DataFrame = {
-    val skinny = df.select(col(idCol), tokenCountCol.cast("long").as("n_tokens"))
-    distributedCumsum(skinny, "n_tokens", Seq(idCol))
-      .withColumn("_start", col("_cum") - col("n_tokens"))
-      .select(
-        col(idCol),
-        col("n_tokens"),
-        expr(s"_start div ${budget}L").as("pack_id"),
-        (col("_start") % budget).as("pack_offset"))
+    val skinny = df.select(col(idCol),
+      coalesce(tokenCountCol.cast("long"), lit(0L)).as("n_tokens"))
+    distributedCumsum(skinny, "n_tokens", Seq(idCol), Seq.empty, d =>
+      d.withColumn("_start", col("_cum") - col("n_tokens"))
+        .select(
+          col(idCol),
+          col("n_tokens"),
+          expr(s"_start div ${budget}L").as("pack_id"),
+          (col("_start") % budget).as("pack_offset")))
   }
 
   /** Token-budget mixture: keep each domain's documents in
@@ -167,13 +194,13 @@ object Packing {
     val skinny = df.select(
       col(idCol),
       col(domainCol),
-      tokenCountCol.cast("long").as("n_tokens"),
+      coalesce(tokenCountCol.cast("long"), lit(0L)).as("n_tokens"),
       md5(col(idCol).cast("string")).as("_h"))
     val budget = budgets.foldLeft(lit(defaultBudget)) {
       case (acc, (dom, b)) => when(col(domainCol) === dom, lit(b)).otherwise(acc)
     }
-    distributedCumsum(skinny, "n_tokens", Seq("_h", idCol), Seq(domainCol))
-      .filter(col("_cum") - col("n_tokens") < budget)
-      .select(col(idCol), col(domainCol), col("n_tokens"))
+    distributedCumsum(skinny, "n_tokens", Seq("_h", idCol), Seq(domainCol), d =>
+      d.filter(col("_cum") - col("n_tokens") < budget)
+        .select(col(idCol), col(domainCol), col("n_tokens")))
   }
 }

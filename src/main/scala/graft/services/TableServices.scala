@@ -1226,6 +1226,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val toArchive = completed.dropRight(minCommits)
       .filter(i => spFloor.forall(i.ts < _))
     if (toArchive.isEmpty) return None
+    // A clean leaving the active timeline MUST have its physical deletes
+    // done first: reapUnfinishedCleanDeletes only scans ACTIVE cleans, so
+    // archiving a clean whose process crashed between publish and the
+    // deletes (no deletes-done marker) would otherwise leak its planned
+    // file versions on disk forever — invisible to every view, found by
+    // no later sweep.
+    if (toArchive.exists(_.action == GraftAction.Clean))
+      reapUnfinishedCleanDeletes()
 
     // checkpoint the view AT THE ARCHIVE BOUNDARY before removing
     // instants (Delta-checkpoint pattern). The cap matters: files of

@@ -62,8 +62,12 @@ object SchemaRegistryProvider {
         out.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
       } else {
-        out.write(c.toString.getBytes(StandardCharsets.UTF_8))
-        i += 1
+        // whole code points, not UTF-16 chars: encoding a lone
+        // surrogate of a non-BMP character yields '?' bytes and a
+        // corrupted credential
+        val cp = s.codePointAt(i)
+        out.write(new String(Character.toChars(cp)).getBytes(StandardCharsets.UTF_8))
+        i += Character.charCount(cp)
       }
     }
     new String(out.toByteArray, StandardCharsets.UTF_8)
@@ -87,8 +91,21 @@ object SchemaRegistryProvider {
     // percent-encoded segments, so a rebuild corrupts URLs that work.
     // java.net.URL (not URI) for userinfo: URI returns null userinfo for
     // registry-based authorities (underscore hostnames), URL does not
+    // Parse failures must not leak credentials either: URISyntaxException
+    // (and URI.toURL wrappers) embed the FULL input string in their
+    // message, so re-wrap with the userinfo redacted textually.
+    def redact(u: String): String = u.replaceFirst("//[^/@]*@", "//***@")
     val userinfo =
-      Option(new java.net.URI(url).toURL.getUserInfo).filter(_.nonEmpty)
+      try Option(new java.net.URI(url).toURL.getUserInfo).filter(_.nonEmpty)
+      catch {
+        case e: java.net.URISyntaxException =>
+          throw new IllegalArgumentException(
+            s"invalid schema-registry URL ${redact(url)}: " +
+              s"${e.getReason} at index ${e.getIndex}")
+        case _: java.net.MalformedURLException =>
+          throw new IllegalArgumentException(
+            s"invalid schema-registry URL ${redact(url)}")
+      }
     val cleanUrl = userinfo match {
       case Some(creds) => url.replaceFirst(
         "//" + java.util.regex.Pattern.quote(creds) + "@", "//")

@@ -132,25 +132,34 @@ object SnapshotExporter {
       df.write.mode("overwrite").format(format)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy(parts: _*).save(outputDir)
-      // Vanished partitions: dynamic overwrite only replaces partitions
-      // it writes rows to, so a touched partition with ZERO surviving
-      // rows (delete_partition, or every row tombstoned — slices may
-      // still exist pre-compaction) keeps a stale export dir unless
-      // deleted explicitly. Row-liveness uses the WRITER's own partition
-      // expression (KeyGen.partExpr), so null/empty values route to the
-      // same `default` sentinel as the internal paths in `touched`.
-      val alive = df
-        .select(graft.write.KeyGen.partExpr(table.config))
-        .distinct().collect().map(_.getString(0)).toSet
+      // Stale export dirs: dynamic overwrite only replaces partition
+      // dirs it writes rows to, and a touched INTERNAL partition maps
+      // to up to 2^k export dirs — each `default` path component may
+      // have come from NULL/empty values (exported as
+      // __HIVE_DEFAULT_PARTITION__) or from the literal string
+      // "default", and those are DISTINCT export dirs fed by distinct
+      // row populations. Enumerate every variant dir of every touched
+      // partition and delete the ones with no surviving rows: that
+      // covers both the fully-dead partition (delete_partition, or
+      // every row tombstoned — slices may still exist pre-compaction)
+      // and the half-dead mixed case (e.g. all NULL-lang rows deleted
+      // while literal-"default" rows survive, where the overwrite
+      // rewrote only the surviving variant).
+      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+      val aliveDirs = df
+        .select(parts.map(f => col(f).cast("string")): _*)
+        .distinct().collect().map { r =>
+          parts.indices.map { i =>
+            val v = r.getString(i)
+            val rendered =
+              if (v == null || v.isEmpty) "__HIVE_DEFAULT_PARTITION__"
+              else escapePathName(v)
+            s"${parts(i)}=$rendered"
+          }.mkString("/")
+        }.toSet
       val fs = new org.apache.hadoop.fs.Path(outputDir)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
-      touched.filterNot(alive).foreach { p =>
-        // an internal `default` component may have come from NULL/empty
-        // values (exported as __HIVE_DEFAULT_PARTITION__) or from the
-        // literal string "default" — both export dirs are dead when the
-        // internal partition has no surviving rows, so delete every
-        // combination
+      touched.foreach { p =>
         val rels = parts.zip(p.split("/", -1))
           .foldLeft(Seq("")) { case (acc, (f, v)) =>
             val opts =
@@ -160,7 +169,7 @@ object SnapshotExporter {
             for (a <- acc; o <- opts)
               yield if (a.isEmpty) o else s"$a/$o"
           }
-        rels.foreach(r =>
+        rels.filterNot(aliveDirs).foreach(r =>
           fs.delete(new org.apache.hadoop.fs.Path(s"$outputDir/$r"), true))
       }
       (now, touched)

@@ -157,4 +157,37 @@ class CleanConcurrencySpec extends AnyFunSuite {
     assert(contentDiff(new GraftReadClient(GraftTable.load(spark, path))
       .snapshotData(), expect) === 0)
   }
+
+  test("archiving an unreaped clean re-issues its deletes first (no permanent leak)") {
+    // the orphan sweep only scans ACTIVE cleans: if a crashed clean is
+    // archived before any later clean runs, its planned file versions
+    // would otherwise stay on disk forever — invisible to every view,
+    // found by no later maintenance
+    val path = tmp()
+    val (t, w, svc, planTs, paths) = planLargeClean(path)
+    intercept[RuntimeException] {
+      withPostCleanHook(() => throw new RuntimeException("simulated crash")) {
+        svc.executeClean(planTs)
+      }
+    }
+    assert(paths.forall(t.storage.exists), "orphans present before archive")
+    // push the clean below the archive boundary with later commits (a
+    // same-content upsert keeps the expected snapshot unchanged)
+    val touch = orders.filter(col("o_orderkey") % 2 === 1).limit(7)
+    w.upsert(touch); w.upsert(touch)
+    val archived = new TableServices(GraftTable.load(spark, path), wc)
+      .archive(minCommits = 2, maxCommits = 3)
+    assert(archived.nonEmpty, "fixture must actually archive")
+    val tl2 = GraftTable.load(spark, path).timeline
+    assert(!tl2.completed.exists(i =>
+      i.action == GraftAction.Clean && i.ts == planTs),
+      "the clean must have left the active timeline")
+    assert(paths.forall(p => !t.storage.exists(p)),
+      "archive must reap the crashed clean's deletes before archiving it")
+    val expect = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 2 === 0, col("o_totalprice") + 2.0)
+        .otherwise(col("o_totalprice")))
+    assert(contentDiff(new GraftReadClient(GraftTable.load(spark, path))
+      .snapshotData(), expect) === 0)
+  }
 }

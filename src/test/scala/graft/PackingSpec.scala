@@ -111,6 +111,36 @@ class PackingSpec extends AnyFunSuite {
     }
   }
 
+  test("null groups are kept (null-safe offset join) and null values sum as 0") {
+    val rows = (0 until 300).map { i =>
+      val dom: Option[String] = if (i % 11 == 0) None else Some(s"d${i % 3}")
+      val n: Option[Long] = if (i % 13 == 0) None else Some((i % 50).toLong)
+      (i.toLong, dom, n)
+    }
+    val df = rows.toDF("id", "dom", "n")
+    val dist = Packing.distributedCumsum(df, "n", Seq("id"), Seq("dom"))
+      .select($"id", $"_cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist.size === 300) // no row dropped, null group included
+    val w = Window.partitionBy($"dom").orderBy($"id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val naive = df.withColumn("_cum", sum(coalesce($"n", lit(0L))).over(w))
+      .select($"id", $"_cum").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist === naive)
+  }
+
+  test("one cache entry per call, released by unpersisting the RETURNED frame") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.size
+    val out = Packing.packChunks(docs, "id", $"n", 1000L)
+    assert(sc.getPersistentRDDs.size === before + 1,
+      "exactly the returned frame may stay cached (no intermediate leak)")
+    out.unpersist(blocking = true)
+    assert(sc.getPersistentRDDs.size === before,
+      "Dataset.unpersist on the returned frame must release the cache")
+  }
+
   test("results are invariant to input partitioning") {
     val repartitioned = docs.repartition(13, $"dom")
     val a = Packing.packChunks(docs, "id", $"n", 777L).collect()

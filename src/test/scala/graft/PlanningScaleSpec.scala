@@ -251,6 +251,43 @@ class PlanningScaleSpec extends AnyFunSuite {
       .count(_.startsWith(s"$ts.manifest.files")) === 1)
   }
 
+  test("a failure AFTER our own marker published keeps the files dir (no self-orphaning)") {
+    // createImmutable can throw after the marker landed (its tmp-cleanup
+    // is inside a finally); treating that as a lost race would delete
+    // the parquet dir OUR published marker references — every later read
+    // of the boundary fails and the archived file entries are lost. The
+    // catch must recognize the surviving marker as its own and succeed.
+    val dir = Files.createTempDirectory("graft_planscale_own_").toString + "/t"
+    val cfg = GraftTableConfig(
+      tableName = "pso", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("o_orderkey"),
+      partitionFields = Seq("o_orderpriority"))
+    val t = GraftTable.create(spark, dir, cfg)
+    val ts = "20260101000000500"
+    val meta = GraftCommitMetadata(ts, GraftAction.Commit, "manifest",
+      files = Seq(WriteFileInfo("p=0", "go", "go_x.parquet", 10L, 1000L,
+        isDelta = false)))
+    val marker = new org.apache.hadoop.fs.Path(t.storage.archiveDir, s"$ts.manifest")
+    // simulate create-then-throw: land the marker with THIS attempt's
+    // files-dir name (the parquet dir is already written when the fault
+    // fires), so the subsequent createImmutable throws AlreadyExists
+    // while the surviving marker is provably our own
+    ArchiveManifest.markerFault = () => {
+      val dirName = t.storage.listNames(t.storage.archiveDir)
+        .find(_.startsWith(s"$ts.manifest.files")).get
+      val header = meta.copy(files = Seq.empty,
+        extra = meta.extra + (ArchiveManifest.FormatKey -> "parquet") +
+          (ArchiveManifest.FilesDirKey -> dirName))
+      t.storage.createImmutable(marker, Json.write(header))
+    }
+    try ArchiveManifest.write(spark, t.storage, ts, meta) // returns normally
+    finally ArchiveManifest.markerFault = () => ()
+    assert(t.storage.listNames(t.storage.archiveDir)
+      .count(_.startsWith(s"$ts.manifest.files")) === 1,
+      "our files dir must survive — the published marker references it")
+    assert(ArchiveManifest.read(spark, t.storage, s"$ts.manifest").files === meta.files)
+  }
+
   test("legacy single-JSON manifests stay readable next to the parquet format") {
     val dir = Files.createTempDirectory("graft_planscale_legacy_").toString + "/t"
     val cfg = GraftTableConfig(

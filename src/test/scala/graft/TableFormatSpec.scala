@@ -1979,6 +1979,45 @@ class TableFormatSpec extends AnyFunSuite {
       === (e1, Seq.empty))
   }
 
+  test("incremental export separates NULL-valued and literal-'default' partition rows") {
+    import graft.utilities.SnapshotExporter
+    import spark.implicits._
+    // both populations land in the INTERNAL partition "default" but in
+    // DISTINCT export dirs (__HIVE_DEFAULT_PARTITION__ vs default); a
+    // refresh must be able to drop one half while keeping the other
+    val path = tmp() + "/t"
+    val cfgD = GraftTableConfig(
+      tableName = "texp_def", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("k"), partitionFields = Seq("part"))
+    val t = GraftTable.create(spark, path, cfgD)
+    val w = new GraftWriteClient(t, wc)
+    val rows = ((1 to 10).map(i => (i.toLong, Option.empty[String], i * 1.0)) ++
+      (11 to 20).map(i => (i.toLong, Option("default"), i * 1.0)) ++
+      (21 to 30).map(i => (i.toLong, Option("A"), i * 1.0))).toDF("k", "part", "v")
+    w.bulkInsert(rows)
+    val out = tmp() + "/export"
+    SnapshotExporter.exportColumnar(spark, path, out)
+    assert(new java.io.File(out, "part=__HIVE_DEFAULT_PARTITION__").exists())
+    assert(new java.io.File(out, "part=default").exists())
+    val e0 = t.timeline.lastCompletedData.get.ts
+
+    // all NULL-part rows die; the literal-"default" rows survive
+    w.delete(rows.filter($"part".isNull).select("k", "part"))
+    val (e1, _) = SnapshotExporter.exportIncrementalColumnar(spark, path, out, e0)
+    assert(!new java.io.File(out, "part=__HIVE_DEFAULT_PARTITION__").exists(),
+      "the null-valued half of the mixed default partition must be dropped")
+    assert(new java.io.File(out, "part=default").exists(),
+      "the literal-'default' half must survive")
+    val got = spark.read.parquet(out)
+    assert(got.count() === 20 && got.filter($"part".isNull).count() === 0)
+
+    // then the literal half dies too — its dir must go as well
+    w.delete(rows.filter($"part" === "default").select("k", "part"))
+    SnapshotExporter.exportIncrementalColumnar(spark, path, out, e1)
+    assert(!new java.io.File(out, "part=default").exists())
+    assert(spark.read.parquet(out).count() === 10)
+  }
+
   test("incremental export tracks rollbacks and all-tombstoned MOR partitions") {
     import graft.utilities.SnapshotExporter
     // ROLLBACK: a refresh cursor taken at commit c2 must still re-export
