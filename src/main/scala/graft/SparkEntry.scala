@@ -1665,6 +1665,12 @@ object SparkEntry {
         TextFunctions.tokenCount(col("text")), budget = 2048L)
     }),
 
+    // deterministic epoch shuffle: every doc's rank in md5-of-id order
+    // (rerun-stable global shuffle; rank ranges shard an epoch)
+    "doc_shuffle_rank" -> ((s, dir) => {
+      graft.operators.Packing.shuffleOrder(T(s, dir, "documents"), "doc_id")
+    }),
+
     // corpus mixture by absolute per-domain token budgets, kept in
     // deterministic md5-of-id order (rerun-stable unbiased sample)
     "doc_mixture_budget" -> ((s, dir) => {
@@ -2403,6 +2409,13 @@ object SparkEntry {
          |  CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
          |  CAST((cum - n) % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+
+    // same md5 hash order; rank = dense global position, no gaps
+    "doc_shuffle_rank" ->
+      """SELECT doc_id,
+        |  row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+        |    AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     // same md5 hash order, same boundary-doc-kept budget floor
     "doc_mixture_budget" ->

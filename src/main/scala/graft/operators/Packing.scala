@@ -171,6 +171,26 @@ object Packing {
           (col("_start") % budget).as("pack_offset")))
   }
 
+  /** Deterministic epoch-shuffle rank: every document's position in the
+    * md5-of-id order — the rerun-stable "global shuffle" a training
+    * pipeline writes its corpus in (hash order is uniform, so
+    * consecutive ranks are an unbiased interleave of sources/domains).
+    * Output `(id, shuffle_rank)` with ranks 1..N and no gaps: a rank
+    * range IS a reproducible corpus slice, so sharding an epoch across
+    * trainers needs no extra pass. The rank is the same prefix-sum in
+    * hash order with value 1, so it scales exactly like [[packChunks]]
+    * (a bare `row_number()` global window would be the single-partition
+    * scale-killer).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String): DataFrame = {
+    val skinny = df.select(
+      col(idCol),
+      lit(1L).as("_one"),
+      md5(col(idCol).cast("string")).as("_h"))
+    distributedCumsum(skinny, "_one", Seq("_h", idCol), Seq.empty, d =>
+      d.select(col(idCol), col("_cum").as("shuffle_rank")))
+  }
+
   /** Token-budget mixture: keep each domain's documents in
     * deterministic md5-of-id order until the domain's cumulative token
     * count reaches its budget (the document that crosses the boundary

@@ -130,6 +130,17 @@ class PackingSpec extends AnyFunSuite {
     assert(dist === naive)
   }
 
+  test("shuffleOrder ranks are dense 1..N and equal the global row_number in hash order") {
+    val out = Packing.shuffleOrder(docs, "id")
+    val ranks = out.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ranks.map(_._2).sorted.toSeq === (1L to 2000L))
+    val w = Window.orderBy(md5($"id".cast("string")), $"id")
+    val naive = docs.withColumn("r", row_number().over(w).cast("long"))
+      .select($"id", $"r").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ranks.toMap === naive)
+    out.unpersist(false)
+  }
+
   test("one cache entry per call, released by unpersisting the RETURNED frame") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.size
