@@ -78,7 +78,7 @@ final class GraftReadClient(val table: GraftTable) {
       slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
     if (!table.isMor) {
       val paths = slices.flatMap(s => s.base.map(f => basePath(s, f)))
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf))
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame())
     } else {
       val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
       val cleanDf = readFiles(
@@ -88,7 +88,7 @@ final class GraftReadClient(val table: GraftTable) {
         case (Some(a), Some(b)) => dropTombstones(a).unionByName(b)
         case (Some(a), None)    => dropTombstones(a)
         case (None, Some(b))    => b
-        case _                  => emptyFrame(asOf)
+        case _                  => emptyFrame()
       }
     }
   }
@@ -157,7 +157,7 @@ final class GraftReadClient(val table: GraftTable) {
     val paths = table.view.latestSlices(asOf)
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf)))
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame()))
   }
 
   /** Incremental view: records written in commits with
@@ -230,7 +230,7 @@ final class GraftReadClient(val table: GraftTable) {
       table.timeline.metadataOf(i).files.map(f => (f.partition, f.fileId))
     }.filter(g => inGlob(g._1)).toSet
     if (touched.isEmpty) // metadata-only band (e.g. delete_partition)
-      return table.logicalize(emptyFrame(None).filter(lit(false)))
+      return table.logicalize(emptyFrame().filter(lit(false)))
     val slices = table.view.latestSlices(Some(end))
       .filter(s => touched((s.partition, s.fileId)))
     table.logicalize(
@@ -308,7 +308,15 @@ final class GraftReadClient(val table: GraftTable) {
           .filter(g => inGlob(g._1))
       if (touched.isEmpty) None
       else {
-        val prev = allData.filter(_ < c.ts).lastOption.getOrElse("0")
+        // Before-image instant: the last ACTIVE data commit below c, or —
+        // when archiving consumed everything below the band — the archive
+        // checkpoint boundary, whose manifest IS the table state at that
+        // instant. Falling through to "0" on an archived table would
+        // as-of-filter the manifest entries away: empty before-images,
+        // every pre-existing row re-emitted as an insert, deletes lost.
+        val prev = allData.filter(_ < c.ts).lastOption
+          .orElse(table.archiveBoundary.filter(_ < c.ts))
+          .getOrElse("0")
         val beforeSlices = view.latestSlices(Some(prev))
           .filter(s => touched((s.partition, s.fileId)))
         touched.foreach { g =>
@@ -352,7 +360,7 @@ final class GraftReadClient(val table: GraftTable) {
     }
     if (reliableCheckpoint && perCommit.size > chunk) reapStaleCdcCheckpoints()
     val unioned =
-      if (perCommit.isEmpty) changeSet(emptyFrame(None), emptyFrame(None), end, 0)
+      if (perCommit.isEmpty) changeSet(emptyFrame(), emptyFrame(), end, 0)
       else if (perCommit.size <= chunk) perCommit.reduce(_ unionByName _)
       else perCommit.grouped(chunk)
         .map(g => if (reliableCheckpoint) reliably(g.reduce(_ unionByName _))
@@ -480,15 +488,21 @@ final class GraftReadClient(val table: GraftTable) {
       .filter(s => keep(s.partition) && keepSlice(s))
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame(asOf)))
+      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame()))
   }
 
-  /** Zero-row frame carrying the full stored schema so downstream column
-    * references still resolve on an empty table.
+  /** Zero-row frame carrying the stored schema MINUS the tombstone
+    * column, so downstream column references resolve on an empty table
+    * with the SAME schema every non-empty read path produces (those all
+    * drop the column via dropTombstones) — an empty streaming
+    * micro-batch with one extra attribute would fail Spark's
+    * output-schema check, and an empty snapshot would change schema the
+    * moment data arrived.
     */
-  private def emptyFrame(asOf: Option[String]): DataFrame = {
+  private def emptyFrame(): DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val schema = table.storedFileSchema.getOrElse(new StructType())
+    val schema = StructType(table.storedFileSchema.getOrElse(new StructType())
+      .filterNot(_.name == MetaColumns.IsDeleted))
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
@@ -522,14 +536,13 @@ final class GraftReadClient(val table: GraftTable) {
     val pruned =
       if (blooms.isEmpty) ranged
       else {
-        val cache = scala.collection.mutable.Map[
-          String, org.apache.spark.util.sketch.BloomFilter]()
+        // each file is probed at most once (one slice per file, exists
+        // short-circuits), so deserialize inline — no cache needed
         def hit(fileName: String): Boolean = blooms.get(fileName) match {
           case None => true // no sidecar for this file: must scan
           case Some(bytes) =>
-            val bf = cache.getOrElseUpdate(fileName,
-              org.apache.spark.util.sketch.BloomFilter.readFrom(
-                new java.io.ByteArrayInputStream(bytes)))
+            val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(bytes))
             keys.exists(bf.mightContainString)
         }
         ranged.filter(s => (s.base.toSeq ++ s.deltas).exists(f => hit(f.fileName)))

@@ -62,19 +62,35 @@ final class GraftStreamingSink(
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = sqlContext.sparkSession
+    // the engine sets this local property on the stream-execution
+    // thread; it is stable across restarts from the same checkpoint
+    // (runId is not), so it identifies the logical query
+    val queryId =
+      Option(spark.sparkContext.getLocalProperty("sql.streaming.queryId"))
     // replay guard: a restarted query re-delivers the last uncommitted
-    // batch; anything at-or-below the last batch id in the table's commit
-    // metadata has already been durably written
+    // batch; anything at-or-below the last batch id committed BY THIS
+    // QUERY has already been durably written. Batch ids are scoped to a
+    // query's checkpoint: a DIFFERENT query (fresh checkpoint, ids
+    // restarting at 0) writing to the same table is new data, not a
+    // replay — without the query-id comparison its first batches would
+    // be silently dropped until its ids caught up with the previous
+    // query's. Commits from versions that recorded no query id keep the
+    // old skip-by-batch-id semantics.
     if (GraftTable.exists(spark, path)) {
       val table = GraftTable.load(spark, path)
-      val lastCommitted = table.timeline.completedData.reverseIterator
-        .map(i => table.timeline.metadataOf(i).extra.get(GraftStreaming.BatchIdKey))
-        .collectFirst { case Some(id) => id.toLong }
-      if (lastCommitted.exists(_ >= batchId)) return
+      val lastStream = table.timeline.completedData.reverseIterator
+        .map(i => table.timeline.metadataOf(i).extra)
+        .collectFirst { case ex if ex.contains(GraftStreaming.BatchIdKey) => ex }
+      val replayed = lastStream.exists { ex =>
+        ex(GraftStreaming.BatchIdKey).toLong >= batchId &&
+          ex.get(GraftStreaming.QueryIdKey).forall(q => queryId.contains(q))
+      }
+      if (replayed) return
     }
     val batchDf = Shims.asBatchDf(data)
     GraftWriter.write(spark, SaveMode.Append, parameters, batchDf,
-      extra = Map(GraftStreaming.BatchIdKey -> batchId.toString))
+      extra = Map(GraftStreaming.BatchIdKey -> batchId.toString) ++
+        queryId.map(GraftStreaming.QueryIdKey -> _))
   }
 
   override def toString: String = s"GraftStreamingSink[$path]"

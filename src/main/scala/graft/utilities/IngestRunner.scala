@@ -243,10 +243,16 @@ object IngestRunner {
     * cost of JSON parsing in Spark and per-row work is parser-bound
     * either way). Works the same on a batch frame and a streaming one.
     */
-  def decodeKafkaFrame(df: DataFrame, cfg: KafkaPayloadConfig): DataFrame = {
+  def decodeKafkaFrame(rawDf: DataFrame, cfg: KafkaPayloadConfig): DataFrame = {
     import org.apache.spark.sql.functions.{decode => _, _}
-    require(df.columns.contains("value"),
-      s"Kafka frame must carry a `value` column; got ${df.columns.mkString(", ")}")
+    require(rawDf.columns.contains("value"),
+      s"Kafka frame must carry a `value` column; got ${rawDf.columns.mkString(", ")}")
+    // null values are compacted-topic tombstones, not payloads: JSON
+    // parsing would pass them through as all-null data rows (from_json of
+    // null is null, so neither the corrupt-record column nor FAILFAST
+    // fires) and a keyed write then fails or upserts garbage. Deletes
+    // belong in a cdcOpColumn feed; tombstone frames are dropped here.
+    val df = rawDf.filter(col("value").isNotNull)
     if (cfg.format == "avro") {
       val schema = cfg.avroSchemaJson
         .orElse(cfg.schemaRegistryUrl.map { url =>
@@ -312,8 +318,12 @@ object IngestRunner {
           expand(c.getField(f.name), f.dataType, path :+ f.name))
       case _ => Seq(c.as(path.mkString("_")))
     }
+    // backtick-quote top-level names (escaping embedded backticks by
+    // doubling): a column literally named "a.b" would otherwise parse
+    // as nested-field access
     df.select(df.schema.fields.toSeq.flatMap(f =>
-      expand(col(f.name), f.dataType, Seq(f.name))): _*)
+      expand(col("`" + f.name.replace("`", "``") + "`"),
+        f.dataType, Seq(f.name))): _*)
   }
 
   /** Apply the config's transformer chain: structural flattening first
@@ -334,22 +344,33 @@ object IngestRunner {
       readUtf8(spark, f).split(';').map(_.trim).filter(_.nonEmpty).toSeq
     }
     val cacheTable = "(?is)\\s*CACHE\\s+(?:LAZY\\s+)?TABLE\\s+([\\w.]+).*".r
-    (cfg.transformerSql.toSeq ++ fromFile ++ cfg.transformers)
-      .foldLeft(base) { (df, sql) =>
-        df.createOrReplaceTempView("source")
-        // the template re-runs EVERY sync round, but CACHE TABLE x AS
-        // fails once x exists — drop the previous round's view first
-        // (dropTempView also uncaches its data)
-        sql match {
-          case cacheTable(name) => spark.catalog.dropTempView(name)
-          case _                =>
+    // `source` (and any CACHE TABLE names) are SESSION-GLOBAL temp views:
+    // two pipelines transforming concurrently on one SparkSession would
+    // read each other's batches. spark.sql resolves views EAGERLY at
+    // Dataset creation (the returned plan no longer references the view),
+    // so serializing the chain closes the race without holding the lock
+    // through the downstream write.
+    transformMonitor.synchronized {
+      (cfg.transformerSql.toSeq ++ fromFile ++ cfg.transformers)
+        .foldLeft(base) { (df, sql) =>
+          df.createOrReplaceTempView("source")
+          // the template re-runs EVERY sync round, but CACHE TABLE x AS
+          // fails once x exists — drop the previous round's view first
+          // (dropTempView also uncaches its data)
+          sql match {
+            case cacheTable(name) => spark.catalog.dropTempView(name)
+            case _                =>
+          }
+          val out = spark.sql(sql)
+          // a side-effect statement (CACHE TABLE ...) keeps the running
+          // payload; only a result-bearing statement replaces it
+          if (out.schema.isEmpty) df else out
         }
-        val out = spark.sql(sql)
-        // a side-effect statement (CACHE TABLE ...) keeps the running
-        // payload; only a result-bearing statement replaces it
-        if (out.schema.isEmpty) df else out
-      }
+    }
   }
+
+  /** Serializes transformer-chain view registration (see [[transform]]). */
+  private val transformMonitor = new Object
 
   /** Whole small text file off any Hadoop filesystem (SQL templates,
     * schema files).
@@ -522,7 +543,10 @@ object IngestRunner {
     * semantics, like the reference: rows that later land with an
     * incremental value <= the recorded checkpoint are never pulled — use
     * an insert-ordered sequence or a commit timestamp as the column.
-    * Returns the new checkpoint, or None when the source had nothing new.
+    * Returns the new checkpoint; None when the source had nothing new OR
+    * the round was a full refresh (incrementalColumn = None), which
+    * records no checkpoint of its own and carries the target's last one
+    * forward untouched.
     */
   def runJdbcOnce(
       spark: SparkSession, cfg: IngestConfig, jdbc: JdbcSourceConfig): Option[String] = {
@@ -541,8 +565,14 @@ object IngestRunner {
           }
         } finally pulled.unpersist()
       case None =>
-        writeBatch(spark, cfg, transform(spark, cfg, raw), "")
-        Some("")
+        // full-refresh mode records NO checkpoint of its own — carry the
+        // target's last one forward (like runSqlOnce) so a mixed
+        // pipeline's incremental resume point survives. Storing "" here
+        // would reset the resume point AND wedge a DFS-fed target whose
+        // next round parses the checkpoint as a number.
+        writeBatch(spark, cfg, transform(spark, cfg, raw),
+          extra = lastCheckpoint(spark, cfg.targetPath).map(CheckpointKey -> _).toMap)
+        None
     }
   }
 

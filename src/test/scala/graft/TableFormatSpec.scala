@@ -553,6 +553,120 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(tablePath).count() === 71)
   }
 
+  test("streaming sink: a NEW query with a fresh checkpoint is not mistaken for a replay") {
+    // batch ids are scoped to a query's checkpoint: a different query
+    // writing to the same table restarts at 0 and must not be dropped by
+    // the previous query's batch-id high-water mark (the stored query id
+    // tells a true replay apart)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val base = tmp()
+    val tablePath = s"$base/table"
+    def runQ(ms: MemoryStream[(Long, String, Double)], ckpt: String): Unit = {
+      val q = ms.toDF().toDF("k", "part", "v")
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .option("recordkey.field", "k")
+        .option("partitionpath.field", "part")
+        .option("precombine.field", "v")
+        .trigger(Trigger.AvailableNow())
+        .start(tablePath)
+      q.awaitTermination()
+    }
+    // query 1: three batches drive the table's batch-id mark to 2
+    val ms1 = MemoryStream[(Long, String, Double)]
+    ms1.addData((0L until 10L).map(i => (i, "p0", 1.0))); runQ(ms1, s"$base/ckpt1")
+    ms1.addData((10L until 20L).map(i => (i, "p0", 1.0))); runQ(ms1, s"$base/ckpt1")
+    ms1.addData((20L until 30L).map(i => (i, "p0", 1.0))); runQ(ms1, s"$base/ckpt1")
+    assert(spark.read.format("graft").load(tablePath).count() === 30)
+    // query 2: FRESH checkpoint, batch ids restart at 0
+    val ms2 = MemoryStream[(Long, String, Double)]
+    ms2.addData((100L until 110L).map(i => (i, "p1", 2.0)))
+    runQ(ms2, s"$base/ckpt2")
+    assert(spark.read.format("graft").load(tablePath).count() === 40,
+      "a new query's first batch must be written, not skipped as a replay")
+    // and query 1's own replays still dedup (its next batch id is 3)
+    ms1.addData(Seq((200L, "p0", 3.0)))
+    runQ(ms1, s"$base/ckpt1")
+    assert(spark.read.format("graft").load(tablePath).count() === 41)
+  }
+
+  test("streaming source: a metadata-only batch (partition drop) is empty and schema-exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val base = tmp()
+    val tablePath = s"$base/table"; val ckpt = s"$base/ckpt"
+    val t = GraftTable.create(spark, tablePath, GraftTableConfig(
+      tableName = "tmdo", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("k"), partitionFields = Seq("part"),
+      precombineField = Some("v")))
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert((0L until 20L).map(i => (i, "p" + (i % 2), 1.0)).toDF("k", "part", "v"))
+    val outDir = s"$base/out"
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft").load(tablePath)
+        .writeStream.format("parquet").option("path", outDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    assert(spark.read.parquet(outDir).count() === 20)
+    // the next band contains ONLY a replacecommit that writes no files —
+    // the incremental read's empty frame must match the declared source
+    // schema exactly (an extra _graft_is_deleted column kills the query)
+    w.deletePartitions(Seq("p1"))
+    drain()
+    assert(spark.read.parquet(outDir).count() === 20, "drop-only batch adds no rows")
+    // direct schema pin: metadata-only incremental == declared schema
+    val t2 = GraftTable.load(spark, tablePath)
+    val tl = t2.timeline.completedData.map(_.ts)
+    val batch = new GraftReadClient(t2).incremental(tl.init.last, Some(tl.last))
+    assert(batch.schema ===
+      graft.streaming.GraftStreamSource.schemaOf(spark, tablePath))
+    assert(batch.count() === 0)
+  }
+
+  test("CDC change feed: before-images resolve from the archive checkpoint, not instant 0") {
+    // after archiving consumes every commit below the band, the first
+    // band commit's before-image is the manifest state at the boundary —
+    // falling through to "0" would emit every pre-existing row as a
+    // phantom insert and lose deletes
+    val path = tmp()
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    for (i <- 1 to 5) // push the bulk insert below the archive boundary
+      w.upsert(orders.filter(col("o_orderkey") === i.toLong)
+        .withColumn("o_totalprice", col("o_totalprice") + i))
+    val svc = new TableServices(GraftTable.load(spark, path), wc)
+    assert(svc.archive(minCommits = 2, maxCommits = 3).nonEmpty)
+    val t2 = GraftTable.load(spark, path)
+    assert(t2.archiveBoundary.nonEmpty)
+    val begin = t2.archiveBoundary.get
+    // two active commits: an update wave and a delete wave
+    w.upsert(orders.filter(col("o_orderkey") % 10 === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + 50.0))
+    w.delete(orders.filter(col("o_orderkey") % 25 === 7)
+      .select("o_orderkey", "o_orderpriority"))
+    val t3 = GraftTable.load(spark, path)
+    val active = t3.timeline.completedData.map(_.ts).filter(_ > begin)
+    val ch = new GraftReadClient(t3).changes(begin, Some(active.last))
+    val nUpd = orders.filter(col("o_orderkey") % 10 === 3).count()
+    val nDel = orders.filter(col("o_orderkey") % 25 === 7).count()
+    // the band also contains the two still-active single-key upserts
+    // (keys 4 and 5) — one update each; the first of them is exactly the
+    // commit whose before-image must resolve from the manifest
+    assert(ch.filter(col("_change_type") === "insert").count() === 0,
+      "no phantom inserts: before-images must come from the manifest")
+    assert(ch.filter(col("_change_type") === "update_postimage").count() === nUpd + 2)
+    assert(ch.filter(col("_change_type") === "update_preimage").count() === nUpd + 2)
+    assert(ch.filter(col("_change_type") === "delete").count() === nDel,
+      "deletes must surface against the manifest before-image")
+  }
+
   test("filterExists keeps only unseen keys") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
@@ -1075,6 +1189,16 @@ class TableFormatSpec extends AnyFunSuite {
     // nothing new: no commit, checkpoint stays
     assert(IngestRunner.runJdbcOnce(spark, cfg, jdbc).isEmpty)
     assert(IngestRunner.lastCheckpoint(spark, tgt).contains(maxKey.toString))
+
+    // full-refresh round (no incremental column): data re-pulled, but
+    // the target's incremental resume point is CARRIED FORWARD — a
+    // stored "" would reset it (full re-pull next round) and crash any
+    // numeric-checkpoint consumer of the same target
+    assert(IngestRunner.runJdbcOnce(spark, cfg,
+      jdbc.copy(incrementalColumn = None)).isEmpty)
+    assert(IngestRunner.lastCheckpoint(spark, tgt).contains(maxKey.toString),
+      "full refresh must not disturb the incremental checkpoint")
+    assert(spark.read.format("graft").load(tgt).count() === orders.count())
   }
 
   test("jdbc ingest source: numPartitions pulls as parallel range scans") {
