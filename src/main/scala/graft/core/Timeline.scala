@@ -1,7 +1,6 @@
 package graft.core
 
 import java.nio.charset.StandardCharsets
-import java.util.concurrent.atomic.AtomicReference
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileSystem, Path}
@@ -66,13 +65,22 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
     * discovered dead mid-execution.
     */
   private[graft] def probeSetTimes(p: Path): Boolean =
-    try { fs.setTimes(p, System.currentTimeMillis(), -1); true }
-    catch { case _: Exception => false }
+    try {
+      val before = fs.getFileStatus(p).getModificationTime
+      fs.setTimes(p, math.max(System.currentTimeMillis(), before + 1), -1)
+      // some connectors no-op setTimes without throwing: require the
+      // mtime to have actually advanced, or heartbeats would silently
+      // refresh nothing and every long execution would be crash-judged
+      // at the TTL (coarse-granularity stores that truncate the bump
+      // conservatively fall back to the rewrite path)
+      fs.getFileStatus(p).getModificationTime > before
+    } catch { case _: Exception => false }
 
   /** One heartbeat of a claim marker: verify ownership (the marker still
     * carries `token`), then refresh its mtime — setTimes when supported,
-    * else an overwrite with the same token (bumps mtime on every store;
-    * the breaker's stable-mtime double-read yields to either form).
+    * else an in-place rewrite of the same token (bumps mtime on every
+    * store; the breaker's stable-mtime double-read yields to either
+    * form, and the path stays present throughout).
     * Returns FALSE only when the claim is lost: the marker exists with a
     * foreign token (a breaker judged us crashed and re-claimed) or it
     * persists but cannot be refreshed (it WILL be crash-judged after the
@@ -84,7 +92,21 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
       if (readString(p) != token) false
       else {
         if (canSetTimes) fs.setTimes(p, System.currentTimeMillis(), -1)
-        else overwrite(p, token)
+        else {
+          // NOT the staged overwrite(): its no-FileContext tier deletes
+          // the marker before renaming the staged copy in, and in that
+          // window a concurrent claimer reads the missing marker as
+          // "owner finished" and steals a healthy claim with zero TTL
+          // wait (the failed swap then strands a `.new` orphan that
+          // listNames resurrects as a phantom instant). An in-place
+          // truncating rewrite keeps the path present throughout;
+          // transiently partial content is harmless because breakers
+          // only read content AFTER judging the mtime stale, and every
+          // beat keeps it fresh.
+          val out = fs.create(p, true)
+          try out.write(token.getBytes(StandardCharsets.UTF_8))
+          finally out.close()
+        }
         true
       }
     } catch {
@@ -110,6 +132,12 @@ final class GraftStorage(val basePath: Path, val conf: Configuration) {
         java.nio.file.Files.createLink(
           java.nio.file.Paths.get(p.toUri.getPath),
           java.nio.file.Paths.get(tmp.toUri.getPath))
+      // the exists() probe is NOT redundant with the rename result:
+      // Hadoop's rename contract is loose and some connectors overwrite
+      // an existing destination instead of returning false — on those
+      // stores the probe is the only create-if-absent defense (it
+      // narrows rather than closes the window; HDFS-like stores give
+      // the real guarantee via rename-returns-false)
       else if (fs.exists(p) || !fs.rename(tmp, p))
         throw new org.apache.hadoop.fs.FileAlreadyExistsException(p.toString)
     } finally fs.delete(tmp, false)
@@ -323,10 +351,21 @@ final class GraftTimeline(storage: GraftStorage) {
     * reclaims them — stalling beats silently losing a commit.
     */
   def safeIncrementalEnd: Option[String] = {
-    val floor = pending
-      .filter(i => GraftAction.DataActions.contains(i.action))
+    // ONE listing snapshot feeds both the pending floor and the
+    // completed ceiling: separate listings open a window where a writer
+    // creates its requested marker after the floor listing and a LATER
+    // writer completes before the ceiling listing — the checkpoint then
+    // advances past the still-pending earlier commit and skips it
+    // forever. With a single snapshot the race shrinks to the writer's
+    // own ts-generation-to-marker-create gap, the protocol's intrinsic
+    // minimum.
+    val snap = instants
+    val floor = snap
+      .filter(i => !i.isCompleted && GraftAction.DataActions.contains(i.action))
       .map(_.ts).minOption
-    val done = completedData.map(_.ts)
+    val done = snap
+      .filter(i => i.isCompleted && GraftAction.DataActions.contains(i.action))
+      .map(_.ts)
     floor match {
       case Some(f) => done.filter(_ < f).lastOption
       case None    => done.lastOption
@@ -397,18 +436,21 @@ final class GraftTimeline(storage: GraftStorage) {
 
 /** Monotonic commit-timestamp generator: `yyyyMMddHHmmssSSS`.
   * (ref: HoodieActiveTimeline.createNewInstantTime — second granularity;
-  * we use millis + CAS bump so rapid local commits stay distinct.)
+  * we use millis plus a monitor-guarded monotonic bump so rapid local
+  * commits stay distinct.)
   */
 object InstantTimeGenerator {
-  private val last = new AtomicReference[String]("")
+  // guarded by the object monitor in next() — a plain var, no second
+  // synchronization mechanism layered on top
+  private var last: String = ""
   private val fmt = java.time.format.DateTimeFormatter
     .ofPattern("yyyyMMddHHmmssSSS")
     .withZone(java.time.ZoneOffset.UTC)
 
   def next(): String = synchronized {
     var candidate = fmt.format(java.time.Instant.now())
-    if (candidate <= last.get()) candidate = (BigInt(last.get()) + 1).toString()
-    last.set(candidate)
+    if (candidate <= last) candidate = (BigInt(last) + 1).toString()
+    last = candidate
     candidate
   }
 }

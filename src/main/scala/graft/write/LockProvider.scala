@@ -95,6 +95,7 @@ final class FileLockProvider(
     java.util.UUID.randomUUID.toString + "@" + java.lang.management.ManagementFactory
       .getRuntimeMXBean.getName
   @volatile private var held = false
+  @volatile private var acquiredAtMs = 0L
 
   /** Atomic create-if-absent of the lock file WITH its token: the file
     * appears fully written or not at all, in one step. Hadoop's LOCAL
@@ -116,6 +117,10 @@ final class FileLockProvider(
   override def tryLock(timeoutMs: Long): Boolean = {
     val deadline = System.currentTimeMillis() + timeoutMs
     if (!storage.exists(locksDir)) storage.fs.mkdirs(locksDir)
+    def win(): Boolean = { held = true; acquiredAtMs = System.currentTimeMillis(); true }
+    // true when OUR create may have landed but its confirm read failed
+    // transiently — the lock file could be carrying our token already
+    var maybeMine = false
     while (System.currentTimeMillis() <= deadline) {
       try {
         atomicCreate()
@@ -123,13 +128,26 @@ final class FileLockProvider(
         // PREVIOUS holder stale may delete the path right as we created
         // it (its stale-check read raced our create). If the file no
         // longer carries our token, we did not really win — retry.
-        if (try storage.readString(lockPath) == token
-            catch { case _: java.io.IOException => false }) {
-          held = true
-          return true
+        try {
+          if (storage.readString(lockPath) == token) return win()
+          maybeMine = false // read fine, foreign bytes: genuinely lost
+        } catch {
+          case _: java.io.IOException => maybeMine = true // unknown
         }
       } catch {
         case _: java.io.IOException =>
+          // Our own earlier create may have SUCCEEDED with only the
+          // confirm read failing transiently: an EEXIST on a file
+          // carrying OUR token means we already hold the lock — without
+          // this re-check the instance would spin against its own lock
+          // (held=false, unlock a no-op) and block every writer until
+          // the TTL.
+          if (maybeMine) {
+            try {
+              if (storage.readString(lockPath) == token) return win()
+              maybeMine = false
+            } catch { case _: java.io.IOException => () /* still unknown */ }
+          }
           // lock taken: break it only when provably stale (TTL expired).
           // Before deleting, re-read status+token and require BOTH to
           // match the first observation, so we only ever break the EXACT
@@ -158,9 +176,19 @@ final class FileLockProvider(
     if (!held) return
     held = false
     try {
-      // delete only OUR lock: if the TTL elapsed and a waiter broke it,
-      // the file (if any) now belongs to the new holder
-      if (storage.exists(lockPath) && storage.readString(lockPath) == token)
+      // Delete only OUR lock — and only while provably inside our own
+      // exclusivity window. A holder that stalled past the TTL may have
+      // been legitimately broken, and a bare read-then-delete here can
+      // remove the SUCCESSOR's live lock (the break + re-acquire can
+      // complete inside our read->delete gap under a long pause).
+      // Breaking is only legal after ttlMs since our acquire, so
+      // refusing to delete beyond ttl/2 leaves the successor untouched
+      // with huge margin; if nobody broke our file it simply
+      // TTL-expires and the next waiter reclaims it — an availability
+      // cost paid only in the pathological stall case.
+      val withinTtl = System.currentTimeMillis() - acquiredAtMs < ttlMs / 2
+      if (withinTtl && storage.exists(lockPath) &&
+          storage.readString(lockPath) == token)
         storage.delete(lockPath)
     } catch { case _: java.io.IOException => () }
   }

@@ -138,10 +138,16 @@ private[graft] object MergeKernel {
       // contribute nothing; the newest row itself keeps its own values
       val cumTomb = "_g_cum_tomb"
       val masked = df.withColumn(cumTomb, sum(tomb).over(cum))
-      val folded = masked.columns.filter(isDataCol).foldLeft(masked) { (d, c) =>
-        d.withColumn(c,
-          first(when(col(cumTomb) === 0, col(c)), ignoreNulls = true).over(full))
-      }
+      // ONE projection for every folded column (identical window spec →
+      // one Window operator): a per-column withColumn fold nests
+      // O(columns) Projects, the plan-explosion shape that makes the
+      // analyzer quadratic (or stack-overflow) on wide schemas
+      val folded = masked.select(masked.columns.map { c =>
+        if (isDataCol(c))
+          first(when(col(cumTomb) === 0, col(c)), ignoreNulls = true)
+            .over(full).as(c)
+        else col(c)
+      }.toIndexedSeq: _*)
       val withB =
         if (withBarrier)
           folded.withColumn(TombBarrier, max(tomb).over(full) > 0)

@@ -92,7 +92,7 @@ class StorageAtomicsSpec extends AnyFunSuite {
     assert(st.refreshMarker(p, "tok-A", canSetTimes = true))
   }
 
-  test("claim heartbeat falls back to overwrite-refresh where setTimes is unsupported") {
+  test("claim heartbeat falls back to an in-place rewrite-refresh where setTimes is unsupported") {
     val dir = Files.createTempDirectory("storage_nost_").toString
     val conf = new Configuration()
     conf.set("fs.nost.impl", classOf[NoSetTimesFileSystem].getName)
@@ -106,8 +106,34 @@ class StorageAtomicsSpec extends AnyFunSuite {
     Thread.sleep(50)
     assert(st.refreshMarker(p, "tok-A", canSetTimes = false))
     assert(st.fs.getFileStatus(p).getModificationTime > m0,
-      "overwrite-refresh must advance the marker mtime")
+      "rewrite-refresh must advance the marker mtime")
     assert(st.readString(p) === "tok-A", "refresh must preserve the claim token")
+  }
+
+  test("rewrite-refresh never leaves a missing-marker window") {
+    // the old staged-overwrite fallback deleted the marker before
+    // renaming the staged copy in; a concurrent claimer polling in that
+    // window reads "owner finished" and steals a healthy claim with
+    // zero TTL wait. The in-place rewrite must keep the path present
+    // through every beat.
+    val dir = Files.createTempDirectory("storage_nost3_").toString
+    val conf = new Configuration()
+    conf.set("fs.nost.impl", classOf[NoSetTimesFileSystem].getName)
+    conf.set("fs.nost.impl.disable.cache", "true")
+    val st = new GraftStorage(new Path("nost:" + dir), conf)
+    st.fs.mkdirs(st.metaDir)
+    val p = new Path(st.metaDir, "0007.compaction.inflight")
+    st.createImmutable(p, "tok-A")
+    @volatile var missing = false
+    @volatile var stop = false
+    val poller = new Thread(() => {
+      while (!stop) if (!st.exists(p)) missing = true
+    })
+    poller.start()
+    try for (_ <- 1 to 200) assert(st.refreshMarker(p, "tok-A", canSetTimes = false))
+    finally { stop = true; poller.join() }
+    assert(!missing, "a concurrent claimer observed the marker missing mid-beat")
+    assert(st.readString(p) === "tok-A")
   }
 
   test("read paths survive scan-only credentials: .new fallback without healing") {
@@ -177,6 +203,13 @@ class DenyMutationsFileSystem extends org.apache.hadoop.fs.RawLocalFileSystem {
       perm: org.apache.hadoop.fs.permission.FsPermission,
       overwrite: Boolean, bufferSize: Int, replication: Short,
       blockSize: Long,
+      progress: org.apache.hadoop.util.Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = deny
+  // RawLocalFileSystem's non-permission create overload does NOT route
+  // through the permission variant — deny it too, or fs.create(p, true)
+  // slips past the scan-only simulation
+  override def create(p: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long,
       progress: org.apache.hadoop.util.Progressable)
       : org.apache.hadoop.fs.FSDataOutputStream = deny
 }
