@@ -82,26 +82,62 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 private[sql] object GraftSqlUtils {
 
-  /** Resolve a (parsed, unresolved) target plan through the analyzer and
-    * dig out the graft relation it scans.
-    */
-  def resolveTarget(spark: SparkSession, plan: LogicalPlan): (GraftRelation, DataFrame) = {
-    val df = Shims.ofRows(spark, plan)
-    val rel = df.queryExecution.analyzed.collectFirst {
+  /** The graft relation inside an (analyzed) plan fragment, if any. */
+  def graftRelationIn(plan: LogicalPlan): Option[GraftRelation] =
+    plan.collectFirst {
       case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
         lr.relation.asInstanceOf[GraftRelation]
-    }.getOrElse(sys.error(
-      "MERGE/UPDATE/DELETE target must be a graft table " +
-        "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
-    // DML reads the target and writes the result back: through a
-    // read-optimized or incremental entry it would read STALE/partial
-    // rows and commit them as current (resurrecting pre-compaction
-    // values). Only snapshot relations are writable.
+    }
+
+  /** DML reads the target and writes the result back: through a
+    * read-optimized or incremental entry it would read STALE/partial
+    * rows and commit them as current (resurrecting pre-compaction
+    * values). Only snapshot relations are writable.
+    */
+  def requireSnapshot(rel: GraftRelation): Unit = {
     val qt = rel.parameters.getOrElse("query.type", "snapshot")
     require(qt == "snapshot",
       s"MERGE/UPDATE/DELETE requires a snapshot relation; this table entry " +
         s"reads as '$qt' — run DML against the snapshot table instead")
-    (rel, df)
+  }
+
+  /** Resolve a (parsed, unresolved) target plan through the analyzer and
+    * dig out the graft relation it scans — None for a non-graft target
+    * (the DML commands then re-run the ORIGINAL statement through stock
+    * Spark, so the extension never breaks row-level DML on other
+    * formats sharing the session).
+    */
+  def tryResolveTarget(
+      spark: SparkSession, plan: LogicalPlan): Option[(GraftRelation, DataFrame)] = {
+    val df = Shims.ofRows(spark, plan)
+    graftRelationIn(df.queryExecution.analyzed).map { rel =>
+      requireSnapshot(rel)
+      (rel, df)
+    }
+  }
+
+  /** Guard against assignments that silently DUPLICATE rows: a rewritten
+    * record key (or, under a non-global index, a rewritten partition
+    * value) routes the updated row as an INSERT of a new key while the
+    * old row stays in its file group — the reference's
+    * UpdateHoodieTableCommand forbids the same assignments.
+    */
+  def requireAssignable(
+      rel: GraftRelation, assigned: Set[String], statement: String): Unit = {
+    val cfg = rel.table.config
+    val badKeys = assigned.intersect(cfg.recordKeyFields.map(_.toLowerCase).toSet)
+    require(badKeys.isEmpty,
+      s"$statement cannot assign record-key column(s) ${badKeys.mkString(", ")}: " +
+        "a rewritten key inserts a NEW record and leaves the old one in " +
+        "place — DELETE and re-insert instead")
+    if (!rel.writeConfig.globalIndex) {
+      val badParts = assigned.intersect(
+        cfg.partitionSourceFields.map(_.toLowerCase).toSet)
+      require(badParts.isEmpty,
+        s"$statement cannot assign partition column(s) ${badParts.mkString(", ")} " +
+          "under a non-global index: the moved row would duplicate across " +
+          "partitions — enable index.global to support partition moves")
+    }
   }
 
   /** The graft relation behind a catalog table name, or None when the
@@ -155,13 +191,16 @@ private[sql] object GraftSqlUtils {
   */
 case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (rel, df) = GraftSqlUtils.resolveTarget(spark, delete.table)
-    val filtered = delete.condition match {
-      case Literal.TrueLiteral => df
-      case cond                => df.filter(Shims.column(cond))
+    GraftSqlUtils.tryResolveTarget(spark, delete.table) match {
+      case None => Shims.ofRows(spark, delete).collect().toSeq // not ours
+      case Some((rel, df)) =>
+        val filtered = delete.condition match {
+          case Literal.TrueLiteral => df
+          case cond                => df.filter(Shims.column(cond))
+        }
+        new GraftWriteClient(rel.table, rel.writeConfig).delete(filtered)
+        Seq.empty
     }
-    new GraftWriteClient(rel.table, rel.writeConfig).delete(filtered)
-    Seq.empty
   }
 }
 
@@ -170,18 +209,22 @@ case class GraftDeleteCommand(delete: DeleteFromTable) extends LeafRunnableComma
   */
 case class GraftUpdateCommand(update: UpdateTable) extends LeafRunnableCommand {
   override def run(spark: SparkSession): Seq[Row] = {
-    val (rel, df) = GraftSqlUtils.resolveTarget(spark, update.table)
-    val filtered = update.condition.map(c => df.filter(Shims.column(c))).getOrElse(df)
-    val assigns: Map[String, Column] = update.assignments.map(a =>
-      GraftSqlUtils.keyName(a.key).toLowerCase -> Shims.column(a.value)).toMap
-    // assignments cast to the target column's type, as SQL UPDATE
-    // semantics require (a bare 7.5 parses as DECIMAL(2,1))
-    val updated = filtered.select(filtered.columns.toSeq.map(c =>
-      assigns.get(c.toLowerCase)
-        .map(_.cast(filtered.schema(c).dataType))
-        .getOrElse(col(c)).as(c)): _*)
-    new GraftWriteClient(rel.table, rel.writeConfig).upsert(updated)
-    Seq.empty
+    GraftSqlUtils.tryResolveTarget(spark, update.table) match {
+      case None => Shims.ofRows(spark, update).collect().toSeq // not ours
+      case Some((rel, df)) =>
+        val filtered = update.condition.map(c => df.filter(Shims.column(c))).getOrElse(df)
+        val assigns: Map[String, Column] = update.assignments.map(a =>
+          GraftSqlUtils.keyName(a.key).toLowerCase -> Shims.column(a.value)).toMap
+        GraftSqlUtils.requireAssignable(rel, assigns.keySet, "UPDATE")
+        // assignments cast to the target column's type, as SQL UPDATE
+        // semantics require (a bare 7.5 parses as DECIMAL(2,1))
+        val updated = filtered.select(filtered.columns.toSeq.map(c =>
+          assigns.get(c.toLowerCase)
+            .map(_.cast(filtered.schema(c).dataType))
+            .getOrElse(col(c)).as(c)): _*)
+        new GraftWriteClient(rel.table, rel.writeConfig).upsert(updated)
+        Seq.empty
+    }
   }
 }
 
@@ -348,16 +391,34 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
 
     val joinNode = jdf.queryExecution.analyzed.collectFirst { case j: Join => j }
       .getOrElse(sys.error("internal: merge join not found"))
-    val rel = joinNode.left.collectFirst {
-      case lr: LogicalRelation if lr.relation.isInstanceOf[GraftRelation] =>
-        lr.relation.asInstanceOf[GraftRelation]
-    }.getOrElse(sys.error(
-      "MERGE INTO target must be a graft table " +
-        "(graft.sql.GraftSparkSessionExtension takes over row-level DML)"))
-    val qt = rel.parameters.getOrElse("query.type", "snapshot")
-    require(qt == "snapshot",
-      s"MERGE/UPDATE/DELETE requires a snapshot relation; this table entry " +
-        s"reads as '$qt' — run DML against the snapshot table instead")
+    // the TARGET side only — the source may legitimately scan another
+    // graft table; a non-graft target re-runs the original statement
+    // through stock Spark
+    val rel = GraftSqlUtils.graftRelationIn(joinNode.left).getOrElse {
+      return Shims.ofRows(spark, merge).collect().toSeq // not ours
+    }
+    GraftSqlUtils.requireSnapshot(rel)
+    // explicit SET assignments that REWRITE key/partition columns would
+    // duplicate the row (see requireAssignable). Same-name assignments
+    // (`SET id = s.id`, the hand-expanded star shape) pass — like
+    // star-updates, the keyed ON condition makes them identities;
+    // computed or cross-name rewrites (`SET id = id + 1`,
+    // `SET region = 'eu'`) are the dangerous ones and are rejected.
+    val rewritten =
+      (merge.matchedActions ++ merge.notMatchedBySourceActions).flatMap {
+        case UpdateAction(_, as, _) =>
+          as.flatMap { a =>
+            val k = GraftSqlUtils.keyName(a.key).toLowerCase
+            val sameName = a.value match {
+              case u: UnresolvedAttribute => u.nameParts.last.toLowerCase == k
+              case at: Attribute          => at.name.toLowerCase == k
+              case _                      => false
+            }
+            if (sameName) None else Some(k)
+          }
+        case _ => Seq.empty
+      }.toSet
+    GraftSqlUtils.requireAssignable(rel, rewritten, "MERGE ... UPDATE SET")
 
     val tAttrs = joinNode.left.output.filterNot(_.name == TMark)
     val sAttrs = joinNode.right.output.filterNot(_.name == SMark)

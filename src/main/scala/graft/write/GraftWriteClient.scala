@@ -280,13 +280,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   /** Replace all file groups of the partitions present in `df`.
     * (ref: SparkInsertOverwriteCommitActionExecutor.java)
     */
-  def insertOverwrite(df: DataFrame): String = {
-    val parts = df.select(partExpr.as("p")).distinct()
-      .collect().map(_.getString(0)).toSet
+  def insertOverwrite(df: DataFrame): String =
+    // the replaced-partition set is derived from the WRITTEN files (this
+    // path writes every input row, so written partitions == input
+    // partitions) — computing it up front would run a whole extra pass
+    // over the input pipeline just for distinct partition values
     writeNewFilesCommit(df, "insert_overwrite", GraftAction.ReplaceCommit,
-      replaced = table.view.groupsInPartitions(parts),
-      replacePartitions = parts.toSeq.sorted)
-  }
+      replaced = Map.empty, replaceFromWritten = true)
 
   /** Replace every file group in the table.
     * (ref: SparkInsertOverwriteTableCommitActionExecutor.java)
@@ -373,10 +373,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
     // stash the per-row delete flag under a reserved name so schema
     // alignment never mistakes it for a data column
+    val dfNoMeta = dropIncomingMeta(df)
     val df0 = deleteMarker match {
       case Some(m) =>
-        df.withColumn(ColDeleteFlag, coalesce(col(m).cast("boolean"), lit(false))).drop(m)
-      case None => df
+        dfNoMeta.withColumn(ColDeleteFlag, coalesce(col(m).cast("boolean"), lit(false))).drop(m)
+      case None => dfNoMeta
     }
     val aligned = alignSchema(df0, table.storedDataSchema)
     val dataSchema = org.apache.spark.sql.types.StructType(
@@ -479,11 +480,43 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         val updateCounts: Map[(String, String), Long] = profile
           .filterNot(_.isNullAt(1))
           .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        // The "cannot be split across scan tasks" bound is Spark's
+        // EFFECTIVE maxSplitBytes, not maxPartitionBytes alone: with
+        // high parallelism and few bytes, bytesPerCore shrinks the split
+        // size and a base file under maxPartitionBytes still fans out
+        // over several tasks — each task then stages its own part-file
+        // and publishStaged's one-file-per-group invariant aborts the
+        // commit. Replicate FilePartition.maxSplitBytes over the
+        // candidate scan's own file set; removing an oversized candidate
+        // only shrinks the split further, so iterate to a fixpoint.
         val maxScanSplit = spark.sessionState.conf.filesMaxPartitionBytes
-        val bcastCandidates =
-          if (table.isMor || operation == "insert") Set.empty[(String, String)]
+        val openCost = spark.sessionState.conf.filesOpenCostInBytes
+        val minPartNum = spark.sessionState.conf.filesMinPartitionNum
+          .orElse(Option(spark.conf.get("spark.sql.leafNodeDefaultParallelism", null))
+            .map(_.toInt))
+          .getOrElse(spark.sparkContext.defaultParallelism).max(1)
+        def effectiveSplit(cands: Set[(String, String)]): Long = {
+          val totalBytes = cands.toSeq.map(g => baseBytes.getOrElse(g, 0L) + openCost).sum
+          math.min(maxScanSplit, math.max(openCost, totalBytes / minPartNum))
+        }
+        // broadcastWinner needs ONE incoming row per key: only batches
+        // deduped by pre-combine (or deduped-by-contract prepped /
+        // all-tombstone delete batches, where duplicate fan-out is
+        // filtered) may take the windowless broadcast path
+        val singleRowPerKey =
+          dedupIncoming || deleteOp || operation == "upsert_prepped"
+        var bcastCandidates =
+          if (table.isMor || operation == "insert" || !singleRowPerKey)
+            Set.empty[(String, String)]
           else rewriteGroups.filter(g =>
-            !smallFileGroups.contains(g) && baseBytes.get(g).exists(_ <= maxScanSplit))
+            !smallFileGroups.contains(g) && baseBytes.contains(g))
+        var splitStable = false
+        while (!splitStable) {
+          val split = effectiveSplit(bcastCandidates)
+          val next = bcastCandidates.filter(g => baseBytes(g) <= split)
+          splitStable = next == bcastCandidates
+          bcastCandidates = next
+        }
         val bcastRows = bcastCandidates.toSeq.map(updateCounts.getOrElse(_, 0L)).sum
         val bcastGroups =
           if (bcastCandidates.nonEmpty && bcastRows * avgSize <= wc.mergeBroadcastMaxBytes)
@@ -578,8 +611,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       operation: String,
       action: String,
       replaced: Map[String, Seq[String]],
-      replacePartitions: Seq[String] = Seq.empty): String = {
-    val aligned = alignSchema(df, table.storedDataSchema)
+      replacePartitions: Seq[String] = Seq.empty,
+      replaceFromWritten: Boolean = false): String = {
+    val aligned = alignSchema(dropIncomingMeta(df), table.storedDataSchema)
     val dataSchema = aligned.schema
     val instant = begin(action)
     try {
@@ -599,8 +633,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         case _ => prepared
       }
       val written = writeUngrouped(sorted, dataSchema.fieldNames.toSeq, instant.ts, recordsPerFile)
-      finishCommit(instant, operation, written, replaced, dataSchema,
-        replacePartitions = replacePartitions)
+      val (replacedEff, replacePartsEff) =
+        if (replaceFromWritten) {
+          val parts = written.map(_.partition).toSet
+          (table.view.groupsInPartitions(parts), parts.toSeq.sorted)
+        } else (replaced, replacePartitions)
+      finishCommit(instant, operation, written, replacedEff, dataSchema,
+        replacePartitions = replacePartsEff)
     } catch {
       case e: Throwable => abort(instant); throw e
     }
@@ -794,8 +833,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private def postWrite(): Unit = {
     if (table.isMor && wc.inlineCompactDeltaCommits > 0) {
       val tl = table.timeline
+      // the counter resets at the last COMPACTION specifically: any
+      // Commit-action instant (a bulk_insert on a MOR table also
+      // publishes one) would otherwise reset it without folding any
+      // deltas, deferring compaction indefinitely under interleaved
+      // bulk loads (metadataOf is memoized — no extra reads)
       val lastCompaction = tl.completedData
-        .filter(i => i.action == GraftAction.Commit)
+        .filter(i => i.action == GraftAction.Commit &&
+          tl.metadataOf(i).operation == "compact")
         .lastOption.map(_.ts).getOrElse("")
       val deltasSince = tl.completedData
         .count(i => i.action == GraftAction.DeltaCommit && i.ts > lastCompaction)
@@ -922,6 +967,17 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     instant.ts
   }
 
+  /** Strip graft meta columns from an incoming frame: the canonical ETL
+    * "read incremental from A (meta fields included), write into B"
+    * would otherwise carry `_graft_*` names into schema alignment, where
+    * they collide with the writer's own injected meta columns and fail
+    * the staged write with duplicate columns. The writer re-derives
+    * every meta value itself, so incoming ones are never meaningful
+    * (the reference writer equivalently drops hoodie meta fields).
+    */
+  private def dropIncomingMeta(df: DataFrame): DataFrame =
+    df.drop(MetaColumns.AllWithDeleted: _*)
+
   /** Project `df` onto the stored schema order with stored TYPES, null-
     * filling missing columns (schema evolution: new columns appended;
     * delete batches may carry keys only). Typed casts are what keep MOR
@@ -936,26 +992,39 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       case Some(schema) =>
         // incoming frames use logical column names; files store physical
         val df = table.delogicalize(df0)
-        val existing = df.schema.fields.map(f => f.name -> f.dataType).toMap
-        val newCols = df.columns.toSeq.filterNot(schema.fieldNames.contains)
+        // CASE-INSENSITIVE matching, like Spark's own resolution: an
+        // upstream SELECT that changed a column's casing must land in
+        // the stored column, not null-fill it and fork a same-name
+        // sibling (which the parquet write then rejects as a duplicate)
+        df.schema.fields.groupBy(_.name.toLowerCase).foreach { case (_, fs) =>
+          require(fs.length == 1,
+            s"ambiguous incoming columns differing only in case: " +
+              fs.map(_.name).mkString(", "))
+        }
+        val existing = df.schema.fields
+          .map(f => f.name.toLowerCase -> f).toMap
+        val newCols = df.columns.toSeq.filterNot(c =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)))
         // reject incompatible type changes instead of silently null-ing
         // values through a lossy cast (the reference validates writer
         // schema compatibility the same way —
         // hoodie.avro.schema.validate, HoodieWriteConfig.java:130-133);
         // only identity and lossless widening casts are accepted
         schema.fields.foreach { f =>
-          existing.get(f.name).foreach { in =>
+          existing.get(f.name.toLowerCase).foreach { in =>
             require(org.apache.spark.sql.types.DataType
-              .equalsIgnoreCaseAndNullability(in, f.dataType) ||
-              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in, f.dataType),
-              s"incompatible type for column '${f.name}': incoming $in " +
+              .equalsIgnoreCaseAndNullability(in.dataType, f.dataType) ||
+              org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(in.dataType, f.dataType),
+              s"incompatible type for column '${f.name}': incoming ${in.dataType} " +
                 s"cannot be safely written into stored ${f.dataType}")
           }
         }
         df.select(
           (schema.fields.toSeq.map { f =>
-            if (existing.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-            else lit(null).cast(f.dataType).as(f.name)
+            existing.get(f.name.toLowerCase) match {
+              case Some(in) => col(in.name).cast(f.dataType).as(f.name)
+              case None     => lit(null).cast(f.dataType).as(f.name)
+            }
           } ++ newCols.map(col)): _*)
     }
 
@@ -1013,7 +1082,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     */
   private def tagGlobal(
       deduped: DataFrame, probe: DataFrame, deleteOp: Boolean): DataFrame = {
-    val (gBounds, nIncoming) = globalBounds(deduped)
+    // bounds/count from the PRE-dedup frame, like the non-global branch:
+    // dedup never changes the key min/max, and computing them from
+    // `deduped` would execute the pre-combine aggregate as its own extra
+    // job (the count is then an upper bound — only makes the bloom
+    // density gate more conservative)
+    val (gBounds, nIncoming) = globalBounds(probe)
     val idx = keyIndex(Some(probe), Some(gBounds), global = true,
       nIncoming = nIncoming)
       .withColumnRenamed(ColPart, ColIdxPart)

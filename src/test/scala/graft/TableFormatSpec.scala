@@ -667,6 +667,138 @@ class TableFormatSpec extends AnyFunSuite {
       "deletes must surface against the manifest before-image")
   }
 
+  test("SQL DML on non-graft tables passes through; key/partition rewrites are rejected") {
+    // a non-graft table in the same session must NOT be captured by the
+    // graft DML commands — the original statement re-runs through stock
+    // Spark (which then reports its own v1 limitation, not a graft error)
+    val plainDir = tmp() + "/plain"
+    orders.limit(10).write.parquet(plainDir)
+    spark.sql(s"CREATE TABLE plain_parq USING parquet LOCATION '$plainDir'")
+    try {
+      val e = intercept[Exception](spark.sql("DELETE FROM plain_parq WHERE 1=1"))
+      assert(!e.getMessage.contains("graft table"),
+        s"non-graft DELETE must not be claimed by graft: ${e.getMessage.take(200)}")
+    } finally spark.sql("DROP TABLE plain_parq")
+
+    // graft table: assignments that rewrite the key (or, non-global, the
+    // partition) silently duplicate rows — they must be rejected loudly
+    val path = tmp() + "/t"
+    GraftTable.create(spark, path, cowConfig)
+    new GraftWriteClient(GraftTable.load(spark, path), wc).bulkInsert(orders.limit(100))
+    spark.sql(s"CREATE TABLE dml_guard USING graft LOCATION '$path'")
+    try {
+      val e1 = intercept[Exception](
+        spark.sql("UPDATE dml_guard SET o_orderkey = o_orderkey + 1"))
+      assert(e1.getMessage.contains("record-key"), e1.getMessage.take(200))
+      val e2 = intercept[Exception](
+        spark.sql("UPDATE dml_guard SET o_orderpriority = 'X'"))
+      assert(e2.getMessage.contains("partition"), e2.getMessage.take(200))
+      val e3 = intercept[Exception](
+        spark.sql("""MERGE INTO dml_guard t USING (SELECT 1L AS k) s
+                    |ON t.o_orderkey = s.k
+                    |WHEN MATCHED THEN UPDATE SET o_orderkey = s.k + 100""".stripMargin))
+      assert(e3.getMessage.contains("record-key"), e3.getMessage.take(200))
+      // value-column updates still work
+      spark.sql("UPDATE dml_guard SET o_totalprice = o_totalprice + 1.0 WHERE o_orderkey = 3")
+      assert(spark.table("dml_guard").count() === 100)
+    } finally spark.sql("DROP TABLE dml_guard")
+  }
+
+  test("writing back a frame that carries graft meta columns just works") {
+    // canonical ETL: read table A (meta fields included), upsert into B —
+    // incoming _graft_* columns must be stripped, not collide with the
+    // writer's own injected meta columns
+    val pathA = tmp() + "/a"; val pathB = tmp() + "/b"
+    GraftTable.create(spark, pathA, cowConfig)
+    new GraftWriteClient(GraftTable.load(spark, pathA), wc).bulkInsert(orders.limit(200))
+    val withMeta = spark.read.format("graft")
+      .option("include.meta.fields", "true").load(pathA)
+    assert(withMeta.columns.exists(_.startsWith("_graft")),
+      "fixture must actually carry meta columns")
+    GraftTable.create(spark, pathB, cowConfig)
+    val wb = new GraftWriteClient(GraftTable.load(spark, pathB), wc)
+    wb.bulkInsert(withMeta)
+    wb.upsert(withMeta.limit(50))
+    val got = new GraftReadClient(GraftTable.load(spark, pathB)).snapshotData()
+    assert(got.count() === 200)
+    assert(!GraftTable.load(spark, pathB).storedDataSchema.get
+      .fieldNames.exists(_.startsWith("_graft")),
+      "meta names must not leak into the stored data schema")
+    val want = orders.limit(200)
+    val aligned = got.select(want.columns.map(col).toSeq: _*)
+    assert(aligned.exceptAll(want).count() === 0 && want.exceptAll(aligned).count() === 0)
+  }
+
+  test("schema alignment matches incoming columns case-insensitively") {
+    val path = tmp() + "/t"
+    GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(GraftTable.load(spark, path), wc)
+    w.bulkInsert(orders.limit(100))
+    // same batch with shouted column names: values must land in the
+    // stored columns, not null-fill them and fork same-name siblings
+    val shouted = orders.limit(100)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0)
+      .select(orders.columns.map(c => col(c).as(c.toUpperCase)).toSeq: _*)
+    w.upsert(shouted)
+    val t2 = GraftTable.load(spark, path)
+    assert(t2.storedDataSchema.get.fieldNames.count(
+      _.equalsIgnoreCase("o_totalprice")) === 1)
+    val got = new GraftReadClient(t2).snapshotData()
+    assert(got.count() === 100)
+    val want = orders.limit(100).withColumn("o_totalprice", col("o_totalprice") + 5.0)
+    val aligned = got.select(want.columns.map(col).toSeq: _*)
+    assert(aligned.exceptAll(want).count() === 0 && want.exceptAll(aligned).count() === 0)
+  }
+
+  test("a MOR bulk insert does not reset the inline-compaction delta counter") {
+    val path = tmp() + "/t"
+    val cfg = morConfig
+    GraftTable.create(spark, path, cfg)
+    val w = new GraftWriteClient(GraftTable.load(spark, path),
+      wc.copy(inlineCompactDeltaCommits = 2))
+    w.bulkInsert(orders.limit(200))
+    w.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + 1.0))
+    // a bulk load (Commit action) lands BETWEEN the deltas: it must not
+    // masquerade as a compaction and restart the counter
+    val maxKey = orders.agg(max("o_orderkey")).head.getLong(0)
+    w.bulkInsert(orders.limit(20).withColumn("o_orderkey", col("o_orderkey") + maxKey + 1))
+    w.upsert(orders.limit(50).withColumn("o_totalprice", col("o_totalprice") + 2.0))
+    val tl = GraftTable.load(spark, path).timeline
+    val compacted = tl.completedData.exists(i =>
+      i.action == GraftAction.Commit && tl.metadataOf(i).operation == "compact")
+    assert(compacted, "2 delta commits accumulated — compaction must have fired")
+  }
+
+  test("a base file Spark would split across tasks falls back to the shuffle merge") {
+    // force tiny effective scan splits: with the old maxPartitionBytes
+    // gate the broadcast path staged one part-file per scan task and the
+    // one-file-per-group publish invariant aborted the commit
+    val path = tmp() + "/t"
+    GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(GraftTable.load(spark, path), wc)
+    w.bulkInsert(orders)
+    val conf = spark.conf
+    val oldOpen = conf.get("spark.sql.files.openCostInBytes", null)
+    val oldMin = conf.get("spark.sql.files.minPartitionNum", null)
+    conf.set("spark.sql.files.openCostInBytes", "1")
+    conf.set("spark.sql.files.minPartitionNum", "64")
+    try {
+      w.upsert(orders.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 9.0))
+    } finally {
+      if (oldOpen == null) conf.unset("spark.sql.files.openCostInBytes")
+      else conf.set("spark.sql.files.openCostInBytes", oldOpen)
+      if (oldMin == null) conf.unset("spark.sql.files.minPartitionNum")
+      else conf.set("spark.sql.files.minPartitionNum", oldMin)
+    }
+    val got = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    val want = orders.withColumn("o_totalprice",
+      when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 9.0)
+        .otherwise(col("o_totalprice")))
+    val aligned = got.select(want.columns.map(col).toSeq: _*)
+    assert(aligned.exceptAll(want).count() === 0 && want.exceptAll(aligned).count() === 0)
+  }
+
   test("filterExists keeps only unseen keys") {
     val path = tmp()
     val t = GraftTable.create(spark, path, cowConfig)
