@@ -219,13 +219,40 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 
   /** source path -> manifest entry for every metadata-only-bootstrapped
     * file (bootstrap commits are immutable once written, so one load per
-    * table handle suffices).
+    * table handle suffices). The ACTIVE timeline alone is NOT enough:
+    * once the bootstrap commit is archived, the adopted paths survive
+    * only in the archive manifest — without them readDataFiles would
+    * misroute adopted files to the internal branch and read NULLs for
+    * every meta column (silent key corruption downstream).
     */
-  private lazy val externalFiles: Map[String, WriteFileInfo] =
-    timeline.completedData
-      .flatMap(i => timeline.metadataOf(i).files)
+  private lazy val externalFiles: Map[String, WriteFileInfo] = {
+    val archived = storage
+      .listNames(storage.archiveDir)
+      .filter(_.endsWith(".manifest"))
+      .sorted.lastOption
+      .map(expandedManifest(_).flatMap(_._2.files))
+      .getOrElse(Seq.empty)
+    (archived ++ timeline.completedData
+      .flatMap(i => timeline.metadataOf(i).files))
       .flatMap(f => f.externalPath.map(_ -> f))
       .toMap
+  }
+
+  /** Latest archive-manifest HEADER extras — carries per-instant
+    * bootstrap source bases (`bootstrap.source.<ts>`) across archiving,
+    * so hive-layout partition resurrection keeps its recorded base after
+    * the bootstrap commit leaves the active timeline.
+    */
+  private lazy val manifestHeaderExtra: Map[String, String] =
+    storage.listNames(storage.archiveDir)
+      .filter(_.endsWith(".manifest"))
+      .sorted.lastOption
+      .map { n =>
+        try Json.readCommitMetadata(
+          storage.readOverwritable(new Path(storage.archiveDir, n))).extra
+        catch { case _: Exception => Map.empty[String, String] }
+      }
+      .getOrElse(Map.empty)
 
   /** Read table data files with the stored schema applied — footer
     * sampling is never trusted for the table schema, so scans over files
@@ -267,6 +294,8 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       timeline.completedData.find(_.ts == instant)
         .flatMap(i => timeline.metadataOf(i).extra
           .get(graft.write.GraftWriteClient.BootstrapSourceKey))
+        .orElse(manifestHeaderExtra.get(
+          s"${graft.write.GraftWriteClient.BootstrapSourceKey}.$instant"))
         .getOrElse(hiveBaseOf(p))
     // one frame per bootstrap instant (CommitTime is a per-instant literal)
     val extDfs = ext.groupBy(p =>

@@ -269,7 +269,12 @@ case class IvfCellExpr(child: Expression, centroids: Seq[Seq[Double]])
 
 /** Cosine similarity of a vector column against a CONSTANT query vector,
   * computed in one pass (dot, |a|², with |q| folded in driver-side).
-  * Semantics: dot(a,q) / (sqrt(dot(a,a)) * max(sqrt(dot(q,q)), 1e-12)) —
+  * Semantics: dot(a,q) / (max(sqrt(dot(a,a)), 1e-12) *
+  * max(sqrt(dot(q,q)), 1e-12)) — BOTH norms are clamped: an unguarded
+  * row norm turns an all-zero embedding (the common missing-vector
+  * sentinel) into 0/0 = NaN, and NaN sorts ABOVE every real value in a
+  * descending order, putting zero vectors first in every top-k; clamped,
+  * they score 0 and never rank —
   * the same guarded formula as the Column version, same accumulation
   * order, so rankings are unchanged.
   */
@@ -305,7 +310,7 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
       na += x * x
       d += 1
     }
-    dot / (math.sqrt(na) * qNorm)
+    dot / (math.max(math.sqrt(na), 1e-12) * qNorm)
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -328,7 +333,8 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
       |    $dot += $x * $qRef[$d];
       |    $na += $x * $x;
       |  }
-      |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) * $qNorm);
+      |  ${ev.value} = $dot /
+      |    (java.lang.Math.max(java.lang.Math.sqrt($na), 1e-12) * $qNorm);
       |}
       |""".stripMargin)
   }
@@ -340,7 +346,7 @@ case class CosineConstExpr(child: Expression, query: Seq[Double])
 /** Cosine similarity of two vector columns in one generated pass.
   * Same guarded formula, accumulation order, and null-on-length-mismatch
   * propagation as the `zip_with`-based Column version:
-  * dot/(sqrt(na) * max(sqrt(nb), 1e-12)); NULL if the arrays differ in
+  * dot/(max(sqrt(na), 1e-12) * max(sqrt(nb), 1e-12)); NULL if the arrays differ in
   * length or contain NULL elements.
   */
 case class CosineColsExpr(left: Expression, right: Expression)
@@ -374,7 +380,7 @@ case class CosineColsExpr(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       d += 1
     }
-    dot / (math.sqrt(na) * math.max(math.sqrt(nb), 1e-12))
+    dot / (math.max(math.sqrt(na), 1e-12) * math.max(math.sqrt(nb), 1e-12))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
@@ -402,7 +408,7 @@ case class CosineColsExpr(left: Expression, right: Expression)
       |    double $y = (double) $b.$gb($d);
       |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
       |  }
-      |  ${ev.value} = $dot / (java.lang.Math.sqrt($na) *
+      |  ${ev.value} = $dot / (java.lang.Math.max(java.lang.Math.sqrt($na), 1e-12) *
       |    java.lang.Math.max(java.lang.Math.sqrt($nb), 1e-12));
       |}
       |""".stripMargin)

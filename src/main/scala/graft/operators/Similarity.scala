@@ -97,8 +97,16 @@ object Similarity {
     df.withColumn(bucketCol, lshBucket(col(vecCol), numPlanes, d))
   }
 
-  private def vectorDim(df: DataFrame, vecCol: String): Int =
-    df.select(size(col(vecCol))).head.getInt(0)
+  private def vectorDim(df: DataFrame, vecCol: String): Int = {
+    // probe past null/empty vectors (a bare head() would NPE on a null
+    // first row and NoSuchElement on an empty frame)
+    val rows = df.select(size(col(vecCol)).as("_d"))
+      .filter(col("_d").isNotNull && col("_d") > 0).limit(1).collect()
+    require(rows.nonEmpty,
+      s"cannot infer the vector dimension of '$vecCol': no non-null " +
+        "vectors in the frame — pass dim explicitly")
+    rows.head.getInt(0)
+  }
 
   /** Approximate nearest neighbors: restrict the cosine scan to the
     * query's hyperplane bucket (plus probes differing in one bit —
@@ -157,7 +165,12 @@ object Similarity {
     */
   def seedCentroids(
       df: DataFrame, vecCol: String, idCol: String, k: Int): Seq[Seq[Double]] =
-    df.select(col(idCol), col(vecCol)).orderBy(col(idCol)).limit(k)
+    df.select(col(idCol), col(vecCol))
+      // null vectors / null elements among the k smallest ids would NPE
+      // the collect — the downstream expressions tolerate them, seeding
+      // must too
+      .filter(col(vecCol).isNotNull && !exists(col(vecCol), _.isNull))
+      .orderBy(col(idCol)).limit(k)
       .collect().toSeq
       .map(_.getSeq[Any](1).map {
         case f: Float  => f.toDouble
@@ -182,9 +195,12 @@ object Similarity {
     for (_ <- 0 until iters) {
       val means = refineMeans(df, vecCol, cs)
         .collect()
-        .map { r =>
-          val n = r.getLong(1).toDouble
-          r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i) / n)
+        .flatMap { r => // belt: a null cell group must never NPE the refine
+          if (r.isNullAt(0)) None
+          else {
+            val n = r.getLong(1).toDouble
+            Some(r.getInt(0) -> (0 until dim).map(i => r.getDouble(2 + i) / n))
+          }
         }.toMap
       cs = cs.indices.map(k => means.getOrElse(k, cs(k)))
     }
@@ -205,7 +221,10 @@ object Similarity {
     // every dimension such a row is missing (the posexplode formulation
     // excluded missing elements per dimension; whole-row exclusion is the
     // sound fixed-width equivalent)
-    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+    // null ELEMENTS are excluded too: they make IvfCellExpr return a
+    // null cell, whose null-keyed group would NPE the driver collect
+    df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim &&
+        !exists(col(vecCol), _.isNull))
       .select(ivfCell(col(vecCol), cs).as("cell"), col(vecCol))
       .groupBy("cell")
       .agg(count(lit(1)).as("_n"), sums: _*)
@@ -317,7 +336,11 @@ object Similarity {
     val b = sigs.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
     a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b", "v_a", "v_b").distinct()
+      // dedup multi-probe hits on the ID PAIR alone: a distinct() over
+      // the vectors too would shuffle and compare 2×dim doubles per
+      // candidate for no semantic gain (each id maps to one vector)
+      .select("id_a", "id_b", "v_a", "v_b")
+      .dropDuplicates("id_a", "id_b")
       .withColumn("cos", cosine(col("v_a"), col("v_b")))
       .filter(col("cos") >= threshold)
       .select("id_a", "id_b", "cos")

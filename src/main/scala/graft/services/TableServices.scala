@@ -1243,10 +1243,30 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val archiveTs = toArchive.last.ts
     val liveFiles = table.viewAt(Some(archiveTs)).latestSlices(None)
       .flatMap(s => s.base.toSeq ++ s.deltas)
+    // Bootstrap source bases must outlive their commit on the active
+    // timeline: adopted (externalPath) entries in the manifest need the
+    // recorded base for hive-layout partition resurrection, keyed per
+    // instant (`bootstrap.source.<ts>`). Carry prior manifests' entries
+    // forward and add those of the instants being archived now.
+    val srcKey = graft.write.GraftWriteClient.BootstrapSourceKey
+    val priorBootstrap: Map[String, String] = table.archiveBoundary
+      .map { b =>
+        try graft.core.Json.readCommitMetadata(
+          table.storage.readOverwritable(
+            new Path(table.storage.archiveDir, s"$b.manifest")))
+          .extra.filter(_._1.startsWith(srcKey + "."))
+        catch { case _: Exception => Map.empty[String, String] }
+      }
+      .getOrElse(Map.empty)
+    val newBootstrap: Map[String, String] = toArchive
+      .flatMap(i => tl.metadataOf(i).extra.get(srcKey)
+        .map(v => s"$srcKey.${i.ts}" -> v))
+      .toMap
     val manifest = GraftCommitMetadata(
       instant = archiveTs, action = GraftAction.Commit, operation = "manifest",
       files = liveFiles,
-      schemaJson = lastSchemaJson)
+      schemaJson = lastSchemaJson,
+      extra = priorBootstrap ++ newBootstrap)
     if (!table.storage.fs.exists(table.storage.archiveDir))
       table.storage.fs.mkdirs(table.storage.archiveDir)
     // manifests are IMMUTABLE once published (expandedManifest memoizes

@@ -80,23 +80,25 @@ object Bootstrap {
       sourceFormat: String = "parquet"): Seq[String] = {
     require(Seq("METADATA_ONLY", "FULL_RECORD").contains(regexMode.toUpperCase),
       s"unknown bootstrap mode '$regexMode'")
-    val pattern = java.util.regex.Pattern.compile(partitionRegex)
+    java.util.regex.Pattern.compile(partitionRegex) // fail fast on a bad regex
     val metaOnMatch = regexMode.equalsIgnoreCase("METADATA_ONLY")
-    val metaKeep: String => Boolean = p => pattern.matcher(p).matches() == metaOnMatch
 
     val table = GraftTable.create(spark, targetPath, config)
     val w = new GraftWriteClient(table, wc)
     val src = spark.read.format(sourceFormat).load(sourceDir)
-    // the full-record side filters ROWS through the writer's own
-    // partition-path expression, so both modes route on identical
-    // values; rlike is anchored to mirror Pattern.matches (codegen'd —
-    // no UDF on the scan)
+    // BOTH sides route on the writer's own partition-path expression at
+    // ROW level, so a source file whose rows all belong to the
+    // full-record side never trips the meta side's single-partition
+    // requirement; rlike is anchored to mirror the reference selector's
+    // Pattern.matches (codegen'd — no UDF on the scan)
     val partCol = graft.write.KeyGen.partExpr(config)
     val rowMatches = partCol.rlike(s"^(?:$partitionRegex)$$")
+    val metaRowKeep = if (metaOnMatch) rowMatches else !rowMatches
     val fullSide = src.filter(if (metaOnMatch) !rowMatches else rowMatches)
 
     val metaTs =
-      try Some(w.bootstrapMetadataOnly(sourceDir, Some(metaKeep)))
+      try Some(w.bootstrapMetadataOnly(sourceDir,
+        partitionKeepExpr = Some(metaRowKeep)))
       catch {
         case e: IllegalArgumentException
             if e.getMessage != null && e.getMessage.contains("matched none") =>

@@ -103,9 +103,19 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     *   untouched for a FULL_RECORD pass. Applied to the collected
     *   per-file stats rows (planning metadata), never row data.
     */
+  /** @param partitionKeep  driver-side partition filter; with it, every
+    *                        source file must be single-partition.
+    * @param partitionKeepExpr ROW-level adoption predicate (selective
+    *                        bootstrap): a file is adopted iff ANY of its
+    *                        rows matches, and only ADOPTED files must be
+    *                        single-partition — a multi-partition file
+    *                        whose rows all belong to the full-record
+    *                        side no longer aborts the bootstrap.
+    */
   def bootstrapMetadataOnly(
       sourceDir: String,
-      partitionKeep: Option[String => Boolean] = None): String = {
+      partitionKeep: Option[String => Boolean] = None,
+      partitionKeepExpr: Option[Column] = None): String = {
     require(table.timeline.completedData.isEmpty,
       "metadata-only bootstrap requires an empty table")
     val instant = begin(GraftAction.Commit)
@@ -130,7 +140,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         max(col(ColPart)).as("_p1"))
       val bloomAggs = GraftWriteClient.bloomAggsOf(
         if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
-      val aggs = baseAggs ++ bloomAggs ++ GraftWriteClient.statAggsOf(statFields)
+      // row-level adoption flag LAST so the positional stats decode below
+      // is untouched
+      val keepAgg = partitionKeepExpr.map(e =>
+        max(when(e, lit(1)).otherwise(lit(0))).as("_keep"))
+      val aggs = baseAggs ++ bloomAggs ++
+        GraftWriteClient.statAggsOf(statFields) ++ keepAgg.toSeq
       // the group id hashes input_file_name via the SAME expression later
       // scans use, so read-time group derivation needs no lookup table
       val aggDf = keyed
@@ -158,18 +173,19 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         m
       }
       try {
+        // (file info, partition range, row-level keep flag); the
+        // single-partition requirement applies only to files actually
+        // ADOPTED — enforced after selection below
         val allFiles = rows.toSeq.map { r =>
           val path = GraftWriteClient.decodedPath(r.getString(0))
           val fileId = r.getString(1)
           val (p0, p1) = (r.getString(5), r.getString(6))
-          require(p0 == p1,
-            s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
-              "bootstrap needs single-partition files (repartition the source " +
-              "or use FULL_RECORD)")
           val records = r.getLong(2)
           val (colStats, colNulls) =
             GraftWriteClient.decodeColStats(r, statsStart, statFields, records)
-          WriteFileInfo(
+          val keepByExpr = partitionKeepExpr
+            .map(_ => r.getInt(r.fieldIndex("_keep")) > 0)
+          (WriteFileInfo(
             partition = p0, fileId = fileId,
             fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
             records = records, bytes = sizes.getOrElse(path, 0L), isDelta = false,
@@ -178,25 +194,40 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             colStats = colStats, colNulls = colNulls,
             // full URI: the adopted file must resolve on the SOURCE's
             // filesystem (s3a://…, hdfs://…), not the session default
-            externalPath = Some(GraftWriteClient.decodedFullPath(r.getString(0))))
+            externalPath = Some(GraftWriteClient.decodedFullPath(r.getString(0)))),
+            (path, p0, p1), keepByExpr)
         }
-        val files = partitionKeep match {
-          case Some(keep) => allFiles.filter(f => keep(f.partition))
-          case None       => allFiles
+        val selected = (partitionKeepExpr, partitionKeep) match {
+          case (Some(_), _)       => allFiles.filter(_._3.contains(true))
+          case (None, Some(keep)) => allFiles.filter(t => keep(t._1.partition))
+          case _                  => allFiles
         }
+        // adopted files must be single-partition (their manifest entry
+        // carries ONE partition value); with the function-only selector
+        // the check stays global — min/max alone cannot prove a spanning
+        // non-selected file holds no selected rows
+        val checkSpan =
+          if (partitionKeepExpr.isDefined) selected else allFiles
+        checkSpan.foreach { case (_, (path, p0, p1), _) =>
+          require(p0 == p1,
+            s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
+              "bootstrap needs single-partition files (repartition the source " +
+              "or use FULL_RECORD)")
+        }
+        val files = selected.map(_._1)
         require(files.nonEmpty,
           "metadata-only bootstrap adopted no source files" +
-            partitionKeep.map(_ => " (partition selector matched none)").getOrElse(""))
+            (if (partitionKeep.isDefined || partitionKeepExpr.isDefined)
+              " (partition selector matched none)" else ""))
         require(files.map(_.fileId).distinct.size == files.size,
           "file-id hash collision across source files (re-layout the source)")
         cachedAgg.foreach { c =>
           // sidecar only for ADOPTED files — excluded partitions belong
           // to the full-record pass, whose own write builds their blooms
-          val frame = partitionKeep match {
-            case Some(_) =>
+          val frame =
+            if (partitionKeep.isDefined || partitionKeepExpr.isDefined)
               c.filter(col("_id").isInCollection(files.map(_.fileId)))
-            case None => c
-          }
+            else c
           GraftWriteClient.writeBloomSidecar(table.storage, instant.ts,
             frame.select(
               concat(col("_id"),

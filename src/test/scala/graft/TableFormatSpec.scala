@@ -4040,6 +4040,81 @@ class TableFormatSpec extends AnyFunSuite {
       .snapshotData().count() === orders.count())
   }
 
+  test("selective bootstrap tolerates a multi-partition file on the full-record side") {
+    import graft.utilities.Bootstrap
+    import spark.implicits._
+    val base = tmp()
+    val srcDir = s"$base/src"
+    val rows = (0L until 300L)
+      .map(i => (i, Seq("pa", "pb", "pc")((i % 3).toInt), i * 1.0))
+      .toDF("k", "part", "v")
+    // file 1: only pa rows (single partition — adoptable);
+    // file 2: pb AND pc rows in ONE file (spans partitions — but its
+    // rows all route to the FULL_RECORD side, so it must not abort)
+    rows.filter($"part" === "pa").coalesce(1).write.mode("append").parquet(srcDir)
+    rows.filter($"part" =!= "pa").coalesce(1).write.mode("append").parquet(srcDir)
+    val cfgB = GraftTableConfig(
+      tableName = "tsel", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("k"), partitionFields = Seq("part"),
+      precombineField = Some("v"))
+    val tp = s"$base/t"
+    val instants = Bootstrap.selective(spark, srcDir, tp, cfgB, "pa",
+      regexMode = "METADATA_ONLY", wc = wc)
+    assert(instants.size === 2)
+    val t = GraftTable.load(spark, tp)
+    val slices = t.view.latestSlices(None)
+    assert(slices.filter(_.partition == "pa")
+      .forall(_.base.exists(_.externalPath.nonEmpty)), "pa must be adopted")
+    assert(slices.filterNot(_.partition == "pa")
+      .forall(_.base.exists(_.externalPath.isEmpty)), "pb/pc must be rewritten")
+    val snap = new GraftReadClient(t).snapshotData()
+      .select(rows.columns.map(col).toSeq: _*)
+    assert(snap.exceptAll(rows).count() === 0 && rows.exceptAll(snap).count() === 0)
+  }
+
+  test("adopted source files stay readable after the bootstrap commit is archived") {
+    import graft.utilities.Bootstrap
+    import spark.implicits._
+    val base = tmp()
+    val srcDir = s"$base/src"
+    val rows = (0L until 300L)
+      .map(i => (i, if (i % 3 == 0) "pa" else "pb", i * 1.0))
+      .toDF("k", "part", "v")
+    rows.write.partitionBy("part").parquet(srcDir)
+    val cfgB = GraftTableConfig(
+      tableName = "tarc", tableType = GraftTableType.Cow,
+      recordKeyFields = Seq("k"), partitionFields = Seq("part"),
+      precombineField = Some("v"))
+    val tp = s"$base/t"
+    Bootstrap.metadataOnly(spark, srcDir, tp, cfgB, wc)
+    val w = new GraftWriteClient(GraftTable.load(spark, tp), wc)
+    // churn only pb so pa's adopted files stay external, then archive
+    // the bootstrap commit off the active timeline
+    for (i <- 1 to 6)
+      w.upsert(rows.filter($"part" === "pb" && $"k" % 7 === (i % 7).toLong)
+        .withColumn("v", $"v" + 100.0))
+    val svc = new TableServices(GraftTable.load(spark, tp), wc)
+    assert(svc.archive(minCommits = 2, maxCommits = 3).nonEmpty)
+    val t2 = GraftTable.load(spark, tp)
+    assert(!t2.timeline.completedData.exists(i =>
+      t2.timeline.metadataOf(i).operation == "bootstrap_metadata_only"),
+      "fixture must actually archive the bootstrap commit")
+    assert(t2.view.latestSlices(None).filter(_.partition == "pa")
+      .forall(_.base.exists(_.externalPath.nonEmpty)),
+      "pa groups must still be served externally from the manifest")
+    // adopted paths must still be recognized: misrouting them to the
+    // internal reader nulls every synthesized meta column
+    val withMeta = spark.read.format("graft")
+      .option("include.meta.fields", "true").load(tp)
+    assert(withMeta.filter(col("_graft_record_key").isNull).count() === 0,
+      "adopted files read with NULL meta columns — externalFiles lost them")
+    val got = new GraftReadClient(t2).snapshotData()
+      .select(rows.columns.map(col).toSeq: _*)
+    val want = rows.withColumn("v",
+      when($"part" === "pb" && $"k" % 7 =!= 0L, $"v" + 100.0).otherwise($"v"))
+    assert(got.exceptAll(want).count() === 0 && want.exceptAll(got).count() === 0)
+  }
+
   test("metadata-only bootstrap: hive-layout source resurrects dir-encoded partitions") {
     import graft.utilities.Bootstrap
     val base = tmp()

@@ -49,7 +49,7 @@ class VectorExpressionsSpec extends AnyFunSuite {
       def nrm(c: Column) = sqrt(aggregate(
         zip_with(c, c, (x, y) => x.cast("double") * y.cast("double")),
         lit(0.0), (acc, v) => acc + v))
-      dot / (nrm(a) * greatest(nrm(b), lit(1e-12)))
+      dot / (greatest(nrm(a), lit(1e-12)) * greatest(nrm(b), lit(1e-12)))
     }
   }
 
