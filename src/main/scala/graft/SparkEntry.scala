@@ -2531,8 +2531,8 @@ object SparkEntry {
         |    1 + octet_length(encode(text)) % 8 AS frames
         |  FROM documents)
         |SELECT doc_id, CAST(i AS BIGINT) AS frame_index,
-        |  substring(hex(payload), CAST((i * len) // frames AS INT) * 2 + 1,
-        |    CAST(least(16, len - (i * len) // frames) AS INT) * 2) AS frame_hex
+        |  substring(hex(payload), CAST((i * len) // least(4, frames) AS INT) * 2 + 1,
+        |    CAST(least(16, len - (i * len) // least(4, frames)) AS INT) * 2) AS frame_hex
         |FROM x, LATERAL (SELECT unnest(range(least(4, frames))) AS i) t""".stripMargin
   )
 }

@@ -68,7 +68,10 @@ object GraftInstant {
     * mistaken for completed instants.
     */
   def fromFileName(name: String): Option[GraftInstant] = {
-    val parts = name.split('.')
+    // limit -1: split must NOT drop trailing empty segments, or a
+    // foreign file named like "123.commit." (3 segments, last empty)
+    // would collapse to 2 and parse as a completed instant
+    val parts = name.split("\\.", -1)
     def valid(ts: String, action: String): Boolean =
       ts.nonEmpty && ts.forall(_.isDigit) && GraftAction.All.contains(action)
     parts.length match {

@@ -36,9 +36,11 @@ object Dedup {
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_rn")
+    // reserved internal name: a plain "_rn" would clobber (and then
+    // drop) a caller's same-named column
+    df.withColumn("_g_dedup_rn", row_number().over(w))
+      .filter(col("_g_dedup_rn") === 1)
+      .drop("_g_dedup_rn")
   }
 
   /** (id, shingle-set array, set size) per document. The normalized text
@@ -208,7 +210,12 @@ object Dedup {
             .groupBy("id_a", "id_b")
             .agg(count(lit(1)).as("inter"))
         }
-        val chunks = math.min(64L,
+        // the cap is a runaway guard only — it must sit far above any
+        // plausible volume, or per-chunk size silently exceeds the disk
+        // bound the chunking exists to hold (64 chunks capped out at
+        // 64 x ExplodedChunkElements; 4096 covers ~1e13 in-flight
+        // elements before the bound degrades)
+        val chunks = math.min(4096L,
           (expectedRows + ExplodedChunkElements - 1) / ExplodedChunkElements).toInt
         if (chunks <= 1) explodedInter(hint, expectedRows)
         else {
@@ -304,6 +311,12 @@ object Dedup {
       numHashes: Int = 64,
       bands: Int = 16,
       threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes >= bands && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands " +
+        s"($bands): rows-per-band = numHashes/bands drives the LSH recall " +
+        "curve — rows = 0 would hash EVERY document into one bucket per " +
+        "band (all-pairs candidate explosion), and a remainder silently " +
+        "discards signature slots the caller sized for")
     val rows = numHashes / bands
     // The shingle frame feeds the signature explode AND both sides of the
     // exact-Jaccard verify — three full consumptions of the most expensive
@@ -494,6 +507,13 @@ object Dedup {
       labels = next
     }
     edges.unpersist()
+    // an unconverged exit would silently report ONE true cluster as
+    // several components — downstream keep-one-per-component dedup then
+    // leaves real duplicates in the corpus with no signal
+    require(converged,
+      s"duplicate-component propagation did not converge within " +
+        s"$maxIterations iterations (a component's diameter exceeds the " +
+        "bound) — raise maxIterations")
     labels.select(col("_node").as(idCol), col("_label").as(componentCol))
   }
 

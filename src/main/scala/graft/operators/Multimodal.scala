@@ -53,6 +53,12 @@ object Multimodal {
     * Similarity operators) stay identical.
     */
   def extractFeatures(df: DataFrame, dim: Int): DataFrame = {
+    // the digest stub yields 8 4-hex-digit features (32-char MD5);
+    // silently capping a larger request would hand half-length vectors
+    // to downstream cosine/dot consumers — fail loudly instead (a real
+    // encoder replacing this seam lifts the bound)
+    require(dim >= 1 && dim <= 8,
+      s"stub feature extractor supports 1..8 dims, got $dim")
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("doc_id").cast("long"), col("payload"))
@@ -62,7 +68,7 @@ object Multimodal {
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (id, bytes) =>
           val hex = md.digest(bytes).map("%02x".format(_)).mkString
-          (0 until math.min(dim, 8)).map { i =>
+          (0 until dim).map { i =>
             val v = Integer.parseInt(hex.substring(i * 4, i * 4 + 4), 16).toDouble / 65535.0
             (id, i.toLong, v)
           }
@@ -82,9 +88,12 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .flatMap { case (id, bytes) =>
         val frames = (decodeStub(bytes)._3).toInt
+        // m emitted samples spread EVENLY across the payload (offset
+        // i·len/m) — dividing by `frames` instead would take the FIRST m
+        // frames, head-biasing every downstream consumer
+        val m = math.max(1, math.min(n, frames))
         (0 until math.min(n, frames)).map { i =>
-          // real impl: decoder.frameAt(i * frames / n)
-          val off = if (bytes.isEmpty) 0 else (i.toLong * bytes.length / math.max(1, frames)).toInt
+          val off = if (bytes.isEmpty) 0 else (i.toLong * bytes.length / m).toInt
           (id, i.toLong, bytes.slice(off, math.min(bytes.length, off + 16)))
         }
       }

@@ -204,10 +204,17 @@ object AvroDecode {
       it.flatMap { r =>
         val bytes = r.getAs[Array[Byte]](0)
         try {
+          // a null value (Kafka tombstone) carries no datum: referencing
+          // bytes.length inside the catch's message would NPE a second
+          // time and mask the real error
+          require(bytes != null, "null Kafka value (compacted-topic " +
+            "tombstone) — filter tombstones before decoding")
           val off =
             if (!confluentWireFormat) 0
             else {
-              require(bytes.length > 5 && bytes(0) == 0,
+              // >= 5: magic + 4-byte id with a ZERO-byte datum is a
+              // well-formed frame (an empty record encodes to nothing)
+              require(bytes.length >= 5 && bytes(0) == 0,
                 s"not Confluent-framed: ${bytes.length} bytes, " +
                   s"magic ${if (bytes.isEmpty) "<none>" else bytes(0).toString}")
               5
@@ -230,7 +237,8 @@ object AvroDecode {
           case NonFatal(_) if dropUndecodable => Iterator.empty
           case NonFatal(e) =>
             throw new IllegalArgumentException(
-              s"undecodable Avro Kafka value (${bytes.length} bytes); " +
+              "undecodable Avro Kafka value (" +
+                s"${if (bytes == null) "null" else bytes.length.toString} bytes); " +
                 "set dropUndecodable to route corrupt records out", e)
         }
       }
@@ -428,10 +436,18 @@ object AvroDecode {
         val path = new Path(dir, f"part-$pid%05d.avro")
         val fs = path.getFileSystem(serConf.value)
         val out = fs.create(path, true)
-        val writer = new org.apache.avro.file.DataFileWriter(
-          new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
-        writer.setSyncInterval(syncBytes)
-        writer.create(schema, out)
+        val writer =
+          try {
+            val w = new org.apache.avro.file.DataFileWriter(
+              new org.apache.avro.generic.GenericDatumWriter[GenericRecord](schema))
+            w.setSyncInterval(syncBytes)
+            w.create(schema, out)
+            w
+          } catch {
+            // a throw between fs.create and writer ownership would leak
+            // the open stream (and its lease on HDFS-likes)
+            case e: Throwable => out.close(); throw e
+          }
         try {
           it.foreach { r =>
             val rec = new GenericData.Record(schema)
