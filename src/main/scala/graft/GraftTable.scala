@@ -101,13 +101,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 
   /** Full physical schema of stored files: meta columns ++ data columns. */
   def storedFileSchema: Option[org.apache.spark.sql.types.StructType] =
-    storedDataSchema.map { data =>
-      import org.apache.spark.sql.types._
-      StructType(
-        MetaColumns.All.map(StructField(_, StringType)) ++
-          Seq(StructField(MetaColumns.IsDeleted, BooleanType)) ++
-          data.fields)
-    }
+    storedDataSchema.map(GraftTable.fileSchemaOf)
 
   /** Build the current file-system view: latest archived manifest (if any)
     * + active completed data instants after it. The manifest is a
@@ -267,14 +261,32 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
     * (ref: HoodieBootstrapRelation.scala:1-195 reads skeleton + source
     * per row; deriving the columns makes the second file unnecessary).
     */
-  def readDataFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame = {
+  def readDataFiles(paths: Seq[String]): org.apache.spark.sql.DataFrame =
+    readDataFiles(paths, storedDataSchema)
+
+  /** Like `readDataFiles(paths)` but with the stored DATA schema pinned by
+    * the caller. Every multi-scan read plan (MOR base+delta merge,
+    * compaction's broadcast kernel) MUST resolve the schema ONCE and pass
+    * it to each of its scans: re-resolving per scan lets a concurrent
+    * schema-evolution commit land between two scans of one plan, and the
+    * plan's union fails NUM_COLUMNS_MISMATCH (base scan pre-evolution,
+    * delta scan evolved). (ref: MergeOnReadSnapshotRelation.scala:94-137
+    * resolves the read schema once before building splits.)
+    */
+  def readDataFiles(
+      paths: Seq[String],
+      pinnedDataSchema: Option[org.apache.spark.sql.types.StructType])
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.core.MetaColumns
+    GraftTable.onReadDataFiles(this, paths)
     val (ext, internal) = paths.partition(externalFiles.contains)
     val internalDf =
       if (internal.isEmpty) None
       else {
-        val reader = storedFileSchema.map(spark.read.schema).getOrElse(spark.read)
+        val reader = pinnedDataSchema
+          .map(d => spark.read.schema(GraftTable.fileSchemaOf(d)))
+          .getOrElse(spark.read)
         Some(reader.format(config.baseFileFormat).load(internal: _*))
       }
     // Hive-layout sources carry partition values only in `field=value/`
@@ -302,7 +314,7 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       FileSystemView.instantOfFileName(externalFiles(p).fileName))
       .toSeq.sortBy(_._1)
       .map { case (instant, ps) =>
-        val reader = storedDataSchema.map(spark.read.schema).getOrElse(spark.read)
+        val reader = pinnedDataSchema.map(spark.read.schema).getOrElse(spark.read)
           .option("basePath", baseOf(instant, ps.head))
         val nameExpr = concat(graft.write.KeyGen.externalFileIdExpr,
           lit("_" + instant + config.baseFileSuffix))
@@ -326,6 +338,27 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
 }
 
 object GraftTable {
+
+  /** Full physical file schema for a data-schema snapshot:
+    * meta columns ++ tombstone flag ++ data columns.
+    */
+  private[graft] def fileSchemaOf(
+      data: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    import graft.core.MetaColumns
+    StructType(
+      MetaColumns.All.map(StructField(_, StringType)) ++
+        Seq(StructField(MetaColumns.IsDeleted, BooleanType)) ++
+        data.fields)
+  }
+
+  /** Test seam: invoked at the top of every readDataFiles call with the
+    * table and the paths about to be scanned — lets concurrency specs
+    * inject a commit (e.g. a schema evolution) BETWEEN the two scans of a
+    * multi-scan read plan. No-op in production.
+    */
+  @volatile private[graft] var onReadDataFiles: (GraftTable, Seq[String]) => Unit =
+    (_, _) => ()
 
   /** Stored schemas drop NOT NULL markers everywhere (top level and
     * inside struct/array/map): the first commit's frame may carry

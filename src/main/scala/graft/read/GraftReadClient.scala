@@ -25,6 +25,23 @@ final class GraftReadClient(val table: GraftTable) {
   private val spark = table.spark
   private def cfg = table.config
 
+  /** ONE schema snapshot per read plan: resolved at the first scan this
+    * client builds and reused by every subsequent scan, so a concurrent
+    * schema-evolution commit landing between the base and delta reads of
+    * a MOR merge (or between any two scans of one plan) can never produce
+    * a mixed-schema union (NUM_COLUMNS_MISMATCH). Clients are
+    * per-operation, so the pin cannot go stale across operations.
+    * (ref: MergeOnReadSnapshotRelation.scala:94-137 — the read schema is
+    * resolved once, before splits are built.)
+    */
+  private lazy val planDataSchema: Option[org.apache.spark.sql.types.StructType] =
+    table.storedDataSchema
+  private def planFileSchema: Option[org.apache.spark.sql.types.StructType] =
+    planDataSchema.map(graft.GraftTable.fileSchemaOf)
+
+  private def readData(paths: Seq[String]): DataFrame =
+    table.readDataFiles(paths, planDataSchema)
+
   /** Latest-wins precedence for MOR log merging.
     * (ref: HoodieMergedLogRecordScanner.java:80-116 — latest by commit
     * order; "event_time" payload also honors the precombine field,
@@ -40,7 +57,7 @@ final class GraftReadClient(val table: GraftTable) {
   }
 
   private def readFiles(paths: Seq[String]): Option[DataFrame] =
-    if (paths.isEmpty) None else Some(table.readDataFiles(paths))
+    if (paths.isEmpty) None else Some(readData(paths))
 
   private def basePath(s: FileSlice, f: WriteFileInfo): String =
     table.resolveDataPath(s.partition, f)
@@ -122,9 +139,11 @@ final class GraftReadClient(val table: GraftTable) {
       return readFiles(basePaths ++ deltaPaths).map(mergeLatestPerGroup)
 
     val g = "_g_group"
-    val base = table.readDataFiles(basePaths)
+    // both scans read under the SAME pinned schema (see planDataSchema) —
+    // the union below must never see two column sets
+    val base = readData(basePaths)
       .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
-    val deltas = table.readDataFiles(deltaPaths)
+    val deltas = readData(deltaPaths)
       .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
     val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
 
@@ -269,7 +288,7 @@ final class GraftReadClient(val table: GraftTable) {
       partitionGlob: Option[String] = None): DataFrame = {
     val inGlob = partitionMatcher(partitionGlob)
     val tl = table.timeline
-    if (table.storedFileSchema.isEmpty) { // empty table: no changes, bare schema
+    if (planFileSchema.isEmpty) { // empty table: no changes, bare schema
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -501,7 +520,7 @@ final class GraftReadClient(val table: GraftTable) {
     */
   private def emptyFrame(): DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val schema = StructType(table.storedFileSchema.getOrElse(new StructType())
+    val schema = StructType(planFileSchema.getOrElse(new StructType())
       .filterNot(_.name == MetaColumns.IsDeleted))
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)

@@ -358,6 +358,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     try {
       val staging = new Path(table.storage.tempDir, ts)
       val g = GraftWriteClient.ColTargetFile
+      // ONE schema snapshot for every scan of this compaction plan — a
+      // concurrent evolution commit landing between the base and delta
+      // reads must not give the merge two column sets (same pin as
+      // GraftReadClient.planDataSchema)
+      val pinnedSchema = table.storedDataSchema
 
       def pathsOf(ss: Seq[FileSlice], withDeltas: Boolean): Seq[String] =
         ss.flatMap(s =>
@@ -368,7 +373,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         * to the latest row per key.
         */
       def windowMerged(ss: Seq[FileSlice]): DataFrame = {
-        val df = table.readDataFiles(pathsOf(ss, withDeltas = true))
+        val df = table.readDataFiles(pathsOf(ss, withDeltas = true), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
         graft.write.MergeKernel.collapseVersions(
           df.repartition(col(MetaColumns.PartitionPath), col(g)),
@@ -405,11 +410,11 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         stage(windowMerged(chosen), overwrite = true)
       } else {
         val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
-        val base = table.readDataFiles(pathsOf(chosen, withDeltas = false))
+        val base = table.readDataFiles(pathsOf(chosen, withDeltas = false), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
         val deltas = table.readDataFiles(
           chosen.flatMap(s => s.deltas.map(f =>
-            table.resolveDataPath(s.partition, f))))
+            table.resolveDataPath(s.partition, f))), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
         val dLatest = graft.write.MergeKernel.collapseVersions(
           deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),

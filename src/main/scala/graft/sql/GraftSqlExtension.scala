@@ -399,11 +399,40 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
     }
     GraftSqlUtils.requireSnapshot(rel)
     // explicit SET assignments that REWRITE key/partition columns would
-    // duplicate the row (see requireAssignable). Same-name assignments
-    // (`SET id = s.id`, the hand-expanded star shape) pass — like
-    // star-updates, the keyed ON condition makes them identities;
-    // computed or cross-name rewrites (`SET id = id + 1`,
-    // `SET region = 'eu'`) are the dangerous ones and are rejected.
+    // duplicate the row (see requireAssignable). A same-name assignment
+    // (`SET id = s.id`, the hand-expanded star shape) is only an identity
+    // when the ON condition actually EQUATES the pair — under
+    // `ON t.id = s.other_col`, `SET id = s.id` rewrites the key like any
+    // cross-name assignment and must be rejected, so the exemption checks
+    // the analyzed join condition's top-level conjuncts for a
+    // target.id = source.id equality (an equality under an OR guarantees
+    // nothing and does not count).
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def unwrapCast(e: Expression): Expression = e match {
+      case c: org.apache.spark.sql.catalyst.expressions.Cast => unwrapCast(c.child)
+      case other => other
+    }
+    val tOut = joinNode.left.outputSet
+    val sOut = joinNode.right.outputSet
+    def sideName(e: Expression): Option[(Boolean, String)] = unwrapCast(e) match {
+      case a: Attribute if tOut.contains(a) => Some((true, a.name.toLowerCase))
+      case a: Attribute if sOut.contains(a) => Some((false, a.name.toLowerCase))
+      case _                                => None
+    }
+    val onEquated: Set[(String, String)] =
+      joinNode.condition.toSeq.flatMap(conjuncts).collect {
+        case org.apache.spark.sql.catalyst.expressions.EqualTo(l, r) =>
+          (sideName(l), sideName(r))
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(l, r) =>
+          (sideName(l), sideName(r))
+      }.collect {
+        case (Some((true, tn)), Some((false, sn))) => (tn, sn)
+        case (Some((false, sn)), Some((true, tn))) => (tn, sn)
+      }.toSet
     val rewritten =
       (merge.matchedActions ++ merge.notMatchedBySourceActions).flatMap {
         case UpdateAction(_, as, _) =>
@@ -414,8 +443,17 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
               case at: Attribute          => at.name.toLowerCase == k
               case _                      => false
             }
-            if (sameName) None else Some(k)
+            // only assignments requireAssignable guards (record key /
+            // partition under a non-global index) ever reach a require —
+            // passing a non-guarded name through `rewritten` is harmless
+            if (sameName && onEquated((k, k))) None else Some(k)
           }
+        case _: UpdateStarAction =>
+          // star-update assigns every guarded column from its same-named
+          // source column — the identity argument needs the same ON check
+          val cfgT = rel.table.config
+          (cfgT.recordKeyFields ++ cfgT.partitionSourceFields)
+            .map(_.toLowerCase).filterNot(k => onEquated((k, k)))
         case _ => Seq.empty
       }.toSet
     GraftSqlUtils.requireAssignable(rel, rewritten, "MERGE ... UPDATE SET")

@@ -75,16 +75,21 @@ final class GraftStreamingSink(
     // replay — without the query-id comparison its first batches would
     // be silently dropped until its ids caught up with the previous
     // query's. Commits from versions that recorded no query id keep the
-    // old skip-by-batch-id semantics.
+    // old skip-by-batch-id semantics. The scan finds the last commit
+    // attributable to THIS query — not merely the last streaming commit:
+    // with TWO queries interleaving on one table, query A's restart-
+    // redelivered batch must be recognized as a replay even when query B
+    // committed last (stopping at B's commit would apply A's batch twice).
     if (GraftTable.exists(spark, path)) {
       val table = GraftTable.load(spark, path)
-      val lastStream = table.timeline.completedData.reverseIterator
+      val lastOfThisQuery = table.timeline.completedData.reverseIterator
         .map(i => table.timeline.metadataOf(i).extra)
-        .collectFirst { case ex if ex.contains(GraftStreaming.BatchIdKey) => ex }
-      val replayed = lastStream.exists { ex =>
-        ex(GraftStreaming.BatchIdKey).toLong >= batchId &&
-          ex.get(GraftStreaming.QueryIdKey).forall(q => queryId.contains(q))
-      }
+        .collectFirst {
+          case ex if ex.contains(GraftStreaming.BatchIdKey) &&
+            ex.get(GraftStreaming.QueryIdKey).forall(q => queryId.contains(q)) => ex
+        }
+      val replayed =
+        lastOfThisQuery.exists(_(GraftStreaming.BatchIdKey).toLong >= batchId)
       if (replayed) return
     }
     val batchDf = Shims.asBatchDf(data)

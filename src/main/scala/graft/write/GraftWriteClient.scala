@@ -140,12 +140,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         max(col(ColPart)).as("_p1"))
       val bloomAggs = GraftWriteClient.bloomAggsOf(
         if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp)
-      // row-level adoption flag LAST so the positional stats decode below
-      // is untouched
-      val keepAgg = partitionKeepExpr.map(e =>
-        max(when(e, lit(1)).otherwise(lit(0))).as("_keep"))
+      // row-level adoption flags LAST so the positional stats decode below
+      // is untouched; _keep = any row matches, _keep_all = every row does —
+      // adoption is only sound when the two agree (see the require below)
+      val keepAgg = partitionKeepExpr.toSeq.flatMap(e => Seq(
+        max(when(e, lit(1)).otherwise(lit(0))).as("_keep"),
+        min(when(e, lit(1)).otherwise(lit(0))).as("_keep_all")))
       val aggs = baseAggs ++ bloomAggs ++
-        GraftWriteClient.statAggsOf(statFields) ++ keepAgg.toSeq
+        GraftWriteClient.statAggsOf(statFields) ++ keepAgg
       // the group id hashes input_file_name via the SAME expression later
       // scans use, so read-time group derivation needs no lookup table
       val aggDf = keyed
@@ -185,6 +187,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             GraftWriteClient.decodeColStats(r, statsStart, statFields, records)
           val keepByExpr = partitionKeepExpr
             .map(_ => r.getInt(r.fieldIndex("_keep")) > 0)
+          val keepAllRows = partitionKeepExpr
+            .map(_ => r.getInt(r.fieldIndex("_keep_all")) > 0)
           (WriteFileInfo(
             partition = p0, fileId = fileId,
             fileName = fileId + "_" + instant.ts + table.config.baseFileSuffix,
@@ -195,20 +199,36 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             // full URI: the adopted file must resolve on the SOURCE's
             // filesystem (s3a://…, hdfs://…), not the session default
             externalPath = Some(GraftWriteClient.decodedFullPath(r.getString(0)))),
-            (path, p0, p1), keepByExpr)
+            (path, p0, p1), keepByExpr, keepAllRows)
         }
         val selected = (partitionKeepExpr, partitionKeep) match {
           case (Some(_), _)       => allFiles.filter(_._3.contains(true))
           case (None, Some(keep)) => allFiles.filter(t => keep(t._1.partition))
           case _                  => allFiles
         }
+        // all-or-none enforcement: adoption is per-FILE, so a file where
+        // only SOME rows match partitionKeepExpr must abort — adopting it
+        // whole duplicates the non-matching rows once the FULL_RECORD
+        // complement (filter on !expr) re-writes them, and skipping it
+        // would LOSE the matching rows (they are on neither side). The
+        // internal Bootstrap.selective caller derives the predicate from
+        // the partition expression, so its single-partition adopted files
+        // always pass; this closes the contract for public callers.
+        if (partitionKeepExpr.isDefined)
+          selected.foreach { case (_, (path, _, _), _, all) =>
+            require(all.contains(true),
+              s"source file $path mixes rows selected and not selected by " +
+                "partitionKeepExpr — metadata-only adoption takes whole files " +
+                "only; derive the predicate from the partition expression or " +
+                "re-layout the source")
+          }
         // adopted files must be single-partition (their manifest entry
         // carries ONE partition value); with the function-only selector
         // the check stays global — min/max alone cannot prove a spanning
         // non-selected file holds no selected rows
         val checkSpan =
           if (partitionKeepExpr.isDefined) selected else allFiles
-        checkSpan.foreach { case (_, (path, p0, p1), _) =>
+        checkSpan.foreach { case (_, (path, p0, p1), _, _) =>
           require(p0 == p1,
             s"source file $path spans partitions '$p0'..'$p1' — metadata-only " +
               "bootstrap needs single-partition files (repartition the source " +

@@ -118,52 +118,50 @@ final class FileLockProvider(
     val deadline = System.currentTimeMillis() + timeoutMs
     if (!storage.exists(locksDir)) storage.fs.mkdirs(locksDir)
     def win(): Boolean = { held = true; acquiredAtMs = System.currentTimeMillis(); true }
-    // true when OUR create may have landed but its confirm read failed
-    // transiently — the lock file could be carrying our token already
-    var maybeMine = false
     while (System.currentTimeMillis() <= deadline) {
       try {
         atomicCreate()
         // confirm-after-acquire: a concurrent waiter that judged the
         // PREVIOUS holder stale may delete the path right as we created
         // it (its stale-check read raced our create). If the file no
-        // longer carries our token, we did not really win — retry.
+        // longer carries our token, we did not really win — retry; a
+        // transient read failure resolves on the next loop pass (the
+        // EEXIST branch recognizes our own token).
         try {
           if (storage.readString(lockPath) == token) return win()
-          maybeMine = false // read fine, foreign bytes: genuinely lost
-        } catch {
-          case _: java.io.IOException => maybeMine = true // unknown
-        }
+        } catch { case _: java.io.IOException => () }
       } catch {
         case _: java.io.IOException =>
-          // Our own earlier create may have SUCCEEDED with only the
-          // confirm read failing transiently: an EEXIST on a file
-          // carrying OUR token means we already hold the lock — without
-          // this re-check the instance would spin against its own lock
-          // (held=false, unlock a no-op) and block every writer until
-          // the TTL.
-          if (maybeMine) {
-            try {
-              if (storage.readString(lockPath) == token) return win()
-              maybeMine = false
-            } catch { case _: java.io.IOException => () /* still unknown */ }
-          }
-          // lock taken: break it only when provably stale (TTL expired).
-          // Before deleting, re-read status+token and require BOTH to
-          // match the first observation, so we only ever break the EXACT
-          // lock we judged stale — never a fresh lock that replaced it
-          // between the check and the delete (tokens are unique UUIDs).
-          // The irreducible window between the final check and the
-          // delete is covered from the other side: a victim whose fresh
-          // lock we broke fails its confirm-after-acquire and retries.
           try {
-            val st1 = storage.fs.getFileStatus(lockPath)
-            if (System.currentTimeMillis() - st1.getModificationTime > ttlMs) {
-              val t1 = storage.readString(lockPath)
-              val st2 = storage.fs.getFileStatus(lockPath)
-              if (st2.getModificationTime == st1.getModificationTime &&
-                storage.readString(lockPath) == t1)
-                storage.delete(lockPath) // then re-race on the atomic create
+            // A lock file carrying OUR OWN token is this instance's
+            // leftover: an earlier create that landed with only the
+            // confirm read failing, or a previous hold whose unlock
+            // refused the delete after a stall (see unlock). Nobody else
+            // ever holds a file with our token, so delete it and re-race
+            // on the atomic create — reclaiming IN PLACE (win on the old
+            // file) would break the protocol's one ordering invariant
+            // (a fresh create only ever lands AFTER the delete that
+            // freed the path, which is what makes confirm-after-acquire
+            // cover every interleaving).
+            if (storage.readString(lockPath) == token) storage.delete(lockPath)
+            else {
+              // foreign lock: break it only when provably stale (TTL
+              // expired). Before deleting, re-read status+token and
+              // require BOTH to match the first observation, so we only
+              // ever break the EXACT lock we judged stale — never a
+              // fresh lock that replaced it between the check and the
+              // delete (tokens are unique UUIDs). The irreducible window
+              // between the final check and the delete is covered from
+              // the other side: a victim whose fresh lock we broke fails
+              // its confirm-after-acquire and retries.
+              val st1 = storage.fs.getFileStatus(lockPath)
+              if (System.currentTimeMillis() - st1.getModificationTime > ttlMs) {
+                val t1 = storage.readString(lockPath)
+                val st2 = storage.fs.getFileStatus(lockPath)
+                if (st2.getModificationTime == st1.getModificationTime &&
+                  storage.readString(lockPath) == t1)
+                  storage.delete(lockPath) // then re-race on the atomic create
+              }
             }
           } catch { case _: java.io.IOException => () /* re-race */ }
       }
@@ -178,15 +176,16 @@ final class FileLockProvider(
     try {
       // Delete only OUR lock — and only while provably inside our own
       // exclusivity window. A holder that stalled past the TTL may have
-      // been legitimately broken, and a bare read-then-delete here can
-      // remove the SUCCESSOR's live lock (the break + re-acquire can
-      // complete inside our read->delete gap under a long pause).
-      // Breaking is only legal after ttlMs since our acquire, so
-      // refusing to delete beyond ttl/2 leaves the successor untouched
-      // with huge margin; if nobody broke our file it simply
-      // TTL-expires and the next waiter reclaims it — an availability
-      // cost paid only in the pathological stall case.
-      val withinTtl = System.currentTimeMillis() - acquiredAtMs < ttlMs / 2
+      // been legitimately broken, and a read-then-delete here could then
+      // remove the SUCCESSOR's live lock. Breaking a lock is only legal
+      // once ttlMs has elapsed since our acquire (= the file's mtime), so
+      // any critical section that finishes within the TTL may delete
+      // freely; past it, leave the file — it either already belongs to a
+      // breaker (token check fails) or TTL-expires for the next waiter,
+      // and OUR next tryLock reclaims it instantly by recognizing its own
+      // token. The residual pause-between-check-and-delete window is the
+      // same irreducible class as the breaker's, accepted there too.
+      val withinTtl = System.currentTimeMillis() - acquiredAtMs < ttlMs
       if (withinTtl && storage.exists(lockPath) &&
           storage.readString(lockPath) == token)
         storage.delete(lockPath)

@@ -593,6 +593,39 @@ class TableFormatSpec extends AnyFunSuite {
     assert(spark.read.format("graft").load(tablePath).count() === 41)
   }
 
+  test("streaming sink: replay guard is per-query even when ANOTHER query committed last") {
+    // two queries interleave on one table: query A's restart-redelivered
+    // (already committed) batch must still be recognized as a replay when
+    // query B holds the most recent streaming commit — stopping the scan
+    // at B's commit would apply A's batch twice
+    import spark.implicits._
+    val tablePath = tmp() + "/table"
+    val params = Map(
+      "path" -> tablePath, "recordkey.field" -> "k",
+      "partitionpath.field" -> "part", "precombine.field" -> "v",
+      "write.operation" -> "insert")
+    val sink = new graft.streaming.GraftStreamingSink(spark.sqlContext, params)
+    def rows(lo: Long, hi: Long, p: String) =
+      (lo until hi).map(i => (i, p, 1.0)).toDF("k", "part", "v")
+    def count() = spark.read.format("graft").load(tablePath).count()
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-A")
+    sink.addBatch(0, rows(0, 10, "p0"))
+    assert(count() === 10)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-B")
+    sink.addBatch(7, rows(100, 110, "p1")) // B now holds the last streaming commit
+    assert(count() === 20)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-A")
+    sink.addBatch(0, rows(0, 10, "p0")) // A restarts, redelivers committed batch 0
+    assert(count() === 20, "A's redelivered batch must dedup against A's OWN last commit")
+    sink.addBatch(1, rows(10, 20, "p0")) // and A's genuinely-new batch flows
+    assert(count() === 30)
+    // B's replay guard is equally unaffected by A's newer commit
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-B")
+    sink.addBatch(7, rows(100, 110, "p1"))
+    assert(count() === 30, "B's redelivered batch must dedup across A's commits")
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+  }
+
   test("streaming source: a metadata-only batch (partition drop) is empty and schema-exact") {
     import org.apache.spark.sql.streaming.Trigger
     import spark.implicits._
@@ -698,6 +731,36 @@ class TableFormatSpec extends AnyFunSuite {
                     |ON t.o_orderkey = s.k
                     |WHEN MATCHED THEN UPDATE SET o_orderkey = s.k + 100""".stripMargin))
       assert(e3.getMessage.contains("record-key"), e3.getMessage.take(200))
+      // a SAME-NAME key assignment is only an identity when the ON
+      // condition equates the pair: under ON t.key = s.OTHER, SET key =
+      // s.key rewrites the key and must be rejected like any other rewrite
+      val e4 = intercept[Exception](
+        spark.sql(
+          """MERGE INTO dml_guard t
+            |USING (SELECT 1L AS o_orderkey, 2L AS other) s
+            |ON t.o_orderkey = s.other
+            |WHEN MATCHED THEN UPDATE SET o_orderkey = s.o_orderkey""".stripMargin))
+      assert(e4.getMessage.contains("record-key"), e4.getMessage.take(200))
+      // ...and the same hazard through UPDATE SET *
+      val e5 = intercept[Exception](
+        spark.sql(
+          """MERGE INTO dml_guard t
+            |USING (SELECT 1L AS o_orderkey, 2L AS other,
+            |       CAST('1-URGENT' AS STRING) AS o_orderpriority) s
+            |ON t.o_orderkey = s.other
+            |WHEN MATCHED THEN UPDATE SET *""".stripMargin))
+      assert(e5.getMessage.contains("record-key") ||
+        e5.getMessage.contains("partition"), e5.getMessage.take(200))
+      // the legitimate same-name shape (ON equates the key) still passes
+      spark.sql(
+        """MERGE INTO dml_guard t
+          |USING (SELECT 3L AS o_orderkey, 99.0 AS price) s
+          |ON t.o_orderkey = s.o_orderkey
+          |WHEN MATCHED THEN UPDATE SET o_orderkey = s.o_orderkey,
+          |  o_totalprice = s.price""".stripMargin)
+      assert(spark.table("dml_guard")
+        .filter(col("o_orderkey") === 3 && col("o_totalprice") === 99.0)
+        .count() === 1)
       // value-column updates still work
       spark.sql("UPDATE dml_guard SET o_totalprice = o_totalprice + 1.0 WHERE o_orderkey = 3")
       assert(spark.table("dml_guard").count() === 100)
@@ -1946,6 +2009,40 @@ class TableFormatSpec extends AnyFunSuite {
     val got = new GraftReadClient(t).snapshotData()
     assert(got.count() === orders.count())
     assert(got.filter(col("o_orderstatus") === "BL").count() === 3)
+  }
+
+  test("MOR read plan pins ONE schema: evolution landing between base and delta scans") {
+    val path = tmp()
+    val t = GraftTable.create(spark, path, morConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders.limit(400))
+    // re-upsert every key -> every group is dirty, so the snapshot plan is
+    // exactly the base-scan + delta-scan pair the race hits
+    w.upsert(orders.limit(400).withColumn("o_orderstatus", lit("EV")))
+    assert(t.view.latestSlices(None).forall(_.deltas.nonEmpty))
+    val read = new GraftReadClient(t)
+    val scans = new java.util.concurrent.atomic.AtomicInteger(0)
+    GraftTable.onReadDataFiles = (tbl, _) =>
+      if ((tbl eq t) && scans.getAndIncrement() == 0) {
+        // a concurrent writer lands a schema-evolution commit BETWEEN this
+        // plan's base scan and its delta scan — the exact interleaving that
+        // made the unpinned merge fail NUM_COLUMNS_MISMATCH
+        new GraftWriteClient(GraftTable.load(spark, path), wc).evolveSchema(
+          Seq(org.apache.spark.sql.types.StructField("zz_note",
+            org.apache.spark.sql.types.StringType)))
+      }
+    try {
+      val snap = read.snapshotData()
+      assert(snap.count() === 400)
+      assert(snap.filter(col("o_orderstatus") === "EV").count() === 400)
+      assert(!snap.columns.contains("zz_note"),
+        "the plan must serve the schema snapshot resolved at plan time")
+    } finally GraftTable.onReadDataFiles = (_, _) => ()
+    assert(scans.get() >= 2, "seam never saw the plan's second scan")
+    // a FRESH plan (new client, post-evolution) surfaces the new column
+    val snap2 = new GraftReadClient(GraftTable.load(spark, path)).snapshotData()
+    assert(snap2.columns.contains("zz_note"))
+    assert(snap2.count() === 400)
   }
 
   test("MOR: small inserts append as delta files instead of opening new groups") {
@@ -3979,6 +4076,22 @@ class TableFormatSpec extends AnyFunSuite {
       Bootstrap.metadataOnly(spark, badSrc, s"$base/t2", cowConfig, bwc)
     }
     assert(e.getMessage.contains("spans partitions"))
+
+    // a row-level keep predicate that splits a file (some rows match, some
+    // don't) is rejected loudly: adopting it whole would duplicate the
+    // non-matching rows against the FULL_RECORD complement, skipping it
+    // would lose the matching ones
+    val splitSrc = s"$base/split"
+    // single-partition files so the span check cannot mask the mixed-file one
+    orders.filter(col("o_orderpriority") === "1-URGENT").coalesce(1)
+      .write.parquet(splitSrc)
+    val e2 = intercept[IllegalArgumentException] {
+      GraftTable.create(spark, s"$base/t3", cowConfig)
+      new GraftWriteClient(GraftTable.load(spark, s"$base/t3"), bwc)
+        .bootstrapMetadataOnly(splitSrc,
+          partitionKeepExpr = Some(col("o_orderkey") % 2 === 0))
+    }
+    assert(e2.getMessage.contains("mixes rows"), e2.getMessage)
   }
 
   test("selective bootstrap: regex routes METADATA_ONLY vs FULL_RECORD per partition") {
@@ -4263,6 +4376,37 @@ class TableFormatSpec extends AnyFunSuite {
       "blocked compaction published a commit")
     assert(msv.compact().nonEmpty, "compaction retry after unlock failed")
     assert(new GraftReadClient(mt).snapshotData().count() === 200)
+  }
+
+  test("lock provider: an instance reclaims its own leftover lock without waiting out the TTL") {
+    // unlock refuses the delete once the hold outlives the TTL (the file
+    // may already belong to a breaker); the leftover must not then block
+    // the SAME instance's next acquire for the rest of the TTL — tryLock
+    // recognizes its own token and reclaims immediately
+    import graft.write.FileLockProvider
+    val t = GraftTable.create(spark, tmp() + "/t", cowConfig)
+    val p = new FileLockProvider(t.storage, ttlMs = 60000L, pollMs = 10L)
+    assert(p.tryLock(2000))
+    // simulate the stalled-holder aftermath: the lock file (our token)
+    // is still on disk and fresh, and no unlock ran
+    val start = System.currentTimeMillis()
+    assert(p.tryLock(3000), "self-token reclaim must not wait out the 60 s TTL")
+    assert(System.currentTimeMillis() - start < 3000)
+    p.unlock()
+    // the path is genuinely free afterwards
+    val q = new FileLockProvider(t.storage, ttlMs = 60000L, pollMs = 10L)
+    assert(q.tryLock(2000))
+    q.unlock()
+
+    // and unlock within the TTL still cleans up: a >TTL/2 (but <TTL) hold
+    // no longer leaves a leftover behind (the old refusal window)
+    val r = new FileLockProvider(t.storage, ttlMs = 1200L, pollMs = 10L)
+    assert(r.tryLock(2000))
+    Thread.sleep(700) // past ttl/2, inside ttl
+    r.unlock()
+    val lockFile = new org.apache.hadoop.fs.Path(t.storage.metaDir, "locks/writer.lock")
+    assert(!t.storage.exists(lockFile),
+      "unlock inside the TTL must delete its own lock (no ttl/2 refusal)")
   }
 
   test("lock provider: contended acquire is mutually exclusive and starvation-free") {
