@@ -250,7 +250,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     */
   private def withCommitLock[T](f: => T): T = {
     val lock = graft.write.LockProvider.forTable(
-      wc.lockProvider, table.storage, wc.lockTtlMs)
+      wc.lockProvider, table.storage, wc.lockTtlMs, wc.lockJdbcUrl)
     if (!lock.tryLock(wc.lockTimeoutMs))
       throw new graft.write.LockAcquireException(
         s"table service could not acquire the '${wc.lockProvider}' commit " +

@@ -162,8 +162,10 @@ object GraftOptions {
   /** Comma-separated data columns to collect per-file min/max stats for
     * (read-time data skipping; see graft.core.ColumnStats). */
   val ColStatsColumns = "col.stats.columns"
-  val LockProviderKey = "lock.provider" // none | jvm | file
+  val LockProviderKey = "lock.provider" // none | jvm | file | jdbc
   val LockTimeoutMs = "lock.timeout.ms"
+  /** JDBC URL of the lock database (lock.provider=jdbc). */
+  val LockJdbcUrl = "lock.jdbc.url"
   /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
   val KeygenTimestampFormat = "keygen.timestamp.format"
 
@@ -198,7 +200,8 @@ object GraftOptions {
         .getOrElse(base.colStatsColumns),
       lockProvider = parameters.getOrElse(LockProviderKey, base.lockProvider),
       lockTimeoutMs = parameters.get(LockTimeoutMs)
-        .map(_.toLong).getOrElse(base.lockTimeoutMs))
+        .map(_.toLong).getOrElse(base.lockTimeoutMs),
+      lockJdbcUrl = parameters.getOrElse(LockJdbcUrl, base.lockJdbcUrl))
   }
 
   def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {

@@ -364,7 +364,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     // is exactly the escalated-conflict case the lock exists for, so
     // leaving it outside the lock would reopen the check→publish window
     // for the most dangerous operation.
-    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs)
+    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs, wc.lockJdbcUrl)
     if (!lock.tryLock(wc.lockTimeoutMs)) {
       table.timeline.deleteInstant(instant)
       throw new LockAcquireException(
@@ -825,7 +825,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     // across every writer sharing the table's filesystem. Data was
     // already staged BEFORE this point — only metadata work happens
     // under the lock.
-    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs)
+    val lock = LockProvider.forTable(wc.lockProvider, table.storage, wc.lockTtlMs, wc.lockJdbcUrl)
     if (!lock.tryLock(wc.lockTimeoutMs)) {
       // fail LOUDLY without publishing: a write that cannot enter the
       // critical section must never double-commit. Staged files were

@@ -193,18 +193,152 @@ final class FileLockProvider(
   }
 }
 
+/** Cross-writer lock arbitrated by ANY JDBC database: one row per table
+  * in a `GRAFT_LOCKS` table, acquired by a primary-key INSERT (atomic
+  * under the database's uniqueness enforcement), released by a
+  * conditional `DELETE … WHERE token = ours` — an atomic
+  * compare-and-delete, so unlock needs none of the file provider's
+  * stall heuristics: a TTL-broken holder's delete simply matches zero
+  * rows. A waiter breaks a crashed holder by conditionally deleting the
+  * EXACT row it observed stale (key + token + acquire time) and
+  * re-racing on the INSERT, so a fresh lock that replaced the stale one
+  * is never touched — the database's row atomicity closes the windows
+  * the filesystem provider can only narrow. (ref: the reference's
+  * external-service bindings behind the same two-method seam,
+  * TransactionManager.java:49-69, HiveMetastoreBasedLockProvider
+  * .java:60-120; ours speaks plain JDBC so a server RDBMS — or embedded
+  * Derby for single-host multi-process-free setups — can arbitrate.)
+  */
+final class JdbcLockProvider(
+    jdbcUrl: String,
+    lockKey: String,
+    ttlMs: Long = 5 * 60 * 1000L,
+    pollMs: Long = 50L) extends LockProvider {
+
+  require(jdbcUrl.nonEmpty,
+    "lock.provider=jdbc needs lock.jdbc.url (e.g. jdbc:derby:/path;create=true)")
+
+  private val token =
+    java.util.UUID.randomUUID.toString + "@" + java.lang.management.ManagementFactory
+      .getRuntimeMXBean.getName
+  @volatile private var held = false
+
+  private def withConn[A](f: java.sql.Connection => A): A = {
+    val c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try f(c) finally c.close()
+  }
+
+  /** Create the lock table if missing; concurrent creators race benignly
+    * (the loser's error is swallowed iff the table is then queryable).
+    */
+  private def ensureTable(c: java.sql.Connection): Unit =
+    try {
+      val st = c.createStatement()
+      try st.executeUpdate(
+        "CREATE TABLE GRAFT_LOCKS (" +
+          "LOCK_KEY VARCHAR(512) PRIMARY KEY, " +
+          "TOKEN VARCHAR(160) NOT NULL, " +
+          "ACQUIRED_AT BIGINT NOT NULL)")
+      finally st.close()
+    } catch {
+      case e: java.sql.SQLException =>
+        val st = c.createStatement()
+        try st.executeQuery("SELECT 1 FROM GRAFT_LOCKS WHERE 1=0").close()
+        catch { case _: java.sql.SQLException => throw e }
+        finally st.close()
+    }
+
+  /** One acquisition attempt; false on a live duplicate key. */
+  private def tryInsert(c: java.sql.Connection): Boolean = {
+    val ps = c.prepareStatement(
+      "INSERT INTO GRAFT_LOCKS (LOCK_KEY, TOKEN, ACQUIRED_AT) VALUES (?, ?, ?)")
+    try {
+      ps.setString(1, lockKey); ps.setString(2, token)
+      ps.setLong(3, System.currentTimeMillis())
+      ps.executeUpdate(); true
+    } catch {
+      // 23xxx = SQL-standard integrity violation (Derby/Postgres 23505,
+      // MySQL 23000) — the lock is held; anything else is a real error
+      case e: java.sql.SQLException
+          if Option(e.getSQLState).exists(_.startsWith("23")) => false
+    } finally ps.close()
+  }
+
+  /** Conditional delete of one exact observed row; true iff it removed it. */
+  private def deleteExact(
+      c: java.sql.Connection, tkn: String, at: Long): Boolean = {
+    val ps = c.prepareStatement(
+      "DELETE FROM GRAFT_LOCKS WHERE LOCK_KEY = ? AND TOKEN = ? AND ACQUIRED_AT = ?")
+    try {
+      ps.setString(1, lockKey); ps.setString(2, tkn); ps.setLong(3, at)
+      ps.executeUpdate() == 1
+    } finally ps.close()
+  }
+
+  override def tryLock(timeoutMs: Long): Boolean =
+    withConn { c =>
+      ensureTable(c)
+      // the timeout budgets lock CONTENTION — start it after the
+      // connection is up (a cold embedded engine boots in seconds, which
+      // would otherwise consume the whole budget before the first attempt)
+      val deadline = System.currentTimeMillis() + timeoutMs
+      while (System.currentTimeMillis() <= deadline) {
+        if (tryInsert(c)) { held = true; return true }
+        val ps = c.prepareStatement(
+          "SELECT TOKEN, ACQUIRED_AT FROM GRAFT_LOCKS WHERE LOCK_KEY = ?")
+        val row =
+          try {
+            ps.setString(1, lockKey)
+            val rs = ps.executeQuery()
+            try { if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None }
+            finally rs.close()
+          } finally ps.close()
+        row match {
+          // our own leftover (a failed unlock delete): only we could have
+          // written this token, so removing it and re-racing is always safe
+          case Some((t, at)) if t == token =>
+            deleteExact(c, t, at)
+          // crashed holder: break the EXACT observed row once TTL-stale
+          case Some((t, at)) if System.currentTimeMillis() - at > ttlMs =>
+            deleteExact(c, t, at)
+          case _ => Thread.sleep(pollMs)
+        }
+      }
+      false
+    }
+
+  override def unlock(): Unit = {
+    if (!held) return
+    held = false
+    try withConn { c =>
+      val ps = c.prepareStatement(
+        "DELETE FROM GRAFT_LOCKS WHERE LOCK_KEY = ? AND TOKEN = ?")
+      try { ps.setString(1, lockKey); ps.setString(2, token); ps.executeUpdate() }
+      finally ps.close()
+    } catch {
+      // a failed delete leaves our row for the next tryLock's self-reclaim
+      // (same instance) or the TTL break (anyone else)
+      case _: java.sql.SQLException => ()
+    }
+  }
+}
+
 object LockProvider {
   /** Resolve a WriteConfig selector to a provider instance. Selectors
     * are plain strings so configuration stays serializable and works
     * identically from any process (CLI, child JVM, executor-free
     * driver code).
     */
-  def forTable(selector: String, storage: GraftStorage, ttlMs: Long): LockProvider =
+  def forTable(
+      selector: String, storage: GraftStorage, ttlMs: Long,
+      jdbcUrl: String = ""): LockProvider =
     selector match {
       case "none" | "" => NoOpLockProvider
       case "jvm"       => new InProcessLockProvider(storage)
       case "file"      => new FileLockProvider(storage, ttlMs)
+      case "jdbc" =>
+        new JdbcLockProvider(jdbcUrl, storage.basePath.toString, ttlMs)
       case other => throw new IllegalArgumentException(
-        s"unknown lock provider '$other' (expected: none | jvm | file)")
+        s"unknown lock provider '$other' (expected: none | jvm | file | jdbc)")
     }
 }

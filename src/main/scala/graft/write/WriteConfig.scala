@@ -118,6 +118,12 @@ final case class WriteConfig(
       * broken by a waiter. Must far exceed the metadata-only critical
       * section (seconds); minutes by default. */
     lockTtlMs: Long = 5 * 60 * 1000L,
+    /** JDBC URL of the lock database for lockProvider="jdbc" (e.g.
+      * "jdbc:postgresql://host/db?user=…" for multi-host deployments,
+      * "jdbc:derby:/path/locks;create=true" embedded for single-host).
+      * Credentials travel in the URL, standard JDBC style. See
+      * [[JdbcLockProvider]]. */
+    lockJdbcUrl: String = "",
     /** Age past which a service plan's inflight marker counts as a
       * crashed execution and may be claimed by another runner. Unlike
       * the commit lock (metadata-only, seconds), a claim covers the
