@@ -943,6 +943,29 @@ object SparkEntry {
         col("o_comment"))
     }),
 
+    // ALTER COLUMN TYPE widening (int→bigint, float→double) across
+    // commits: pre-widening files surface values AT THE WIDENED TYPE,
+    // post-widening writes carry long-range / full-precision values, and
+    // the merged read spans both eras (ref: Spark SQL
+    // AlterHoodieTableChangeColumnCommand — zero-file schema commit)
+    "tf_alter_column" -> ((s, dir) => {
+      val orders = T(s, dir, "orders")
+      val t = GraftTable.create(s, freshDir("tf_alter_column", dir),
+        ordersTableConfig(GraftTableType.Cow))
+      val w = new GraftWriteClient(t, testWc)
+      val base = orders
+        .withColumn("cust_bucket", (col("o_custkey") % 100).cast("int"))
+        .withColumn("price_f", col("o_totalprice").cast("float"))
+      w.bulkInsert(base)
+      w.changeColumnType("cust_bucket", org.apache.spark.sql.types.LongType)
+      w.changeColumnType("price_f", org.apache.spark.sql.types.DoubleType)
+      w.upsert(base.filter(col("o_orderkey") % 9 === 4)
+        .withColumn("cust_bucket", col("o_orderkey") + lit(3000000000L))
+        .withColumn("price_f", col("o_totalprice").cast("double") + 0.25))
+      new GraftReadClient(t).snapshotData().select(
+        (ordersCols ++ Seq("cust_bucket", "price_f")).map(col): _*)
+    }),
+
     // SortedMergeHandle: sortedWrite keeps every staged file key-ordered
     // through bulk load AND merge (in-task sort, no extra shuffle) —
     // content identical to a plain upsert, plus an in-query proof that
@@ -1613,6 +1636,34 @@ object SparkEntry {
       s.read.parquet(out).select(ordersCols.map(col): _*)
     }),
 
+    // incremental export refresh: a full export, then a band holding
+    // updates, a ROLLED-BACK commit and a partition drop, refreshed
+    // in-place from the cursor — only the touched partitions rewrite, and
+    // the refreshed export must equal the live snapshot exactly
+    // (rollback rewinds content without a data commit; the dropped
+    // partition's export dir must be deleted, not just skipped)
+    "tf_export_incremental" -> ((s, dir) => {
+      val (t, w, orders) = cowOrders("tf_export_incr", s, dir)
+      w.bulkInsert(orders)
+      val out = freshDir("tf_export_incr_out", dir)
+      graft.utilities.SnapshotExporter.exportColumnar(s, t.basePath, out)
+      val c0 = graft.utilities.SnapshotExporter.exportCursor(s, t.basePath).get
+      w.upsert(orders.filter(col("o_orderkey") % 7 === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0))
+      val bad = w.upsert(orders.filter(col("o_orderkey") % 11 === 5)
+        .withColumn("o_totalprice", lit(-1.0)))
+      new TableServices(t, testWc).rollback(bad)
+      w.deletePartitions(Seq("5-LOW"))
+      val (c1, touched) = graft.utilities.SnapshotExporter
+        .exportIncrementalColumnar(s, t.basePath, out, c0)
+      require(touched.nonEmpty, "refresh saw no touched partitions")
+      // a second refresh from the new cursor is a no-op (idempotent cursor)
+      val (c2, touched2) = graft.utilities.SnapshotExporter
+        .exportIncrementalColumnar(s, t.basePath, out, c1)
+      require(c2 == c1 && touched2.isEmpty, "refresh cursor did not settle")
+      s.read.parquet(out).select(ordersCols.map(col): _*)
+    }),
+
     // ---------------- text analysis ----------------
 
     "doc_text_stats" -> ((s, dir) => {
@@ -1661,6 +1712,15 @@ object SparkEntry {
     // two-pass prefix sum (never a single-partition global window)
     "doc_pack_chunks" -> ((s, dir) => {
       graft.operators.Packing.packChunks(
+        T(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), budget = 2048L)
+    }),
+
+    // pack GATHER: the fixed-length batches packChunks assigns — one row
+    // per document piece per chunk, boundary-spanning docs split exactly;
+    // every chunk tiles to exactly `budget` tokens except the last
+    "doc_pack_gather" -> ((s, dir) => {
+      graft.operators.Packing.gatherPieces(
         T(s, dir, "documents"), "doc_id",
         TextFunctions.tokenCount(col("text")), budget = 2048L)
     }),
@@ -2256,6 +2316,20 @@ object SparkEntry {
     "tf_export" ->
       (ordersSelect("o_totalprice") + " WHERE o_orderkey % 6 <> 2"),
 
+    "tf_alter_column" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |  o_orderdate, o_orderpriority,
+        |  CASE WHEN o_orderkey % 9 = 4 THEN o_orderkey + 3000000000
+        |       ELSE o_custkey % 100 END AS cust_bucket,
+        |  CASE WHEN o_orderkey % 9 = 4 THEN o_totalprice + 0.25
+        |       ELSE CAST(CAST(o_totalprice AS REAL) AS DOUBLE) END AS price_f
+        |FROM orders""".stripMargin,
+
+    "tf_export_incremental" -> (ordersSelect(
+      "CASE WHEN o_orderkey % 7 = 3 THEN o_totalprice + 100.0 " +
+        "ELSE o_totalprice END AS o_totalprice") +
+      " WHERE o_orderpriority <> '5-LOW'"),
+
     "tf_ingest_checkpoint" -> ordersSelect(
       "CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 50.0 ELSE o_totalprice END AS o_totalprice"),
 
@@ -2409,6 +2483,22 @@ object SparkEntry {
          |  CAST((cum - n) // 2048 AS BIGINT) AS pack_id,
          |  CAST((cum - n) % 2048 AS BIGINT) AS pack_offset
          |FROM c""".stripMargin,
+
+    // independent recomputation of the piece tiling: per spanned chunk,
+    // intersect the doc's [start, cum) token interval with the chunk's
+    "doc_pack_gather" ->
+      s"""WITH t AS (SELECT doc_id, CAST($duckTokens AS BIGINT) AS n FROM documents),
+         |c AS (SELECT doc_id, n, sum(n) OVER (ORDER BY doc_id) AS cum FROM t),
+         |e AS (SELECT doc_id, n, cum - n AS s, cum,
+         |        unnest(range(CAST((cum - n) // 2048 AS BIGINT),
+         |                     CAST((cum - 1) // 2048 + 1 AS BIGINT))) AS pid
+         |      FROM c WHERE n > 0)
+         |SELECT CAST(pid AS BIGINT) AS pack_id, doc_id,
+         |  CAST(greatest(s - pid * 2048, 0) AS BIGINT) AS piece_offset,
+         |  CAST(greatest(pid * 2048 - s, 0) AS BIGINT) AS doc_start,
+         |  CAST(least(cum, pid * 2048 + 2048) - greatest(s, pid * 2048) AS BIGINT)
+         |    AS piece_len
+         |FROM e""".stripMargin,
 
     // same md5 hash order; rank = dense global position, no gaps
     "doc_shuffle_rank" ->

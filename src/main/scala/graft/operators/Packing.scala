@@ -171,6 +171,84 @@ object Packing {
           (col("_start") % budget).as("pack_offset")))
   }
 
+  /** Pack GATHER: materialize the fixed-length batches [[packChunks]]
+    * assigns — per chunk, the document PIECES that fill it. A document
+    * spanning a chunk boundary contributes one piece per chunk it
+    * crosses (`explode(sequence(first_chunk, last_chunk))` — total piece
+    * count is |docs| + total_tokens/budget, linear in corpus size, never
+    * quadratic; a giant document simply owns a run of whole chunks).
+    * One row per piece:
+    *
+    *   - `pack_id`       chunk the piece belongs to
+    *   - `<id>`          the source document
+    *   - `piece_offset`  position of the piece inside the chunk
+    *   - `doc_start`     first token of the piece within its document
+    *   - `piece_len`     tokens contributed
+    *
+    * Exact long arithmetic throughout; every chunk's pieces sum to
+    * EXACTLY `budget` tokens except the final chunk, and pieces tile
+    * each chunk gaplessly in `piece_offset` order — the invariants a
+    * trainer's batch builder relies on (pinned in PackingSpec). The
+    * actual token concatenation is a trivial per-chunk map over these
+    * rows once a tokenizer is attached; the hard part — the exact global
+    * placement — is all here, on the same scale-safe prefix sum.
+    * Returns the frame persisted like [[distributedCumsum]]; callers
+    * unpersist when done. Use [[gatherPacks]] for the nested
+    * one-row-per-chunk form.
+    */
+  def gatherPieces(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"pack budget must be positive, got $budget")
+    val skinny = df.select(col(idCol),
+      coalesce(tokenCountCol.cast("long"), lit(0L)).as("n_tokens"))
+    distributedCumsum(skinny, "n_tokens", Seq(idCol), Seq.empty, d =>
+      d.withColumn("_start", col("_cum") - col("n_tokens"))
+        .filter(col("n_tokens") > 0) // empty docs occupy no chunk
+        .withColumn("pack_id", explode(sequence(
+          expr(s"_start div ${budget}L"),
+          expr(s"(_cum - 1) div ${budget}L"))))
+        .withColumn("_cstart", col("pack_id") * budget)
+        .select(
+          col("pack_id"),
+          col(idCol),
+          greatest(col("_start") - col("_cstart"), lit(0L)).as("piece_offset"),
+          greatest(col("_cstart") - col("_start"), lit(0L)).as("doc_start"),
+          (least(col("_cum"), col("_cstart") + budget) -
+            greatest(col("_start"), col("_cstart"))).as("piece_len")))
+  }
+
+  /** One row per chunk: `(pack_id, pack_tokens, pieces)` with `pieces`
+    * the `piece_offset`-ordered array of `(piece_offset, <id>,
+    * doc_start, piece_len)` structs — the shape a batch builder consumes
+    * directly. The shuffle moves piece METADATA keyed by pack_id (each
+    * chunk's array is ≤ budget tokens of references), never document
+    * content.
+    */
+  def gatherPacks(
+      df: DataFrame,
+      idCol: String,
+      tokenCountCol: Column,
+      budget: Long): DataFrame = {
+    val pieces = gatherPieces(df, idCol, tokenCountCol, budget)
+    val out = pieces
+      .groupBy("pack_id")
+      .agg(
+        sum("piece_len").as("pack_tokens"),
+        sort_array(collect_list(struct(
+          col("piece_offset"), col(idCol), col("doc_start"),
+          col("piece_len")))).as("pieces"))
+    // hand the caller an unpersist-able frame: materialize the grouped
+    // form is cheap relative to re-running the prefix sum, so just leave
+    // the piece cache to the grouped plan's lineage and release it after
+    val result = out.persist(StorageLevel.MEMORY_AND_DISK)
+    result.count()
+    pieces.unpersist(false)
+    result
+  }
+
   /** Deterministic epoch-shuffle rank: every document's position in the
     * md5-of-id order — the rerun-stable "global shuffle" a training
     * pipeline writes its corpus in (hash order is uniform, so

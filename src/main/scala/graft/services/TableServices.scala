@@ -248,6 +248,21 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * the reference wraps table-service commits in the same transaction
     * seam). Metadata-only: data staging happened before this section.
     */
+  /** Fire the configured post-commit hook after a SERVICE publish — the
+    * same fire-after-durable, swallow-failures contract as the write
+    * client's (GraftWriteClient.commit): compaction/clustering move the
+    * base-file set, which is exactly what hooks like the read-optimized
+    * symlink-manifest refresh (SnapshotExporter.roManifestCallback) need
+    * to observe.
+    */
+  private def fireCommitCallback(meta: GraftCommitMetadata): Unit =
+    wc.commitCallback.foreach { cb =>
+      try cb(table.basePath, meta)
+      catch { case e: Exception =>
+        System.err.println(s"[graft] commit callback failed for ${meta.instant}: $e")
+      }
+    }
+
   private def withCommitLock[T](f: => T): T = {
     val lock = graft.write.LockProvider.forTable(
       wc.lockProvider, table.storage, wc.lockTtlMs, wc.lockJdbcUrl)
@@ -487,15 +502,16 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         }
         val totalRecords = written.map(_.records).sum
         val totalBytes = written.map(_.bytes).sum
+        val meta = GraftCommitMetadata(
+          instant = ts, action = GraftAction.Commit, operation = "compact",
+          files = written,
+          replacedFileIds = replacedMap,
+          totalRecords = totalRecords,
+          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+          schemaJson = lastSchemaJson)
         table.timeline.transitionToCompleted(
-          GraftInstant(ts, GraftAction.Commit, GraftState.Inflight),
-          GraftCommitMetadata(
-            instant = ts, action = GraftAction.Commit, operation = "compact",
-            files = written,
-            replacedFileIds = replacedMap,
-            totalRecords = totalRecords,
-            avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-            schemaJson = lastSchemaJson))
+          GraftInstant(ts, GraftAction.Commit, GraftState.Inflight), meta)
+        fireCommitCallback(meta)
       }
       // the executed plan's markers die with the completion
       table.timeline.deleteInstant(requested)
@@ -706,14 +722,15 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           .mapValues(_.map(_.fileId).distinct.toSeq).toMap
         val totalRecords = written.map(_.records).sum
         val totalBytes = written.map(_.bytes).sum
+        val meta = GraftCommitMetadata(
+          instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
+          files = written, replacedFileIds = replaced,
+          totalRecords = totalRecords,
+          avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
+          schemaJson = lastSchemaJson)
         table.timeline.transitionToCompleted(
-          GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight),
-          GraftCommitMetadata(
-            instant = ts, action = GraftAction.ReplaceCommit, operation = "cluster",
-            files = written, replacedFileIds = replaced,
-            totalRecords = totalRecords,
-            avgRecordSize = if (totalRecords > 0) math.max(1, totalBytes / totalRecords) else 0,
-            schemaJson = lastSchemaJson))
+          GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight), meta)
+        fireCommitCallback(meta)
       }
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)

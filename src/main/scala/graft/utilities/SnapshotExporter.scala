@@ -176,6 +176,113 @@ object SnapshotExporter {
     } finally df.unpersist(false)
   }
 
+  /** Manifest-only LIVE export of the READ-OPTIMIZED view: one text file
+    * per partition listing the absolute URIs of the live BASE files —
+    * the symlink-manifest pattern Trino/Presto/Athena consume through
+    * `SymlinkTextInputFormat` over a parquet SerDe, and the cheap
+    * equivalent of the reference's RO input-format path (ref:
+    * HoodieROTablePathFilter.java:116 + HoodieParquetInputFormat — both
+    * select the latest base file per group at split time; ours
+    * precomputes that selection into a manifest).
+    *
+    * ZERO data is copied: a refresh is a driver-side metadata pass (the
+    * file list comes from the commit manifest), so it can run from the
+    * post-commit hook on every compaction — see [[roManifestCallback]].
+    * Staleness on MOR = the delta debt accrued since the last
+    * compaction; COW manifests are exact as of the last refresh.
+    * Consumers see the physical base files: graft meta columns included
+    * (like the reference's `_hoodie_*` columns in Hive), bootstrapped
+    * external files with their original columns only. Tombstones never
+    * reach base files (COW merges and compaction filter them), so a
+    * plain reader of the listed files sees live rows only.
+    *
+    * Consistency: each partition's manifest is replaced by an atomic
+    * overwrite-rename, so a reader sees the old or the new list, never
+    * a torn one; manifests of vanished partitions are deleted. Keep the
+    * refresh cadence inside the clean horizon (`cleanRetainCommits`) —
+    * cleaning deletes base-file versions a sufficiently stale manifest
+    * may still reference.
+    *
+    * Returns the partition manifest dirs written (relative to
+    * `outputDir`; `Seq("")` for a non-partitioned table).
+    */
+  def exportSymlinkManifest(
+      spark: SparkSession,
+      tablePath: String,
+      outputDir: String): Seq[String] = {
+    import org.apache.hadoop.fs.{FileContext, Options, Path}
+    import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
+    val table = GraftTable.load(spark, tablePath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val out = new Path(outputDir)
+    val fs = out.getFileSystem(conf)
+    fs.mkdirs(out)
+    val parts = table.config.partitionSourceFields
+    def dirOf(p: String): String =
+      if (parts.isEmpty) ""
+      else parts.zip(p.split("/", -1))
+        .map { case (f, v) => s"$f=${escapePathName(v)}" }.mkString("/")
+    val tableFs = table.storage.fs
+    val byPart = table.view.latestSlices(None).groupBy(_.partition)
+    val written = byPart.toSeq.sortBy(_._1).flatMap { case (p, ss) =>
+      // RO view = base files only; delta-only groups (MOR inserts routed
+      // to logs before their first compaction) have nothing to list yet
+      val paths = ss.flatMap(s => s.base.map(f =>
+        table.resolveDataPath(s.partition, f)))
+      if (paths.isEmpty) None
+      else {
+        // qualify against the TABLE's filesystem so the listed URIs
+        // resolve from any engine (external bootstrap paths already
+        // carry their own scheme)
+        val uris = paths.map(pp => tableFs.makeQualified(new Path(pp)).toString)
+        val rel = dirOf(p)
+        val dir = if (rel.isEmpty) out else new Path(out, rel)
+        fs.mkdirs(dir)
+        val tmp = new Path(dir, s".manifest_tmp_${java.util.UUID.randomUUID}")
+        val os = fs.create(tmp, true)
+        try os.write((uris.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+        finally os.close()
+        FileContext.getFileContext(dir.toUri, conf)
+          .rename(tmp, new Path(dir, "manifest"), Options.Rename.OVERWRITE)
+        Some(rel)
+      }
+    }
+    // manifests of partitions the table no longer has would double-serve
+    // rows an engine also finds under the partition's new manifest — or
+    // serve dropped partitions forever; delete them
+    val keep = written.toSet
+    // compare SCHEME-FREE paths: listFiles returns qualified (file:/…)
+    // paths while `out` may be schemeless — a URI relativize across that
+    // mismatch returns the full path, which would mark every manifest
+    // just written as stale
+    val outPath = fs.makeQualified(out).toUri.getPath.stripSuffix("/")
+    val it = fs.listFiles(out, true)
+    val stale = scala.collection.mutable.ArrayBuffer[Path]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName == "manifest") {
+        val rel = st.getPath.getParent.toUri.getPath
+          .stripSuffix("/").stripPrefix(outPath).stripPrefix("/")
+        if (!keep.contains(rel)) stale += st.getPath
+      }
+    }
+    stale.foreach(fs.delete(_, false))
+    written
+  }
+
+  /** Post-commit hook keeping a symlink-manifest export live: plug into
+    * `WriteConfig.commitCallback` on writers and service runners. The
+    * refresh after `compact` is the one that moves a MOR table's RO
+    * view; firing on every data commit keeps COW exports current too —
+    * each refresh is metadata-only, so cadence is cheap. Callback
+    * failures are logged and swallowed by the callback contract (the
+    * commit is already durable); the next refresh self-heals.
+    */
+  def roManifestCallback(
+      spark: SparkSession,
+      outputDir: String): (String, graft.core.GraftCommitMetadata) => Unit =
+    (tablePath, _) => { exportSymlinkManifest(spark, tablePath, outputDir); () }
+
   /** Re-materialize the snapshot as a new graft table at `outputDir`
     * (the reference's `--output-format hudi`): a fresh single-commit
     * table with the same key/partition config — history, tombstones and

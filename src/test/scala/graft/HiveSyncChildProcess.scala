@@ -145,6 +145,85 @@ object HiveSyncChildProcess {
         .filter(col("o_orderpriority") === "1-URGENT")
       require(exPruned.queryExecution.executedPlan.toString
         .contains("PartitionFilters"), "export table must partition-prune")
+
+      // ------------------------------------------------------------------
+      // LIVE read-optimized export for non-Spark engines: a symlink
+      // manifest (per-partition text file listing the live BASE file
+      // URIs, zero data copied) registered in the HMS through
+      // SymlinkTextInputFormat + ParquetHiveSerDe — the exact layout
+      // Trino/Presto/Athena consume natively (they special-case the
+      // input format for columnar targets; Spark itself reads the graft
+      // table directly, so content equivalence is checked by loading the
+      // manifest-listed files). Refresh rides the post-compaction hook.
+      // ------------------------------------------------------------------
+      val manifestDir = s"$workDir/t_hive_ro_manifest"
+      val hookWc = wc.copy(commitCallback = Some(
+        graft.utilities.SnapshotExporter.roManifestCallback(spark, manifestDir)))
+      graft.utilities.SnapshotExporter.exportSymlinkManifest(spark, path, manifestDir)
+      val dataSchema = GraftTable.load(spark, path).storedDataSchema.get
+      // Hive 2.3's metastore has no timestamp_ntz; parquet stores the
+      // same physical INT64 either way, so register as plain timestamp
+      def hiveType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+        case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+        case other => other.catalogString
+      }
+      val colsDdl = dataSchema.filterNot(_.name == "o_orderpriority")
+        .map(f => s"`${f.name}` ${hiveType(f.dataType)}").mkString(", ")
+      spark.sql(
+        s"""CREATE TABLE graft_hive_t_ro_live ($colsDdl)
+           |PARTITIONED BY (o_orderpriority STRING)
+           |ROW FORMAT SERDE 'org.apache.hadoop.hive.ql.io.parquet.serde.ParquetHiveSerDe'
+           |STORED AS INPUTFORMAT 'org.apache.hadoop.hive.ql.io.SymlinkTextInputFormat'
+           |OUTPUTFORMAT 'org.apache.hadoop.hive.ql.io.HiveIgnoreKeyTextOutputFormat'
+           |LOCATION '$manifestDir'""".stripMargin)
+      spark.sql("MSCK REPAIR TABLE graft_hive_t_ro_live")
+      require(spark.sharedState.externalCatalog
+        .tableExists("default", "graft_hive_t_ro_live"),
+        "RO symlink-manifest table missing from HMS")
+      require(spark.sharedState.externalCatalog
+        .listPartitionNames("default", "graft_hive_t_ro_live").nonEmpty,
+        "RO symlink-manifest partitions not discovered")
+
+      def manifestPaths(): Seq[String] = {
+        val fsm = new org.apache.hadoop.fs.Path(manifestDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val it = fsm.listFiles(new org.apache.hadoop.fs.Path(manifestDir), true)
+        val b = scala.collection.mutable.ArrayBuffer[String]()
+        while (it.hasNext) {
+          val st = it.next()
+          if (st.getPath.getName == "manifest") {
+            val in = fsm.open(st.getPath)
+            try b ++= scala.io.Source.fromInputStream(in, "UTF-8")
+              .getLines().filter(_.nonEmpty)
+            finally in.close()
+          }
+        }
+        b.toSeq
+      }
+      // two compactions, each building fresh delta debt first; after each,
+      // the hook-refreshed manifest must serve EXACTLY readOptimized()
+      for (round <- 1 to 2) {
+        val tR = GraftTable.load(spark, path)
+        new GraftWriteClient(tR, hookWc).upsert(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("o_comment", lit(s"ro-round-$round")))
+        new graft.services.TableServices(GraftTable.load(spark, path), hookWc)
+          .compact().getOrElse(sys.error(s"round $round compaction did not run"))
+        val t3 = GraftTable.load(spark, path)
+        val ro = new graft.read.GraftReadClient(t3)
+        val roDf = ro.dataOnly(ro.readOptimized())
+        val listed = manifestPaths()
+        require(listed.nonEmpty, "manifest listed no files")
+        val fromManifest = spark.read
+          .schema(t3.storedFileSchema.get)
+          .parquet(listed: _*)
+          .select(roDf.columns.map(col).toSeq: _*)
+        require(fromManifest.exceptAll(roDf).count() == 0 &&
+          roDf.exceptAll(fromManifest).count() == 0,
+          s"round $round: manifest-served rows != readOptimized()")
+        require(roDf.filter(col("o_comment") === s"ro-round-$round").count() > 0,
+          s"round $round: compacted updates missing from the RO view")
+      }
       spark.stop()
       System.exit(0)
     } catch {

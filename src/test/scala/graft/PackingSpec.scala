@@ -80,6 +80,58 @@ class PackingSpec extends AnyFunSuite {
     assert(byId.zip(byId.tail).forall { case (a, b) => a <= b })
   }
 
+  test("gatherPieces tiles every chunk to exactly the budget (except the last)") {
+    val budget = 1000L
+    val pieces = Packing.gatherPieces(docs, "id", $"n", budget)
+    val rows = pieces.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    pieces.unpersist(false)
+    val total = docs.agg(sum($"n")).head.getLong(0)
+    val lastPack = (total - 1) / budget
+    // every chunk present, every chunk tiles to exactly `budget` tokens
+    // except the last, which holds the remainder
+    val byPack = rows.groupBy(_._1)
+    assert(byPack.keySet === (0L to lastPack).toSet)
+    byPack.foreach { case (pid, ps) =>
+      val want = if (pid == lastPack) total - lastPack * budget else budget
+      assert(ps.map(_._5).sum === want, s"chunk $pid token sum")
+      // pieces tile the chunk gaplessly in piece_offset order
+      val sorted = ps.sortBy(_._3)
+      assert(sorted.head._3 === 0L, s"chunk $pid must start at offset 0")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._3 + a._5 === b._3, s"gap/overlap in chunk $pid")
+      }
+    }
+    // per-document reassembly: each doc's pieces cover [0, n) contiguously
+    val byDoc = rows.groupBy(_._2)
+    val nOf = docs.collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    byDoc.foreach { case (id, ps) =>
+      val sorted = ps.sortBy(_._4)
+      assert(sorted.head._4 === 0L, s"doc $id first piece must start at 0")
+      sorted.zip(sorted.tail).foreach { case (a, b) =>
+        assert(a._4 + a._5 === b._4, s"doc $id pieces must be contiguous")
+      }
+      assert(sorted.map(_._5).sum === nOf(id), s"doc $id pieces must sum to n")
+    }
+    // zero-token docs contribute no pieces
+    assert(!byDoc.keySet.exists(id => nOf(id) == 0L))
+    // a piece never crosses its chunk boundary
+    rows.foreach { case (_, _, off, _, len) =>
+      assert(off >= 0 && off + len <= budget)
+    }
+
+    // the grouped form agrees with the flat one
+    val packs = Packing.gatherPacks(docs, "id", $"n", budget)
+    val grouped = packs.collect().map { r =>
+      (r.getLong(0), r.getLong(1), r.getSeq[org.apache.spark.sql.Row](2).size)
+    }
+    packs.unpersist(false)
+    assert(grouped.map(g => g._1 -> g._2).toMap ===
+      byPack.map { case (p, ps) => p -> ps.map(_._5).sum })
+    assert(grouped.map(g => g._1 -> g._3).toMap ===
+      byPack.map { case (p, ps) => p -> ps.size })
+  }
+
   test("mixtureByTokenBudget keeps hash-prefix docs up to the budget floor") {
     val budgets = Map("d0" -> 5000L, "d1" -> 0L)
     val out = Packing.mixtureByTokenBudget(docs, "id", "dom", $"n", budgets, 8000L)

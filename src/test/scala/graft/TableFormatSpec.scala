@@ -4311,6 +4311,77 @@ class TableFormatSpec extends AnyFunSuite {
       .count(_.getName.endsWith(".parquet")) === srcFiles)
   }
 
+  test("RO symlink-manifest export: live through compaction, exact, prunes dropped partitions") {
+    import graft.utilities.SnapshotExporter
+    val base = tmp()
+    val path = s"$base/t"
+    val manifestDir = s"$base/ro_manifest"
+    val t = GraftTable.create(spark, path, morConfig)
+    val hookWc = wc.copy(commitCallback =
+      Some(SnapshotExporter.roManifestCallback(spark, manifestDir)))
+    val w = new GraftWriteClient(t, hookWc)
+    w.bulkInsert(orders)
+
+    def manifestPaths(): Seq[String] = {
+      val fs = new org.apache.hadoop.fs.Path(manifestDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(manifestDir), true)
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == "manifest") {
+          val in = fs.open(st.getPath)
+          try b ++= scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty)
+          finally in.close()
+        }
+      }
+      b.toSeq
+    }
+    def roVsManifest(): Unit = {
+      val tt = GraftTable.load(spark, path)
+      val rc = new GraftReadClient(tt)
+      val ro = rc.dataOnly(rc.readOptimized())
+      val listed = manifestPaths()
+      // the manifest lists exactly the live base files
+      val expectFiles = tt.view.latestSlices(None)
+        .flatMap(s => s.base.map(f => tt.resolveDataPath(s.partition, f)))
+        .map(p => tt.storage.fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+      assert(listed.sorted === expectFiles.sorted)
+      // and serves exactly the RO rows to a plain parquet reader
+      val served = spark.read.schema(tt.storedFileSchema.get).parquet(listed: _*)
+        .select(ro.columns.map(col).toSeq: _*)
+      assert(served.exceptAll(ro).count() === 0 && ro.exceptAll(served).count() === 0)
+    }
+
+    // hook fired on the data commit already (COW-style refresh); MOR delta
+    // debt makes the manifest STALE relative to snapshot, never wrong
+    assert(manifestPaths().nonEmpty, "post-commit hook never exported")
+    roVsManifest()
+    // partition dirs use field=value naming (incl. the space-bearing one)
+    val fs0 = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs0.exists(new org.apache.hadoop.fs.Path(
+      s"$manifestDir/o_orderpriority=4-NOT SPECIFIED/manifest")))
+
+    // delta debt + compaction: the post-compaction hook moves the manifest
+    w.upsert(orders.limit(200).withColumn("o_orderstatus", lit("RO")))
+    new TableServices(GraftTable.load(spark, path), hookWc).compact()
+    roVsManifest()
+    val tAfter = GraftTable.load(spark, path)
+    val rcAfter = new GraftReadClient(tAfter)
+    assert(rcAfter.dataOnly(rcAfter.readOptimized())
+      .filter(col("o_orderstatus") === "RO").count() === 200)
+
+    // a dropped partition's manifest disappears on the next refresh
+    new GraftWriteClient(GraftTable.load(spark, path), hookWc)
+      .deletePartitions(Seq("1-URGENT"))
+    assert(!fs0.exists(new org.apache.hadoop.fs.Path(
+      s"$manifestDir/o_orderpriority=1-URGENT/manifest")),
+      "dropped partition's manifest must be reaped")
+    roVsManifest()
+  }
+
   test("lock provider: file lock mutual exclusion, TTL break, loud failure, no double-commit") {
     import graft.write.{FileLockProvider, LockAcquireException}
     val path = tmp()
