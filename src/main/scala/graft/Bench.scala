@@ -81,7 +81,29 @@ object Bench {
       .filter(n => only.forall(_.contains(n)))
     val timings = scala.collection.mutable.LinkedHashMap(
       names.map(n => n -> Vector.empty[Double]): _*)
-    for (_ <- 1 to reps; name <- names) {
+    // Host-calibration channel: a fixed raw-Spark query with ZERO graft
+    // code (full lineitem scan + partial aggregate — sustained IO + codegen
+    // CPU, no shuffle), timed round-robin with the real reps. Its median
+    // moves with the HOST's sustained-IO health, not with this repo's
+    // code, so a drift episode is adjudicated from the JSON alone:
+    // total/calibration stable across rounds = environmental drift;
+    // total up with calibration flat = a real regression.
+    var calib = Vector.empty[Double]
+    def calibrate(): Unit = {
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .agg(sum("l_extendedprice"), sum("l_quantity"),
+            sum("l_discount"), count(lit(1))).count()
+        calib :+= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")
+      }
+    }
+    for (_ <- 1 to reps; name <- "calibration" +: names) {
+      if (name == "calibration") { calibrate() }
+      else {
       val t0 = System.nanoTime()
       try {
         SparkEntry.queries(name)(spark, sfDir).count()
@@ -99,6 +121,7 @@ object Bench {
         // query; holding blocks across queries is not).
         spark.catalog.clearCache()
       }
+      }
     }
     val results = names.map(n => (n, timings(n): Seq[Double]))
     def obj(f: Seq[Double] => Double): String = results.map { case (k, ts) =>
@@ -108,7 +131,9 @@ object Bench {
     val ok = results.filter(_._2.nonEmpty)
     val totalMedian = ok.map(r => median(r._2)).sum
     val totalMin = ok.map(_._2.min).sum
-    println(s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}""")
+    val calMed = if (calib.nonEmpty) median(calib) else -1.0
+    val calMin = if (calib.nonEmpty) calib.min else -1.0
+    println(s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"calibration":$calMed,"calibration_min":$calMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

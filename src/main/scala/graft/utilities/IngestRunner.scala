@@ -134,6 +134,12 @@ final case class DatePartitionConfig(
   *                         SchemaRegistryProvider.java). One writer
   *                         schema per batch, the same contract as the
   *                         reference's provider
+  * @param schemaRegistryAuth config-based registry credentials —
+  *                         `basic.auth.user.info` = "user:pass" or
+  *                         `bearer.auth.token` = token (the Confluent
+  *                         client's config keys; takes precedence over
+  *                         URL userinfo, so secrets can stay out of
+  *                         connection strings)
   */
 final case class KafkaPayloadConfig(
     valueSchemaDdl: String,
@@ -143,7 +149,8 @@ final case class KafkaPayloadConfig(
     format: String = "json",
     avroSchemaJson: Option[String] = None,
     avroConfluentWireFormat: Boolean = false,
-    schemaRegistryUrl: Option[String] = None)
+    schemaRegistryUrl: Option[String] = None,
+    schemaRegistryAuth: Map[String, String] = Map.empty)
 
 object KafkaPayloadConfig {
   /** Avro-value frame config (ref: AvroKafkaSource.java:49). */
@@ -264,7 +271,8 @@ object IngestRunner {
             "cannot resolve a registry schema id from an empty batch; " +
               "set avroSchemaJson for empty-batch tolerance")
           SchemaRegistryProvider.fetchById(url,
-            SchemaRegistryProvider.wireSchemaId(first.head.getAs[Array[Byte]](0)))
+            SchemaRegistryProvider.wireSchemaId(first.head.getAs[Array[Byte]](0)),
+            cfg.schemaRegistryAuth)
         })
         .getOrElse(sys.error(
           "format=avro needs avroSchemaJson (see AvroDecode.schemaFromFile) " +
