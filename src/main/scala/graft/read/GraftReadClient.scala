@@ -25,22 +25,24 @@ final class GraftReadClient(val table: GraftTable) {
   private val spark = table.spark
   private def cfg = table.config
 
-  /** ONE schema snapshot per read plan: resolved at the first scan this
-    * client builds and reused by every subsequent scan, so a concurrent
-    * schema-evolution commit landing between the base and delta reads of
-    * a MOR merge (or between any two scans of one plan) can never produce
-    * a mixed-schema union (NUM_COLUMNS_MISMATCH). Clients are
-    * per-operation, so the pin cannot go stale across operations.
-    * (ref: MergeOnReadSnapshotRelation.scala:94-137 — the read schema is
+  /** ONE schema snapshot per READ PLAN: each public read entry resolves
+    * the stored schema once (a `SchemaPin`) and threads it through every
+    * scan of that plan, so a concurrent schema-evolution commit landing
+    * between the base and delta reads of a MOR merge (or between any two
+    * scans of one plan) can never produce a mixed-schema union
+    * (NUM_COLUMNS_MISMATCH). The pin is PER OPERATION, never per client:
+    * a long-lived client must see post-evolution schemas on its next read
+    * (new files carry the widened types — a stale instance-lifetime pin
+    * would fail reading them). (ref:
+    * MergeOnReadSnapshotRelation.scala:94-137 — the read schema is
     * resolved once, before splits are built.)
     */
-  private lazy val planDataSchema: Option[org.apache.spark.sql.types.StructType] =
-    table.storedDataSchema
-  private def planFileSchema: Option[org.apache.spark.sql.types.StructType] =
-    planDataSchema.map(graft.GraftTable.fileSchemaOf)
+  private type SchemaPin = Option[org.apache.spark.sql.types.StructType]
 
-  private def readData(paths: Seq[String]): DataFrame =
-    table.readDataFiles(paths, planDataSchema)
+  private def pinSchema(): SchemaPin = table.storedDataSchema
+
+  private def readData(paths: Seq[String], pin: SchemaPin): DataFrame =
+    table.readDataFiles(paths, pin)
 
   /** Latest-wins precedence for MOR log merging.
     * (ref: HoodieMergedLogRecordScanner.java:80-116 — latest by commit
@@ -56,8 +58,8 @@ final class GraftReadClient(val table: GraftTable) {
       col(MetaColumns.CommitSeqno).desc)
   }
 
-  private def readFiles(paths: Seq[String]): Option[DataFrame] =
-    if (paths.isEmpty) None else Some(readData(paths))
+  private def readFiles(paths: Seq[String], pin: SchemaPin): Option[DataFrame] =
+    if (paths.isEmpty) None else Some(readData(paths, pin))
 
   private def basePath(s: FileSlice, f: WriteFileInfo): String =
     table.resolveDataPath(s.partition, f)
@@ -88,24 +90,24 @@ final class GraftReadClient(val table: GraftTable) {
   private def snapshotFromSlices(
       slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
     checkAsOf(asOf)
-    table.logicalize(physicalSnapshotFromSlices(slices, asOf))
+    table.logicalize(physicalSnapshotFromSlices(slices, asOf, pinSchema()))
   }
 
   private def physicalSnapshotFromSlices(
-      slices: Seq[FileSlice], asOf: Option[String]): DataFrame = {
+      slices: Seq[FileSlice], asOf: Option[String], pin: SchemaPin): DataFrame = {
     if (!table.isMor) {
       val paths = slices.flatMap(s => s.base.map(f => basePath(s, f)))
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame())
+      readFiles(paths, pin).map(dropTombstones).getOrElse(emptyFrame(pin))
     } else {
       val (withDeltas, baseOnly) = slices.partition(_.deltas.nonEmpty)
       val cleanDf = readFiles(
-        baseOnly.flatMap(s => s.base.map(f => basePath(s, f))))
-      val mergedDf = mergeDirtyGroups(withDeltas)
+        baseOnly.flatMap(s => s.base.map(f => basePath(s, f))), pin)
+      val mergedDf = mergeDirtyGroups(withDeltas, pin)
       (cleanDf, mergedDf) match {
         case (Some(a), Some(b)) => dropTombstones(a).unionByName(b)
         case (Some(a), None)    => dropTombstones(a)
         case (None, Some(b))    => b
-        case _                  => emptyFrame()
+        case _                  => emptyFrame(pin)
       }
     }
   }
@@ -127,23 +129,24 @@ final class GraftReadClient(val table: GraftTable) {
     * base∪deltas by (partition, fileGroup) and run the latest-wins
     * window — one shuffle, reused by the window.
     */
-  private def mergeDirtyGroups(withDeltas: Seq[FileSlice]): Option[DataFrame] = {
+  private def mergeDirtyGroups(
+      withDeltas: Seq[FileSlice], pin: SchemaPin): Option[DataFrame] = {
     if (withDeltas.isEmpty) return None
     val basePaths = withDeltas.flatMap(s => s.base.map(f => basePath(s, f)))
     val deltaPaths = withDeltas.flatMap(s => s.deltas.map(f => basePath(s, f)))
     val deltaBytes = withDeltas.flatMap(_.deltas).map(_.bytes).sum
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (deltaPaths.isEmpty)
-      return readFiles(basePaths).map(dropTombstones)
+      return readFiles(basePaths, pin).map(dropTombstones)
     if (basePaths.isEmpty || budget <= 0 || deltaBytes > budget)
-      return readFiles(basePaths ++ deltaPaths).map(mergeLatestPerGroup)
+      return readFiles(basePaths ++ deltaPaths, pin).map(mergeLatestPerGroup)
 
     val g = "_g_group"
-    // both scans read under the SAME pinned schema (see planDataSchema) —
+    // both scans read under the SAME pinned schema (see SchemaPin) —
     // the union below must never see two column sets
-    val base = readData(basePaths)
+    val base = readData(basePaths, pin)
       .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
-    val deltas = readData(deltaPaths)
+    val deltas = readData(deltaPaths, pin)
       .withColumn(g, graft.write.GraftWriteClient.fileIdOfScan)
     val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
 
@@ -173,10 +176,11 @@ final class GraftReadClient(val table: GraftTable) {
     */
   def readOptimized(asOf: Option[String] = None): DataFrame = {
     checkAsOf(asOf)
+    val pin = pinSchema()
     val paths = table.view.latestSlices(asOf)
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame()))
+      readFiles(paths, pin).map(dropTombstones).getOrElse(emptyFrame(pin)))
   }
 
   /** Incremental view: records written in commits with
@@ -245,15 +249,16 @@ final class GraftReadClient(val table: GraftTable) {
     // full-slice merge folds band rows against the pre-band state. Band
     // files cleaning already deleted are irrelevant here for the same
     // reason — only latest slices are read.
+    val pin = pinSchema()
     val touched: Set[(String, String)] = instants.flatMap { i =>
       table.timeline.metadataOf(i).files.map(f => (f.partition, f.fileId))
     }.filter(g => inGlob(g._1)).toSet
     if (touched.isEmpty) // metadata-only band (e.g. delete_partition)
-      return table.logicalize(emptyFrame().filter(lit(false)))
+      return table.logicalize(emptyFrame(pin).filter(lit(false)))
     val slices = table.view.latestSlices(Some(end))
       .filter(s => touched((s.partition, s.fileId)))
     table.logicalize(
-      physicalSnapshotFromSlices(slices, Some(end)).filter(
+      physicalSnapshotFromSlices(slices, Some(end), pin).filter(
         col(MetaColumns.CommitTime) > beginTs && col(MetaColumns.CommitTime) <= end))
   }
 
@@ -288,7 +293,8 @@ final class GraftReadClient(val table: GraftTable) {
       partitionGlob: Option[String] = None): DataFrame = {
     val inGlob = partitionMatcher(partitionGlob)
     val tl = table.timeline
-    if (planFileSchema.isEmpty) { // empty table: no changes, bare schema
+    val pin = pinSchema() // ONE schema for every per-commit image in the band
+    if (pin.isEmpty) { // empty table: no changes, bare schema
       import org.apache.spark.sql.types._
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -349,8 +355,8 @@ final class GraftReadClient(val table: GraftTable) {
         val afterSlices = view.latestSlices(Some(c.ts))
           .filter(s => touched((s.partition, s.fileId)))
         Some(changeSet(
-          physicalSnapshotFromSlices(beforeSlices, None),
-          physicalSnapshotFromSlices(afterSlices, None), c.ts, i + 1))
+          physicalSnapshotFromSlices(beforeSlices, None, pin),
+          physicalSnapshotFromSlices(afterSlices, None, pin), c.ts, i + 1))
       }
     }
     // A wide band would otherwise union one full-outer-join branch per
@@ -379,7 +385,7 @@ final class GraftReadClient(val table: GraftTable) {
     }
     if (reliableCheckpoint && perCommit.size > chunk) reapStaleCdcCheckpoints()
     val unioned =
-      if (perCommit.isEmpty) changeSet(emptyFrame(), emptyFrame(), end, 0)
+      if (perCommit.isEmpty) changeSet(emptyFrame(pin), emptyFrame(pin), end, 0)
       else if (perCommit.size <= chunk) perCommit.reduce(_ unionByName _)
       else perCommit.grouped(chunk)
         .map(g => if (reliableCheckpoint) reliably(g.reduce(_ unionByName _))
@@ -503,11 +509,12 @@ final class GraftReadClient(val table: GraftTable) {
       keep: String => Boolean,
       keepSlice: FileSlice => Boolean): DataFrame = {
     checkAsOf(asOf)
+    val pin = pinSchema()
     val paths = table.view.latestSlices(asOf)
       .filter(s => keep(s.partition) && keepSlice(s))
       .flatMap(s => s.base.map(f => basePath(s, f)))
     table.logicalize(
-      readFiles(paths).map(dropTombstones).getOrElse(emptyFrame()))
+      readFiles(paths, pin).map(dropTombstones).getOrElse(emptyFrame(pin)))
   }
 
   /** Zero-row frame carrying the stored schema MINUS the tombstone
@@ -518,10 +525,11 @@ final class GraftReadClient(val table: GraftTable) {
     * output-schema check, and an empty snapshot would change schema the
     * moment data arrived.
     */
-  private def emptyFrame(): DataFrame = {
+  private def emptyFrame(pin: SchemaPin): DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val schema = StructType(planFileSchema.getOrElse(new StructType())
-      .filterNot(_.name == MetaColumns.IsDeleted))
+    val schema = StructType(
+      pin.map(graft.GraftTable.fileSchemaOf).getOrElse(new StructType())
+        .filterNot(_.name == MetaColumns.IsDeleted))
     spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }

@@ -298,7 +298,10 @@ final class JdbcLockProvider(
           // written this token, so removing it and re-racing is always safe
           case Some((t, at)) if t == token =>
             deleteExact(c, t, at)
-          // crashed holder: break the EXACT observed row once TTL-stale
+          // crashed holder: break the EXACT observed row once TTL-stale.
+          // ACQUIRED_AT is the HOLDER's clock; the comparison assumes
+          // writer clocks are synced well inside the TTL (minutes) — the
+          // same assumption the file provider makes of storage mtimes.
           case Some((t, at)) if System.currentTimeMillis() - at > ttlMs =>
             deleteExact(c, t, at)
           case _ => Thread.sleep(pollMs)
