@@ -93,9 +93,12 @@ object Bench {
       import org.apache.spark.sql.functions._
       val t0 = System.nanoTime()
       try {
+        // collect(), NOT count(): counting an aggregate lets Catalyst
+        // prune the sums and the scan reads only footer row counts —
+        // a metadata-only no-op that would never track IO health
         spark.read.parquet(s"$sfDir/lineitem.parquet")
           .agg(sum("l_extendedprice"), sum("l_quantity"),
-            sum("l_discount"), count(lit(1))).count()
+            sum("l_discount"), count(lit(1))).collect()
         calib :+= (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")

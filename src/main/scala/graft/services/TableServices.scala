@@ -460,7 +460,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       claim.ensureLive()
       val written = publishCompacted(staging, ts)
       TableServices.prePublishHook()
-      withCommitLock {
+      val publishedMeta = withCommitLock {
         // plan liveness, re-checked under the lock: a rollback/restore
         // that ran while this execution was in flight DISCARDED the plan
         // (its inputs were undone) — publishing anyway would resurrect
@@ -511,8 +511,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           schemaJson = lastSchemaJson)
         table.timeline.transitionToCompleted(
           GraftInstant(ts, GraftAction.Commit, GraftState.Inflight), meta)
-        fireCommitCallback(meta)
+        meta
       }
+      // the commit is durable here — fire the hook OUTSIDE the lock, so a
+      // slow callback (e.g. the RO-manifest refresh walking every
+      // partition) never stretches the metadata-only critical section the
+      // lock TTL was sized for
+      fireCommitCallback(publishedMeta)
       // the executed plan's markers die with the completion
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
@@ -707,7 +712,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       claim.ensureLive()
       val written = publishUngrouped(staging, ts)
       TableServices.prePublishHook()
-      withCommitLock {
+      val publishedMeta = withCommitLock {
         // same plan-liveness re-check as executeCompaction: a concurrent
         // rollback/restore discards plans whose inputs it undid
         if (!table.storage.exists(reqPath))
@@ -730,8 +735,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           schemaJson = lastSchemaJson)
         table.timeline.transitionToCompleted(
           GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight), meta)
-        fireCommitCallback(meta)
+        meta
       }
+      // durable commit; hook fires outside the lock (see executeCompaction)
+      fireCommitCallback(publishedMeta)
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
       Some(ts)

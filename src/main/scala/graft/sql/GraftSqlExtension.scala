@@ -433,6 +433,10 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
         case (Some((true, tn)), Some((false, sn))) => (tn, sn)
         case (Some((false, sn)), Some((true, tn))) => (tn, sn)
       }.toSet
+    // a same-name value can only be the TARGET's own attribute (a true
+    // identity regardless of ON) when the source has no column of that
+    // name — e.g. `SET id = id` in NOT MATCHED BY SOURCE clauses
+    val sourceColNames = joinNode.right.output.map(_.name.toLowerCase).toSet
     val rewritten =
       (merge.matchedActions ++ merge.notMatchedBySourceActions).flatMap {
         case UpdateAction(_, as, _) =>
@@ -446,13 +450,18 @@ case class GraftMergeCommand(merge: MergeIntoTable) extends LeafRunnableCommand 
             // only assignments requireAssignable guards (record key /
             // partition under a non-global index) ever reach a require —
             // passing a non-guarded name through `rewritten` is harmless
-            if (sameName && onEquated((k, k))) None else Some(k)
+            if (sameName && (!sourceColNames.contains(k) || onEquated((k, k))))
+              None
+            else Some(k)
           }
         case _: UpdateStarAction =>
-          // star-update assigns every guarded column from its same-named
-          // source column — the identity argument needs the same ON check
-          val cfgT = rel.table.config
-          (cfgT.recordKeyFields ++ cfgT.partitionSourceFields)
+          // star-update assigns the record key from its same-named source
+          // column — the identity argument needs the same ON check. Only
+          // the KEY is guarded here: star-merges onto partitioned tables
+          // conventionally carry the partition column through unchanged
+          // (the hand-expanded same-name shape), and flagging it would
+          // reject every established `SET *` on a non-global index.
+          rel.table.config.recordKeyFields
             .map(_.toLowerCase).filterNot(k => onEquated((k, k)))
         case _ => Seq.empty
       }.toSet

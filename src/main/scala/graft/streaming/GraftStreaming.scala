@@ -80,13 +80,21 @@ final class GraftStreamingSink(
     // with TWO queries interleaving on one table, query A's restart-
     // redelivered batch must be recognized as a replay even when query B
     // committed last (stopping at B's commit would apply A's batch twice).
+    // Legacy commits (no recorded query id, written by older versions)
+    // keep EXACTLY their old semantics: they matched any query only while
+    // being the single most recent streaming commit. Matching them at any
+    // depth would let one ancient legacy batch id silently swallow every
+    // NEW query's first batches forever (ids restart at 0 per checkpoint).
     if (GraftTable.exists(spark, path)) {
       val table = GraftTable.load(spark, path)
       val lastOfThisQuery = table.timeline.completedData.reverseIterator
         .map(i => table.timeline.metadataOf(i).extra)
+        .filter(_.contains(GraftStreaming.BatchIdKey))
+        .zipWithIndex
         .collectFirst {
-          case ex if ex.contains(GraftStreaming.BatchIdKey) &&
-            ex.get(GraftStreaming.QueryIdKey).forall(q => queryId.contains(q)) => ex
+          case (ex, _) if ex.get(GraftStreaming.QueryIdKey)
+            .exists(q => queryId.contains(q)) => ex
+          case (ex, 0) if !ex.contains(GraftStreaming.QueryIdKey) => ex
         }
       val replayed =
         lastOfThisQuery.exists(_(GraftStreaming.BatchIdKey).toLong >= batchId)

@@ -799,15 +799,23 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private def commit(instant: GraftInstant, meta: GraftCommitMetadata): Unit = {
     table.timeline.transitionToCompleted(
       instant.copy(state = GraftState.Inflight), meta)
-    // the commit is durable at this point — callback failures must not
-    // unwind it (ref: HoodieWriteCommitCallback fire-after-commit contract)
+    fireCommitCallback(meta)
+  }
+
+  /** The commit is durable when this runs — callback failures must not
+    * unwind it (ref: HoodieWriteCommitCallback fire-after-commit
+    * contract). Locked paths (finishCommit) call it AFTER releasing the
+    * commit lock: a slow hook (e.g. the RO-manifest refresh) must never
+    * stretch the metadata-only critical section the lock TTL is sized
+    * for.
+    */
+  private def fireCommitCallback(meta: GraftCommitMetadata): Unit =
     wc.commitCallback.foreach { cb =>
       try cb(table.basePath, meta)
       catch { case e: Exception =>
         System.err.println(s"[graft] commit callback failed for ${meta.instant}: $e")
       }
     }
-  }
 
   private def finishCommit(
       instant: GraftInstant,
@@ -837,7 +845,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         s"write ${instant.ts} could not acquire the '${wc.lockProvider}' " +
           s"commit lock within ${wc.lockTimeoutMs} ms; nothing was published — retry")
     }
-    try {
+    val publishedMeta = try {
       if (wc.occEnabled) {
         // .toSeq first — a Map-to-tuples flatMap would collapse to one id
         // per partition (see conflictingInstant)
@@ -865,7 +873,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val totalRecords = written.map(_.records).sum
       val totalBytes = written.map(_.bytes).sum
       val avg = if (totalRecords > 0) math.max(1L, totalBytes / totalRecords) else 0L
-      commit(instant, GraftCommitMetadata(
+      val meta = GraftCommitMetadata(
         instant = instant.ts,
         action = instant.action,
         operation = operation,
@@ -875,8 +883,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         totalRecords = totalRecords,
         avgRecordSize = avg,
         schemaJson = dataSchema.json,
-        extra = wc.commitExtra ++ extraMeta))
+        extra = wc.commitExtra ++ extraMeta)
+      table.timeline.transitionToCompleted(
+        instant.copy(state = GraftState.Inflight), meta)
+      meta
     } finally lock.unlock()
+    fireCommitCallback(publishedMeta)
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }
 

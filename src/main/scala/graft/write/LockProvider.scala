@@ -142,8 +142,13 @@ final class FileLockProvider(
             // file) would break the protocol's one ordering invariant
             // (a fresh create only ever lands AFTER the delete that
             // freed the path, which is what makes confirm-after-acquire
-            // cover every interleaving).
-            if (storage.readString(lockPath) == token) storage.delete(lockPath)
+            // cover every interleaving). The immediate token RE-READ
+            // before the delete shrinks the window in which a TTL-breaker
+            // frees our stale path and a successor's confirmed lock lands
+            // to the same irreducible check→delete gap the foreign branch
+            // below carries.
+            if (storage.readString(lockPath) == token &&
+              storage.readString(lockPath) == token) storage.delete(lockPath)
             else {
               // foreign lock: break it only when provably stale (TTL
               // expired). Before deleting, re-read status+token and
@@ -177,15 +182,16 @@ final class FileLockProvider(
       // Delete only OUR lock — and only while provably inside our own
       // exclusivity window. A holder that stalled past the TTL may have
       // been legitimately broken, and a read-then-delete here could then
-      // remove the SUCCESSOR's live lock. Breaking a lock is only legal
-      // once ttlMs has elapsed since our acquire (= the file's mtime), so
-      // any critical section that finishes within the TTL may delete
-      // freely; past it, leave the file — it either already belongs to a
-      // breaker (token check fails) or TTL-expires for the next waiter,
-      // and OUR next tryLock reclaims it instantly by recognizing its own
-      // token. The residual pause-between-check-and-delete window is the
-      // same irreducible class as the breaker's, accepted there too.
-      val withinTtl = System.currentTimeMillis() - acquiredAtMs < ttlMs
+      // remove the SUCCESSOR's live lock. Breaking is only legal once
+      // ttlMs has elapsed since the file's MTIME (storage clock); our
+      // acquiredAtMs is this process's clock, so refusing from 3/4·ttl
+      // keeps a ttl/4 margin against storage-vs-writer clock skew and
+      // create→win gaps. Past the threshold, leave the file — it either
+      // already belongs to a breaker (token check fails) or TTL-expires
+      // for the next waiter, and OUR next tryLock reclaims it instantly
+      // by recognizing its own token, so the availability cost of
+      // refusing is one TTL for strangers and ~zero for this instance.
+      val withinTtl = System.currentTimeMillis() - acquiredAtMs < ttlMs * 3 / 4
       if (withinTtl && storage.exists(lockPath) &&
           storage.readString(lockPath) == token)
         storage.delete(lockPath)
@@ -275,40 +281,59 @@ final class JdbcLockProvider(
     } finally ps.close()
   }
 
-  override def tryLock(timeoutMs: Long): Boolean =
-    withConn { c =>
+  override def tryLock(timeoutMs: Long): Boolean = {
+    // connection setup and table creation stay LOUD — a misconfigured URL
+    // must fail the write immediately, not burn the timeout silently
+    var c = java.sql.DriverManager.getConnection(jdbcUrl)
+    try {
       ensureTable(c)
       // the timeout budgets lock CONTENTION — start it after the
       // connection is up (a cold embedded engine boots in seconds, which
       // would otherwise consume the whole budget before the first attempt)
       val deadline = System.currentTimeMillis() + timeoutMs
       while (System.currentTimeMillis() <= deadline) {
-        if (tryInsert(c)) { held = true; return true }
-        val ps = c.prepareStatement(
-          "SELECT TOKEN, ACQUIRED_AT FROM GRAFT_LOCKS WHERE LOCK_KEY = ?")
-        val row =
-          try {
-            ps.setString(1, lockKey)
-            val rs = ps.executeQuery()
-            try { if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None }
-            finally rs.close()
-          } finally ps.close()
-        row match {
-          // our own leftover (a failed unlock delete): only we could have
-          // written this token, so removing it and re-racing is always safe
-          case Some((t, at)) if t == token =>
-            deleteExact(c, t, at)
-          // crashed holder: break the EXACT observed row once TTL-stale.
-          // ACQUIRED_AT is the HOLDER's clock; the comparison assumes
-          // writer clocks are synced well inside the TTL (minutes) — the
-          // same assumption the file provider makes of storage mtimes.
-          case Some((t, at)) if System.currentTimeMillis() - at > ttlMs =>
-            deleteExact(c, t, at)
-          case _ => Thread.sleep(pollMs)
+        try {
+          if (tryInsert(c)) { held = true; return true }
+          val ps = c.prepareStatement(
+            "SELECT TOKEN, ACQUIRED_AT FROM GRAFT_LOCKS WHERE LOCK_KEY = ?")
+          val row =
+            try {
+              ps.setString(1, lockKey)
+              val rs = ps.executeQuery()
+              try { if (rs.next()) Some((rs.getString(1), rs.getLong(2))) else None }
+              finally rs.close()
+            } finally ps.close()
+          row match {
+            // our own leftover (a failed unlock delete): only we could have
+            // written this token, so removing it and re-racing is always safe
+            case Some((t, at)) if t == token =>
+              deleteExact(c, t, at)
+            // crashed holder: break the EXACT observed row once TTL-stale.
+            // ACQUIRED_AT is the HOLDER's clock; the comparison assumes
+            // writer clocks are synced well inside the TTL (minutes) — the
+            // same assumption the file provider makes of storage mtimes.
+            case Some((t, at)) if System.currentTimeMillis() - at > ttlMs =>
+              deleteExact(c, t, at)
+            case _ => Thread.sleep(pollMs)
+          }
+        } catch {
+          // transient failures (connection drop, deadlock victim) re-race
+          // on a FRESH connection until the deadline — one DB hiccup must
+          // behave like one FS hiccup in FileLockProvider, ending in the
+          // contract's loud false/LockAcquireException, never a raw
+          // SQLException that skips the caller's staged-file cleanup
+          case _: java.sql.SQLException =>
+            try c.close() catch { case _: Exception => () }
+            try c = java.sql.DriverManager.getConnection(jdbcUrl)
+            catch { case _: java.sql.SQLException => () } // retry next pass
+            Thread.sleep(pollMs)
         }
       }
       false
+    } finally {
+      try c.close() catch { case _: Exception => () }
     }
+  }
 
   override def unlock(): Unit = {
     if (!held) return

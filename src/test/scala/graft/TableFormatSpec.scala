@@ -623,6 +623,23 @@ class TableFormatSpec extends AnyFunSuite {
     spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-B")
     sink.addBatch(7, rows(100, 110, "p1"))
     assert(count() === 30, "B's redelivered batch must dedup across A's commits")
+    // a LEGACY commit (no recorded query id, older-version writer) guards
+    // only while it is the NEWEST streaming commit: once buried under an
+    // id-carrying commit, its high batch id must never swallow a NEW
+    // query's first batches (ids restart at 0 per checkpoint)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
+    sink.addBatch(99, rows(200, 210, "p2"))
+    assert(count() === 40)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-A")
+    // while the legacy commit is the newest, its batch-id mark guards ALL
+    // queries (the preserved pre-query-id semantics) — A buries it with a
+    // higher id
+    sink.addBatch(100, rows(20, 30, "p0"))
+    assert(count() === 50)
+    spark.sparkContext.setLocalProperty("sql.streaming.queryId", "query-C")
+    sink.addBatch(0, rows(300, 310, "p3"))
+    assert(count() === 60,
+      "a buried legacy batch id must not swallow a new query's first batch")
     spark.sparkContext.setLocalProperty("sql.streaming.queryId", null)
   }
 
