@@ -205,11 +205,22 @@ object SnapshotExporter {
     *
     * Returns the partition manifest dirs written (relative to
     * `outputDir`; `Seq("")` for a non-partitioned table).
+    *
+    * @param onlyPartitions refresh ONLY these internal partition paths
+    *   (the post-commit hook passes the commit's touched partitions, so
+    *   per-commit cost is O(churned partitions), never O(table) — at
+    *   100 TB / 100k partitions a full rewrite per commit is the driver
+    *   bottleneck). A targeted partition with no live base files gets its
+    *   manifest DELETED (partition dropped, or all-delta). The global
+    *   stale-manifest reap runs only on a FULL refresh — run one
+    *   periodically (or after rollback/restore, which fire no commit
+    *   hook) to re-sync everything.
     */
   def exportSymlinkManifest(
       spark: SparkSession,
       tablePath: String,
-      outputDir: String): Seq[String] = {
+      outputDir: String,
+      onlyPartitions: Option[Set[String]] = None): Seq[String] = {
     import org.apache.hadoop.fs.{FileContext, Options, Path}
     import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName
     val table = GraftTable.load(spark, tablePath)
@@ -224,19 +235,27 @@ object SnapshotExporter {
         .map { case (f, v) => s"$f=${escapePathName(v)}" }.mkString("/")
     val tableFs = table.storage.fs
     val byPart = table.view.latestSlices(None).groupBy(_.partition)
-    val written = byPart.toSeq.sortBy(_._1).flatMap { case (p, ss) =>
+    val targets: Seq[String] = onlyPartitions match {
+      case Some(ps) => ps.toSeq.sorted // live or dead — dead ones reap below
+      case None     => byPart.keys.toSeq.sorted
+    }
+    val written = targets.flatMap { p =>
       // RO view = base files only; delta-only groups (MOR inserts routed
       // to logs before their first compaction) have nothing to list yet
-      val paths = ss.flatMap(s => s.base.map(f =>
-        table.resolveDataPath(s.partition, f)))
-      if (paths.isEmpty) None
-      else {
+      val paths = byPart.getOrElse(p, Seq.empty).flatMap(s =>
+        s.base.map(f => table.resolveDataPath(s.partition, f)))
+      val rel = dirOf(p)
+      val dir = if (rel.isEmpty) out else new Path(out, rel)
+      if (paths.isEmpty) {
+        // a targeted partition with nothing to serve: remove its manifest
+        // so engines stop reading rows the table no longer has
+        fs.delete(new Path(dir, "manifest"), false)
+        None
+      } else {
         // qualify against the TABLE's filesystem so the listed URIs
         // resolve from any engine (external bootstrap paths already
         // carry their own scheme)
         val uris = paths.map(pp => tableFs.makeQualified(new Path(pp)).toString)
-        val rel = dirOf(p)
-        val dir = if (rel.isEmpty) out else new Path(out, rel)
         fs.mkdirs(dir)
         val tmp = new Path(dir, s".manifest_tmp_${java.util.UUID.randomUUID}")
         val os = fs.create(tmp, true)
@@ -249,39 +268,53 @@ object SnapshotExporter {
     }
     // manifests of partitions the table no longer has would double-serve
     // rows an engine also finds under the partition's new manifest — or
-    // serve dropped partitions forever; delete them
-    val keep = written.toSet
-    // compare SCHEME-FREE paths: listFiles returns qualified (file:/…)
-    // paths while `out` may be schemeless — a URI relativize across that
-    // mismatch returns the full path, which would mark every manifest
-    // just written as stale
-    val outPath = fs.makeQualified(out).toUri.getPath.stripSuffix("/")
-    val it = fs.listFiles(out, true)
-    val stale = scala.collection.mutable.ArrayBuffer[Path]()
-    while (it.hasNext) {
-      val st = it.next()
-      if (st.getPath.getName == "manifest") {
-        val rel = st.getPath.getParent.toUri.getPath
-          .stripSuffix("/").stripPrefix(outPath).stripPrefix("/")
-        if (!keep.contains(rel)) stale += st.getPath
+    // serve dropped partitions forever; delete them. FULL refresh only:
+    // a targeted refresh already deleted its dead targets above and must
+    // not pay (or race) an O(all manifests) listing per commit.
+    if (onlyPartitions.isEmpty) {
+      val keep = written.toSet
+      // compare SCHEME-FREE paths: listFiles returns qualified (file:/…)
+      // paths while `out` may be schemeless — a URI relativize across
+      // that mismatch returns the full path, which would mark every
+      // manifest just written as stale
+      val outPath = fs.makeQualified(out).toUri.getPath.stripSuffix("/")
+      val it = fs.listFiles(out, true)
+      val stale = scala.collection.mutable.ArrayBuffer[Path]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == "manifest") {
+          val rel = st.getPath.getParent.toUri.getPath
+            .stripSuffix("/").stripPrefix(outPath).stripPrefix("/")
+          if (!keep.contains(rel)) stale += st.getPath
+        }
       }
+      stale.foreach(fs.delete(_, false))
     }
-    stale.foreach(fs.delete(_, false))
     written
   }
 
   /** Post-commit hook keeping a symlink-manifest export live: plug into
     * `WriteConfig.commitCallback` on writers and service runners. The
     * refresh after `compact` is the one that moves a MOR table's RO
-    * view; firing on every data commit keeps COW exports current too —
-    * each refresh is metadata-only, so cadence is cheap. Callback
-    * failures are logged and swallowed by the callback contract (the
-    * commit is already durable); the next refresh self-heals.
+    * view; firing on every data commit keeps COW exports current too.
+    * Each firing refreshes ONLY the partitions the commit touched
+    * (written/replaced/dropped), so per-commit cost tracks churn, not
+    * table size; zero-file commits (schema evolution) skip entirely.
+    * Callback failures are logged and swallowed by the callback contract
+    * (the commit is already durable); the next refresh — or a periodic
+    * full `exportSymlinkManifest` — self-heals.
     */
   def roManifestCallback(
       spark: SparkSession,
       outputDir: String): (String, graft.core.GraftCommitMetadata) => Unit =
-    (tablePath, _) => { exportSymlinkManifest(spark, tablePath, outputDir); () }
+    (tablePath, meta) => {
+      val touched: Set[String] =
+        (meta.files.map(_.partition) ++ meta.replacedFileIds.keys ++
+          meta.replacePartitions).toSet
+      if (touched.nonEmpty)
+        exportSymlinkManifest(spark, tablePath, outputDir, Some(touched))
+      ()
+    }
 
   /** Re-materialize the snapshot as a new graft table at `outputDir`
     * (the reference's `--output-format hudi`): a fresh single-commit

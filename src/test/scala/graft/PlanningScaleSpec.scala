@@ -178,11 +178,19 @@ class PlanningScaleSpec extends AnyFunSuite {
 
     // a FRESH table handle has a cold memo — this is the per-process
     // first-touch cost the parquet format exists to cut (the legacy
-    // single-JSON parse measured ~10 s at this shape)
+    // single-JSON parse measured ~10 s at this shape). Best of TWO
+    // memo-cold loads (fresh handle each): one host-IO spike late in a
+    // full-suite run measured 10.5 s for a load that re-measures 3.8 s
+    // in isolation — a structural regression (the legacy parse) is slow
+    // on EVERY attempt, so the min keeps the regression teeth while
+    // shedding one-off contention.
     val t2 = GraftTable.load(spark, dir)
-    val (expanded, tCold) = time(t2.expandedManifest(name))
+    val (expanded, tCold1) = time(t2.expandedManifest(name))
     assert(expanded.map(_._2.files.size).sum === 1000000)
-    info(f"1M-entry manifest: write $tWrite%.2f s, cold load $tCold%.2f s")
+    val t3 = GraftTable.load(spark, dir)
+    val (_, tCold2) = time(t3.expandedManifest(name))
+    val tCold = math.min(tCold1, tCold2)
+    info(f"1M-entry manifest: write $tWrite%.2f s, cold loads $tCold1%.2f/$tCold2%.2f s")
     // bound: isolated runs measure ~2.2-3 s; 6 s leaves full-suite
     // contention margin (32 specs share the JVM) while still failing a
     // regression to the ~10 s legacy single-JSON parse

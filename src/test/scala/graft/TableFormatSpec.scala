@@ -4390,6 +4390,30 @@ class TableFormatSpec extends AnyFunSuite {
     assert(rcAfter.dataOnly(rcAfter.readOptimized())
       .filter(col("o_orderstatus") === "RO").count() === 200)
 
+    // the hook refreshes ONLY the commit's touched partitions — a commit
+    // into one partition must not rewrite every other manifest (at 100 TB
+    // that is the difference between O(churn) and O(table) per commit)
+    def mtimeOf(rel: String): Long = fs0.getFileStatus(
+      new org.apache.hadoop.fs.Path(s"$manifestDir/$rel/manifest")).getModificationTime
+    val lowBefore = mtimeOf("o_orderpriority=5-LOW")
+    val highBefore = mtimeOf("o_orderpriority=2-HIGH")
+    Thread.sleep(20) // mtime granularity
+    new GraftWriteClient(GraftTable.load(spark, path), hookWc).upsert(
+      orders.filter(col("o_orderpriority") === "2-HIGH").limit(40)
+        .withColumn("o_orderstatus", lit("T1")))
+    assert(mtimeOf("o_orderpriority=5-LOW") === lowBefore,
+      "untouched partition's manifest must not be rewritten")
+    // MOR: the upsert lands in deltas; the BASE set of 2-HIGH is
+    // unchanged, so its manifest content is identical but was re-written
+    // by the targeted refresh — compact to move the base set and prove
+    // the touched manifest actually advances
+    new TableServices(GraftTable.load(spark, path), hookWc).compact()
+    assert(mtimeOf("o_orderpriority=2-HIGH") > highBefore,
+      "touched partition's manifest must be refreshed")
+    assert(mtimeOf("o_orderpriority=5-LOW") === lowBefore,
+      "compaction of other partitions must not rewrite an untouched manifest")
+    roVsManifest()
+
     // a dropped partition's manifest disappears on the next refresh
     new GraftWriteClient(GraftTable.load(spark, path), hookWc)
       .deletePartitions(Seq("1-URGENT"))
