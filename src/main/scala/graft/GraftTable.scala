@@ -151,37 +151,25 @@ final class GraftTable(val spark: SparkSession, val basePath: String) {
       cleanDeletedFiles)
   }
 
-  /** The newest archive manifest, parsed once per process and re-expanded
+  /** The newest archive manifest, parsed once per PROCESS and re-expanded
     * into one synthetic instant per original write instant (parsed from
     * the file names — collapsing them all under the archive ts would
     * break MOR base-vs-delta ordering: latestSlices keeps deltas only
-    * when delta ts > base ts). MEMOIZED by manifest name: even with the
-    * parquet manifest format (ArchiveManifest — a distributed columnar
-    * load instead of the legacy ~10 s / ~260 MB JSON parse at the 100 TB
+    * when delta ts > base ts). MEMOIZED process-wide by (basePath,
+    * manifest name) in the companion object: even with the parquet
+    * manifest format (ArchiveManifest — a distributed columnar load
+    * instead of the legacy ~10 s / ~260 MB JSON parse at the 100 TB
     * shape), paying the load on EVERY view build (several per
-    * write/read) would dominate planning, while the manifest itself
-    * changes only at archive time. Manifests are immutable once written
-    * (ArchiveManifest.write keeps a prior attempt's bytes), so
-    * name-keyed memoization is always consistent; a new archive
-    * publishes a new name and naturally invalidates.
+    * write/read, and once per post-commit hook firing — each of which
+    * constructs a FRESH table handle) would dominate planning, while the
+    * manifest itself changes only at archive time. Manifests are
+    * immutable once written (ArchiveManifest.write keeps a prior
+    * attempt's bytes), so name-keyed memoization is always consistent; a
+    * new archive publishes a new name and naturally invalidates.
     */
-  @volatile private var manifestCache
-      : (String, Seq[(GraftInstant, GraftCommitMetadata)]) = null
   private[graft] def expandedManifest(
-      name: String): Seq[(GraftInstant, GraftCommitMetadata)] = {
-    val cached = manifestCache
-    if (cached != null && cached._1 == name) return cached._2
-    val meta = ArchiveManifest.read(spark, storage, name)
-    val expanded = meta.files
-      .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
-      .toSeq.sortBy(_._1)
-      .map { case (its, fs) =>
-        (GraftInstant(its, GraftAction.Commit, GraftState.Completed),
-          meta.copy(instant = its, files = fs))
-      }
-    manifestCache = (name, expanded)
-    expanded
-  }
+      name: String): Seq[(GraftInstant, GraftCommitMetadata)] =
+    GraftTable.expandedManifestCached(this, name)
 
   /** `partition/fileName` entries removed from storage by completed
     * clean/rollback/restore instants on the active timeline.
@@ -359,6 +347,61 @@ object GraftTable {
     */
   @volatile private[graft] var onReadDataFiles: (GraftTable, Seq[String]) => Unit =
     (_, _) => ()
+
+  /** Process-wide expanded-manifest memo, keyed by table base path with
+    * the manifest NAME as the validity token (names embed the archive ts,
+    * and manifests are immutable once published). One entry per table —
+    * a newer archive's name replaces the old expansion; a bounded LRU
+    * keeps many-table processes (test suites, multi-table streamers) from
+    * pinning every expansion on the driver heap. The memo is what makes
+    * per-commit consumers that load a FRESH handle each time (the
+    * RO-manifest post-commit hook, CLI invocations) O(active timeline)
+    * instead of O(table): the 1M-entry cold load (~2-4 s,
+    * PlanningScaleSpec) is paid once per archive boundary per process,
+    * not once per firing.
+    */
+  private val manifestMemo =
+    new java.util.LinkedHashMap[String, (String, Seq[(GraftInstant, GraftCommitMetadata)])](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (String, Seq[(GraftInstant, GraftCommitMetadata)])])
+          : Boolean = size > 8
+    }
+
+  /** Cold manifest loads actually performed (memo misses) — observability
+    * for specs pinning the O(churn) hook contract (≤1 cold load across N
+    * targeted post-commit firings).
+    */
+  private[graft] val manifestColdLoads = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Test seam: drop a table's memoized manifest expansion so scale specs
+    * can measure a genuinely cold load.
+    */
+  private[graft] def evictManifestMemo(basePath: String): Unit =
+    manifestMemo.synchronized { manifestMemo.remove(basePath); () }
+
+  private def expandedManifestCached(
+      t: GraftTable, name: String): Seq[(GraftInstant, GraftCommitMetadata)] = {
+    manifestMemo.synchronized {
+      val hit = manifestMemo.get(t.basePath)
+      if (hit != null && hit._1 == name) return hit._2
+    }
+    // load OUTSIDE the memo monitor: the cold load is a distributed Spark
+    // job (seconds at the 1M-entry shape) and must not serialize every
+    // other table's memo hits behind it; two racers on one table do
+    // redundant-but-consistent work and the last write wins.
+    manifestColdLoads.incrementAndGet()
+    val meta = ArchiveManifest.read(t.spark, t.storage, name)
+    val expanded = meta.files
+      .groupBy(f => FileSystemView.instantOfFileName(f.fileName))
+      .toSeq.sortBy(_._1)
+      .map { case (its, fs) =>
+        (GraftInstant(its, GraftAction.Commit, GraftState.Completed),
+          meta.copy(instant = its, files = fs))
+      }
+    manifestMemo.synchronized { manifestMemo.put(t.basePath, (name, expanded)) }
+    expanded
+  }
 
   /** Stored schemas drop NOT NULL markers everywhere (top level and
     * inside struct/array/map): the first commit's frame may carry

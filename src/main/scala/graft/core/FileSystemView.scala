@@ -58,16 +58,31 @@ final class FileSystemView(
     * Replace-commits (insert_overwrite / delete_partition / clustering)
     * hide the file groups they replaced from that instant onward.
     */
-  def latestSlices(asOf: Option[String] = None): Seq[FileSlice] = {
+  def latestSlices(asOf: Option[String] = None): Seq[FileSlice] =
+    latestSlices(asOf, None)
+
+  /** Partition-scoped variant: resolve slices for `partitions` only.
+    * Every per-commit consumer (the RO-manifest post-commit hook, a
+    * replace-commit's group lookup) must use this — at the 100 TB shape
+    * (~1M live groups) the view holds a million manifest entries, and
+    * hash-grouping all of them to answer a one-partition question turns
+    * an O(churn) refresh back into O(table) CPU per firing. Replacement
+    * and deletion state is keyed by partition too, so the pruned pass is
+    * exact, a plain skip of rows the caller never looks at.
+    */
+  def latestSlices(
+      asOf: Option[String],
+      partitions: Option[Set[String]]): Seq[FileSlice] = {
     val visible = asOf match {
       case Some(ts) => instantsWithMeta.filter(_._1.ts <= ts)
       case None     => instantsWithMeta
     }
+    def wanted(p: String): Boolean = partitions.forall(_.contains(p))
     // (partition, fileId) -> replaced-at instant
     val replacedAt = scala.collection.mutable.Map[(String, String), String]()
     visible.foreach { case (i, meta) =>
       meta.replacedFileIds.foreach { case (part, ids) =>
-        ids.foreach(id => replacedAt((part, id)) = i.ts)
+        if (wanted(part)) ids.foreach(id => replacedAt((part, id)) = i.ts)
       }
     }
     val deleted: Set[String] =
@@ -77,7 +92,8 @@ final class FileSystemView(
       .LinkedHashMap[(String, String), scala.collection.mutable.ArrayBuffer[(String, WriteFileInfo)]]()
     visible.foreach { case (i, meta) =>
       meta.files.foreach { f =>
-        if (!deleted.contains(s"${f.partition}/${f.fileName}")) {
+        if (wanted(f.partition) &&
+            !deleted.contains(s"${f.partition}/${f.fileName}")) {
           byGroup.getOrElseUpdate(
             (f.partition, f.fileId),
             scala.collection.mutable.ArrayBuffer.empty) += ((i.ts, f))
@@ -95,7 +111,7 @@ final class FileSystemView(
     for (ts <- asOf if cleanDeleted.nonEmpty)
       cleanDeletedByGroup.foreach { case (g, dts) =>
         val harmful = dts.filter(_ <= ts)
-        if (harmful.nonEmpty && !replacedAt.contains(g)) {
+        if (harmful.nonEmpty && wanted(g._1) && !replacedAt.contains(g)) {
           val liveBase = byGroup.get(g)
             .map(_.filter(!_._2.isDelta).map(_._1))
             .filter(_.nonEmpty).map(_.max).getOrElse("")
@@ -150,8 +166,7 @@ final class FileSystemView(
 
   /** Live file groups in the given partitions (for replace-commits). */
   def groupsInPartitions(parts: Set[String]): Map[String, Seq[String]] =
-    latestSlices(None)
-      .filter(s => parts.contains(s.partition))
+    latestSlices(None, Some(parts))
       .groupBy(_.partition)
       .view
       .mapValues(_.map(_.fileId).distinct)

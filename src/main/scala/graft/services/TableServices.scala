@@ -1096,7 +1096,18 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * from the timeline. Only the latest data instant (or a pending one)
     * can be rolled back.
     */
-  def rollback(instantTs: String): String = withCommitLock {
+  def rollback(instantTs: String): String = {
+    val meta = rollbackLocked(instantTs)
+    // rollback moves the live base-file set exactly like a data commit —
+    // fire the post-commit hook (AFTER the lock, same contract as
+    // finishCommit) so e.g. the RO symlink manifest re-serves the
+    // pre-rollback base files without waiting for a later commit to
+    // touch those partitions
+    fireCommitCallback(meta)
+    meta.instant
+  }
+
+  private def rollbackLocked(instantTs: String): GraftCommitMetadata = withCommitLock {
     // under the commit lock so the plan-discard below can never
     // interleave with a racing service's [plan-liveness re-check +
     // publish] section — without it a mid-flight compaction could
@@ -1141,12 +1152,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     target.foreach(tl.deleteInstant)
     val ts = InstantTimeGenerator.next()
     val i = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Rollback))
-    tl.transitionToCompleted(i, GraftCommitMetadata(
+    val meta = GraftCommitMetadata(
       instant = ts, action = GraftAction.Rollback, operation = "rollback",
       deletedFiles = deleted.toSeq,
       replacePartitions = resurrected.toSeq,
-      extra = Map("rolled_back_instant" -> instantTs)))
-    ts
+      extra = Map("rolled_back_instant" -> instantTs))
+    tl.transitionToCompleted(i, meta)
+    meta
   }
 
   /** Lazily roll back writes that began but never completed — the

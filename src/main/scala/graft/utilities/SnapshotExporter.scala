@@ -213,8 +213,9 @@ object SnapshotExporter {
     *   bottleneck). A targeted partition with no live base files gets its
     *   manifest DELETED (partition dropped, or all-delta). The global
     *   stale-manifest reap runs only on a FULL refresh — run one
-    *   periodically (or after rollback/restore, which fire no commit
-    *   hook) to re-sync everything.
+    *   periodically to re-sync everything (and to bound the
+    *   concurrent-writer staleness window described on
+    *   [[roManifestCallback]]).
     */
   def exportSymlinkManifest(
       spark: SparkSession,
@@ -234,7 +235,14 @@ object SnapshotExporter {
       else parts.zip(p.split("/", -1))
         .map { case (f, v) => s"$f=${escapePathName(v)}" }.mkString("/")
     val tableFs = table.storage.fs
-    val byPart = table.view.latestSlices(None).groupBy(_.partition)
+    // Targeted refreshes resolve ONLY the touched partitions' slices —
+    // combined with the process-wide expanded-manifest memo
+    // (GraftTable.expandedManifestCached) this is what keeps the
+    // post-commit hook O(churn) end-to-end: the manifest cold load is
+    // paid once per archive boundary per process, and the per-firing
+    // slice resolution skips the table's other ~1M entries.
+    val byPart = table.view.latestSlices(None, onlyPartitions)
+      .groupBy(_.partition)
     val targets: Seq[String] = onlyPartitions match {
       case Some(ps) => ps.toSeq.sorted // live or dead — dead ones reap below
       case None     => byPart.keys.toSeq.sorted
@@ -296,21 +304,40 @@ object SnapshotExporter {
   /** Post-commit hook keeping a symlink-manifest export live: plug into
     * `WriteConfig.commitCallback` on writers and service runners. The
     * refresh after `compact` is the one that moves a MOR table's RO
-    * view; firing on every data commit keeps COW exports current too.
+    * view; firing on every data commit keeps COW exports current too,
+    * and rollback/restore publishes fire it over the undone partitions
+    * so non-Spark engines never keep serving rolled-back base files.
     * Each firing refreshes ONLY the partitions the commit touched
-    * (written/replaced/dropped), so per-commit cost tracks churn, not
-    * table size; zero-file commits (schema evolution) skip entirely.
+    * (written/replaced/dropped/undone), so per-commit cost tracks churn,
+    * not table size; zero-file commits (schema evolution) skip entirely.
     * Callback failures are logged and swallowed by the callback contract
     * (the commit is already durable); the next refresh — or a periodic
     * full `exportSymlinkManifest` — self-heals.
+    *
+    * Concurrent writers: two commits touching one partition fire
+    * concurrently, and each loads its file-system view independently —
+    * a callback that loaded BEFORE the other commit can re-publish a
+    * manifest one commit stale, healed by the partition's next touch.
+    * Multi-writer tables should therefore also run the periodic full
+    * `exportSymlinkManifest` to bound that window (single-writer +
+    * async-services setups serialize publishes and never hit it).
     */
   def roManifestCallback(
       spark: SparkSession,
       outputDir: String): (String, graft.core.GraftCommitMetadata) => Unit =
     (tablePath, meta) => {
+      // deletedFiles covers ROLLBACK/RESTORE firings: an undo commit
+      // carries no written files, only the files it physically removed
+      // (plus the replace-partitions it resurrected) — without it a
+      // rolled-back compaction would keep serving the deleted base file
+      // to non-Spark engines until the next commit happened to touch the
+      // partition. (Clean deletions never change the LATEST slice, and
+      // cleans don't fire the hook.)
       val touched: Set[String] =
         (meta.files.map(_.partition) ++ meta.replacedFileIds.keys ++
-          meta.replacePartitions).toSet
+          meta.replacePartitions ++
+          meta.deletedFiles.map(pf =>
+            pf.substring(0, math.max(pf.lastIndexOf('/'), 0)))).toSet
       if (touched.nonEmpty)
         exportSymlinkManifest(spark, tablePath, outputDir, Some(touched))
       ()

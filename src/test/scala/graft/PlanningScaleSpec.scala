@@ -176,17 +176,20 @@ class PlanningScaleSpec extends AnyFunSuite {
     val name = t.storage.listNames(t.storage.archiveDir)
       .filter(_.endsWith(".manifest")).sorted.last
 
-    // a FRESH table handle has a cold memo — this is the per-process
-    // first-touch cost the parquet format exists to cut (the legacy
-    // single-JSON parse measured ~10 s at this shape). Best of TWO
-    // memo-cold loads (fresh handle each): one host-IO spike late in a
-    // full-suite run measured 10.5 s for a load that re-measures 3.8 s
-    // in isolation — a structural regression (the legacy parse) is slow
-    // on EVERY attempt, so the min keeps the regression teeth while
-    // shedding one-off contention.
+    // the manifest memo is PROCESS-wide since r18 (keyed by table path +
+    // manifest name, so per-commit consumers that load a fresh handle —
+    // the RO-manifest hook — stay O(churn)); measuring a true cold load
+    // needs an explicit eviction, not just a fresh handle. Best of TWO
+    // memo-cold loads: one host-IO spike late in a full-suite run
+    // measured 10.5 s for a load that re-measures 3.8 s in isolation — a
+    // structural regression (the legacy parse) is slow on EVERY attempt,
+    // so the min keeps the regression teeth while shedding one-off
+    // contention.
+    GraftTable.evictManifestMemo(dir)
     val t2 = GraftTable.load(spark, dir)
     val (expanded, tCold1) = time(t2.expandedManifest(name))
     assert(expanded.map(_._2.files.size).sum === 1000000)
+    GraftTable.evictManifestMemo(dir)
     val t3 = GraftTable.load(spark, dir)
     val (_, tCold2) = time(t3.expandedManifest(name))
     val tCold = math.min(tCold1, tCold2)
@@ -197,8 +200,10 @@ class PlanningScaleSpec extends AnyFunSuite {
     assert(tCold < 6.0,
       f"cold 1M-entry manifest load took $tCold%.2f s (bound 6 s; legacy JSON was ~10 s)")
 
-    // warm: memoized, same object
-    assert(t2.expandedManifest(name) eq expanded)
+    // warm: memoized process-wide, same object across fresh handles
+    // (t3's reload replaced t2's entry — the memo holds ONE expansion per
+    // table, shared by every handle from here on)
+    assert(t2.expandedManifest(name) eq t3.expandedManifest(name))
   }
 
   test("a transient marker-publish failure RETHROWS — never a silent no-manifest archive") {

