@@ -291,6 +291,7 @@ final class JdbcLockProvider(
       // connection is up (a cold embedded engine boots in seconds, which
       // would otherwise consume the whole budget before the first attempt)
       val deadline = System.currentTimeMillis() + timeoutMs
+      var lastTransient: java.sql.SQLException = null
       while (System.currentTimeMillis() <= deadline) {
         try {
           if (tryInsert(c)) { held = true; return true }
@@ -321,14 +322,29 @@ final class JdbcLockProvider(
           // on a FRESH connection until the deadline — one DB hiccup must
           // behave like one FS hiccup in FileLockProvider, ending in the
           // contract's loud false/LockAcquireException, never a raw
-          // SQLException that skips the caller's staged-file cleanup
-          case _: java.sql.SQLException =>
+          // SQLException that skips the caller's staged-file cleanup.
+          // But MISCONFIGURATION is not contention: SQL-standard 22xxx
+          // data exceptions (e.g. 22001 truncation when a key outgrows
+          // the column), 42xxx syntax/authorization and 28xxx invalid
+          // auth can never heal by retrying — rethrow them now instead
+          // of burning the timeout into a misleading "retry" failure.
+          case e: java.sql.SQLException =>
+            val state = Option(e.getSQLState).getOrElse("")
+            if (state.startsWith("22") || state.startsWith("42") ||
+                state.startsWith("28")) throw e
+            lastTransient = e
             try c.close() catch { case _: Exception => () }
             try c = java.sql.DriverManager.getConnection(jdbcUrl)
             catch { case _: java.sql.SQLException => () } // retry next pass
             Thread.sleep(pollMs)
         }
       }
+      // contention timeouts are silent (the caller raises its loud
+      // LockAcquireException); an error-riddled timeout names the last
+      // failure so the operator sees WHAT kept failing, not just "retry"
+      if (lastTransient != null)
+        System.err.println("[graft] jdbc lock acquisition timed out after " +
+          s"repeated errors; last: ${lastTransient.getMessage}")
       false
     } finally {
       try c.close() catch { case _: Exception => () }
@@ -351,6 +367,28 @@ final class JdbcLockProvider(
   }
 }
 
+object JdbcLockProvider {
+  /** The GRAFT_LOCKS row key for a table: its base path QUALIFIED
+    * against the table's own filesystem, so every spelling a writer can
+    * open the table under (`hdfs://nn/tbl`, bare `/tbl`, a trailing
+    * slash) maps to ONE row — the cross-host mutual exclusion this
+    * provider exists for would silently vanish if two spellings got two
+    * rows. Keys that outgrow the VARCHAR(512) column are truncated and
+    * content-hashed (SHA-256 suffix) so they stay both unique and
+    * insertable — a 600-char path must not surface as a 22001
+    * truncation error mid-acquire.
+    */
+  def keyFor(storage: GraftStorage): String = {
+    val q = storage.fs.makeQualified(storage.basePath).toString
+    if (q.length <= 512) q
+    else {
+      val h = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(q.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      q.take(512 - 65) + "#" + h
+    }
+  }
+}
+
 object LockProvider {
   /** Resolve a WriteConfig selector to a provider instance. Selectors
     * are plain strings so configuration stays serializable and works
@@ -365,7 +403,7 @@ object LockProvider {
       case "jvm"       => new InProcessLockProvider(storage)
       case "file"      => new FileLockProvider(storage, ttlMs)
       case "jdbc" =>
-        new JdbcLockProvider(jdbcUrl, storage.basePath.toString, ttlMs)
+        new JdbcLockProvider(jdbcUrl, JdbcLockProvider.keyFor(storage), ttlMs)
       case other => throw new IllegalArgumentException(
         s"unknown lock provider '$other' (expected: none | jvm | file | jdbc)")
     }

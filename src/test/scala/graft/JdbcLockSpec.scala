@@ -145,7 +145,11 @@ class JdbcLockSpec extends AnyFunSuite {
 
     // a held lock blocks the publish loudly, nothing lands
     val t = GraftTable.load(spark, path)
-    val blocker = new JdbcLockProvider(u, t.storage.basePath.toString,
+    // keyFor, not basePath.toString: writers key their rows by the
+    // QUALIFIED table path, and a blocker spelling the path differently
+    // would land on a different row and block nothing (the r17 ADVICE
+    // aliasing bug, now normalized away)
+    val blocker = new JdbcLockProvider(u, JdbcLockProvider.keyFor(t.storage),
       ttlMs = 60000L, pollMs = 10L)
     assert(blocker.tryLock(1000))
     val before = t.timeline.completedData.size
@@ -236,5 +240,45 @@ class JdbcLockSpec extends AnyFunSuite {
     assert(snap.length === snap.map(_._1).distinct.length,
       "duplicate (partition, key) in snapshot")
     assert(snap.toMap === model.toMap, "snapshot diverged from model")
+  }
+
+  test("jdbc lock key is filesystem-qualified and bounded to the column width") {
+    val dir = tmp()
+    val conf = spark.sessionState.newHadoopConf()
+    val bare = new GraftStorage(new org.apache.hadoop.fs.Path(dir), conf)
+    val qualified = new GraftStorage(new org.apache.hadoop.fs.Path("file:" + dir), conf)
+    // two writers opening one table under different spellings must land
+    // on ONE GRAFT_LOCKS row, or mutual exclusion silently vanishes
+    assert(JdbcLockProvider.keyFor(bare) === JdbcLockProvider.keyFor(qualified))
+    // an absurdly deep path still yields an insertable (<=512) key, and
+    // distinct paths keep distinct keys through the hash suffix
+    val deep = dir + "/x" * 300
+    val deep2 = dir + "/x" * 299 + "/y"
+    val k1 = JdbcLockProvider.keyFor(
+      new GraftStorage(new org.apache.hadoop.fs.Path(deep), conf))
+    val k2 = JdbcLockProvider.keyFor(
+      new GraftStorage(new org.apache.hadoop.fs.Path(deep2), conf))
+    assert(k1.length <= 512 && k2.length <= 512)
+    assert(k1 !== k2)
+    // and a hashed key actually acquires through Derby's VARCHAR(512)
+    val u = url(tmp())
+    val lp = new JdbcLockProvider(u, k1, ttlMs = 60000L, pollMs = 10L)
+    assert(lp.tryLock(5000))
+    lp.unlock()
+  }
+
+  test("jdbc lock misconfiguration fails loudly, never as a silent contention timeout") {
+    val u = url(tmp())
+    // a raw key wider than the column is a 22001 data exception on EVERY
+    // attempt — the acquire loop must rethrow it immediately instead of
+    // retrying it into a misleading could-not-acquire timeout (keys from
+    // LockProvider.forTable are hash-bounded and never hit this; a
+    // direct construction can)
+    val lp = new JdbcLockProvider(u, "k" * 600, ttlMs = 60000L, pollMs = 10L)
+    val t0 = System.currentTimeMillis()
+    val e = intercept[java.sql.SQLException] { lp.tryLock(30000) }
+    assert(Option(e.getSQLState).exists(_.startsWith("22")), e.getSQLState)
+    assert(System.currentTimeMillis() - t0 < 20000,
+      "non-transient SQL errors must fail fast, not burn the lock timeout")
   }
 }
