@@ -104,8 +104,41 @@ object Bench {
         System.err.println(s"[bench] calibration FAILED: ${e.getMessage}")
       }
     }
-    for (_ <- 1 to reps; name <- "calibration" +: names) {
+    // WRITE calibration channel: the read channel is blind to write-IO
+    // slumps (r17: write-heavy tf_ floors ran 1.3-1.7x hot while the
+    // read calibration sat at its healthy floor — adjudicating that
+    // drift took three independent runs). A fixed raw-Spark parquet
+    // write of lineitem — repartitioned + maxRecordsPerFile-pinned so
+    // the many-small-files + rename churn shape the tf_ queries are made
+    // of stays constant — tracks sustained write IO with ZERO graft
+    // code. Emitted as calibration_write/_min alongside the read channel.
+    var calibW = Vector.empty[Double]
+    def calibrateWrite(): Unit = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_benchw_").toString
+      val t0 = System.nanoTime()
+      try {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .repartition(8)
+          .write.option("maxRecordsPerFile", 25000)
+          .mode("overwrite").parquet(s"$dir/w")
+        calibW :+= (System.nanoTime() - t0) / 1e9
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] write calibration FAILED: ${e.getMessage}")
+      } finally {
+        try {
+          val p = new org.apache.hadoop.fs.Path(dir)
+          p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+        } catch { case _: Throwable => () }
+      }
+    }
+    // calibration runs only on full-set runs: a --only micro-benchmark
+    // must not pay a full lineitem scan + write per rep, and its JSON is
+    // a dev-loop artifact nobody adjudicates drift from
+    val calibrations = if (only.isDefined) Seq.empty
+      else Seq("calibration", "calibration_write")
+    for (_ <- 1 to reps; name <- calibrations ++ names) {
       if (name == "calibration") { calibrate() }
+      else if (name == "calibration_write") { calibrateWrite() }
       else {
       val t0 = System.nanoTime()
       try {
@@ -130,13 +163,24 @@ object Bench {
     def obj(f: Seq[Double] => Double): String = results.map { case (k, ts) =>
       "\"" + k + "\":" + (if (ts.nonEmpty) f(ts) else -1.0)
     }.mkString("{", ",", "}")
-    val failed = results.filter(_._2.isEmpty).map("\"" + _._1 + "\"").mkString("[", ",", "]")
+    // calibration failures are surfaced in `failed` (when they were
+    // supposed to run at all) — a silent stderr-only failure would leave
+    // the drift adjudication channel missing with no trace in the JSON
+    val failedNames = results.filter(_._2.isEmpty).map(_._1) ++
+      calibrations.filter {
+        case "calibration"       => calib.isEmpty
+        case "calibration_write" => calibW.isEmpty
+        case _                   => false
+      }
+    val failed = failedNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val ok = results.filter(_._2.nonEmpty)
     val totalMedian = ok.map(r => median(r._2)).sum
     val totalMin = ok.map(_._2.min).sum
     val calMed = if (calib.nonEmpty) median(calib) else -1.0
     val calMin = if (calib.nonEmpty) calib.min else -1.0
-    println(s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"calibration":$calMed,"calibration_min":$calMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}""")
+    val calWMed = if (calibW.nonEmpty) median(calibW) else -1.0
+    val calWMin = if (calibW.nonEmpty) calibW.min else -1.0
+    println(s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"calibration":$calMed,"calibration_min":$calMin,"calibration_write":$calWMed,"calibration_write_min":$calWMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
