@@ -88,6 +88,25 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
   private val spark = table.spark
 
+  // fail a typo'd reporter at construction, not at first service run
+  if (wc.metricsOn)
+    graft.metrics.GraftMetrics.ensureReporter(
+      wc.metricsReporter, wc.metricsReportPeriodSec)
+
+  private def metricsOn: Boolean = wc.metricsOn
+  private def tableName: String = table.config.tableName
+
+  /** Compaction-debt gauges (pending plans + outstanding delta files)
+    * from the current view — the "how far behind is this MOR table"
+    * number an operator alarms on. Service cadence only (schedule /
+    * execute passes, which already paid for a view), never per commit.
+    */
+  private def emitCompactionDebt(): Unit = if (metricsOn) {
+    val outstanding = table.view.latestSlices(None).map(_.deltas.size.toLong).sum
+    graft.metrics.GraftMetrics.compactionDebt(
+      tableName, pendingCompactionPlans.size.toLong, outstanding)
+  }
+
   // =====================================================================
   // Compaction (MOR): merge delta files into new base files.
   // (ref: HoodieSparkMergeOnReadTableCompactor.java:90-189; strategy
@@ -314,6 +333,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     table.timeline.createRequested(ts, GraftAction.Compaction,
       Json.write(CompactionPlan(
         ts, seen.lastOption.getOrElse(""), chosen, baseSeen = seen)))
+    emitCompactionDebt() // schedule-only runners still update the gauges
     Some(ts)
   }
 
@@ -359,6 +379,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   }
 
   def executeCompaction(planTs: String): Option[String] = {
+    val execT0 = System.nanoTime()
     val requested = GraftInstant(planTs, GraftAction.Compaction, GraftState.Requested)
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
     require(table.storage.exists(reqPath), s"no scheduled compaction $planTs")
@@ -521,6 +542,18 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       // the executed plan's markers die with the completion
       table.timeline.deleteInstant(requested)
       table.storage.delete(staging, recursive = true)
+      if (metricsOn) {
+        // measured EXECUTION time, not now-minus-plan-instant: the plan's
+        // ts is its schedule time and a drained crashed plan can be hours
+        // older than this run. Debt gauges AFTER the plan markers die, so
+        // this executed plan no longer counts as pending.
+        graft.metrics.GraftMetrics.onCommit(tableName, publishedMeta,
+          (System.nanoTime() - execT0) / 1000000)
+        graft.metrics.GraftMetrics.setGauge(
+          graft.metrics.GraftMetrics.name(tableName, "compact", "deltaFilesCompacted"),
+          chosen.map(_.deltas.size.toLong).sum)
+        emitCompactionDebt()
+      }
       Some(ts)
     } catch {
       case e: graft.write.ConcurrentWriteConflictException =>
@@ -676,6 +709,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * retry.
     */
   def executeClustering(planTs: String): Option[String] = {
+    val execT0 = System.nanoTime()
     val requested = GraftInstant(planTs, GraftAction.Clustering, GraftState.Requested)
     val reqPath = new Path(table.storage.metaDir, requested.fileName)
     require(table.storage.exists(reqPath), s"no scheduled clustering $planTs")
@@ -737,6 +771,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           GraftInstant(ts, GraftAction.ReplaceCommit, GraftState.Inflight), meta)
         meta
       }
+      if (metricsOn)
+        graft.metrics.GraftMetrics.onCommit(tableName, publishedMeta,
+          (System.nanoTime() - execT0) / 1000000)
       // durable commit; hook fires outside the lock (see executeCompaction)
       fireCommitCallback(publishedMeta)
       table.timeline.deleteInstant(requested)
@@ -979,6 +1016,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * with the plan's file list so every view drops them.
     */
   def executeClean(planTs: String): Option[String] = {
+    val execT0 = System.nanoTime()
     // standalone runners reach this without going through clean(): sweep
     // any earlier clean's crash-window orphans here too
     reapUnfinishedCleanDeletes()
@@ -1023,6 +1061,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         GraftWriteClient.executeDeletes(spark, table.storage,
           plan.files.map(table.storage.dataFilePathOf))
         markCleanDeletesDone(planTs)
+        if (metricsOn)
+          // ref: HoodieMetrics.updateCleanMetrics(duration, numFilesDeleted)
+          graft.metrics.GraftMetrics.onClean(tableName,
+            (System.nanoTime() - execT0) / 1000000, plan.files.size.toLong)
       }
       published
     } finally claim.close()
@@ -1097,7 +1139,12 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * can be rolled back.
     */
   def rollback(instantTs: String): String = {
+    val t0 = System.nanoTime()
     val meta = rollbackLocked(instantTs)
+    if (metricsOn)
+      // ref: HoodieMetrics.updateRollbackMetrics(duration, numFilesDeleted)
+      graft.metrics.GraftMetrics.onRollback(tableName,
+        (System.nanoTime() - t0) / 1000000, meta.deletedFiles.size.toLong)
     // rollback moves the live base-file set exactly like a data commit —
     // fire the post-commit hook (AFTER the lock, same contract as
     // finishCommit) so e.g. the RO symlink manifest re-serves the
@@ -1230,6 +1277,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     * newer commit, newest first. (ref: BaseRestoreActionExecutor.java)
     */
   def restore(instantTs: String): Unit = {
+    val t0 = System.nanoTime()
     val tl = table.timeline
     // every commit above the target must still be on the active timeline
     // — archived commits cannot be rolled back, so a silent partial
@@ -1238,12 +1286,16 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     require(lastArchived.forall(_ <= instantTs),
       s"cannot restore to $instantTs: commits up to ${lastArchived.getOrElse("")} " +
         "are archived and can no longer be rolled back")
-    tl.completedData.filter(_.ts > instantTs).reverse.foreach(i => rollback(i.ts))
+    val undone = tl.completedData.filter(_.ts > instantTs).reverse
+    undone.foreach(i => rollback(i.ts))
     val ts = InstantTimeGenerator.next()
     val i = tl.transitionToInflight(tl.createRequested(ts, GraftAction.Restore))
     tl.transitionToCompleted(i, GraftCommitMetadata(
       instant = ts, action = GraftAction.Restore, operation = "restore",
       extra = Map("restored_to" -> instantTs)))
+    if (metricsOn)
+      graft.metrics.GraftMetrics.onRestore(tableName,
+        (System.nanoTime() - t0) / 1000000, undone.size.toLong)
   }
 
   // =====================================================================
@@ -1253,6 +1305,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
   // =====================================================================
 
   def archive(minCommits: Int = 20, maxCommits: Int = 30): Option[String] = {
+    val t0 = System.nanoTime()
     val tl = table.timeline
     // savepoints stay on the active timeline — archiving one would lose
     // the cleaner's savepoint floor protection
@@ -1319,6 +1372,9 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     // applied to every view UNCAPPED (see viewAt).
     graft.core.ArchiveManifest.write(spark, table.storage, archiveTs, manifest)
     tl.archive(toArchive)
+    if (metricsOn)
+      graft.metrics.GraftMetrics.onArchive(tableName,
+        (System.nanoTime() - t0) / 1000000, toArchive.size.toLong)
     Some(archiveTs)
   }
 }

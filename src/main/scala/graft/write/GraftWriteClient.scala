@@ -30,6 +30,21 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private val spark = table.spark
   private def cfg = table.config
 
+  // fail a typo'd reporter at construction, not at first publish
+  if (wc.metricsOn)
+    graft.metrics.GraftMetrics.ensureReporter(
+      wc.metricsReporter, wc.metricsReportPeriodSec)
+
+  /** Per-commit metrics from the published metadata (ref:
+    * AbstractHoodieWriteClient.java:221-222 → HoodieMetrics
+    * .updateCommitMetrics). After the publish, outside any lock — pure
+    * driver-side arithmetic over metadata already in hand, never a
+    * failure source for a durable commit.
+    */
+  private def emitCommitMetrics(meta: GraftCommitMetadata): Unit =
+    if (wc.metricsOn)
+      graft.metrics.GraftMetrics.onCommit(cfg.tableName, meta)
+
   // ---- key generation (ref: hudi-client-common/.../keygen/*KeyGenerator;
   // pure Column expressions, no custom Expression needed) ----
   /** A null or empty record-key component fails the write row-side —
@@ -799,6 +814,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private def commit(instant: GraftInstant, meta: GraftCommitMetadata): Unit = {
     table.timeline.transitionToCompleted(
       instant.copy(state = GraftState.Inflight), meta)
+    emitCommitMetrics(meta)
     fireCommitCallback(meta)
   }
 
@@ -888,6 +904,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         instant.copy(state = GraftState.Inflight), meta)
       meta
     } finally lock.unlock()
+    emitCommitMetrics(publishedMeta)
     fireCommitCallback(publishedMeta)
     table.storage.delete(stagingDir(instant.ts), recursive = true)
   }

@@ -101,6 +101,27 @@ final case class WriteConfig(
       * logged and swallowed, never unwinds the commit.
       */
     commitCallback: Option[(String, graft.core.GraftCommitMetadata) => Unit] = None,
+    /** Emit operational metrics (commit durations, records/bytes written,
+      * compaction debt, clean reclaim) to the process-wide registry
+      * (ref: HoodieWriteConfig.isMetricsOn / HoodieMetrics.java). Off by
+      * default: the on-path is driver-side metadata arithmetic per
+      * publish, the off-path a single branch. See
+      * [[graft.metrics.GraftMetrics]].
+      */
+    metricsOn: Boolean = false,
+    /** Where metrics go: "inmemory" (queryable registry only — the
+      * default), "console" (periodic dump, see metricsReportPeriodSec),
+      * "jmx" (live MBeans under the `graft` domain). Cluster deployments
+      * should prefer `spark.plugins=graft.metrics.GraftSparkPlugin`,
+      * which surfaces the same registry through Spark's own metrics
+      * sinks (the reference's Graphite/Datadog/Prometheus reporter
+      * matrix, had for free). Unknown values fail loudly at client
+      * construction.
+      */
+    metricsReporter: String = "inmemory",
+    /** Console reporter period in seconds; 0 = on-demand only
+      * (GraftMetrics.report). */
+    metricsReportPeriodSec: Int = 0,
     /** Cross-writer lock held around [conflict check + commit publish]:
       * "none" (default — create-if-absent instant files + pre-publish
       * check, the reference's no-external-lock default), "jvm" (a
