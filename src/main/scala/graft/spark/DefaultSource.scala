@@ -168,6 +168,13 @@ object GraftOptions {
   val LockJdbcUrl = "lock.jdbc.url"
   /** Timestamp-based key generator partition format (e.g. yyyy-MM-dd). */
   val KeygenTimestampFormat = "keygen.timestamp.format"
+  /** Operational metrics (see graft.metrics.GraftMetrics): turn emission
+    * on, pick the reporter (inmemory | console | jmx), set the console
+    * period — so DataSource writes, SQL DML, the ingest runner and the
+    * streaming sink surface metrics without code. */
+  val MetricsOn = "metrics.on"
+  val MetricsReporter = "metrics.reporter"
+  val MetricsReportPeriodSec = "metrics.report.period.sec"
 
   val Operations: Set[String] = Set(
     "upsert", "insert", "bulk_insert", "delete",
@@ -201,7 +208,12 @@ object GraftOptions {
       lockProvider = parameters.getOrElse(LockProviderKey, base.lockProvider),
       lockTimeoutMs = parameters.get(LockTimeoutMs)
         .map(_.toLong).getOrElse(base.lockTimeoutMs),
-      lockJdbcUrl = parameters.getOrElse(LockJdbcUrl, base.lockJdbcUrl))
+      lockJdbcUrl = parameters.getOrElse(LockJdbcUrl, base.lockJdbcUrl),
+      metricsOn = parameters.get(MetricsOn)
+        .map(_.toBoolean).getOrElse(base.metricsOn),
+      metricsReporter = parameters.getOrElse(MetricsReporter, base.metricsReporter),
+      metricsReportPeriodSec = parameters.get(MetricsReportPeriodSec)
+        .map(_.toInt).getOrElse(base.metricsReportPeriodSec))
   }
 
   def tableConfig(path: String, parameters: Map[String, String]): GraftTableConfig = {

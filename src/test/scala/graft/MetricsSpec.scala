@@ -203,6 +203,21 @@ class MetricsSpec extends AnyFunSuite {
     assert(mbs.getAttribute(upd, "Count") === 1L)
   }
 
+  test("metrics flow through DataSource options (the SQL/ingest/streaming surface)") {
+    val tn = freshName("ds")
+    val dir = Files.createTempDirectory("mx_").toString + "/t"
+    nation.write.format("graft")
+      .option("table.name", tn)
+      .option("recordkey.field", "n_nationkey")
+      .option("partitionpath.field", "n_regionkey")
+      .option("operation", "bulk_insert")
+      .option("metrics.on", "true")
+      .mode("overwrite")
+      .save(dir)
+    assert(v(tn, "bulk_insert", "commits") === 1L)
+    assert(v(tn, "bulk_insert", "totalRecordsWritten") === 25L)
+  }
+
   test("an unknown reporter fails loudly at client construction") {
     val tn = freshName("bogus")
     val t = cowTable(tn)
