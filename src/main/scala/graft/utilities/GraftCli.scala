@@ -135,34 +135,44 @@ object GraftCli {
     * HoodieCleaner.java, HoodieClusteringJob.java); here they are thin
     * subcommands over [[graft.services.TableServices]].
     */
+  /** Service runners emit operational metrics and print a compact
+    * summary footer (GraftMetrics.report): a one-shot maintenance job's
+    * numbers — duration, files compacted/cleaned, debt left behind —
+    * are exactly what its operator reads next, and the in-memory
+    * reporter makes it free.
+    */
+  private val cliWc = graft.write.WriteConfig(metricsOn = true)
+
   private val services: Map[String, GraftTable => Option[String]] = Map(
-    "compact" -> (t => new graft.services.TableServices(t).compact()),
+    "compact" -> (t => new graft.services.TableServices(t, cliWc).compact()),
     // request/execute split: schedule persists a compaction plan instant;
     // execute runs the oldest pending plan (possibly from another process)
     "compact_schedule" -> (t =>
-      new graft.services.TableServices(t).scheduleCompaction()),
+      new graft.services.TableServices(t, cliWc).scheduleCompaction()),
     "compact_execute" -> { t =>
-      val svc = new graft.services.TableServices(t)
+      val svc = new graft.services.TableServices(t, cliWc)
       svc.pendingCompactionPlans.headOption
         .flatMap(p => svc.executeCompaction(p.instant))
     },
-    "clean" -> (t => new graft.services.TableServices(t).clean()),
-    "clean_versions" -> (t => new graft.services.TableServices(t).cleanVersions()),
-    "clean_schedule" -> (t => new graft.services.TableServices(t).scheduleClean()),
+    "clean" -> (t => new graft.services.TableServices(t, cliWc).clean()),
+    "clean_versions" -> (t =>
+      new graft.services.TableServices(t, cliWc).cleanVersions()),
+    "clean_schedule" -> (t =>
+      new graft.services.TableServices(t, cliWc).scheduleClean()),
     "clean_execute" -> { t =>
-      val svc = new graft.services.TableServices(t)
+      val svc = new graft.services.TableServices(t, cliWc)
       svc.pendingCleanPlans.headOption.flatMap(p => svc.executeClean(p.instant))
     },
-    "cluster" -> (t => new graft.services.TableServices(t).cluster()),
+    "cluster" -> (t => new graft.services.TableServices(t, cliWc).cluster()),
     "cluster_schedule" -> (t =>
-      new graft.services.TableServices(t).scheduleClustering()),
+      new graft.services.TableServices(t, cliWc).scheduleClustering()),
     "cluster_execute" -> { t =>
-      val svc = new graft.services.TableServices(t)
+      val svc = new graft.services.TableServices(t, cliWc)
       svc.pendingClusteringPlans.headOption
         .flatMap(p => svc.executeClustering(p.instant))
     },
-    "archive" -> (t => new graft.services.TableServices(t).archive()),
-    "rollback_failed" -> (t => new graft.services.TableServices(t)
+    "archive" -> (t => new graft.services.TableServices(t, cliWc).archive()),
+    "rollback_failed" -> (t => new graft.services.TableServices(t, cliWc)
       .rollbackFailedWrites() match {
         case Seq() => None
         case ts => Some(ts.mkString(","))
@@ -225,6 +235,7 @@ object GraftCli {
           case None =>
             val r = services(c)(table)
             println(s"$c: ${r.getOrElse("nothing to do")}")
+            graft.metrics.GraftMetrics.report(System.out, table.config.tableName)
         }
     }
     spark.stop()
