@@ -759,12 +759,33 @@ object IngestRunner {
       maxRounds: Int,
       maxIdleRounds: Int = 1,
       pollIntervalMs: Long = 0L): Int = {
+    // per-round sync metrics when the table options turn metrics on
+    // (ref: HoodieDeltaStreamerMetrics.overallTimerContext — the
+    // fetch+transform+commit wall time of one sync round, the lag number
+    // a continuous-ingest operator watches; commit-level metrics flow
+    // from the write client independently)
+    val metricsOn = graft.spark.GraftOptions.writeConfig(cfg.tableOptions).metricsOn
+    // same naming rule as GraftOptions.tableConfig, without its
+    // required-key validation (this loop may target an existing table)
+    lazy val tn = cfg.tableOptions.getOrElse(
+      graft.spark.GraftOptions.TableName,
+      cfg.targetPath.stripSuffix("/").split('/').last)
     var synced = 0
     var idle = 0
     while (synced < maxRounds && idle < maxIdleRounds) {
+      val t0 = System.nanoTime()
       runOnce(spark, cfg) match {
-        case Some(_) => synced += 1; idle = 0
-        case None    => idle += 1
+        case Some(_) =>
+          synced += 1; idle = 0
+          if (metricsOn) {
+            val ms = (System.nanoTime() - t0) / 1000000
+            graft.metrics.GraftMetrics.setGauge(s"$tn.ingest.syncDuration", ms)
+            graft.metrics.GraftMetrics.time(s"$tn.ingest.syncTimer", ms)
+            graft.metrics.GraftMetrics.inc(s"$tn.ingest.rounds")
+          }
+        case None =>
+          idle += 1
+          if (metricsOn) graft.metrics.GraftMetrics.inc(s"$tn.ingest.idlePolls")
       }
       if (pollIntervalMs > 0 && synced < maxRounds && idle < maxIdleRounds)
         Thread.sleep(pollIntervalMs)

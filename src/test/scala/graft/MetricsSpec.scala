@@ -218,6 +218,30 @@ class MetricsSpec extends AnyFunSuite {
     assert(v(tn, "bulk_insert", "totalRecordsWritten") === 25L)
   }
 
+  test("continuous ingest emits per-round sync metrics and idle-poll counts") {
+    import graft.utilities.{IngestConfig, IngestRunner}
+    val tn = freshName("ing")
+    val base = Files.createTempDirectory("mx_").toString
+    val src = base + "/src"
+    nation.limit(10).write.parquet(src)
+    val cfg = IngestConfig(
+      sourcePath = src, targetPath = base + "/t",
+      tableOptions = Map(
+        "table.name" -> tn,
+        "recordkey.field" -> "n_nationkey",
+        "partitionpath.field" -> "n_regionkey",
+        "metrics.on" -> "true"))
+    // round 1 syncs the batch; round 2 finds nothing and idles out
+    assert(IngestRunner.runContinuous(spark, cfg, maxRounds = 5) === 1)
+    assert(v(tn, "ingest", "rounds") === 1L)
+    assert(v(tn, "ingest", "syncDuration") >= 0L)
+    assert(v(tn, "ingest", "idlePolls") === 1L)
+    // the sync's commit itself reported through the write client
+    val commits = Seq("bulk_insert", "upsert", "insert")
+      .flatMap(op => GraftMetrics.value(s"$tn.$op.commits")).sum
+    assert(commits >= 1L)
+  }
+
   test("an unknown reporter fails loudly at client construction") {
     val tn = freshName("bogus")
     val t = cowTable(tn)
