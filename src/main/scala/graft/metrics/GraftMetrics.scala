@@ -99,6 +99,18 @@ object GraftMetrics {
     (gs ++ cs).toMap
   }
 
+  /** Drop every metric under `<table>.` — teardown for long-lived
+    * multi-tenant drivers (a service host cycling thousands of ephemeral
+    * tables would otherwise accumulate ~40 dead metrics per table
+    * forever; the registry itself is process-lifetime by design, like
+    * the reference's). Removals propagate through [[bridgeTo]] listeners.
+    */
+  def removeTable(table: String): Unit = {
+    val prefix = table + "."
+    registry.removeMatching((n: String, _: Metric) => n.startsWith(prefix))
+    gauges.keySet.removeIf(_.startsWith(prefix))
+  }
+
   // =====================================================================
   // Emission points (each caller gates on WriteConfig.metricsOn)
   // =====================================================================

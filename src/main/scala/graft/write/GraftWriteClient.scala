@@ -387,7 +387,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           s"'${wc.lockProvider}' commit lock within ${wc.lockTimeoutMs} ms; " +
           "nothing was published — retry")
     }
-    try {
+    val publishedMeta = try {
       if (wc.occEnabled) {
         // .toSeq first — a Map-to-tuples flatMap would collapse to one id
         // per partition (see conflictingInstant)
@@ -399,14 +399,22 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             s"delete_partition ${instant.ts} conflicts with $other; retry")
         }
       }
-      commit(instant, GraftCommitMetadata(
+      val meta = GraftCommitMetadata(
         instant = instant.ts, action = instant.action, operation = "delete_partition",
         replacedFileIds = replaced, replacePartitions = partitions.sorted,
         extra = wc.commitExtra,
         // metadata-only commit: carry the schema forward so the table
         // never reads as schemaless
-        schemaJson = table.storedDataSchema.map(_.json).getOrElse("")))
+        schemaJson = table.storedDataSchema.map(_.json).getOrElse(""))
+      table.timeline.transitionToCompleted(
+        instant.copy(state = GraftState.Inflight), meta)
+      meta
     } finally lock.unlock()
+    // callback + metrics AFTER the lock (the finishCommit contract): a
+    // slow hook — e.g. the RO-manifest refresh over every dropped
+    // partition — must never stretch the metadata-only critical section
+    emitCommitMetrics(publishedMeta)
+    fireCommitCallback(publishedMeta)
     instant.ts
   }
 

@@ -242,6 +242,25 @@ class MetricsSpec extends AnyFunSuite {
     assert(commits >= 1L)
   }
 
+  test("removeTable drops a table's metrics and propagates through bridges") {
+    val tn = freshName("rm")
+    val keep = freshName("keep")
+    GraftMetrics.setGauge(s"$tn.op.g", 1L)
+    GraftMetrics.inc(s"$tn.op.c")
+    GraftMetrics.setGauge(s"$keep.op.g", 2L)
+    val target = new com.codahale.metrics.MetricRegistry
+    GraftMetrics.bridgeTo(target)
+    assert(target.getGauges.containsKey(s"$tn.op.g"))
+    GraftMetrics.removeTable(tn)
+    assert(GraftMetrics.snapshot(tn).isEmpty)
+    assert(!target.getGauges.containsKey(s"$tn.op.g"))
+    assert(!target.getCounters.containsKey(s"$tn.op.c"))
+    // unrelated tables survive, and the name can be re-created cleanly
+    assert(GraftMetrics.value(s"$keep.op.g") === Some(2L))
+    GraftMetrics.setGauge(s"$tn.op.g", 9L)
+    assert(GraftMetrics.value(s"$tn.op.g") === Some(9L))
+  }
+
   test("an unknown reporter fails loudly at client construction") {
     val tn = freshName("bogus")
     val t = cowTable(tn)
