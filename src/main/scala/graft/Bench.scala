@@ -142,11 +142,16 @@ object Bench {
       else {
       val t0 = System.nanoTime()
       try {
+        // label every job of this query (write-client phases layer their
+        // own label on top and restore this one) — UI/event-log
+        // attribution only, zero effect on the timing methodology
+        spark.sparkContext.setJobDescription(s"bench: $name")
         SparkEntry.queries(name)(spark, sfDir).count()
         timings(name) :+= (System.nanoTime() - t0) / 1e9
       } catch { case e: Throwable =>
         System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
       } finally {
+        spark.sparkContext.setJobDescription(null)
         // rep isolation: operators persist intermediates (shingle
         // corpora, candidate lists, bloom frames) and leave reclamation
         // to the ContextCleaner, which only fires on a GC of the plan —

@@ -1816,8 +1816,10 @@ object SparkEntry {
     // planted pair through its pruned candidate join.
     "emb_ann_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val minId = emb.agg(min("vec_id")).head.getLong(0)
-      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      // one TakeOrdered action (the row with the smallest vec_id) instead
+      // of a full-scan min() agg followed by a filter scan — same row,
+      // half the driver actions
+      val qRow = emb.orderBy("vec_id").select("embedding").head
       val qf = qRow.getSeq[Float](0)
       val q = qf.map(_.toDouble).toSeq
       val copies = s.range(60).select(
@@ -1839,8 +1841,10 @@ object SparkEntry {
     // SparkHoodieBloomIndex.java:110-140, transposed to vectors).
     "emb_ann_prebucketed" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val minId = emb.agg(min("vec_id")).head.getLong(0)
-      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      // one TakeOrdered action (the row with the smallest vec_id) instead
+      // of a full-scan min() agg followed by a filter scan — same row,
+      // half the driver actions
+      val qRow = emb.orderBy("vec_id").select("embedding").head
       val qf = qRow.getSeq[Float](0)
       val q = qf.map(_.toDouble).toSeq
       // The corpus is written ONCE PER PROCESS (memoized by sf dir) and
@@ -1884,8 +1888,10 @@ object SparkEntry {
     // must equal the exact brute-force top-50 the oracle computes.
     "emb_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val minId = emb.agg(min("vec_id")).head.getLong(0)
-      val qRow = emb.filter(col("vec_id") === minId).select("embedding").head
+      // one TakeOrdered action (the row with the smallest vec_id) instead
+      // of a full-scan min() agg followed by a filter scan — same row,
+      // half the driver actions
+      val qRow = emb.orderBy("vec_id").select("embedding").head
       val qf = qRow.getSeq[Float](0)
       val q = qf.map(_.toDouble).toSeq
       val copies = s.range(60).select(

@@ -43,18 +43,39 @@ object Dedup {
       .drop("_g_dedup_rn")
   }
 
-  /** (id, shingle-set array, set size) per document. The normalized text
-    * is materialized behind its own projection BEFORE shingling: the
-    * shingle `transform` lambda re-evaluates captured non-trivial
-    * expressions per array element, so composing `normText` directly into
-    * it would run the whitespace regexp O(text length) times per doc —
-    * quadratic in document size. (CollapseProject keeps the barrier: the
-    * normalized column is non-cheap and multiply-referenced.)
+  /** (id, HASHED shingle-set array, set size) per document. Two
+    * deliberate layout choices on the hottest pipeline in the engine:
+    *
+    *  - the normalized text is materialized behind its own projection
+    *    BEFORE shingling: the shingle `transform` lambda re-evaluates
+    *    captured non-trivial expressions per array element, so composing
+    *    `normText` directly into it would run the whitespace regexp
+    *    O(text length) times per doc — quadratic in document size.
+    *    (CollapseProject keeps the barrier: the normalized column is
+    *    non-cheap and multiply-referenced.) The normalization itself runs
+    *    AFTER [[spreadWork]], so the regexp pass executes at cluster
+    *    parallelism instead of inside the source's few input splits
+    *    (measured: a single-split corpus serialized ~1.4 s of regexp
+    *    into one task at sf0.1).
+    *
+    *  - shingles are hashed to LONGS here, once, in the same projection:
+    *    every downstream consumer (the minhash signature explode, both
+    *    sides of the exact-Jaccard verify, the inverted index) needs only
+    *    xxhash64(shingle) — hashing at the source consumes the string
+    *    bytes exactly once, and the persisted frame holds 8-byte longs
+    *    instead of ~5-char strings (smaller cache, cheaper joins).
+    *    Distinctness is taken on the STRING shingles (inside
+    *    charShinglesPre) before hashing, so `n` = |distinct shingles|
+    *    exactly; two distinct shingles colliding on xxhash64 inside one
+    *    document pair (~1e-19) is the same caveat the verify already
+    *    carries.
     */
   private def docShingles(
       df: DataFrame, textCol: String, idCol: String, shingleLen: Int): DataFrame =
-    spreadWork(df.select(col(idCol).as("id"), normText(col(textCol)).as("_t")))
-      .select(col("id"), charShinglesPre(col("_t"), shingleLen).as("sh"))
+    spreadWork(df.select(col(idCol).as("id"), col(textCol).as("_raw")))
+      .select(col("id"), normText(col("_raw")).as("_t"))
+      .select(col("id"),
+        transform(charShinglesPre(col("_t"), shingleLen), s => xxhash64(s)).as("sh"))
       .withColumn("n", size(col("sh")))
 
   /** Ensure per-row-expensive downstream work (shingling, per-token
@@ -163,26 +184,28 @@ object Dedup {
         greatest(col("n_a"), col("n_b")) >= threshold)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val pairs = cand.select("id_a", "id_b")
-    val bcastPairs = cand.count() < BroadcastCandidateLimit
+    // ONE action materializes the persisted pair list and returns both
+    // planning numbers: the pair count (broadcast decision) and the
+    // in-flight element volume Σ_pairs (n_a + n_b) (verify-path choice).
+    // Both verify paths move `expectedRows` 8-byte hashes; what differs
+    // is packaging (per-pair arrays vs per-element rows) and therefore
+    // memory behavior under the executor pool.
+    val candStats = cand.agg(count(lit(1)),
+      sum((col("n_a") + col("n_b")).cast("long"))).head
+    val bcastPairs = candStats.getLong(0) < BroadcastCandidateLimit
     def hintOf(p: DataFrame): DataFrame = if (bcastPairs) broadcast(p) else p
     val hint = hintOf(pairs)
-    // In-flight element volume Σ_pairs (n_a + n_b), from the already-
-    // materialized pair stats (one tiny agg over the persisted list).
-    // Both verify paths move this many 8-byte hashes; what differs is
-    // packaging (per-pair arrays vs per-element rows) and therefore
-    // memory behavior under the executor pool.
-    val expectedRows = Option(
-      cand.agg(sum((col("n_a") + col("n_b")).cast("long"))).head.get(0))
-      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val expectedRows = if (candStats.isNullAt(1)) 0L else candStats.getLong(1)
     val defaultPar = shingles.sparkSession.sparkContext.defaultParallelism
     val inter =
       if (expectedRows <= ArrayVerifyMaxElements) {
         // ARRAY path: hash arrays ride the pair join once; partitions
-        // sized so each task's sort holds ~64 MB of array payload
+        // sized so each task's sort holds ~64 MB of array payload.
+        // Shingles arrive pre-hashed from docShingles — no per-verify
+        // re-hash of the corpus.
         val joinParts = math.max(defaultPar,
           math.min(65536L, expectedRows * 8L / (64L * 1024 * 1024) + 1L).toInt)
-        val hashedArr = shingles.select(col("id"),
-          transform(col("sh"), s => xxhash64(s)).as("sh"))
+        val hashedArr = shingles.select(col("id"), col("sh"))
         val aSide = hashedArr.select(col("id").as("id_a"), col("sh").as("sh_a"))
           .join(hint, "id_a").repartition(joinParts, col("id_a"), col("id_b"))
         val bSide = hashedArr.select(col("id").as("id_b"), col("sh").as("sh_b"))
@@ -198,8 +221,7 @@ object Dedup {
           val joinParts = math.max(defaultPar,
             math.min(65536L, vol / 3000000L + 1L).toInt)
           val joinKeys = Seq(col("id_a"), col("id_b"), col("h"))
-          val hashed = shingles.select(col("id"), explode(col("sh")).as("s"))
-            .select(col("id"), xxhash64(col("s")).as("h"))
+          val hashed = shingles.select(col("id"), explode(col("sh")).as("h"))
           val aSide = hashed.select(col("id").as("id_a"), col("h"))
             .join(pairHint, "id_a")
             .repartition(joinParts, joinKeys: _*)
@@ -326,14 +348,14 @@ object Dedup {
     // corpora spill-safe.
     val shingles = docShingles(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // one STRING hash per shingle, then derive the `numHashes` family by
-    // re-hashing the resulting 8-byte long per seed — the string bytes
-    // (the dominant per-row cost, O(shingle length) each) are consumed
-    // once instead of numHashes times; recall characteristics are
-    // unchanged (seeded xxhash64 over a 64-bit input is still a uniform
-    // independent family, and candidates are exact-verified anyway)
-    val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
+    // one STRING hash per shingle (computed once inside docShingles),
+    // then derive the `numHashes` family by re-hashing the resulting
+    // 8-byte long per seed — the string bytes (the dominant per-row
+    // cost, O(shingle length) each) are consumed once instead of
+    // numHashes times; recall characteristics are unchanged (seeded
+    // xxhash64 over a 64-bit input is still a uniform independent
+    // family, and candidates are exact-verified anyway)
+    val exploded = shingles.select(col("id"), explode(col("sh")).as("h"))
     val minAggs = (0 until numHashes).map(i =>
       min(xxhash64(col("h"), lit(i))).as(s"_h$i"))
     val sigs = exploded.groupBy("id")
@@ -370,8 +392,10 @@ object Dedup {
     * (explode tokens once, 60 codegen'd sum aggregates), no HOFs.
     */
   def simhashSigs(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = spreadWork(df.select(col(idCol).as("id"),
-      split(normText(col(textCol)), " ").as("_tk")))
+    // normalize/tokenize AFTER spreadWork so the regexp+split pass runs
+    // at cluster parallelism, not inside the source's few input splits
+    val toks = spreadWork(df.select(col(idCol).as("id"), col(textCol).as("_raw")))
+      .select(col("id"), split(normText(col("_raw")), " ").as("_tk"))
       .select(col("id"), explode(col("_tk")).as("t"))
       .withColumn("h", tokenHash60(col("t")))
     val voteAggs = (0 until SimhashBits).map(b =>
@@ -427,7 +451,10 @@ object Dedup {
       threshold: Double = 0.8,
       maxShingleDf: Int = 100): DataFrame = {
     // persisted for the same 3× reuse as in minhashNearDups (inverted
-    // index + both sides of the verify join)
+    // index + both sides of the verify join); `s` here is the 64-bit
+    // shingle hash (see docShingles) — the df cutoff and the index join
+    // operate on hash identity, the same ~1e-19 collision caveat the
+    // verify carries
     val shingles = docShingles(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))

@@ -88,6 +88,16 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
 
   private val spark = table.spark
 
+  /** Label the Spark jobs of a service phase (UI/event-log attribution,
+    * mirroring GraftWriteClient.phase — restores the caller's label).
+    */
+  private def phase[T](name: String)(body: => T): T = {
+    val sc = spark.sparkContext
+    val prev = sc.getLocalProperty("spark.job.description")
+    sc.setJobDescription("graft: " + name)
+    try body finally sc.setJobDescription(prev)
+  }
+
   // fail a typo'd reporter at construction, not at first service run
   if (wc.metricsOn)
     graft.metrics.GraftMetrics.ensureReporter(
@@ -443,8 +453,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       val bcastOk = budget > 0 && deltaBytes <= budget &&
         chosen.forall(s => s.base.exists(_.bytes <= maxSplit))
       if (!bcastOk) {
-        stage(windowMerged(chosen), overwrite = true)
-      } else {
+        phase("compact-merge")(stage(windowMerged(chosen), overwrite = true))
+      } else phase("compact-merge") {
         val keyCols = Seq(MetaColumns.PartitionPath, g, MetaColumns.RecordKey)
         val base = table.readDataFiles(pathsOf(chosen, withDeltas = false), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
@@ -479,7 +489,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
 
       claim.ensureLive()
-      val written = publishCompacted(staging, ts)
+      val written = phase("compact-publish")(publishCompacted(staging, ts))
       TableServices.prePublishHook()
       val publishedMeta = withCommitLock {
         // plan liveness, re-checked under the lock: a rollback/restore
@@ -582,33 +592,42 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val nameByPath = scala.collection.mutable.Map[String, String]()
     if (!fs.exists(staging)) return Seq.empty
+    // listing first: the staged file count gates the driver-bloom fast
+    // path (mirrors GraftWriteClient.publishStaged)
+    val listed = scala.collection.mutable
+      .ArrayBuffer[(String, String, org.apache.hadoop.fs.FileStatus)]()
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = GraftWriteClient.decodeStageValue(
+        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+      fs.listStatus(partDir.getPath).filter(_.isDirectory).foreach { gfDir =>
+        val fileId = GraftWriteClient.decodeStageValue(
+          gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
+        val parts = fs.listStatus(gfDir.getPath)
+          .filter(s => s.isFile &&
+            s.getPath.getName.endsWith(table.config.baseFileSuffix))
+        require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
+        parts.foreach(st => listed += ((partition, fileId, st)))
+      }
+    }
+    val bloomExpected = if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L
+    val collectBlooms = bloomExpected > 0 &&
+      listed.size * GraftWriteClient.bloomBytesOf(bloomExpected, wc.bloomFpp) <=
+        GraftWriteClient.DriverBloomCollectMaxBytes
     val staged = GraftWriteClient.stagedFileStats(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+      bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat)
+      table.config.baseFileFormat, collectBlooms)
     val counts = staged.counts
     try {
-      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-        val partition = GraftWriteClient.decodeStageValue(
-          partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
-        fs.listStatus(partDir.getPath).filter(_.isDirectory).foreach { gfDir =>
-          val fileId = GraftWriteClient.decodeStageValue(
-            gfDir.getPath.getName.stripPrefix(GraftWriteClient.StageFileCol + "="))
-          val parts = fs.listStatus(gfDir.getPath)
-            .filter(s => s.isFile &&
-              s.getPath.getName.endsWith(table.config.baseFileSuffix))
-          require(parts.length <= 1, s"multi-file compaction group: ${gfDir.getPath}")
-          parts.foreach { st =>
-            val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
-            val stagedPath = st.getPath.toUri.getPath
-            val stats = counts.getOrElse(
-              stagedPath, GraftWriteClient.FileStats(0L, "", ""))
-            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-            nameByPath(stagedPath) = name
-            out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-              isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
-          }
-        }
+      listed.foreach { case (partition, fileId, st) =>
+        val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+        val stagedPath = st.getPath.toUri.getPath
+        val stats = counts.getOrElse(
+          stagedPath, GraftWriteClient.FileStats(0L, "", ""))
+        renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+        nameByPath(stagedPath) = name
+        out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+          isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
       }
       // sidecar before the renames (its job may recompute from staging);
       // overwrite: a retry at the plan's fixed timestamp may find final
@@ -803,30 +822,41 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val nameByPath = scala.collection.mutable.Map[String, String]()
     var seq = 0
     if (!fs.exists(staging)) return Seq.empty
+    // listing first: the staged file count gates the driver-bloom fast
+    // path (mirrors GraftWriteClient.publishStaged)
+    val listed = scala.collection.mutable
+      .ArrayBuffer[(String, String, org.apache.hadoop.fs.FileStatus)]()
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = GraftWriteClient.decodeStageValue(
+        partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
+      fs.listStatus(partDir.getPath)
+        .filter(s => s.isFile &&
+          s.getPath.getName.endsWith(table.config.baseFileSuffix))
+        .sortBy(_.getPath.getName)
+        .foreach { st =>
+          val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
+          listed += ((partition, fileId, st))
+        }
+    }
+    val bloomExpected = if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L
+    val collectBlooms = bloomExpected > 0 &&
+      listed.size * GraftWriteClient.bloomBytesOf(bloomExpected, wc.bloomFpp) <=
+        GraftWriteClient.DriverBloomCollectMaxBytes
     val staged = GraftWriteClient.stagedFileStats(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+      bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat)
+      table.config.baseFileFormat, collectBlooms)
     val counts = staged.counts
     try {
-      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-        val partition = GraftWriteClient.decodeStageValue(
-          partDir.getPath.getName.stripPrefix(GraftWriteClient.StagePartCol + "="))
-        fs.listStatus(partDir.getPath)
-          .filter(s => s.isFile &&
-            s.getPath.getName.endsWith(table.config.baseFileSuffix))
-          .sortBy(_.getPath.getName)
-          .foreach { st =>
-            val fileId = GraftWriteClient.newFileId(ts, seq); seq += 1
-            val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
-            val stagedPath = st.getPath.toUri.getPath
-            val stats = counts.getOrElse(
-              stagedPath, GraftWriteClient.FileStats(0L, "", ""))
-            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-            nameByPath(stagedPath) = name
-            out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
-              isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
-          }
+      listed.foreach { case (partition, fileId, st) =>
+        val name = s"${fileId}_$ts${table.config.baseFileSuffix}"
+        val stagedPath = st.getPath.toUri.getPath
+        val stats = counts.getOrElse(
+          stagedPath, GraftWriteClient.FileStats(0L, "", ""))
+        renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+        nameByPath(stagedPath) = name
+        out += WriteFileInfo(partition, fileId, name, stats.records, st.getLen,
+          isDelta = false, stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
       }
       // sidecar before the renames (its job may recompute from staging);
       // overwrite: deterministic fileIds (plan ts + seq) make a retry hit

@@ -57,8 +57,12 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     */
   private def phase[T](name: String)(body: => T): T = {
     val sc = spark.sparkContext
+    // save/restore: a caller-level description (e.g. the bench's
+    // per-query label) must survive the phase, so jobs between phases
+    // stay attributed to their query instead of going unlabeled
+    val prev = sc.getLocalProperty("spark.job.description")
     sc.setJobDescription("graft: " + name)
-    try body finally sc.setJobDescription(null)
+    try body finally sc.setJobDescription(prev)
   }
 
   private def keyExpr: Column = KeyGen.keyExpr(cfg)
@@ -460,10 +464,21 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val instant = begin(if (table.isMor) GraftAction.DeltaCommit else GraftAction.Commit)
     try {
       val prepared0 = withMetaColumns(aligned, instant.ts, deleteOp)
-      val prepared =
+      val prepared1 =
         if (deleteMarker.isDefined)
           prepared0.withColumn(MetaColumns.IsDeleted, col(ColDeleteFlag)).drop(ColDeleteFlag)
         else prepared0
+      // Tagged writes consume the incoming batch TWICE — the stats/bloom
+      // probe pass and the tag join — so cache it for the write's
+      // duration: the source (often a parquet scan behind an upstream
+      // pipeline) is scanned once, the keygen/meta expressions evaluate
+      // once, and the second consumption is a block read. MEMORY_AND_DISK
+      // keeps big batches spill-safe; unpersisted in the finally below.
+      // Untagged inserts consume the batch once — caching would be pure
+      // overhead there.
+      val prepared =
+        if (tag) prepared1.persist(StorageLevel.MEMORY_AND_DISK)
+        else prepared1
 
       val deduped =
         if (dedupIncoming) dedupByKey(prepared, dataCols)
@@ -646,10 +661,20 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (table.isMor) updateGroups.map(_._2) ++ smallFileGroups.map(_._2)
           else Set.empty
 
-        phase("stage-merge")(
-          stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true))
+        // the shuffle-path stage is PROVABLY empty when every rewrite
+        // group went broadcast and the batch has no inserts (incS filters
+        // to targets outside bcastIds; updates' targets are exactly
+        // rewriteGroups) — skip the write action outright instead of
+        // paying a full plan + empty job for zero rows (the common
+        // update-only commit on a compacted COW table)
+        val shuffleStageEmpty = bcastGroups.nonEmpty &&
+          shuffleGroups.isEmpty && insertCounts.valuesIterator.forall(_ == 0L)
+        if (!shuffleStageEmpty)
+          phase("stage-merge")(
+            stageGrouped(surviving, dataCols, instant.ts, deltaGroups, overwrite = true))
         mergedB.foreach(df => phase("stage-merge-broadcast")(
-          stageGrouped(df, dataCols, instant.ts, deltaGroups, overwrite = false)))
+          stageGrouped(df, dataCols, instant.ts, deltaGroups,
+            overwrite = shuffleStageEmpty)))
         val written = phase("publish+stats")(publishStaged(
           stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups))
         // A rewritten COW group where every row was tombstoned produces no
@@ -668,7 +693,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         finishCommit(instant, operation, written, replaced = replacedMap, dataSchema,
           extraMeta = Map(GraftWriteClient.IncomingRecordsKey ->
             profile.map(_.getLong(2)).sum.toString))
-      } finally tagged.unpersist()
+      } finally {
+        tagged.unpersist()
+        if (tag) prepared.unpersist()
+      }
     } catch {
       case e: Throwable => abort(instant); throw e
     }
@@ -706,7 +734,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           prepared.repartition(n, col(ColPart)).sortWithinPartitions(col(ColKey))
         case _ => prepared
       }
-      val written = writeUngrouped(sorted, dataSchema.fieldNames.toSeq, instant.ts, recordsPerFile)
+      val written = phase("bulk-write")(
+        writeUngrouped(sorted, dataSchema.fieldNames.toSeq, instant.ts, recordsPerFile))
       val (replacedEff, replacePartsEff) =
         if (replaceFromWritten) {
           val parts = written.map(_.partition).toSet
@@ -1554,58 +1583,73 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       deltaGroups: Set[String]): Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     if (!fs.exists(staging)) return Seq.empty
-    val staged = stagedFileStats(spark, staging,
-      if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L, wc.bloomFpp,
+    // LISTING FIRST (pure FS metadata): the staged file count gates
+    // whether the commit's blooms may ride the stats collect to the
+    // driver (one action, sidecar written driver-side) or must stay
+    // executor-resident (persisted frame + distributed sidecar write)
+    val listed = scala.collection.mutable
+      .ArrayBuffer[(String, String, org.apache.hadoop.fs.FileStatus)]()
+    var newGroupSeq = 0
+    fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
+      val partition = decodeStageValue(
+        partDir.getPath.getName.stripPrefix(StagePartCol + "="))
+      val leafDirs =
+        if (groupedByFile) fs.listStatus(partDir.getPath).filter(_.isDirectory).toSeq
+        else Seq(partDir)
+      leafDirs.foreach { leaf =>
+        val fileId =
+          if (groupedByFile)
+            decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
+          else null
+        val parts = fs.listStatus(leaf.getPath)
+          .filter(s => s.isFile &&
+            s.getPath.getName.endsWith(table.config.baseFileSuffix))
+          .sortBy(_.getPath.getName)
+        if (groupedByFile) require(parts.length <= 1,
+          s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
+        parts.foreach { st =>
+          val id = if (fileId != null) fileId
+          else {
+            val fid = newFileId(instantTs, newGroupSeq) // bulk path: fresh group
+            newGroupSeq += 1
+            fid
+          }
+          listed += ((partition, id, st))
+        }
+      }
+    }
+    val bloomExpected = if (wc.bloomIndexEnabled) wc.bloomExpectedEntries else 0L
+    val collectBlooms = bloomExpected > 0 &&
+      listed.size * bloomBytesOf(bloomExpected, wc.bloomFpp) <=
+        DriverBloomCollectMaxBytes
+    val staged = phase("staged-stats")(stagedFileStats(spark, staging,
+      bloomExpected, wc.bloomFpp,
       // staged files carry physical names; accept logical config too
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat)
+      table.config.baseFileFormat, collectBlooms))
     val counts = staged.counts
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
     val nameByPath = scala.collection.mutable.Map[String, String]()
-    var newGroupSeq = 0
 
     try {
-      fs.listStatus(staging).filter(_.isDirectory).foreach { partDir =>
-        val partition = decodeStageValue(
-          partDir.getPath.getName.stripPrefix(StagePartCol + "="))
-        val leafDirs =
-          if (groupedByFile) fs.listStatus(partDir.getPath).filter(_.isDirectory).toSeq
-          else Seq(partDir)
-        leafDirs.foreach { leaf =>
-          val fileId =
-            if (groupedByFile)
-              decodeStageValue(leaf.getPath.getName.stripPrefix(StageFileCol + "="))
-            else null
-          val parts = fs.listStatus(leaf.getPath)
-            .filter(s => s.isFile &&
-              s.getPath.getName.endsWith(table.config.baseFileSuffix))
-            .sortBy(_.getPath.getName)
-          if (groupedByFile) require(parts.length <= 1,
-            s"unexpected multi-file group in staging: ${leaf.getPath} (${parts.length})")
-          parts.foreach { st =>
-            val id = if (fileId != null) fileId
-            else {
-              val fid = newFileId(instantTs, newGroupSeq) // bulk path: fresh group
-              newGroupSeq += 1
-              fid
-            }
-            val isDelta = deltaGroups.contains(id)
-            val name = id + "_" + instantTs +
-              (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
-            val stagedPath = st.getPath.toUri.getPath
-            val stats = counts.getOrElse(stagedPath, FileStats(0L, "", ""))
-            renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
-            nameByPath(stagedPath) = name
-            out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
-              stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
-          }
-        }
+      listed.foreach { case (partition, id, st) =>
+        val isDelta = deltaGroups.contains(id)
+        val name = id + "_" + instantTs +
+          (if (isDelta) table.config.deltaFileSuffix else table.config.baseFileSuffix)
+        val stagedPath = st.getPath.toUri.getPath
+        val stats = counts.getOrElse(stagedPath, FileStats(0L, "", ""))
+        renames += ((st.getPath, table.storage.dataFilePath(partition, name)))
+        nameByPath(stagedPath) = name
+        out += WriteFileInfo(partition, id, name, stats.records, st.getLen, isDelta,
+          stats.minKey, stats.maxKey, stats.colStats, stats.colNulls)
       }
       // sidecar first: its job may recompute from the staged files, which
       // the renames below move away
-      writeBloomSidecarMapped(spark, table.storage, instantTs, staged, nameByPath.toMap)
-      executeRenames(spark, table.storage, renames.toSeq)
+      phase("bloom-sidecar")(
+        writeBloomSidecarMapped(spark, table.storage, instantTs, staged, nameByPath.toMap))
+      phase("publish-renames")(
+        executeRenames(spark, table.storage, renames.toSeq))
     } finally staged.done() // also on a listing/rename throw — no cache leak
     out.toSeq
   }
@@ -1650,7 +1694,12 @@ object GraftWriteClient {
 
   /** fileId = basename up to the first '_' (fileIds contain no '_'). */
   def fileIdOfInputFile: Column =
-    regexp_extract(input_file_name(), "([^/_]+)_[^/]*$", 1)
+    // substring arithmetic, not a regexp: this runs per ROW in every
+    // index/merge scan, and `{fileId}_{instant}{suffix}` basenames (fileId
+    // never contains '_') make "text before the first '_' of the
+    // basename" exactly the `([^/_]+)_[^/]*$` capture at a fraction of
+    // the per-row cost
+    substring_index(substring_index(input_file_name(), "/", -1), "_", 1)
 
   /** File-group id of a SCANNED row, total over internal AND
     * metadata-only-bootstrapped files. Internal files encode the group in
@@ -1664,7 +1713,7 @@ object GraftWriteClient {
     */
   def fileIdOfScan: Column =
     when(col(MetaColumns.FileName).isNotNull && col(MetaColumns.FileName) =!= "",
-      regexp_extract(col(MetaColumns.FileName), "^([^_]+)_", 1))
+      substring_index(col(MetaColumns.FileName), "_", 1))
       .otherwise(fileIdOfInputFile)
 
   def newFileId(instantTs: String, seq: Int): String =
@@ -1687,13 +1736,17 @@ object GraftWriteClient {
       colNulls: Map[String, Long] = Map.empty)
 
   /** Result of the staged-stats job: small per-file stats collected to
-    * the driver, plus (when bloom indexing is on) a persisted
-    * `(_path, bloom)` frame holding the serialized key blooms on the
-    * executors. Call [[StagedStats.done]] after the sidecar is written.
+    * the driver, plus the serialized key blooms in one of two homes —
+    * `driverBlooms` (small commits: collected in the SAME job as the
+    * stats, sidecar written driver-side, zero extra Spark actions) or a
+    * persisted `(_path, bloom)` frame on the executors (large commits:
+    * the bytes never visit the driver). Call [[StagedStats.done]] after
+    * the sidecar is written.
     */
   final case class StagedStats(
       counts: Map[String, FileStats],
-      blooms: Option[org.apache.spark.sql.DataFrame]) {
+      blooms: Option[org.apache.spark.sql.DataFrame],
+      driverBlooms: Map[String, Array[Byte]] = Map.empty) {
     def done(): Unit = blooms.foreach(_.unpersist(blocking = false))
   }
 
@@ -1797,7 +1850,10 @@ object GraftWriteClient {
     * sidecar straight from the staged-stats frame. Runs BEFORE the
     * publish renames so a cache-evicted partition can still recompute
     * from the staged files; an aborted commit's sidecar is swept by
-    * rollback with the rest of the instant.
+    * rollback with the rest of the instant. Small commits whose blooms
+    * were collected inline (StagedStats.driverBlooms) write the sidecar
+    * parquet DRIVER-SIDE — zero Spark actions, the per-commit sidecar of
+    * a trickle write costs one file create instead of a job + planning.
     */
   def writeBloomSidecarMapped(
       spark: org.apache.spark.sql.SparkSession,
@@ -1805,7 +1861,13 @@ object GraftWriteClient {
       instantTs: String,
       stats: StagedStats,
       nameByPath: Map[String, String]): Unit =
-    stats.blooms.foreach { b =>
+    if (stats.driverBlooms.nonEmpty) {
+      val entries = nameByPath.toSeq.sortBy(_._2).flatMap { case (p, name) =>
+        stats.driverBlooms.get(p).map(name -> _)
+      }
+      if (entries.nonEmpty)
+        writeBloomSidecarDriver(storage, instantTs, entries)
+    } else stats.blooms.foreach { b =>
       if (nameByPath.nonEmpty) {
         val nm = spark.createDataFrame(nameByPath.toSeq).toDF("_path", "file_name")
         writeBloomSidecar(storage, instantTs,
@@ -1813,6 +1875,63 @@ object GraftWriteClient {
           nameByPath.size)
       }
     }
+
+  /** Driver-side sidecar write (parquet via parquet-hadoop's example
+    * writer — same layout/read path as the distributed form: columns
+    * (file_name, bloom), uncompressed, no dictionary). For the common
+    * small commit this replaces a Spark job (broadcast join + coalesce +
+    * parquet write) with one sequential file create.
+    */
+  def writeBloomSidecarDriver(
+      storage: graft.core.GraftStorage,
+      instantTs: String,
+      entries: Seq[(String, Array[Byte])]): Unit = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.{ExampleParquetWriter, GroupWriteSupport}
+    import org.apache.parquet.hadoop.metadata.CompressionCodecName
+    import org.apache.parquet.schema.MessageTypeParser
+    val schema = MessageTypeParser.parseMessageType(
+      "message spark_schema { optional binary file_name (UTF8); " +
+        "optional binary bloom; }")
+    val conf = new org.apache.hadoop.conf.Configuration(storage.conf)
+    GroupWriteSupport.setSchema(schema, conf)
+    val dir = storage.bloomSidecar(instantTs)
+    if (!storage.fs.exists(dir)) storage.fs.mkdirs(dir)
+    val file = new Path(dir, "part-00000.parquet")
+    if (storage.fs.exists(file)) storage.fs.delete(file, false)
+    val writer = ExampleParquetWriter.builder(
+        org.apache.parquet.hadoop.util.HadoopOutputFile.fromPath(file, conf))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.UNCOMPRESSED)
+      .withDictionaryEncoding(false)
+      .build()
+    val factory = new SimpleGroupFactory(schema)
+    try entries.foreach { case (name, bytes) =>
+      val g = factory.newGroup()
+      g.add("file_name", name)
+      g.add("bloom", org.apache.parquet.io.api.Binary.fromConstantByteArray(bytes))
+      writer.write(g)
+    } finally writer.close()
+  }
+
+  /** Serialized size of one key bloom at the given sizing — the
+    * publish-path gate deciding whether a commit's blooms may be
+    * collected to the driver (files × this ≤ [[DriverBloomCollectMaxBytes]]).
+    */
+  def bloomBytesOf(expected: Long, fpp: Double): Long = {
+    // spark's sketch sizing: optimal bits = -n ln(p) / (ln 2)^2, rounded
+    // up to a multiple of 64; + 12 bytes of header (version, hashes, len)
+    val bits = math.ceil(
+      -expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong
+    val words = (bits + 63) / 64
+    words * 8 + 16
+  }
+
+  /** Ceiling on bloom bytes collected to the DRIVER at publish time
+    * (small-commit fast path); past it the bytes stay executor-resident
+    * and the sidecar is written distributed.
+    */
+  val DriverBloomCollectMaxBytes: Long = 32L * 1024 * 1024
 
   /** Ceiling on bloom bytes loaded to the driver for a probe. Past this
     * the broadcast costs more than the scans it might save, so callers
@@ -1839,22 +1958,38 @@ object GraftWriteClient {
     val instants = fileNames
       .map(graft.core.FileSystemView.instantOfFileName).distinct
     val sidecarDirs = instants.map(storage.bloomSidecar).filter(storage.exists)
-    val paths = sidecarDirs.map(_.toString)
-    if (paths.isEmpty) return Map.empty
+    if (sidecarDirs.isEmpty) return Map.empty
     val sidecarBytes = sidecarDirs
       .map(d => storage.fs.getContentSummary(d).getLength).sum
     if (sidecarBytes > maxBytes) return Map.empty
     val wanted = fileNames.toSet
-    // push the name filter only while the literal list stays plan-sized;
-    // large candidate sets read the (small) sidecars whole and filter
-    // after collect
-    val sidecars = spark.read.parquet(paths: _*)
-    val filtered =
-      if (fileNames.size <= 1000) sidecars.filter(col("file_name").isin(fileNames: _*))
-      else sidecars
-    filtered.collect()
-      .map(r => r.getString(0) -> r.getAs[Array[Byte]](1))
-      .toMap.filter { case (n, _) => wanted(n) }
+    // Driver-side parquet read: the result is collected to the driver
+    // either way (that is what a bloom probe IS), and the size gate above
+    // already bounds the bytes — so read the row groups directly instead
+    // of launching a Spark job (scan + collect + its planning) per probe.
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val out = scala.collection.mutable.Map[String, Array[Byte]]()
+    sidecarDirs.foreach { dir =>
+      storage.fs.listStatus(dir)
+        .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+        .foreach { st =>
+          val reader = ParquetReader
+            .builder(new GroupReadSupport(), st.getPath)
+            .withConf(storage.conf)
+            .build()
+          try {
+            var g = reader.read()
+            while (g != null) {
+              val name = g.getString("file_name", 0)
+              if (wanted(name))
+                out(name) = g.getBinary("bloom", 0).getBytes
+              g = reader.read()
+            }
+          } finally reader.close()
+        }
+    }
+    out.toMap
   }
 
   /** a <= b under unsigned UTF-8 byte order — the ordering Spark's
@@ -1891,7 +2026,8 @@ object GraftWriteClient {
       bloomExpected: Long = 0L,
       bloomFpp: Double = 0.01,
       statsColumns: Seq[String] = Seq.empty,
-      format: String = "parquet"): StagedStats =
+      format: String = "parquet",
+      collectBlooms: Boolean = false): StagedStats =
     try {
       // recursiveFileLookup: the stats job keys by file PATH, never by the
       // staging partition columns — skip partition inference entirely. An
@@ -1909,24 +2045,31 @@ object GraftWriteClient {
       val aggs = base ++ bloomAggs ++ statAggsOf(statFields)
       val agg = df.groupBy(input_file_name().as("_f"))
         .agg(aggs.head, aggs.tail: _*)
-      // With blooms on, the aggregate is persisted and the driver collects
-      // only the SMALL columns — the bloom bytes stay executor-resident in
-      // the returned frame and flow straight into the sidecar write. A
-      // 1500-file bulk insert at cluster scale would otherwise funnel
-      // files × bloomKB through driver memory and back out inside a
-      // LocalTableScan task binary.
+      // Bloom home, decided by the CALLER from the staged file count
+      // (collectBlooms): small commits collect the bloom bytes in the
+      // SAME action as the stats — no persist, no second job, the
+      // sidecar is then written driver-side. Large commits keep the
+      // bytes executor-resident in a persisted frame — a 1500-file bulk
+      // insert at cluster scale must not funnel files × bloomKB through
+      // driver memory and back out inside a LocalTableScan task binary.
+      val inlineBlooms = bloomAggs.nonEmpty && collectBlooms
       val cached =
-        if (bloomAggs.isEmpty) None
+        if (bloomAggs.isEmpty || inlineBlooms) None
         else Some(agg.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // row layout of the collect: 0 = the groupBy key (_f), then the
-      // base aggs, then the stat aggs — `_bf` is never collected
-      val statsStart = 1 + base.size
+      // base aggs, then (only when collected inline) `_bf`, then the
+      // stat aggs
+      val bloomAt = if (inlineBlooms) Some(1 + base.size) else None
+      val statsStart = 1 + base.size + (if (inlineBlooms) 1 else 0)
+      val driverBlooms = scala.collection.mutable.Map[String, Array[Byte]]()
       val counts = try cached.map(_.drop("_bf")).getOrElse(agg)
         .collect()
         .map { r =>
           val records = r.getLong(1)
           val (colStats, colNulls) = decodeColStats(r, statsStart, statFields, records)
-          decodedPath(r.getString(0)) ->
+          val path = decodedPath(r.getString(0))
+          bloomAt.foreach(i => driverBlooms(path) = r.getAs[Array[Byte]](i))
+          path ->
             FileStats(records, Option(r.getString(2)).getOrElse(""),
               Option(r.getString(3)).getOrElse(""), colStats, colNulls)
         }
@@ -1939,7 +2082,7 @@ object GraftWriteClient {
         val dec = udf((s: String) => decodedPath(s))
         c.select(dec(col("_f")).as("_path"), col("_bf").as("bloom"))
       }
-      StagedStats(counts, blooms)
+      StagedStats(counts, blooms, driverBlooms.toMap)
     } catch {
       case e: org.apache.spark.sql.AnalysisException
         if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") ||
