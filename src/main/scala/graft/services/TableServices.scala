@@ -489,7 +489,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       }
 
       claim.ensureLive()
-      val written = phase("compact-publish")(publishCompacted(staging, ts))
+      val written = phase("compact-publish")(
+        publishCompacted(staging, ts, pinnedSchema))
       TableServices.prePublishHook()
       val publishedMeta = withCommitLock {
         // plan liveness, re-checked under the lock: a rollback/restore
@@ -586,7 +587,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     } finally claim.close()
   }
 
-  private def publishCompacted(staging: Path, ts: String): Seq[WriteFileInfo] = {
+  private def publishCompacted(
+      staging: Path, ts: String,
+      pinnedDataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
@@ -616,7 +620,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val staged = GraftWriteClient.stagedFileStats(spark, staging,
       bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat, collectBlooms)
+      table.config.baseFileFormat, collectBlooms,
+      // the staged files came out of scans pinned to this schema (column
+      // order may differ between merge plans; parquet resolves by name)
+      pinnedDataSchema.map(graft.GraftTable.fileSchemaOf))
     val counts = staged.counts
     try {
       listed.foreach { case (partition, fileId, st) =>
@@ -741,7 +748,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val ts = planTs
     val paths = chosen.flatMap(s => s.base.map(f =>
       table.resolveDataPath(s.partition, f)))
-    val df = table.readDataFiles(paths)
+    // ONE schema snapshot for the scan and the publish-time stats read
+    // (same pin discipline as executeCompaction)
+    val pinnedSchema = table.storedDataSchema
+    val df = table.readDataFiles(paths, pinnedSchema)
     val sortCols =
       if (plan.sortColumns.nonEmpty) plan.sortColumns.map(col)
       else Seq(col(MetaColumns.RecordKey))
@@ -763,7 +773,7 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         .save(staging.toString)
 
       claim.ensureLive()
-      val written = publishUngrouped(staging, ts)
+      val written = publishUngrouped(staging, ts, pinnedSchema)
       TableServices.prePublishHook()
       val publishedMeta = withCommitLock {
         // same plan-liveness re-check as executeCompaction: a concurrent
@@ -815,7 +825,10 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     } finally claim.close()
   }
 
-  private def publishUngrouped(staging: Path, ts: String): Seq[WriteFileInfo] = {
+  private def publishUngrouped(
+      staging: Path, ts: String,
+      pinnedDataSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
@@ -845,7 +858,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val staged = GraftWriteClient.stagedFileStats(spark, staging,
       bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat, collectBlooms)
+      table.config.baseFileFormat, collectBlooms,
+      pinnedDataSchema.map(graft.GraftTable.fileSchemaOf))
     val counts = staged.counts
     try {
       listed.foreach { case (partition, fileId, st) =>

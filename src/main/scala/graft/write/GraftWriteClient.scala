@@ -468,21 +468,25 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         if (deleteMarker.isDefined)
           prepared0.withColumn(MetaColumns.IsDeleted, col(ColDeleteFlag)).drop(ColDeleteFlag)
         else prepared0
-      // Tagged writes consume the incoming batch TWICE — the stats/bloom
-      // probe pass and the tag join — so cache it for the write's
-      // duration: the source (often a parquet scan behind an upstream
-      // pipeline) is scanned once, the keygen/meta expressions evaluate
-      // once, and the second consumption is a block read. MEMORY_AND_DISK
-      // keeps big batches spill-safe; unpersisted in the finally below.
-      // Untagged inserts consume the batch once — caching would be pure
-      // overhead there.
-      val prepared =
-        if (tag) prepared1.persist(StorageLevel.MEMORY_AND_DISK)
-        else prepared1
+      val prepared = prepared1
 
-      val deduped =
+      // Tagged writes consume the batch several times — the stats pass,
+      // the (optional) bloom probe and the tag join — so cache it for the
+      // write's duration: the source pipeline runs once and every later
+      // consumption is a block read. The cache sits AFTER the pre-combine
+      // shuffle on purpose: post-shuffle the batch is partitioned at
+      // cluster parallelism, so downstream maps never serialize on the
+      // source's input-split count (a single-file batch otherwise runs
+      // every pass on one task), and the cached set is the smaller
+      // deduped one. MEMORY_AND_DISK keeps big batches spill-safe;
+      // unpersisted in the finally below. Untagged inserts consume the
+      // batch once — caching would be pure overhead there.
+      val deduped0 =
         if (dedupIncoming) dedupByKey(prepared, dataCols)
         else prepared
+      val deduped =
+        if (tag) deduped0.persist(StorageLevel.MEMORY_AND_DISK)
+        else deduped0
 
       // ---- index tag: partition-scoped key join, range-pruned to the
       // files whose commit-recorded key range can intersect the batch
@@ -490,17 +494,18 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // SparkHoodieBloomIndex.java:110-140 for the range prune).
       // Global mode joins on the key alone and routes partition moves
       // (ref: SparkHoodieGlobalSimpleIndex.java). ----
-      // the bloom probe AND the bounds stats use the PRE-dedup frame:
-      // same distinct key set and identical per-partition [min,max]
-      // (dedup only drops duplicate keys), so neither pays the
-      // pre-combine window shuffle — a plain scan + partial agg instead.
-      // The count is then an upper bound, which only makes the bloom
-      // density gate more conservative.
+      // the bloom probe AND the bounds stats run over the CACHED deduped
+      // frame: dedup keeps at least one row per (partition, key), so the
+      // distinct key set and the per-partition [min,max] are identical to
+      // the raw batch's — and the stats action doubles as the cache
+      // materialization. The count becomes the exact distinct-key count
+      // (previously a raw-row upper bound), which only sharpens the bloom
+      // density gate.
       val tagged0 =
-        if (tag && wc.globalIndex) tagGlobal(deduped, prepared, deleteOp)
+        if (tag && wc.globalIndex) tagGlobal(deduped, deduped, deleteOp)
         else if (tag) {
-          val (bounds, nIncoming) = phase("incoming-stats")(incomingStats(prepared))
-          val idx = keyIndex(Some(prepared), Some(bounds), nIncoming = nIncoming)
+          val (bounds, nIncoming) = phase("incoming-stats")(incomingStats(deduped))
+          val idx = keyIndex(Some(deduped), Some(bounds), nIncoming = nIncoming)
           deduped.join(idx, Seq(ColKey, ColPart), "left")
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
       // deletes for keys that don't exist are no-ops
@@ -676,7 +681,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           stageGrouped(df, dataCols, instant.ts, deltaGroups,
             overwrite = shuffleStageEmpty)))
         val written = phase("publish+stats")(publishStaged(
-          stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups))
+          stagingDir(instant.ts), instant.ts, groupedByFile = true, deltaGroups,
+          Some(graft.GraftTable.fileSchemaOf(dataSchema))))
         // A rewritten COW group where every row was tombstoned produces no
         // replacement file; record it as replaced so the old base version
         // is hidden from readers (the reference always emits a new file
@@ -695,7 +701,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
             profile.map(_.getLong(2)).sum.toString))
       } finally {
         tagged.unpersist()
-        if (tag) prepared.unpersist()
+        if (tag) deduped.unpersist()
       }
     } catch {
       case e: Throwable => abort(instant); throw e
@@ -1199,11 +1205,10 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     */
   private def tagGlobal(
       deduped: DataFrame, probe: DataFrame, deleteOp: Boolean): DataFrame = {
-    // bounds/count from the PRE-dedup frame, like the non-global branch:
-    // dedup never changes the key min/max, and computing them from
-    // `deduped` would execute the pre-combine aggregate as its own extra
-    // job (the count is then an upper bound — only makes the bloom
-    // density gate more conservative)
+    // bounds/count from the CACHED deduped frame, like the non-global
+    // branch: dedup never changes the key min/max, and the stats action
+    // doubles as the cache materialization (post-shuffle partitioning,
+    // exact distinct-key count for the bloom density gate)
     val (gBounds, nIncoming) = globalBounds(probe)
     val idx = keyIndex(Some(probe), Some(gBounds), global = true,
       nIncoming = nIncoming)
@@ -1556,15 +1561,17 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       recordsPerFile: Long): Seq[WriteFileInfo] = {
     val staging = stagingDir(instantTs)
     val fileCols = MetaColumns.All :+ MetaColumns.IsDeleted
-    df.withColumn(StagePartCol, col(ColPart))
+    val out = df.withColumn(StagePartCol, col(ColPart))
       .select((fileCols ++ dataCols ++ Seq(StagePartCol)).map(col): _*)
-      .write
+    out.write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", recordsPerFile)
       .partitionBy(StagePartCol)
       .format(table.config.baseFileFormat)
       .save(staging.toString)
-    publishStaged(staging, instantTs, groupedByFile = false, Set.empty)
+    publishStaged(staging, instantTs, groupedByFile = false, Set.empty,
+      Some(org.apache.spark.sql.types.StructType(
+        out.schema.filterNot(_.name == StagePartCol))))
   }
 
   /** Move staged files into the table layout with their final
@@ -1580,7 +1587,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       staging: Path,
       instantTs: String,
       groupedByFile: Boolean,
-      deltaGroups: Set[String]): Seq[WriteFileInfo] = {
+      deltaGroups: Set[String],
+      stagedFileSchema: Option[org.apache.spark.sql.types.StructType] = None)
+      : Seq[WriteFileInfo] = {
     val fs = table.storage.fs
     if (!fs.exists(staging)) return Seq.empty
     // LISTING FIRST (pure FS metadata): the staged file count gates
@@ -1626,7 +1635,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       bloomExpected, wc.bloomFpp,
       // staged files carry physical names; accept logical config too
       wc.colStatsColumns.map(table.physicalNameOf),
-      table.config.baseFileFormat, collectBlooms))
+      table.config.baseFileFormat, collectBlooms, stagedFileSchema))
     val counts = staged.counts
     val out = scala.collection.mutable.ArrayBuffer[WriteFileInfo]()
     val renames = scala.collection.mutable.ArrayBuffer[(Path, Path)]()
@@ -2027,15 +2036,21 @@ object GraftWriteClient {
       bloomFpp: Double = 0.01,
       statsColumns: Seq[String] = Seq.empty,
       format: String = "parquet",
-      collectBlooms: Boolean = false): StagedStats =
+      collectBlooms: Boolean = false,
+      fileSchema: Option[org.apache.spark.sql.types.StructType] = None): StagedStats =
     try {
       // recursiveFileLookup: the stats job keys by file PATH, never by the
       // staging partition columns — skip partition inference entirely. An
       // all-null stage value (unpartitioned table → __HIVE_DEFAULT_
       // PARTITION__) would otherwise infer `_gp: void`, which the ORC
       // reader rejects in its read schema.
-      val df = spark.read.format(format)
-        .option("recursiveFileLookup", "true").load(staging.toString)
+      // fileSchema: the writer KNOWS the staged files' schema (it just
+      // wrote them) — pinning it skips the footer-sampling inference pass
+      // on every publish.
+      val reader0 = spark.read.format(format)
+        .option("recursiveFileLookup", "true")
+      val df = fileSchema.map(reader0.schema).getOrElse(reader0)
+        .load(staging.toString)
       val statFields = resolveStatFields(df.schema, statsColumns)
       val base = Seq(
         count(lit(1)).as("_n"),
