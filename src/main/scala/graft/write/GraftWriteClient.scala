@@ -71,10 +71,36 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
 
   /** Deterministic content-hash tiebreak so merges are reproducible even
     * when ordering values collide (monotonically_increasing_id is not
-    * stable across plans, so it is never used for ordering).
+    * stable across plans, so it is never used for ordering). Columns are
+    * hashed NATIVELY — this expression evaluates per row under every
+    * merge window and pre-combine aggregate, and rendering each column
+    * to a string first (decimal/date/timestamp formatting) multiplied
+    * the per-row cost several-fold. Only map-bearing columns still cast
+    * to string: Spark's xxhash64 rejects map inputs (undefined entry
+    * order). Hash VALUES differ from the former string-cast form, but
+    * the tiebreak only decides between rows whose key, ordering value
+    * and commit all collide — where no declared semantics (and no
+    * cross-engine oracle, which cannot evaluate xxhash64) depends on
+    * which duplicate wins; determinism is what matters, and native
+    * hashing is just as deterministic.
     */
-  private def tiebreakExpr(dataCols: Seq[String]): Column =
-    xxhash64(dataCols.map(c => col(c).cast("string")): _*)
+  private def tiebreakExpr(dataCols: Seq[String]): Column = {
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      table.storedDataSchema
+        .map(_.fields.map(f => f.name -> f.dataType).toMap)
+        .getOrElse(Map.empty)
+    def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+      case _: org.apache.spark.sql.types.MapType => true
+      case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
+      case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
+      case _ => false
+    }
+    xxhash64(dataCols.map { c =>
+      // unknown type (no stored schema yet) falls back to the safe cast
+      if (types.get(c).exists(dt => !hasMap(dt))) col(c)
+      else col(c).cast("string")
+    }: _*)
+  }
 
   /** Merge precedence for latest-wins row picking, highest first.
     * "overwrite_latest" = incoming always beats stored
@@ -730,6 +756,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val recordsPerFile = math.max(1L, wc.targetFileSizeBytes / avgSize)
       val n = if (wc.parallelism > 0) wc.parallelism else spark.sparkContext.defaultParallelism
 
+      // The global sort's RangePartitioner samples its input with an
+      // extra pass before the shuffle pass. Deliberately NOT cached:
+      // measured at sf0.1 (r18), persisting the prepared batch to make
+      // the sampler's pass double as a materialization was a net LOSS
+      // (~1 s/load) — the deserialized block write costs more than
+      // re-running the columnar scan, and at cluster scale the gap only
+      // widens. The two-pass shape is the price of a total-order layout.
       // (ref: bulk-insert sort modes, BulkInsertSortMode.java:24-29 and
       // GlobalSortPartitionerWithRows / PartitionSortPartitionerWithRows)
       val sorted = wc.bulkInsertSortMode match {
@@ -1159,8 +1192,11 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     df.withColumn(ColKey, keyExpr)
       .withColumn(ColPart, partExpr)
       .withColumn(MetaColumns.CommitTime, lit(instantTs))
+      // lpad, not format_string("%019d", …): identical output for the
+      // non-negative id, without a java.util.Formatter per row
       .withColumn(MetaColumns.CommitSeqno,
-        concat(lit(instantTs + "_"), format_string("%019d", monotonically_increasing_id())))
+        concat(lit(instantTs + "_"),
+          lpad(monotonically_increasing_id().cast("string"), 19, "0")))
       .withColumn(MetaColumns.RecordKey, col(ColKey))
       .withColumn(MetaColumns.PartitionPath, col(ColPart))
       .withColumn(MetaColumns.FileName, lit(""))
