@@ -267,16 +267,23 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // latest row per user as ONE hash aggregate (max_by on the (ts,
+    // event_id) ordering struct) instead of a window + filter: the
+    // partial aggregate combines map-side, so the shuffle carries one
+    // row per (map task, user) and no sort runs at all — the window
+    // formulation shuffled and SORTED every event. Same pick: max_by on
+    // struct(ts, event_id) = ORDER BY ts DESC, event_id DESC LIMIT 1 per
+    // user, on the RAW ts column (long nanos on old fixtures, native
+    // timestamp on new ones) so the DuckDB oracle matches bit-for-bit.
     "q_events_latest" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      // order by the RAW ts column (long nanos on old fixtures, native
-      // timestamp on new ones) — DuckDB reads the same file at the same
-      // precision, so the pick matches ORDER BY ts DESC bit-for-bit
-      val w = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
       events(s, dir)
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("event_type").as("last_event_type"), col("value").as("last_value"))
+        .groupBy("user_id")
+        .agg(max_by(
+          struct(col("event_type"), col("value")),
+          struct(col("ts"), col("event_id"))).as("_last"))
+        .select(col("user_id"),
+          col("_last.event_type").as("last_event_type"),
+          col("_last.value").as("last_value"))
     }),
 
     "q_events_sessions" -> ((s, dir) => {
@@ -1767,13 +1774,15 @@ object SparkEntry {
 
     "doc_fingerprint_dups" -> ((s, dir) => {
       // duplicate-content groups by 64-bit fingerprint: every doc whose
-      // normalized text appears more than once
+      // normalized text appears more than once. A map-side-combined
+      // count per fingerprint + a semi-join replaces the former
+      // window-count: the aggregate shuffles (fp, partial count) rows
+      // instead of every doc row, and nothing sorts.
       val docs = T(s, dir, "documents")
-        .withColumn("fp", TextFunctions.fingerprint(col("text")))
-      import org.apache.spark.sql.expressions.Window
-      docs.withColumn("n", count(lit(1)).over(Window.partitionBy("fp")))
-        .filter(col("n") > 1)
-        .select("doc_id")
+        .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select("fp")
+      docs.join(dupFps, Seq("fp"), "left_semi").select("doc_id")
     }),
 
     // benchmark decontamination: corpus docs sharing >= 3 distinct word

@@ -54,17 +54,29 @@ object TextFunctions {
   def bpeTokenCount(c: Column): Column =
     regexp_count(c, lit(BpeTokenPattern))
 
+  /** Count of the characters of `chars` in `c`, by deletion: length(c)
+    * minus the length with those characters translated away. One table-
+    * lookup pass per char — the regexp_count([class]) formulation walked
+    * the regex automaton per character, several times slower for plain
+    * character classes. Exactly equal to regexp_count(c, "[chars]").
+    */
+  private def charClassCount(c: Column, chars: String): Column =
+    length(c) - length(translate(c, chars, ""))
+
+  private val AsciiLetters =
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+
   /** ASCII-letter chars / total chars. */
   def alphaRatio(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z]")).cast("double") / greatest(length(c), lit(1))
+    charClassCount(c, AsciiLetters).cast("double") / greatest(length(c), lit(1))
 
   /** Punctuation chars / total chars. */
   def punctRatio(c: Column): Column =
-    regexp_count(c, lit("[.,;:!?]")).cast("double") / greatest(length(c), lit(1))
+    charClassCount(c, ".,;:!?").cast("double") / greatest(length(c), lit(1))
 
   /** Digit chars / total chars. */
   def digitRatio(c: Column): Column =
-    regexp_count(c, lit("[0-9]")).cast("double") / greatest(length(c), lit(1))
+    charClassCount(c, "0123456789").cast("double") / greatest(length(c), lit(1))
 
   private val enStops = Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was")
   private val deStops = Seq("der", "die", "und", "das", "nicht", "ist", "ein", "mit", "den", "von")

@@ -35,12 +35,15 @@ object Dedup {
     * (5 000 docs); cold runs of any variant cost 2.6-4.3 s.
     */
   def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(normText(col(textCol)))).orderBy(col(idCol))
-    // reserved internal name: a plain "_rn" would clobber (and then
-    // drop) a caller's same-named column
-    df.withColumn("_g_dedup_rn", row_number().over(w))
-      .filter(col("_g_dedup_rn") === 1)
-      .drop("_g_dedup_rn")
+    // ONE hash aggregate (min_by on the id) instead of a window +
+    // filter: the same single shuffle, but partial aggregation combines
+    // duplicates map-side and no per-partition sort runs — at corpus
+    // scale the window formulation sorted every row. Reserved internal
+    // names so same-named caller columns never clobber.
+    val cols = df.columns.toSeq
+    df.groupBy(md5(normText(col(textCol))).as("_g_dedup_fp"))
+      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_g_dedup_row"))
+      .select(cols.map(c => col("_g_dedup_row").getField(c).as(c)): _*)
   }
 
   /** (id, HASHED shingle-set array, set size) per document. Two

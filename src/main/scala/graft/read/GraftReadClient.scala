@@ -162,11 +162,22 @@ final class GraftReadClient(val table: GraftTable) {
     val mergedBase = graft.write.MergeKernel.broadcastWinner(
       base, dLatest, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
 
-    // 3. delta-only keys: anti-join against the NARROW base-key projection
+    // 3. delta-only keys. A direct anti-join against the base keys would
+    // let the planner SHUFFLE the (huge) base-key projection once its
+    // size estimate exceeds the broadcast threshold — at scale that is a
+    // full exchange of every merged group's keys to find a handful of
+    // delta inserts. Invert it: the base scan STREAMS through a
+    // broadcast semi-join against the (small, ≤ delta debt) delta keys,
+    // and the surviving matched keys — at most |delta keys| rows — come
+    // back as the broadcast side of the anti-join. Nothing base-sized
+    // ever shuffles.
+    val dKeys = dLatest.select(keyCols.map(col): _*)
+    val matchedKeys = base.select(keyCols.map(col): _*)
+      .join(broadcast(dKeys), keyCols, "left_semi")
     val inserts = dLatest
       .drop(graft.write.MergeKernel.TombBarrier,
         graft.write.MergeKernel.KillFloor, graft.write.MergeKernel.KillAny)
-      .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+      .join(broadcast(matchedKeys), keyCols, "left_anti")
 
     Some(dropTombstones(mergedBase.unionByName(inserts).drop(g)))
   }

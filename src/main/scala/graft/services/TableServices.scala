@@ -467,8 +467,14 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           table.config.payloadClass, "_g_rank", withBarrier = true,
           precombine = table.config.precombineField)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // same inverted shape as GraftReadClient.mergeDirtyGroups: the
+        // base keys stream through a broadcast semi against the (small)
+        // delta keys, so nothing base-sized ever shuffles at scale
+        val dKeys = dLatest.select(keyCols.map(col): _*)
+        val matchedKeys = base.select(keyCols.map(col): _*)
+          .join(broadcast(dKeys), keyCols, "left_semi")
         val insertGroupIds = dLatest
-          .join(base.select(keyCols.map(col): _*), keyCols, "left_anti")
+          .join(broadcast(matchedKeys), keyCols, "left_anti")
           .select(g).distinct().collect().map(_.getString(0)).toSet
         val (shufChosen, bcastChosen) =
           chosen.partition(s => insertGroupIds.contains(s.fileId))
