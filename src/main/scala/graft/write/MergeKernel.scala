@@ -124,9 +124,36 @@ private[graft] object MergeKernel {
         .filter(col(rankCol) === 1)
         .drop(rankCol, surv)
     } else if (payloadClass != "overwrite_non_defaults") {
-      df.withColumn(rankCol, row_number().over(w))
-        .filter(col(rankCol) === 1)
-        .drop(rankCol)
+      // Default payloads keep the whole newest row — when every ranking
+      // column is a plain `desc` (nulls last), that is exactly
+      // max_by(row, struct(rank children)): one hash aggregate whose
+      // partial combines map-side and which NEVER SORTS, where the
+      // window formulation sorted every partition. Struct comparison is
+      // field-lexicographic with nulls smallest, so a null ranking
+      // component loses the max — identical to desc_nulls_last. The
+      // aggregate requires the same ClusteredDistribution the window
+      // did (any caller-supplied (partition, group) clustering still
+      // satisfies it — no new shuffle). Mixed/ascending orderings (none
+      // today) keep the window fallback.
+      import org.apache.spark.sql.catalyst.expressions.{Descending, NullsLast, SortOrder}
+      import org.apache.spark.sql.graft.Shims
+      val sortOrders = order.map(Shims.expression).collect {
+        case so: SortOrder => so
+      }
+      val allDescNullsLast = sortOrders.length == order.length &&
+        sortOrders.forall(so =>
+          so.direction == Descending && so.nullOrdering == NullsLast)
+      if (allDescNullsLast) {
+        val ord = struct(sortOrders.map(so => Shims.column(so.child)): _*)
+        val cols = df.columns.toSeq
+        df.groupBy(partCols: _*)
+          .agg(max_by(struct(cols.map(col): _*), ord).as(rankCol))
+          .select(cols.map(c => col(rankCol).getField(c).as(c)): _*)
+      } else {
+        df.withColumn(rankCol, row_number().over(w))
+          .filter(col(rankCol) === 1)
+          .drop(rankCol)
+      }
     } else {
       val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
