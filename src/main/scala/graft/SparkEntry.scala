@@ -1897,17 +1897,18 @@ object SparkEntry {
     // must equal the exact brute-force top-50 the oracle computes.
     "emb_ivf_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      // one TakeOrdered action (the row with the smallest vec_id) instead
-      // of a full-scan min() agg followed by a filter scan — same row,
-      // half the driver actions
-      val qRow = emb.orderBy("vec_id").select("embedding").head
-      val qf = qRow.getSeq[Float](0)
-      val q = qf.map(_.toDouble).toSeq
+      // ONE TakeOrdered action serves both the centroid seeds and the
+      // query vector: the seeds are the 16 smallest-vec_id embeddings,
+      // so seeds.head IS the min-vec_id embedding the query needs
+      // (float→double→float round-trips exactly). Previously this was a
+      // separate min+filter (then TakeOrdered) pass over the corpus.
+      val seeds = Similarity.seedCentroids(emb, "embedding", "vec_id", 16)
+      val q = seeds.head
+      val qf = q.map(_.toFloat)
       val copies = s.range(60).select(
         (col("id") + lit(1000000L)).as("vec_id"),
         typedLit(qf).as("embedding"))
       val aug = emb.select("vec_id", "embedding").unionByName(copies)
-      val seeds = Similarity.seedCentroids(emb, "embedding", "vec_id", 16)
       val centroids = Similarity.lloydRefine(emb, "embedding", seeds, iters = 1)
       Similarity.ivfTopK(aug, "embedding", "vec_id", q, 50, centroids, nProbe = 2)
         .select("vec_id")

