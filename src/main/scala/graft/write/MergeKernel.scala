@@ -135,16 +135,10 @@ private[graft] object MergeKernel {
       // did (any caller-supplied (partition, group) clustering still
       // satisfies it — no new shuffle). Mixed/ascending orderings (none
       // today) keep the window fallback.
-      import org.apache.spark.sql.catalyst.expressions.{Descending, NullsLast, SortOrder}
-      import org.apache.spark.sql.graft.Shims
-      val sortOrders = order.map(Shims.expression).collect {
-        case so: SortOrder => so
-      }
-      val allDescNullsLast = sortOrders.length == order.length &&
-        sortOrders.forall(so =>
-          so.direction == Descending && so.nullOrdering == NullsLast)
-      if (allDescNullsLast) {
-        val ord = struct(sortOrders.map(so => Shims.column(so.child)): _*)
+      val rankChildren =
+        order.map(org.apache.spark.sql.graft.Shims.descNullsLastChild)
+      if (rankChildren.forall(_.isDefined)) {
+        val ord = struct(rankChildren.map(_.get): _*)
         val cols = df.columns.toSeq
         df.groupBy(partCols: _*)
           .agg(max_by(struct(cols.map(col): _*), ord).as(rankCol))

@@ -31,6 +31,19 @@ object Shims {
   def expression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
 
+  /** If `c` is a plain `desc` (nulls last) sort order, the ordered child
+    * column; None for any other shape. Lets callers rewrite a
+    * newest-first ranking as a max_by over the children (Spark 4 models
+    * sort order as a private[sql] ColumnNode, hence the shim).
+    */
+  def descNullsLastChild(c: Column): Option[Column] = c.node match {
+    case org.apache.spark.sql.internal.SortOrder(child,
+        org.apache.spark.sql.internal.SortOrder.Descending,
+        org.apache.spark.sql.internal.SortOrder.NullsLast, _) =>
+      Some(new Column(child))
+    case _ => None
+  }
+
   /** Rebind a streaming micro-batch DataFrame as a batch DataFrame so the
     * batch writer can run normal actions on it (the standard V1 sink
     * pattern — the incremental plan's rows are re-wrapped, not copied).
