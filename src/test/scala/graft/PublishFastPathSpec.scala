@@ -1,0 +1,120 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.{GraftTableConfig, GraftTableType, MetaColumns}
+import graft.write.{GraftWriteClient, MergeKernel, WriteConfig}
+
+/** Pins the r18 optimization internals:
+  *
+  *  - the bloom sidecar's two write homes agree: a small commit writes it
+  *    driver-side (parquet-hadoop, zero Spark actions) and a commit past
+  *    the driver budget writes it distributed — loadBlooms must read both
+  *    forms identically, and every bloom must answer for its file's keys;
+  *  - collapseVersions' max_by fast path: an all-desc-nulls-last ranking
+  *    plans NO Window operator and returns exactly the rows the window
+  *    formulation returns (bit-identical latest-wins pick).
+  */
+class PublishFastPathSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-publish-fastpath")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshCow(name: String, bloomEntries: Long): GraftTable =
+    GraftTable.create(spark,
+      Files.createTempDirectory(s"graft_${name}_").toString + "/t",
+      GraftTableConfig(tableName = name, tableType = GraftTableType.Cow,
+        recordKeyFields = Seq("o_orderkey"),
+        partitionFields = Seq("o_orderpriority"),
+        precombineField = Some("o_totalprice")))
+
+  private def orders =
+    spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+
+  test("driver-side sidecar write and load round-trip, blooms answer") {
+    val t = freshCow("sc_small", 4096)
+    // small commit: files x bloomBytes is far under the driver budget, so
+    // the sidecar must come out of the driver-side writer
+    new GraftWriteClient(t, WriteConfig(
+      targetFileSizeBytes = 4L * 1024 * 1024,
+      smallFileLimitBytes = 3L * 1024 * 1024,
+      defaultRecordSizeBytes = 64,
+      bloomExpectedEntries = 4096)).bulkInsert(orders)
+    val meta = t.timeline.metadataOf(t.timeline.completedData.last)
+    val names = meta.files.map(_.fileName)
+    assert(names.nonEmpty)
+    val blooms = GraftWriteClient.loadBlooms(spark, t.storage, names)
+    assert(blooms.keySet === names.toSet)
+    // every stored key must hit its own file's bloom (no false negatives)
+    val byFile = spark.read.parquet(
+      meta.files.map(f => t.storage.dataFilePath(f.partition, f.fileName).toString): _*)
+      .select(input_file_name().as("f"), col(MetaColumns.RecordKey).as("k"))
+      .collect()
+      .groupBy(r => GraftWriteClient.decodedPath(r.getString(0))
+        .split('/').last)
+      .view.mapValues(_.map(_.getString(1))).toMap
+    byFile.foreach { case (name, keys) =>
+      val bf = org.apache.spark.util.sketch.BloomFilter.readFrom(
+        new java.io.ByteArrayInputStream(blooms(name)))
+      keys.foreach(k => assert(bf.mightContainString(k), s"$name missed $k"))
+    }
+  }
+
+  test("oversized bloom budget falls back to the distributed sidecar write") {
+    // bloomExpectedEntries sized so ONE bloom already exceeds the driver
+    // budget: 32 MiB / ~9.6 bits-per-entry-at-1% → > ~28M entries
+    val entries = 40L * 1000 * 1000
+    assert(GraftWriteClient.bloomBytesOf(entries, 0.01) >
+      GraftWriteClient.DriverBloomCollectMaxBytes)
+    val t = freshCow("sc_big", entries)
+    new GraftWriteClient(t, WriteConfig(
+      bloomExpectedEntries = entries)).bulkInsert(orders.limit(500))
+    val meta = t.timeline.metadataOf(t.timeline.completedData.last)
+    val names = meta.files.map(_.fileName)
+    // the distributed path wrote a sidecar too, and it loads identically
+    // (cap raised: a 40M-entry bloom is ~46 MB on disk by design here)
+    val blooms = GraftWriteClient.loadBlooms(spark, t.storage, names,
+      maxBytes = 1L << 30)
+    assert(blooms.keySet === names.toSet)
+    assert(blooms.values.forall(_.length > 1000))
+  }
+
+  test("max_by collapse: no Window operator, window-identical rows") {
+    import spark.implicits._
+    // versions of 6 keys across 3 "commits", including null keys' absence
+    // and multiple versions per key
+    val df = Seq(
+      ("p1", "k1", "001", "a1"), ("p1", "k1", "002", "a2"), ("p1", "k1", "003", "a3"),
+      ("p1", "k2", "001", "b1"), ("p1", "k2", "003", "b3"),
+      ("p2", "k1", "002", "c2"),
+      ("p2", "k3", "001", "d1"), ("p2", "k3", "002", "d2"))
+      .toDF("part", "key", "commit", "payload")
+    val parts = Seq(col("part"), col("key"))
+    val fastOrder = Seq(col("commit").desc, col("payload").desc)
+    val fast = MergeKernel.collapseVersions(
+      df, parts, fastOrder, "overwrite_latest", "_g_rank")
+    assert(!fast.queryExecution.executedPlan.toString.contains("Window"),
+      "all-desc-nulls-last ranking must plan the max_by aggregate")
+    assert(fast.columns.toSeq === df.columns.toSeq)
+    // a desc_nulls_first ordering must keep the window fallback
+    val slow = MergeKernel.collapseVersions(
+      df, parts, Seq(col("commit").desc_nulls_first, col("payload").desc),
+      "overwrite_latest", "_g_rank")
+    assert(slow.queryExecution.executedPlan.toString.contains("Window"))
+    // and both pick the same latest-wins rows
+    val f = fast.orderBy("part", "key").collect().map(_.toSeq)
+    val s = slow.orderBy("part", "key").collect().map(_.toSeq)
+    assert(f.toSeq === s.toSeq)
+    assert(f.length === 4)
+    assert(f.map(_(3)).toSet === Set("a3", "b3", "c2", "d2"))
+  }
+}
