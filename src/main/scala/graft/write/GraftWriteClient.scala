@@ -84,21 +84,15 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * which duplicate wins; determinism is what matters, and native
     * hashing is just as deterministic.
     */
-  private def tiebreakExpr(dataCols: Seq[String]): Column = {
-    val types: Map[String, org.apache.spark.sql.types.DataType] =
-      table.storedDataSchema
-        .map(_.fields.map(f => f.name -> f.dataType).toMap)
-        .getOrElse(Map.empty)
+  private def tiebreakExpr(dataFields: Seq[org.apache.spark.sql.types.StructField]): Column = {
     def hasMap(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
       case _: org.apache.spark.sql.types.MapType => true
       case s: org.apache.spark.sql.types.StructType => s.fields.exists(f => hasMap(f.dataType))
       case a: org.apache.spark.sql.types.ArrayType => hasMap(a.elementType)
       case _ => false
     }
-    xxhash64(dataCols.map { c =>
-      // unknown type (no stored schema yet) falls back to the safe cast
-      if (types.get(c).exists(dt => !hasMap(dt))) col(c)
-      else col(c).cast("string")
+    xxhash64(dataFields.map { f =>
+      if (hasMap(f.dataType)) col(f.name).cast("string") else col(f.name)
     }: _*)
   }
 
@@ -108,10 +102,14 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * larger precombine wins even if stored
     * (ref: DefaultHoodieRecordPayload.java:55-75).
     */
-  private def mergeOrder(dataCols: Seq[String]): Seq[Column] = {
+  /** `dataFields` carry the batch's resolved types so the tiebreak never
+    * re-reads the stored schema (a timeline listing per call at
+    * object-store scale).
+    */
+  private def mergeOrder(dataFields: Seq[org.apache.spark.sql.types.StructField]): Seq[Column] = {
     val pc = cfg.precombineField.filter(_ => cfg.payloadClass == "event_time")
     pc.map(f => col(f).desc_nulls_last).toSeq ++
-      Seq(col(MetaColumns.CommitTime).desc, tiebreakExpr(dataCols).desc)
+      Seq(col(MetaColumns.CommitTime).desc, tiebreakExpr(dataFields).desc)
   }
 
   // =====================================================================
@@ -508,7 +506,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // unpersisted in the finally below. Untagged inserts consume the
       // batch once — caching would be pure overhead there.
       val deduped0 =
-        if (dedupIncoming) dedupByKey(prepared, dataCols)
+        if (dedupIncoming) dedupByKey(prepared, dataSchema.fields.toSeq)
         else prepared
       val deduped =
         if (tag) deduped0.persist(StorageLevel.MEMORY_AND_DISK)
@@ -672,7 +670,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           if (operation == "insert" || singleVersion) clustered
           else MergeKernel.collapseVersions(clustered,
             Seq(col(ColPart), col(ColTargetFile), col(ColKey)),
-            mergeOrder(dataCols), cfg.payloadClass, ColRank,
+            mergeOrder(dataSchema.fields.toSeq), cfg.payloadClass, ColRank,
             precombine = cfg.precombineField)
         val surviving =
           if (table.isMor) merged // tombstones live in deltas until compaction
@@ -1208,7 +1206,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * partitions are duplicates, not distinct records).
     * (ref: SparkWriteHelper.java:50-66 reduceByKey(preCombine))
     */
-  private def dedupByKey(df: DataFrame, dataCols: Seq[String]): DataFrame = {
+  private def dedupByKey(
+      df: DataFrame,
+      dataFields: Seq[org.apache.spark.sql.types.StructField]): DataFrame = {
     // Hash aggregate, not a window: partial (map-side) max_by combines
     // duplicates BEFORE the shuffle — the reference's reduceByKey shape —
     // and no sort runs at all. The ordering struct mirrors
@@ -1220,7 +1220,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       if (wc.globalIndex) Seq(ColKey) else Seq(ColPart, ColKey)
     val ordCol = struct(
       (cfg.precombineField.toSeq.flatMap(f =>
-        Seq(col(f).isNotNull, col(f))) :+ tiebreakExpr(dataCols)): _*)
+        Seq(col(f).isNotNull, col(f))) :+ tiebreakExpr(dataFields)): _*)
     val others = df.columns.filterNot(partKeys.contains).toSeq
     df.groupBy(partKeys.map(col): _*)
       .agg(max_by(struct(others.map(col): _*), ordCol).as("_g_row"))

@@ -26,6 +26,9 @@ class PublishFastPathSpec extends AnyFunSuite {
     .appName("graft-publish-fastpath")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
+    // getOrCreate() shares ONE session across suites in this JVM — the
+    // extension must be here or a later suite's SQL DDL tests lose it
+    .config("spark.sql.extensions", "graft.sql.GraftSparkSessionExtension")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
