@@ -126,15 +126,19 @@ private[graft] object MergeKernel {
     } else if (payloadClass != "overwrite_non_defaults") {
       // Default payloads keep the whole newest row — when every ranking
       // column is a plain `desc` (nulls last), that is exactly
-      // max_by(row, struct(rank children)): one hash aggregate whose
-      // partial combines map-side and which NEVER SORTS, where the
-      // window formulation sorted every partition. Struct comparison is
-      // field-lexicographic with nulls smallest, so a null ranking
-      // component loses the max — identical to desc_nulls_last. The
-      // aggregate requires the same ClusteredDistribution the window
-      // did (any caller-supplied (partition, group) clustering still
-      // satisfies it — no new shuffle). Mixed/ascending orderings (none
-      // today) keep the window fallback.
+      // max_by(row, struct(rank children)): one aggregate whose PARTIAL
+      // combines duplicates map-side, so the exchange carries one row
+      // per (task, key) instead of every version, and the rank columns
+      // drop out of the sort entirely (the struct-typed buffer plans as
+      // SortAggregate, which still orders by the GROUP key — the win is
+      // the map-side combine and the narrower sort, not zero sorting).
+      // Struct comparison is field-lexicographic with nulls smallest, so
+      // a null ranking component loses the max — identical to
+      // desc_nulls_last. The aggregate requires the same
+      // ClusteredDistribution the window did (any caller-supplied
+      // (partition, group) clustering still satisfies it — no new
+      // shuffle). Mixed/ascending orderings (none today) keep the window
+      // fallback.
       val rankChildren =
         order.map(org.apache.spark.sql.graft.Shims.descNullsLastChild)
       if (rankChildren.forall(_.isDefined)) {
