@@ -185,7 +185,19 @@ object Bench {
     val calMin = if (calib.nonEmpty) calib.min else -1.0
     val calWMed = if (calibW.nonEmpty) median(calibW) else -1.0
     val calWMin = if (calibW.nonEmpty) calibW.min else -1.0
-    println(s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"calibration":$calMed,"calibration_min":$calMin,"calibration_write":$calWMed,"calibration_write_min":$calWMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total_median","value":$totalMedian,"unit":"sec","reps":$reps,"total_min":$totalMin,"calibration":$calMed,"calibration_min":$calMin,"calibration_write":$calWMed,"calibration_write_min":$calWMin,"queries":${obj(median)},"queries_min":${obj(_.min)},"failed":$failed,"sf":"$sfDir"}"""
+    println(json)
+    // The same line, machine-readable: stdout passes through sbt's logger,
+    // which prefixes "[info] " and has broken downstream JSON parsing two
+    // rounds running. A plain file next to the run is prefix-proof.
+    // SPARK_GRAFT_BENCH_OUT overrides the path; never fatal.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (json + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }
