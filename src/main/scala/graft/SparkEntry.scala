@@ -1781,8 +1781,13 @@ object SparkEntry {
       val docs = T(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       val dupFps = docs.groupBy("fp").agg(count(lit(1)).as("n"))
-        .filter(col("n") > 1).select("fp")
-      docs.join(dupFps, Seq("fp"), "left_semi").select("doc_id")
+        .filter(col("n") > 1).select(col("fp").as("_dup_fp"))
+      // null-safe join: groupBy collects null fingerprints into one
+      // group, so a null-fp duplicate set must also survive the semi
+      // join (plain equality would silently drop it) — mirrors both the
+      // former window-count semantics and SQL GROUP BY
+      docs.join(dupFps, docs("fp") <=> dupFps("_dup_fp"), "left_semi")
+        .select("doc_id")
     }),
 
     // benchmark decontamination: corpus docs sharing >= 3 distinct word

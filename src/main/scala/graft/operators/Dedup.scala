@@ -41,8 +41,15 @@ object Dedup {
     // scale the window formulation sorted every row. Reserved internal
     // names so same-named caller columns never clobber.
     val cols = df.columns.toSeq
+    // ordering = (id IS NULL, id), not the bare id: min_by IGNORES rows
+    // whose ordering value is null, so a duplicate group with only
+    // null-id rows would return a null struct (a fabricated all-null
+    // output row) and a mixed group would silently skip its null-id
+    // rows. The struct is never null, non-null ids still win (false <
+    // true), and for all-non-null ids the pick is identical.
     df.groupBy(md5(normText(col(textCol))).as("_g_dedup_fp"))
-      .agg(min_by(struct(cols.map(col): _*), col(idCol)).as("_g_dedup_row"))
+      .agg(min_by(struct(cols.map(col): _*),
+        struct(col(idCol).isNull, col(idCol))).as("_g_dedup_row"))
       .select(cols.map(c => col("_g_dedup_row").getField(c).as(c)): _*)
   }
 

@@ -135,10 +135,18 @@ final class GraftReadClient(val table: GraftTable) {
     val basePaths = withDeltas.flatMap(s => s.base.map(f => basePath(s, f)))
     val deltaPaths = withDeltas.flatMap(s => s.deltas.map(f => basePath(s, f)))
     val deltaBytes = withDeltas.flatMap(_.deltas).map(_.bytes).sum
+    // The byte gate uses COMPRESSED file sizes, which can badly
+    // under-estimate the in-memory broadcast/driver footprint of highly
+    // compressible deltas (RLE'd columns) — the manifest row count is the
+    // second, expansion-proof valve on every delta-derived broadcast and
+    // on the driver materialization below. Files from commits predating
+    // record counts carry 0 and pass, same as the pre-gate behavior.
+    val deltaRows = withDeltas.flatMap(_.deltas).map(_.records).sum
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (deltaPaths.isEmpty)
       return readFiles(basePaths, pin).map(dropTombstones)
-    if (basePaths.isEmpty || budget <= 0 || deltaBytes > budget)
+    if (basePaths.isEmpty || budget <= 0 || deltaBytes > budget ||
+        deltaRows > GraftReadClient.maxBroadcastDeltaRows(spark))
       return readFiles(basePaths ++ deltaPaths, pin).map(mergeLatestPerGroup)
 
     val g = "_g_group"
@@ -153,9 +161,22 @@ final class GraftReadClient(val table: GraftTable) {
     // 1. latest delta row per key (small input: delta files only);
     // non-defaults payloads fold fields across delta versions and carry
     // the tombstone barrier for the join below
-    val dLatest = graft.write.MergeKernel.collapseVersions(
+    val dLatestPlan = graft.write.MergeKernel.collapseVersions(
       deltas, keyCols.map(col), mergeOrder(deltas), cfg.payloadClass,
       "_g_rank", withBarrier = true, precombine = cfg.precombineField)
+    // Materialize delta-latest ONCE, driver-side. The lazy plan fed THREE
+    // downstream subplans (the broadcastWinner build, the dKeys semi
+    // build, and the anti-join probe side), each re-scanning and
+    // re-collapsing the delta files per execution. The gates above
+    // already bound it to broadcast size — anything small enough to
+    // broadcast to every executor is small enough to hold once on the
+    // driver — so collect it into a LocalRelation: one delta scan total,
+    // and every downstream broadcast builds without a Spark job. Lifetime
+    // is the plan's own (GC'd with the returned frame) — no persist to
+    // leak out of a lazy read.
+    val dLatestRows = dLatestPlan.collect()
+    val dLatest = spark.createDataFrame(
+      java.util.Arrays.asList(dLatestRows: _*), dLatestPlan.schema)
 
     // 2. base rows stream through a broadcast join; per-column winner
     val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
@@ -167,10 +188,10 @@ final class GraftReadClient(val table: GraftTable) {
     // size estimate exceeds the broadcast threshold — at scale that is a
     // full exchange of every merged group's keys to find a handful of
     // delta inserts. Invert it: the base scan STREAMS through a
-    // broadcast semi-join against the (small, ≤ delta debt) delta keys,
-    // and the surviving matched keys — at most |delta keys| rows — come
-    // back as the broadcast side of the anti-join. Nothing base-sized
-    // ever shuffles.
+    // broadcast semi-join against the (small, ≤ delta debt, row-gated
+    // above) delta keys, and the surviving matched keys — at most
+    // |delta keys| rows — come back as the broadcast side of the
+    // anti-join. Nothing base-sized ever shuffles.
     val dKeys = dLatest.select(keyCols.map(col): _*)
     val matchedKeys = base.select(keyCols.map(col): _*)
       .join(broadcast(dKeys), keyCols, "left_semi")
@@ -591,6 +612,22 @@ final class GraftReadClient(val table: GraftTable) {
 }
 
 object GraftReadClient {
+  /** Row-count valve on the MOR broadcast-merge plan (and compaction's
+    * mirror of it): the byte gate reads compressed delta file sizes, so a
+    * highly compressible delta could pass it while its decoded rows blow
+    * the driver/executor broadcast budget — the old plan degraded to a
+    * shuffle there; a forced broadcast would OOM. 4M rows bounds the
+    * decoded footprint at a few hundred MB for ordinary row widths while
+    * leaving every sanely-compacted table on the broadcast path.
+    * Override per session with `spark.graft.read.maxBroadcastDeltaRows`.
+    */
+  val MaxBroadcastDeltaRowsDefault: Long = 4L * 1024 * 1024
+
+  private[graft] def maxBroadcastDeltaRows(
+      spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.read.maxBroadcastDeltaRows")
+      .map(_.toLong).getOrElse(MaxBroadcastDeltaRowsDefault)
+
   /** Lifetime contract of a reliable-checkpoint CDC frame: the returned
     * DataFrame lazily re-reads its cdc_ckpt_ chunk dirs, and any later
     * reliable read OR table clean reaps dirs older than this TTL.

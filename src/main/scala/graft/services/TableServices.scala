@@ -448,9 +448,13 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
       // their group's base rows and break the one-file-per-group write)
       // fall back to the clustered-window plan.
       val deltaBytes = chosen.flatMap(_.deltas).map(_.bytes).sum
+      // row-count valve on top of the compressed-byte gate — see
+      // GraftReadClient.MaxBroadcastDeltaRowsDefault for the rationale
+      val deltaRows = chosen.flatMap(_.deltas).map(_.records).sum
       val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
       val maxSplit = spark.sessionState.conf.filesMaxPartitionBytes
       val bcastOk = budget > 0 && deltaBytes <= budget &&
+        deltaRows <= graft.read.GraftReadClient.maxBroadcastDeltaRows(spark) &&
         chosen.forall(s => s.base.exists(_.bytes <= maxSplit))
       if (!bcastOk) {
         phase("compact-merge")(stage(windowMerged(chosen), overwrite = true))
@@ -462,20 +466,42 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           chosen.flatMap(s => s.deltas.map(f =>
             table.resolveDataPath(s.partition, f))), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
-        val dLatest = graft.write.MergeKernel.collapseVersions(
+        val dLatestPlan = graft.write.MergeKernel.collapseVersions(
           deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
           table.config.payloadClass, "_g_rank", withBarrier = true,
           precombine = table.config.precombineField)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // same inverted shape as GraftReadClient.mergeDirtyGroups: the
-        // base keys stream through a broadcast semi against the (small)
-        // delta keys, so nothing base-sized ever shuffles at scale
+        // Materialize delta-latest ONCE, driver-side (mirror of
+        // GraftReadClient.mergeDirtyGroups): bcastOk already bounds it to
+        // broadcast size, so a LocalRelation replaces the executor
+        // persist — one delta scan total, downstream broadcasts build
+        // without a Spark job, and no unpersist bookkeeping.
+        val dRows = dLatestPlan.collect()
+        val dLatest = spark.createDataFrame(
+          java.util.Arrays.asList(dRows: _*), dLatestPlan.schema)
         val dKeys = dLatest.select(keyCols.map(col): _*)
-        val matchedKeys = base.select(keyCols.map(col): _*)
-          .join(broadcast(dKeys), keyCols, "left_semi")
-        val insertGroupIds = dLatest
-          .join(broadcast(matchedKeys), keyCols, "left_anti")
-          .select(g).distinct().collect().map(_.getString(0)).toSet
+        // Insert probe, same inverted shape as mergeDirtyGroups: the base
+        // keys stream through a broadcast semi against the (small) delta
+        // keys, so nothing base-sized ever shuffles at scale. dLatest
+        // holds exactly one row per (partition, group, key), so "does any
+        // delta key miss the base" reduces per group to comparing the
+        // delta key count (known driver-side) with the count of DISTINCT
+        // base keys the semi lets through — the probe collects one row
+        // per dirty group instead of the matched key set.
+        val pIdx = dLatestPlan.schema.fieldIndex(MetaColumns.PartitionPath)
+        val gIdx = dLatestPlan.schema.fieldIndex(g)
+        val deltaKeyCount: Map[(String, String), Long] = dRows
+          .groupBy(r => (r.getString(pIdx), r.getString(gIdx)))
+          .view.mapValues(_.length.toLong).toMap
+        val matchedCount: Map[(String, String), Long] =
+          base.select(keyCols.map(col): _*)
+            .join(broadcast(dKeys), keyCols, "left_semi")
+            .groupBy(col(MetaColumns.PartitionPath), col(g))
+            .agg(count_distinct(col(MetaColumns.RecordKey)).as("_c"))
+            .collect()
+            .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        val insertGroupIds = deltaKeyCount.collect {
+          case ((p, gid), n) if matchedCount.getOrElse((p, gid), 0L) < n => gid
+        }.toSet
         val (shufChosen, bcastChosen) =
           chosen.partition(s => insertGroupIds.contains(s.fileId))
         val first =
@@ -491,7 +517,6 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
             false
           } else true
         if (shufChosen.nonEmpty) stage(windowMerged(shufChosen), overwrite = first)
-        dLatest.unpersist()
       }
 
       claim.ensureLive()

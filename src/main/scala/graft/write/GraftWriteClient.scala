@@ -455,7 +455,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       .withColumn(ColPart, partExpr)
     // pruning is sound for the anti-join too: a pruned file cannot
     // contain any incoming key, so it can never produce a match
-    val (bounds, nIncoming) = incomingStats(withKeys)
+    val (bounds, nIncoming, _) = incomingStats(withKeys)
     val idx = keyIndex(Some(withKeys), Some(bounds), nIncoming = nIncoming)
     withKeys.join(idx, Seq(ColKey, ColPart), "left_anti")
       .drop(ColKey, ColPart)
@@ -497,14 +497,20 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // Tagged writes consume the batch several times — the stats pass,
       // the (optional) bloom probe and the tag join — so cache it for the
       // write's duration: the source pipeline runs once and every later
-      // consumption is a block read. The cache sits AFTER the pre-combine
-      // shuffle on purpose: post-shuffle the batch is partitioned at
+      // consumption is a block read. When dedupIncoming is on (the normal
+      // upsert/delete shape) the cache additionally sits AFTER the
+      // pre-combine shuffle: post-shuffle the batch is partitioned at
       // cluster parallelism, so downstream maps never serialize on the
       // source's input-split count (a single-file batch otherwise runs
-      // every pass on one task), and the cached set is the smaller
-      // deduped one. MEMORY_AND_DISK keeps big batches spill-safe;
-      // unpersisted in the finally below. Untagged inserts consume the
-      // batch once — caching would be pure overhead there.
+      // every pass on one task), the cached set is the smaller deduped
+      // one, and the stats count below is the EXACT distinct-key count.
+      // With dedupIncoming=false (prepped writes, deduped by caller
+      // contract) the cached frame is the raw prepared batch — still one
+      // source pass, but pre-shuffle, and the stats count is a raw-row
+      // upper bound for the bloom density gate. MEMORY_AND_DISK keeps
+      // big batches spill-safe; unpersisted in the finally below.
+      // Untagged inserts consume the batch once — caching would be pure
+      // overhead there.
       val deduped0 =
         if (dedupIncoming) dedupByKey(prepared, dataSchema.fields.toSeq)
         else prepared
@@ -525,27 +531,70 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // materialization. The count becomes the exact distinct-key count
       // (previously a raw-row upper bound), which only sharpens the bloom
       // density gate.
+      var invertedMatches: Option[Array[Row]] = None
+      var statsPartCounts: Map[String, Long] = Map.empty
+      var statsTotal = 0L
       val tagged0 =
         if (tag && wc.globalIndex) tagGlobal(deduped, deduped, deleteOp)
         else if (tag) {
-          val (bounds, nIncoming) = phase("incoming-stats")(incomingStats(deduped))
-          val idx = keyIndex(Some(deduped), Some(bounds), nIncoming = nIncoming)
-          deduped.join(idx, Seq(ColKey, ColPart), "left")
+          val (bounds, nIncoming, partCounts) =
+            phase("incoming-stats")(incomingStats(deduped))
+          statsPartCounts = partCounts
+          statsTotal = nIncoming
+          val (df, m) = phase("tag-index")(tagByIndex(deduped, bounds, nIncoming))
+          invertedMatches = m
+          df
         } else deduped.withColumn(ColTargetFile, lit(null).cast("string"))
+      // The workload profile is DRIVER ARITHMETIC when the inverted tag
+      // join ran over a provably one-row-per-key batch: the matched
+      // (key, partition) → fileGroup pairs are already on the driver and
+      // incoming-stats carries the per-partition distinct-key counts, so
+      // the former tag+profile action (a full pass over the tagged join)
+      // contributes nothing the driver does not already hold.
+      val driverProfile = invertedMatches.isDefined && dedupIncoming
       // deletes for keys that don't exist are no-ops
-      val tagged = (if (deleteOp) tagged0.filter(col(ColTargetFile).isNotNull) else tagged0)
-        .persist(StorageLevel.MEMORY_AND_DISK)
+      val tagged1 =
+        if (deleteOp) tagged0.filter(col(ColTargetFile).isNotNull) else tagged0
+      // the persist existed for the profile action + write double
+      // consumption; with the driver profile the ONLY consumer is the
+      // write plan (whose branches recompute the cheap broadcast join
+      // from the cached deduped batch), so skip it there
+      val tagged =
+        if (driverProfile) tagged1
+        else tagged1.persist(StorageLevel.MEMORY_AND_DISK)
 
       try {
-        // ---- workload profile (one action; ref:
+        // ---- workload profile (driver-side when the inverted tag join
+        // already holds the matches; otherwise one action; ref:
         // BaseSparkCommitActionExecutor.java:148-180 countByKey) ----
-        val profile = phase("tag+profile")(
-          tagged.groupBy(ColPart, ColTargetFile).count().collect())
-        val insertCounts = profile
-          .filter(_.isNullAt(1))
-          .map(r => r.getString(0) -> r.getLong(2)).toMap
-        val updateGroups = profile.filterNot(_.isNullAt(1))
-          .map(r => (r.getString(0), r.getString(1))).toSet
+        // matches rows are (ColKey, ColPart, ColTargetFile)
+        val (insertCounts, updateGroups, updateCounts, incomingRecords) =
+          invertedMatches match {
+            case Some(m) if dedupIncoming =>
+              val uc = m.groupBy(r => (r.getString(1), r.getString(2)))
+                .view.mapValues(_.length.toLong).toMap
+              val matchedPerPart = m.groupBy(_.getString(1))
+                .view.mapValues(_.length.toLong).toMap
+              // partitions whose every key matched contribute no insert
+              // entry — same shape the profile action produced
+              val ic =
+                if (deleteOp) Map.empty[String, Long]
+                else statsPartCounts.flatMap { case (p, n) =>
+                  val ins = n - matchedPerPart.getOrElse(p, 0L)
+                  if (ins > 0) Some(p -> ins) else None
+                }
+              val inc = if (deleteOp) m.length.toLong else statsTotal
+              (ic, uc.keySet, uc, inc)
+            case _ =>
+              val profile = phase("tag+profile")(
+                tagged.groupBy(ColPart, ColTargetFile).count().collect())
+              val ic = profile
+                .filter(_.isNullAt(1))
+                .map(r => r.getString(0) -> r.getLong(2)).toMap
+              val uc = profile.filterNot(_.isNullAt(1))
+                .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+              (ic, uc.keySet, uc, profile.map(_.getLong(2)).sum)
+          }
 
         val view = table.view
         val avgSize = view.avgRecordSize(wc.defaultRecordSizeBytes)
@@ -595,9 +644,6 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         val baseBytes: Map[(String, String), Long] = rewriteGroups.toSeq
           .flatMap(g => sliceByGroup.get(g).flatMap(_.base).map(f => g -> f.bytes))
           .toMap
-        val updateCounts: Map[(String, String), Long] = profile
-          .filterNot(_.isNullAt(1))
-          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
         // The "cannot be split across scan tasks" bound is Spark's
         // EFFECTIVE maxSplitBytes, not maxPartitionBytes alone: with
         // high parallelism and few bytes, bytesPerCore shrinks the split
@@ -722,9 +768,9 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
         // (ref: hudi-cli StatsCommand write-amp = written / upserted)
         finishCommit(instant, operation, written, replaced = replacedMap, dataSchema,
           extraMeta = Map(GraftWriteClient.IncomingRecordsKey ->
-            profile.map(_.getLong(2)).sum.toString))
+            incomingRecords.toString))
       } finally {
-        tagged.unpersist()
+        if (!driverProfile) tagged.unpersist()
         if (tag) deduped.unpersist()
       }
     } catch {
@@ -752,7 +798,29 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       val prepared = withMetaColumns(aligned, instant.ts, deleteOp = false)
       val avgSize = table.view.avgRecordSize(wc.defaultRecordSizeBytes)
       val recordsPerFile = math.max(1L, wc.targetFileSizeBytes / avgSize)
-      val n = if (wc.parallelism > 0) wc.parallelism else spark.sparkContext.defaultParallelism
+      // SIZE-DERIVED sort parallelism (unless the caller pinned one): a
+      // constant task count is wrong at both ends — a tiny batch ranged
+      // into defaultParallelism partitions writes that many near-empty
+      // files (and pays the RangePartitioner SAMPLING pass that a single
+      // partition skips outright), while a huge batch limited to the core
+      // count sorts multi-GB per task and spills. Catalyst's size
+      // estimate over target-file-size approximates the OUTPUT FILE
+      // COUNT, which is the right task granularity for a layout write;
+      // maxRecordsPerFile still enforces per-file sizing exactly, so the
+      // estimate only steers parallelism, never file contents. Unknown
+      // estimates (non-file sources report defaultSizeInBytes) fall back
+      // to defaultParallelism; the cap bounds the shuffle block count of
+      // one bulk load (guide §2.2) — chunk mega-loads above it.
+      val n = if (wc.parallelism > 0) wc.parallelism else {
+        val est = prepared.queryExecution.optimizedPlan.stats.sizeInBytes
+        val unknown = est <= 0 || est >= BigInt(Long.MaxValue) / 4
+        if (unknown) spark.sparkContext.defaultParallelism
+        else {
+          val cap = BigInt(math.max(spark.sparkContext.defaultParallelism, 4096))
+          val bySize = (est + wc.targetFileSizeBytes - 1) / wc.targetFileSizeBytes
+          bySize.min(cap).max(1).toInt
+        }
+      }
 
       // The global sort's RangePartitioner samples its input with an
       // extra pass before the shuffle pass. Deliberately NOT cached:
@@ -1305,16 +1373,19 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   }
 
   /** Per-partition [min, max] record-key bounds of the incoming batch
-    * plus its total row count — one small aggregate (replaces the former
-    * touched-partitions distinct), feeding the index range prune and the
-    * bloom-probe density gate.
+    * plus its total and per-partition row counts — one small aggregate
+    * (replaces the former touched-partitions distinct), feeding the index
+    * range prune, the bloom-probe density gate and the driver-side
+    * workload profile.
     */
-  private def incomingStats(df: DataFrame): (Map[String, (String, String)], Long) = {
+  private def incomingStats(
+      df: DataFrame): (Map[String, (String, String)], Long, Map[String, Long]) = {
     val rows = df.groupBy(ColPart)
       .agg(min(ColKey).as("_mn"), max(ColKey).as("_mx"), count(lit(1)).as("_c"))
       .collect()
     (rows.map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap,
-      rows.map(_.getLong(3)).sum)
+      rows.map(_.getLong(3)).sum,
+      rows.map(r => r.getString(0) -> r.getLong(3)).toMap)
   }
 
   /** Latest-slice files that may contain keys of the incoming batch: a
@@ -1413,7 +1484,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       probe: Option[DataFrame],
       bounds: Option[Map[String, (String, String)]],
       global: Boolean = false,
-      nIncoming: Long = 0L): DataFrame = {
+      nIncoming: Long = 0L,
+      dedupKeys: Boolean = true): DataFrame = {
     val paths = bounds match {
       case Some(b) =>
         val cands = indexCandidateFiles(b, global)
@@ -1433,12 +1505,63 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
           StructField(ColPart, StringType),
           StructField(ColTargetFile, StringType))))
     } else {
-      table.readDataFiles(paths)
+      val scan = table.readDataFiles(paths)
         .select(
           col(MetaColumns.RecordKey).as(ColKey),
           col(MetaColumns.PartitionPath).as(ColPart),
           fileIdOfScan.as(ColTargetFile))
-        .dropDuplicates(ColKey, ColPart)
+      // dedupKeys=false hands the RAW scan to callers that dedupe later
+      // (the inverted tag join dedupes its collected matches driver-side)
+      // — skipping the exchange a table-sized dropDuplicates would cost
+      if (dedupKeys) scan.dropDuplicates(ColKey, ColPart) else scan
+    }
+  }
+
+  /** Tag join: attach each incoming row's current file group from the key
+    * index. The plain shuffle join exchanges BOTH sides by (key,
+    * partition) — at 100 TB the index side is a table-sized exchange per
+    * write. When the batch's distinct-key count (exact, post-dedup) fits
+    * the broadcast budget, invert it: the index scan STREAMS through a
+    * broadcast semi-join against the incoming keys, the surviving matches
+    * (≤ batch keys × per-key file residency, i.e. batch-sized) are
+    * collected, deduped driver-side — same arbitrary pick-one-per-key
+    * contract as the shuffle path's dropDuplicates — and come back as a
+    * LocalRelation broadcast into the left join. Neither side ever
+    * shuffles, and the cached batch keeps its dedup partitioning for
+    * everything that follows.
+    *
+    * Returns the tagged frame plus, on the inverted path, the deduped
+    * matches (rows of (key, partition, fileGroup)) — the caller derives
+    * the whole workload profile from them without another action.
+    */
+  private def tagByIndex(
+      deduped: DataFrame,
+      bounds: Map[String, (String, String)],
+      nIncoming: Long): (DataFrame, Option[Array[Row]]) = {
+    val keys = Seq(ColKey, ColPart)
+    val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
+    if (budget <= 0 ||
+        nIncoming * GraftWriteClient.TagBroadcastBytesPerKey > budget) {
+      val idx = keyIndex(Some(deduped), Some(bounds), nIncoming = nIncoming)
+      (deduped.join(idx, keys, "left"), None)
+    } else {
+      val idxRaw = keyIndex(Some(deduped), Some(bounds),
+        nIncoming = nIncoming, dedupKeys = false)
+      val matched = idxRaw
+        .join(broadcast(deduped.select(keys.map(col): _*)), keys, "left_semi")
+        .collect()
+      if (matched.isEmpty)
+        return (deduped.withColumn(ColTargetFile, lit(null).cast("string")),
+          Some(Array.empty))
+      val seen = new scala.collection.mutable.HashSet[(String, String)]
+      val localRows = matched.filter(r => seen.add((r.getString(0), r.getString(1))))
+      val local = spark.createDataFrame(
+        java.util.Arrays.asList(localRows: _*),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField(ColKey, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(ColPart, org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField(ColTargetFile, org.apache.spark.sql.types.StringType))))
+      (deduped.join(broadcast(local), keys, "left"), Some(localRows))
     }
   }
 
@@ -1731,6 +1854,15 @@ object GraftWriteClient {
   val IncomingRecordsKey = "incoming.records"
   val ColRank = "_g_rank"
   val ColHashFrac = "_g_hash_frac"
+
+  /** Estimated broadcast bytes per incoming (key, partition) pair for the
+    * inverted tag join's budget gate: an UnsafeRow with two string fields
+    * (8 B null bits + 2×8 B offset/size words + the UTF-8 bytes) plus
+    * hash-relation overhead. Deliberately round and conservative — past
+    * the budget the tag join falls back to the shuffle plan, which is
+    * exactly right for batches that large.
+    */
+  val TagBroadcastBytesPerKey = 64L
   val ColDeleteFlag = "_g_delete_flag"
   val StagePartCol = "_gp"
   val StageFileCol = "_gf"
@@ -1965,7 +2097,10 @@ object GraftWriteClient {
     */
   def bloomBytesOf(expected: Long, fpp: Double): Long = {
     // spark's sketch sizing: optimal bits = -n ln(p) / (ln 2)^2, rounded
-    // up to a multiple of 64; + 12 bytes of header (version, hashes, len)
+    // up to a multiple of 64; + 16 = the 12-byte stream header (version,
+    // numHashFunctions, word count) rounded up with 4 bytes of slack —
+    // deliberately ≥ the true size so the driver-collect gate errs
+    // conservative
     val bits = math.ceil(
       -expected * math.log(fpp) / (math.log(2) * math.log(2))).toLong
     val words = (bits + 63) / 64

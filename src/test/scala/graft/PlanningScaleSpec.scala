@@ -176,6 +176,21 @@ class PlanningScaleSpec extends AnyFunSuite {
     val name = t.storage.listNames(t.storage.archiveDir)
       .filter(_.endsWith(".manifest")).sorted.last
 
+    // HOST-IO CALIBRATION (the Bench calibration-channel pattern): the
+    // same 1M-row parquet files dir read with RAW Spark — identical IO +
+    // columnar decode + driver collect, zero graft code — so its time
+    // moves with host/suite contention, never with this repo's manifest
+    // code. The wall-clock bound below scales with it: a contended full
+    // suite inflates calibration and bound together, while a structural
+    // regression (the ~10 s legacy single-JSON parse) inflates ONLY the
+    // graft load and still fails. (The r18 absolute 6 s bound flaked at
+    // 6.21 s under full-suite IO contention — passing 7/7 in isolation.)
+    val filesDir = t.storage.listNames(t.storage.archiveDir)
+      .find(_.startsWith(s"$name.files"))
+      .map(d => new org.apache.hadoop.fs.Path(t.storage.archiveDir, d).toString)
+      .get
+    val (_, tRaw) = time(spark.read.parquet(filesDir).collect())
+
     // the manifest memo is PROCESS-wide since r18 (keyed by table path +
     // manifest name, so per-commit consumers that load a fresh handle —
     // the RO-manifest hook — stay O(churn)); measuring a true cold load
@@ -193,12 +208,16 @@ class PlanningScaleSpec extends AnyFunSuite {
     val t3 = GraftTable.load(spark, dir)
     val (_, tCold2) = time(t3.expandedManifest(name))
     val tCold = math.min(tCold1, tCold2)
-    info(f"1M-entry manifest: write $tWrite%.2f s, cold loads $tCold1%.2f/$tCold2%.2f s")
-    // bound: isolated runs measure ~2.2-3 s; 6 s leaves full-suite
-    // contention margin (32 specs share the JVM) while still failing a
-    // regression to the ~10 s legacy single-JSON parse
-    assert(tCold < 6.0,
-      f"cold 1M-entry manifest load took $tCold%.2f s (bound 6 s; legacy JSON was ~10 s)")
+    info(f"1M-entry manifest: write $tWrite%.2f s, raw-read calibration " +
+      f"$tRaw%.2f s, cold loads $tCold1%.2f/$tCold2%.2f s")
+    // bound: isolated runs measure ~2.2-3 s with the calibration around
+    // ~1 s; 6 s absolute floor keeps the isolated behavior, 3x the
+    // calibration lifts it only when the HOST is demonstrably slow, and
+    // a regression to the ~10 s legacy parse fails either way (it is
+    // ~10x the calibration, not ~3x)
+    assert(tCold < math.max(6.0, 3.0 * tRaw),
+      f"cold 1M-entry manifest load took $tCold%.2f s (bound " +
+        f"max(6, 3x$tRaw%.2f) s; legacy JSON was ~10 s)")
 
     // warm: memoized process-wide, same object across fresh handles
     // (t3's reload replaced t2's entry — the memo holds ONE expansion per

@@ -91,6 +91,91 @@ class PublishFastPathSpec extends AnyFunSuite {
     assert(blooms.values.forall(_.length > 1000))
   }
 
+  test("MOR read: the delta row gate forces the shuffle merge, identical rows") {
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_rowgate_").toString + "/t",
+      GraftTableConfig(tableName = "rowgate", tableType = GraftTableType.Mor,
+        recordKeyFields = Seq("o_orderkey"),
+        partitionFields = Seq("o_orderpriority"),
+        precombineField = Some("o_totalprice")))
+    val w = new GraftWriteClient(t, WriteConfig(inlineCompactDeltaCommits = 0))
+    val src = orders.limit(800)
+    w.bulkInsert(src)
+    w.upsert(src.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    val r = new graft.read.GraftReadClient(t)
+    // default gate: the broadcast merge plan (delta-latest is a collected
+    // LocalRelation; base rows stream through BroadcastHashJoin)
+    val fastPlan = r.snapshot().queryExecution.executedPlan.toString
+    assert(fastPlan.contains("BroadcastHashJoin"),
+      "small delta debt must take the broadcast merge plan")
+    val fast = r.snapshotData().orderBy("o_orderkey").collect().map(_.toSeq)
+    // row gate tripped: identical rows from the clustered shuffle plan,
+    // regardless of how small the delta BYTES look
+    spark.conf.set("spark.graft.read.maxBroadcastDeltaRows", "1")
+    try {
+      val slowPlan = r.snapshot().queryExecution.executedPlan.toString
+      assert(!slowPlan.contains("BroadcastHashJoin"),
+        "past the row gate nothing may be broadcast")
+      val slow = r.snapshotData().orderBy("o_orderkey").collect().map(_.toSeq)
+      assert(slow.toSeq === fast.toSeq)
+    } finally spark.conf.unset("spark.graft.read.maxBroadcastDeltaRows")
+  }
+
+  test("compaction honors the delta row gate; folded table identical") {
+    import graft.services.TableServices
+    def build(name: String): GraftTable = {
+      val t = GraftTable.create(spark,
+        Files.createTempDirectory(s"graft_$name").toString + "/t",
+        GraftTableConfig(tableName = name, tableType = GraftTableType.Mor,
+          recordKeyFields = Seq("o_orderkey"),
+          partitionFields = Seq("o_orderpriority"),
+          precombineField = Some("o_totalprice")))
+      val w = new GraftWriteClient(t, WriteConfig(inlineCompactDeltaCommits = 0))
+      val src = orders.limit(800)
+      w.bulkInsert(src)
+      w.upsert(src.filter(col("o_orderkey") % 3 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 9.0))
+      w.delete(src.filter(col("o_orderkey") % 5 === 0)
+        .select("o_orderkey", "o_orderpriority"))
+      t
+    }
+    val tFast = build("cgate_fast")
+    new TableServices(tFast, WriteConfig()).compact()
+    val tSlow = build("cgate_slow")
+    spark.conf.set("spark.graft.read.maxBroadcastDeltaRows", "1")
+    try new TableServices(tSlow, WriteConfig()).compact()
+    finally spark.conf.unset("spark.graft.read.maxBroadcastDeltaRows")
+    def rows(t: GraftTable) = new graft.read.GraftReadClient(t)
+      .snapshotData().orderBy("o_orderkey").collect().map(_.toSeq).toSeq
+    assert(rows(tSlow) === rows(tFast))
+    // both compactions really folded the deltas away
+    Seq(tFast, tSlow).foreach { t =>
+      assert(t.view.latestSlices(None).forall(_.deltas.isEmpty))
+    }
+  }
+
+  test("tag join falls back to the shuffle plan past the broadcast budget") {
+    val t = freshCow("taggate", 4096)
+    val w = new GraftWriteClient(t, WriteConfig(
+      targetFileSizeBytes = 256L * 1024,
+      defaultRecordSizeBytes = 64))
+    val src = orders.limit(600)
+    w.bulkInsert(src)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // 600 keys x TagBroadcastBytesPerKey is ~38 KB — force it past the
+    // budget so tagByIndex must take the shuffle-join branch
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64")
+    try w.upsert(src.withColumn("o_totalprice", col("o_totalprice") + 7.0))
+    finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    val snap = new graft.read.GraftReadClient(t).snapshotData()
+    assert(snap.count() === 600)
+    val got = snap.agg(sum("o_totalprice")).head.getDouble(0)
+    val want = src.agg(sum(col("o_totalprice") + 7.0)).head.getDouble(0)
+    assert(math.abs(got - want) < 1e-6,
+      "every row must carry the update written through the fallback tag join")
+  }
+
   test("max_by collapse: no Window operator, window-identical rows") {
     import spark.implicits._
     // versions of 6 keys across 3 "commits", including null keys' absence
