@@ -1254,19 +1254,28 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     * (ref: HoodieRecord.java:37-45 meta fields; _hoodie_is_deleted
     * convention from HoodieTestDataGenerator.java:96)
     */
-  private def withMetaColumns(df: DataFrame, instantTs: String, deleteOp: Boolean): DataFrame =
-    df.withColumn(ColKey, keyExpr)
-      .withColumn(ColPart, partExpr)
-      .withColumn(MetaColumns.CommitTime, lit(instantTs))
+  private def withMetaColumns(df: DataFrame, instantTs: String, deleteOp: Boolean): DataFrame = {
+    // ONE select, not 8 chained withColumns: every withColumn re-analyzes
+    // the whole plan, and this projection is built for every keyed write
+    // — same output columns in the same order (key/partition expressions
+    // inlined twice collapse in optimization exactly as the withColumn
+    // chain did)
+    val k = keyExpr
+    val p = partExpr
+    df.select(df.columns.map(col).toSeq ++ Seq(
+      k.as(ColKey),
+      p.as(ColPart),
+      lit(instantTs).as(MetaColumns.CommitTime),
       // lpad, not format_string("%019d", …): identical output for the
       // non-negative id, without a java.util.Formatter per row
-      .withColumn(MetaColumns.CommitSeqno,
-        concat(lit(instantTs + "_"),
-          lpad(monotonically_increasing_id().cast("string"), 19, "0")))
-      .withColumn(MetaColumns.RecordKey, col(ColKey))
-      .withColumn(MetaColumns.PartitionPath, col(ColPart))
-      .withColumn(MetaColumns.FileName, lit(""))
-      .withColumn(MetaColumns.IsDeleted, lit(deleteOp))
+      concat(lit(instantTs + "_"),
+        lpad(monotonically_increasing_id().cast("string"), 19, "0"))
+        .as(MetaColumns.CommitSeqno),
+      k.as(MetaColumns.RecordKey),
+      p.as(MetaColumns.PartitionPath),
+      lit("").as(MetaColumns.FileName),
+      lit(deleteOp).as(MetaColumns.IsDeleted)): _*)
+  }
 
   /** Pre-combine duplicate incoming keys, keeping the max ordering value.
     * Under a global index keys are table-unique, so the dedup window drops
