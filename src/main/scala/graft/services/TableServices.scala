@@ -648,7 +648,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val collectBlooms = bloomExpected > 0 &&
       listed.size * GraftWriteClient.bloomBytesOf(bloomExpected, wc.bloomFpp) <=
         GraftWriteClient.DriverBloomCollectMaxBytes
-    val staged = GraftWriteClient.stagedFileStats(spark, staging,
+    val staged = GraftWriteClient.stagedStatsAuto(spark, table.storage, staging,
+      listed.map(_._3).toSeq,
       bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat, collectBlooms,
@@ -886,7 +887,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
     val collectBlooms = bloomExpected > 0 &&
       listed.size * GraftWriteClient.bloomBytesOf(bloomExpected, wc.bloomFpp) <=
         GraftWriteClient.DriverBloomCollectMaxBytes
-    val staged = GraftWriteClient.stagedFileStats(spark, staging,
+    val staged = GraftWriteClient.stagedStatsAuto(spark, table.storage, staging,
+      listed.map(_._3).toSeq,
       bloomExpected, wc.bloomFpp,
       wc.colStatsColumns.map(table.physicalNameOf),
       table.config.baseFileFormat, collectBlooms,

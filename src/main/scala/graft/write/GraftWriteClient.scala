@@ -1799,7 +1799,13 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     val collectBlooms = bloomExpected > 0 &&
       listed.size * bloomBytesOf(bloomExpected, wc.bloomFpp) <=
         DriverBloomCollectMaxBytes
-    val staged = phase("staged-stats")(stagedFileStats(spark, staging,
+    // Small-commit fast path: the whole stats pass (records, key range,
+    // blooms, column stats) runs DRIVER-SIDE in one projected
+    // parquet-hadoop read — zero Spark actions per publish for trickle
+    // commits; past the byte gate (or on any decode surprise) the
+    // distributed job runs as before.
+    val staged = phase("staged-stats")(stagedStatsAuto(
+      spark, table.storage, staging, listed.map(_._3).toSeq,
       bloomExpected, wc.bloomFpp,
       // staged files carry physical names; accept logical config too
       wc.colStatsColumns.map(table.physicalNameOf),
@@ -2284,6 +2290,220 @@ object GraftWriteClient {
           e.getMessage.contains("Unable to infer schema") =>
         StagedStats(Map.empty, None)
     }
+
+  /** Ceiling on TOTAL staged bytes for the driver-side stats fast path:
+    * below it one sequential pass over the staged parquet (key column +
+    * stats columns, projected) beats a Spark job + its planning; above
+    * it the distributed stats job decodes in parallel and wins. Sized so
+    * the driver pass stays well under the job's fixed overhead.
+    */
+  val DriverStatsMaxBytes: Long = 16L * 1024 * 1024
+
+  /** Stats-path dispatcher shared by every publish site: the driver-side
+    * fast path when the staging is parquet with a known schema, the
+    * blooms (if any) are driver-budgeted anyway, and the TOTAL staged
+    * bytes fit [[DriverStatsMaxBytes]]; the distributed job otherwise —
+    * and as the fallback for any driver-side decode surprise.
+    */
+  def stagedStatsAuto(
+      spark: org.apache.spark.sql.SparkSession,
+      storage: graft.core.GraftStorage,
+      staging: Path,
+      listedFiles: Seq[org.apache.hadoop.fs.FileStatus],
+      bloomExpected: Long,
+      bloomFpp: Double,
+      statsColumns: Seq[String],
+      format: String,
+      collectBlooms: Boolean,
+      fileSchema: Option[org.apache.spark.sql.types.StructType]): StagedStats = {
+    val driverOk = format == "parquet" && fileSchema.isDefined &&
+      (bloomExpected <= 0 || collectBlooms) &&
+      listedFiles.map(_.getLen).sum <= DriverStatsMaxBytes
+    (if (driverOk)
+      stagedFileStatsDriver(storage, listedFiles, bloomExpected, bloomFpp,
+        statsColumns, fileSchema.get)
+    else None).getOrElse(
+      stagedFileStats(spark, staging, bloomExpected, bloomFpp,
+        statsColumns, format, collectBlooms, fileSchema))
+  }
+
+  /** Driver-side staged-stats (the small-commit mirror of
+    * [[stagedFileStats]]): reads each staged parquet file once with a
+    * projected schema (record key + stats columns) through
+    * parquet-hadoop, computing records, the UTF-8 min/max key, per-file
+    * key blooms, and the per-column min/max + null counts. Orderings
+    * match the distributed job's aggregate semantics (UTF-8 bytes for
+    * strings, numeric order elsewhere), and renderings parse back to the
+    * SAME typed values in ColumnStats.compare (the prune re-types every
+    * stored string, so value-equality is the contract, not
+    * byte-equality). Returns None — caller falls back to the distributed
+    * job — on any surprise: non-parquet staging, unsupported physical
+    * type (e.g. INT96 timestamps), or a read error.
+    */
+  def stagedFileStatsDriver(
+      storage: graft.core.GraftStorage,
+      files: Seq[org.apache.hadoop.fs.FileStatus],
+      bloomExpected: Long,
+      bloomFpp: Double,
+      statsColumns: Seq[String],
+      fileSchema: org.apache.spark.sql.types.StructType): Option[StagedStats] = try {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.{GroupType, MessageType, PrimitiveType, Type}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.spark.sql.types._
+
+    val statFields = resolveStatFields(fileSchema, statsColumns)
+    // one comparator + renderer per stats column; reject types whose
+    // parquet encoding we don't decode exactly
+    def decOf(p: PrimitiveType): Option[Int] =
+      Option(p.getLogicalTypeAnnotation).collect {
+        case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => d.getScale
+      }
+    final case class ColState(
+        name: String, var mn: Any, var mx: Any, var nulls: Long,
+        cmp: (Any, Any) => Int, render: Any => String)
+    val counts = scala.collection.mutable.Map[String, FileStats]()
+    val blooms = scala.collection.mutable.Map[String, Array[Byte]]()
+    val makeBlooms = bloomExpected > 0
+
+    files.foreach { st =>
+      val inFile = HadoopInputFile.fromStatus(st, storage.conf)
+      val footerReader = ParquetFileReader.open(inFile)
+      val schema: MessageType =
+        try footerReader.getFooter.getFileMetaData.getSchema
+        finally footerReader.close()
+      def fieldOf(n: String): Option[Type] =
+        if (schema.containsField(n)) Some(schema.getType(Seq(n): _*)) else None
+      val keyField = fieldOf(MetaColumns.RecordKey)
+        .getOrElse(return None)
+      val wantedStat = statFields.flatMap(f => fieldOf(f.name).map(f -> _))
+      if (wantedStat.size != statFields.size) return None
+      // every projected field must be a primitive we decode exactly
+      val all = (keyField +: wantedStat.map(_._2))
+      if (all.exists(t => !t.isPrimitive)) return None
+      if (all.map(_.asPrimitiveType().getPrimitiveTypeName)
+        .contains(INT96)) return None
+      // a timestamp stats column renders as unix MICROS — any other
+      // stored unit (millis/nanos via config) must take the Spark job
+      val tsUnitOk = wantedStat.forall { case (f, t) =>
+        f.dataType != TimestampType ||
+          (Option(t.asPrimitiveType().getLogicalTypeAnnotation).exists {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              ts.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS
+            case _ => false
+          })
+      }
+      if (!tsUnitOk) return None
+
+      val cols = wantedStat.map { case (f, t) =>
+        val p = t.asPrimitiveType()
+        val cmp: (Any, Any) => Int = f.dataType match {
+          case StringType => (a, b) =>
+            graft.core.ColumnStats.utf8Cmp(a.asInstanceOf[String], b.asInstanceOf[String])
+          case BooleanType => (a, b) =>
+            java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean])
+          case _: DecimalType => (a, b) =>
+            a.asInstanceOf[java.math.BigDecimal]
+              .compareTo(b.asInstanceOf[java.math.BigDecimal])
+          case FloatType => (a, b) =>
+            java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+          case DoubleType => (a, b) =>
+            java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+          case ByteType | ShortType | IntegerType | DateType => (a, b) =>
+            java.lang.Integer.compare(
+              a.asInstanceOf[Number].intValue(), b.asInstanceOf[Number].intValue())
+          case LongType | TimestampType => (a, b) =>
+            java.lang.Long.compare(
+              a.asInstanceOf[Number].longValue(), b.asInstanceOf[Number].longValue())
+          case _ => return None
+        }
+        val render: Any => String = f.dataType match {
+          // stored micros, like the distributed job's unix_micros render
+          case TimestampType => v => v.asInstanceOf[Number].longValue().toString
+          // LocalDate.toString round-trips through the prune's
+          // LocalDate.parse for every representable year
+          case DateType => v => java.time.LocalDate
+            .ofEpochDay(v.asInstanceOf[Number].intValue().toLong).toString
+          case _ => v => v.toString
+        }
+        ((f, p), ColState(f.name, null, null, 0L, cmp, render))
+      }
+
+      val projected = new MessageType(schema.getName,
+        (keyField +: wantedStat.map(_._2)).map(_.asInstanceOf[Type]).toArray: _*)
+      val conf = new org.apache.hadoop.conf.Configuration(storage.conf)
+      conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+        projected.toString)
+      val bloom =
+        if (makeBlooms) org.apache.spark.util.sketch.BloomFilter.create(bloomExpected, bloomFpp)
+        else null
+      var records = 0L
+      var mnKey: String = null
+      var mxKey: String = null
+      cols.foreach { case (_, s) => s.mn = null; s.mx = null; s.nulls = 0L }
+      val reader = org.apache.parquet.hadoop.ParquetReader
+        .builder(new GroupReadSupport(), st.getPath).withConf(conf).build()
+      try {
+        var g = reader.read()
+        while (g != null) {
+          records += 1
+          if (g.getFieldRepetitionCount(MetaColumns.RecordKey) == 1) {
+            val k = g.getString(MetaColumns.RecordKey, 0)
+            if (mnKey == null || !utf8Lte(mnKey, k)) mnKey = k
+            if (mxKey == null || !utf8Lte(k, mxKey)) mxKey = k
+            if (makeBlooms) bloom.putString(k)
+          }
+          cols.foreach { case ((f, p), s) =>
+            if (g.getFieldRepetitionCount(f.name) == 0) s.nulls += 1
+            else {
+              val raw: Any = p.getPrimitiveTypeName match {
+                case BINARY | FIXED_LEN_BYTE_ARRAY =>
+                  if (f.dataType == StringType) g.getString(f.name, 0)
+                  else g.getBinary(f.name, 0)
+                case INT32   => g.getInteger(f.name, 0)
+                case INT64   => g.getLong(f.name, 0)
+                case FLOAT   => g.getFloat(f.name, 0)
+                case DOUBLE  => g.getDouble(f.name, 0)
+                case BOOLEAN => g.getBoolean(f.name, 0)
+                case _       => return None
+              }
+              val v = f.dataType match {
+                case _: DecimalType => raw match {
+                  case l: Long => java.math.BigDecimal.valueOf(l, decOf(p).getOrElse(0))
+                  case i: Int  => java.math.BigDecimal.valueOf(i.toLong, decOf(p).getOrElse(0))
+                  case b: org.apache.parquet.io.api.Binary =>
+                    new java.math.BigDecimal(
+                      new java.math.BigInteger(b.getBytes), decOf(p).getOrElse(0))
+                  case other => other
+                }
+                case _ => raw
+              }
+              if (s.mn == null || s.cmp(v, s.mn) < 0) s.mn = v
+              if (s.mx == null || s.cmp(v, s.mx) > 0) s.mx = v
+            }
+          }
+          g = reader.read()
+        }
+      } finally reader.close()
+      val colStats = cols.flatMap { case (_, s) =>
+        if (s.mn == null || s.mx == null) None
+        else Some(s.name -> Seq(s.render(s.mn), s.render(s.mx)))
+      }.toMap
+      val colNulls = cols.map { case (_, s) => s.name -> s.nulls }.toMap
+      val path = st.getPath.toUri.getPath
+      counts(path) = FileStats(records,
+        Option(mnKey).getOrElse(""), Option(mxKey).getOrElse(""), colStats, colNulls)
+      if (makeBlooms) {
+        val out = new java.io.ByteArrayOutputStream()
+        bloom.writeTo(out)
+        blooms(path) = out.toByteArray
+      }
+    }
+    Some(StagedStats(counts.toMap, None, blooms.toMap))
+  } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Publish renames below this count run as a driver loop (job-launch
     * overhead beats parallelism for small commits).

@@ -91,6 +91,84 @@ class PublishFastPathSpec extends AnyFunSuite {
     assert(blooms.values.forall(_.length > 1000))
   }
 
+  test("driver staged stats equal a Spark recomputation, per file and type") {
+    import org.apache.spark.sql.types._
+    // mixed stat types through the REAL write (publishStaged routes small
+    // parquet commits through stagedFileStatsDriver), then re-derive every
+    // stat from the published files with Spark aggregates and compare
+    // VALUE-equal through ColumnStats.compare — the contract the prune
+    // actually consumes
+    val src = orders.limit(700).select(
+      col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+      col("o_custkey"),
+      col("o_orderstatus").as("s"),
+      col("o_totalprice").cast(DecimalType(12, 2)).as("dec"),
+      to_date(col("o_orderdate")).as("dt"),
+      col("o_orderdate").cast("timestamp").as("tstamp"))
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dstats_").toString + "/t",
+      GraftTableConfig(tableName = "dstats", tableType = GraftTableType.Cow,
+        recordKeyFields = Seq("o_orderkey"),
+        partitionFields = Seq("o_orderpriority"),
+        precombineField = Some("o_totalprice")))
+    // NO timestamp column here: Spark's default parquet output writes
+    // INT96 timestamps, which the driver path refuses by design — with
+    // one in the stats set this spec would silently validate the
+    // distributed job against itself (the INT96 guard is pinned below)
+    val statCols = Seq("o_custkey", "o_totalprice", "s", "dec", "dt")
+    new GraftWriteClient(t, WriteConfig(
+      targetFileSizeBytes = 64L * 1024,
+      defaultRecordSizeBytes = 64,
+      bloomExpectedEntries = 4096,
+      colStatsColumns = statCols)).bulkInsert(src)
+    val meta = t.timeline.metadataOf(t.timeline.completedData.last)
+    assert(meta.files.nonEmpty)
+    // the driver path must actually ENGAGE for these files/columns …
+    val statuses = meta.files.map(f =>
+      t.storage.fs.getFileStatus(t.storage.dataFilePath(f.partition, f.fileName)))
+    val fileSchema = graft.GraftTable.fileSchemaOf(
+      t.storedDataSchema.get)
+    assert(GraftWriteClient.stagedFileStatsDriver(
+      t.storage, statuses, 4096, 0.01, statCols, fileSchema).isDefined)
+    // … and refuse an INT96 timestamp stats column (falls back to the job)
+    assert(GraftWriteClient.stagedFileStatsDriver(
+      t.storage, statuses, 4096, 0.01, statCols :+ "tstamp", fileSchema).isEmpty)
+    meta.files.foreach { f =>
+      val df = spark.read.parquet(
+        t.storage.dataFilePath(f.partition, f.fileName).toString)
+      assert(f.records === df.count(), s"records of ${f.fileName}")
+      val keyRow = df.agg(
+        min(col(graft.core.MetaColumns.RecordKey)),
+        max(col(graft.core.MetaColumns.RecordKey))).head
+      assert(f.minKey === keyRow.getString(0), s"minKey of ${f.fileName}")
+      assert(f.maxKey === keyRow.getString(1), s"maxKey of ${f.fileName}")
+      statCols.foreach { c =>
+        val field = df.schema(c)
+        val exprs = graft.core.ColumnStats.statExprs(field)
+        val row = df.agg(exprs.head, exprs.tail :+ count(col(c)): _*).head
+        val (expMn, expMx, nonNull) =
+          (row.getString(0), row.getString(1), row.getLong(2))
+        val stored = f.colStats(c)
+        // value-equality through the prune's own typed comparison: the
+        // driver path may render "10.50" where Spark renders "10.5"
+        def sameVal(a: String, b: String): Boolean = field.dataType match {
+          case StringType => a == b
+          case DateType =>
+            java.time.LocalDate.parse(a) == java.time.LocalDate.parse(b)
+          case _ =>
+            new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b)) == 0
+        }
+        assert(sameVal(stored.head, expMn), s"$c min: ${stored.head} vs $expMn")
+        assert(sameVal(stored(1), expMx), s"$c max: ${stored(1)} vs $expMx")
+        assert(f.colNulls(c) === f.records - nonNull, s"$c nulls")
+      }
+    }
+    // and the blooms written through the driver stats path still answer
+    val blooms = GraftWriteClient.loadBlooms(
+      spark, t.storage, meta.files.map(_.fileName))
+    assert(blooms.keySet === meta.files.map(_.fileName).toSet)
+  }
+
   test("MOR read: the delta row gate forces the shuffle merge, identical rows") {
     val t = GraftTable.create(spark,
       Files.createTempDirectory("graft_rowgate_").toString + "/t",
