@@ -115,15 +115,27 @@ class CrossProcessServicesSpec extends AnyFunSuite {
         drop(r)
         assert(syncRound() === 1, s"round $r did not sync")
       }
-      // give the child time to lap the final commits before the verdict
-      // (it cycles every ~25ms + service time; 8s covers slow storage)
-      val deadline = System.currentTimeMillis() + 30000
+      // wait for the child to lap the final commits — on PROGRESS, not
+      // wall clock: a fixed window flakes when suite-wide load starves the
+      // child JVM's startup (observed: one cycle total inside 30s). The
+      // child publishes its cycle count each loop; once it has run a
+      // dozen service cycles against the FINISHED table with the parent
+      // idle, a missing compaction is a real bug, not scheduling. The
+      // absolute cap only backstops a hung child.
+      val progress = java.nio.file.Paths.get(s"$work/status.progress")
+      def childCycles(): Int =
+        try new String(Files.readAllBytes(progress), "UTF-8")
+          .trim.split("\\s+").head.toInt
+        catch { case _: Throwable => 0 }
+      val cyclesAtIngestEnd = childCycles()
+      val deadline = System.currentTimeMillis() + 300000
       def compacted(): Boolean = {
         val t = GraftTable.load(spark, tgt)
         t.timeline.completedData
           .exists(i => t.timeline.metadataOf(i).operation == "compact")
       }
-      while (!compacted() && System.currentTimeMillis() < deadline)
+      while (!compacted() && childCycles() - cyclesAtIngestEnd < 12 &&
+          System.currentTimeMillis() < deadline)
         Thread.sleep(200)
     } finally {
       new java.io.File(work, "stop").createNewFile()

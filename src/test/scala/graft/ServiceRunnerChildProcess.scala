@@ -44,6 +44,12 @@ object ServiceRunnerChildProcess {
           errors += e.toString
           0
       }
+    // live progress channel for the parent: the status file proper is
+    // written once at exit, so without this the parent can only bound the
+    // race by WALL CLOCK — which flakes when suite-wide load starves this
+    // JVM's startup (observed: one cycle total in a 30s window). One small
+    // atomic-ish write per cycle; the parent polls it to wait on PROGRESS.
+    val progressPath = java.nio.file.Paths.get(statusFile + ".progress")
     while (!new java.io.File(stopFile).exists()) {
       if (GraftTable.exists(spark, tablePath)) {
         val svc = new graft.services.TableServices(
@@ -51,6 +57,9 @@ object ServiceRunnerChildProcess {
         compacts += guarded(svc.compact())
         cleans += guarded(svc.clean(6))
         cycles += 1
+        try java.nio.file.Files.write(progressPath,
+          s"$cycles $compacts\n".getBytes("UTF-8"))
+        catch { case _: Throwable => () }
       }
       Thread.sleep(25)
     }
