@@ -160,10 +160,8 @@ final class GraftReadClient(val table: GraftTable) {
 
     // 1. latest delta row per key (small input: delta files only);
     // non-defaults payloads fold fields across delta versions and carry
-    // the tombstone barrier for the join below
-    val dLatestPlan = graft.write.MergeKernel.collapseVersions(
-      deltas, keyCols.map(col), mergeOrder(deltas), cfg.payloadClass,
-      "_g_rank", withBarrier = true, precombine = cfg.precombineField)
+    // the tombstone barrier for the join below.
+    //
     // Materialize delta-latest ONCE, driver-side. The lazy plan fed THREE
     // downstream subplans (the broadcastWinner build, the dKeys semi
     // build, and the anti-join probe side), each re-scanning and
@@ -173,15 +171,42 @@ final class GraftReadClient(val table: GraftTable) {
     // driver — so collect it into a LocalRelation: one delta scan total,
     // and every downstream broadcast builds without a Spark job. Lifetime
     // is the plan's own (GC'd with the returned frame) — no persist to
-    // leak out of a lazy read.
-    val dLatestRows = dLatestPlan.collect()
-    val dLatest = spark.createDataFrame(
-      java.util.Arrays.asList(dLatestRows: _*), dLatestPlan.schema)
+    // leak out of a lazy read. Collected in Catalyst's INTERNAL format:
+    // the Row-based route re-converts every delta row external and back
+    // on the driver before the LocalRelation can exist. For DEFAULT
+    // payloads (newest row wins whole — the collapse is a pure argmax on
+    // (commit, seqno)) the collapse itself folds on the driver over the
+    // raw collected rows, so the delta job is a plain projected scan
+    // with no exchange and no aggregate; event_time / non_defaults keep
+    // the plan-side collapse (their folds combine versions field-wise).
+    val driverFold = cfg.payloadClass != "overwrite_non_defaults" &&
+      cfg.precombineField
+        .filter(_ => cfg.payloadClass == "event_time")
+        .filter(deltas.columns.contains).isEmpty
+    val (dLatestRows, dAttrs) =
+      if (driverFold)
+        graft.write.MergeKernel.collapseLatestDriver(deltas, keyCols,
+          Seq(MetaColumns.CommitTime, MetaColumns.CommitSeqno))
+      else
+        org.apache.spark.sql.graft.Shims.collectInternal(
+          graft.write.MergeKernel.collapseVersions(
+            deltas, keyCols.map(col), mergeOrder(deltas), cfg.payloadClass,
+            "_g_rank", withBarrier = true, precombine = cfg.precombineField))
+    val dLatest = org.apache.spark.sql.graft.Shims.localDf(
+      spark, dAttrs, dLatestRows)
 
-    // 2. base rows stream through a broadcast join; per-column winner
+    // 2. base rows stream through a broadcast join; per-column winner.
+    // The incoming side is pre-shaped by a ZERO-COPY attribute rename
+    // (key names kept, everything else _g_in_-prefixed): a
+    // select-over-LocalRelation here would be eagerly evaluated row by
+    // row with interpreted expressions by ConvertToLocalRelation — once
+    // per optimize, again per AQE re-optimization.
     val dataCols = base.columns.filterNot(c => keyCols.contains(c)).toSeq
-    val mergedBase = graft.write.MergeKernel.broadcastWinner(
-      base, dLatest, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
+    val incShaped = org.apache.spark.sql.graft.Shims.renamedLocalDf(
+      spark, dAttrs, dLatestRows,
+      n => if (keyCols.contains(n)) n else graft.write.MergeKernel.InPrefix + n)
+    val mergedBase = graft.write.MergeKernel.broadcastWinnerShaped(
+      base, incShaped, keyCols, dataCols, cfg.payloadClass, cfg.precombineField)
 
     // 3. delta-only keys. A direct anti-join against the base keys would
     // let the planner SHUFFLE the (huge) base-key projection once its
@@ -191,13 +216,19 @@ final class GraftReadClient(val table: GraftTable) {
     // broadcast semi-join against the (small, ≤ delta debt, row-gated
     // above) delta keys, and the surviving matched keys — at most
     // |delta keys| rows — come back as the broadcast side of the
-    // anti-join. Nothing base-sized ever shuffles.
-    val dKeys = dLatest.select(keyCols.map(col): _*)
+    // anti-join. Nothing base-sized ever shuffles. dKeys is projected on
+    // the driver (codegen'd, once) for the same
+    // no-eager-interpreted-projection reason as above.
+    val dKeys = org.apache.spark.sql.graft.Shims.projectLocal(
+      spark, dAttrs, dLatestRows, keyCols)
     val matchedKeys = base.select(keyCols.map(col): _*)
       .join(broadcast(dKeys), keyCols, "left_semi")
-    val inserts = dLatest
-      .drop(graft.write.MergeKernel.TombBarrier,
-        graft.write.MergeKernel.KillFloor, graft.write.MergeKernel.KillAny)
+    val barrierCols = Seq(graft.write.MergeKernel.TombBarrier,
+      graft.write.MergeKernel.KillFloor, graft.write.MergeKernel.KillAny)
+      .filter(dLatest.columns.contains)
+    val insertsSrc =
+      if (barrierCols.isEmpty) dLatest else dLatest.drop(barrierCols: _*)
+    val inserts = insertsSrc
       .join(broadcast(matchedKeys), keyCols, "left_anti")
 
     Some(dropTombstones(mergedBase.unionByName(inserts).drop(g)))

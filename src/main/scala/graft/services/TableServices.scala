@@ -466,19 +466,32 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
           chosen.flatMap(s => s.deltas.map(f =>
             table.resolveDataPath(s.partition, f))), pinnedSchema)
           .withColumn(g, GraftWriteClient.fileIdOfScan)
-        val dLatestPlan = graft.write.MergeKernel.collapseVersions(
-          deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
-          table.config.payloadClass, "_g_rank", withBarrier = true,
-          precombine = table.config.precombineField)
         // Materialize delta-latest ONCE, driver-side (mirror of
         // GraftReadClient.mergeDirtyGroups): bcastOk already bounds it to
         // broadcast size, so a LocalRelation replaces the executor
         // persist — one delta scan total, downstream broadcasts build
-        // without a Spark job, and no unpersist bookkeeping.
-        val dRows = dLatestPlan.collect()
-        val dLatest = spark.createDataFrame(
-          java.util.Arrays.asList(dRows: _*), dLatestPlan.schema)
-        val dKeys = dLatest.select(keyCols.map(col): _*)
+        // without a Spark job, and no unpersist bookkeeping. Internal-row
+        // collect: the Row route converts every value external and back.
+        // Default payloads fold newest-per-key on the DRIVER over the raw
+        // collected rows (the delta job is then a plain projected scan —
+        // no exchange, no aggregate); event_time / non_defaults keep the
+        // plan-side collapse (their folds combine versions field-wise).
+        val driverFold = table.config.payloadClass != "overwrite_non_defaults" &&
+          table.config.precombineField
+            .filter(_ => table.config.payloadClass == "event_time")
+            .filter(deltas.columns.contains).isEmpty
+        val (dRows, dAttrs) =
+          if (driverFold)
+            graft.write.MergeKernel.collapseLatestDriver(deltas, keyCols,
+              Seq(MetaColumns.CommitTime, MetaColumns.CommitSeqno))
+          else
+            org.apache.spark.sql.graft.Shims.collectInternal(
+              graft.write.MergeKernel.collapseVersions(
+                deltas, keyCols.map(col), mergeOrderCols(deltas.columns.toSeq),
+                table.config.payloadClass, "_g_rank", withBarrier = true,
+                precombine = table.config.precombineField))
+        val dKeys = org.apache.spark.sql.graft.Shims.projectLocal(
+          spark, dAttrs, dRows, keyCols)
         // Insert probe, same inverted shape as mergeDirtyGroups: the base
         // keys stream through a broadcast semi against the (small) delta
         // keys, so nothing base-sized ever shuffles at scale. dLatest
@@ -487,8 +500,8 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         // delta key count (known driver-side) with the count of DISTINCT
         // base keys the semi lets through — the probe collects one row
         // per dirty group instead of the matched key set.
-        val pIdx = dLatestPlan.schema.fieldIndex(MetaColumns.PartitionPath)
-        val gIdx = dLatestPlan.schema.fieldIndex(g)
+        val pIdx = dAttrs.indexWhere(_.name == MetaColumns.PartitionPath)
+        val gIdx = dAttrs.indexWhere(_.name == g)
         val deltaKeyCount: Map[(String, String), Long] = dRows
           .groupBy(r => (r.getString(pIdx), r.getString(gIdx)))
           .view.mapValues(_.length.toLong).toMap
@@ -507,11 +520,20 @@ final class TableServices(val table: GraftTable, val wc: WriteConfig = WriteConf
         val first =
           if (bcastChosen.nonEmpty) {
             val bIds = bcastChosen.map(_.fileId)
+            val bIdSet = bIds.toSet
             val dataCols = base.columns.filterNot(keyCols.contains).toSeq
-            val mergedB = graft.write.MergeKernel.broadcastWinner(
+            // the group filter and the _g_in_ reshape both run driver-side
+            // over the held rows (plain filter + zero-copy rename) — a
+            // filter/select over a LocalRelation would be eagerly
+            // evaluated row-by-row with interpreted expressions instead
+            val bRows = dRows.filter(r => bIdSet.contains(r.getString(gIdx)))
+            val incShaped = org.apache.spark.sql.graft.Shims.renamedLocalDf(
+              spark, dAttrs, bRows,
+              n => if (keyCols.contains(n)) n
+                   else graft.write.MergeKernel.InPrefix + n)
+            val mergedB = graft.write.MergeKernel.broadcastWinnerShaped(
               base.filter(col(g).isInCollection(bIds)),
-              dLatest.filter(col(g).isInCollection(bIds)),
-              keyCols, dataCols,
+              incShaped, keyCols, dataCols,
               table.config.payloadClass, table.config.precombineField)
             stage(mergedB, overwrite = true)
             false

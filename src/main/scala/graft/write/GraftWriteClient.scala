@@ -531,7 +531,7 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
       // materialization. The count becomes the exact distinct-key count
       // (previously a raw-row upper bound), which only sharpens the bloom
       // density gate.
-      var invertedMatches: Option[Array[Row]] = None
+      var invertedMatches: Option[Array[org.apache.spark.sql.catalyst.InternalRow]] = None
       var statsPartCounts: Map[String, Long] = Map.empty
       var statsTotal = 0L
       val tagged0 =
@@ -1546,7 +1546,8 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
   private def tagByIndex(
       deduped: DataFrame,
       bounds: Map[String, (String, String)],
-      nIncoming: Long): (DataFrame, Option[Array[Row]]) = {
+      nIncoming: Long): (DataFrame,
+      Option[Array[org.apache.spark.sql.catalyst.InternalRow]]) = {
     val keys = Seq(ColKey, ColPart)
     val budget = spark.sessionState.conf.autoBroadcastJoinThreshold
     if (budget <= 0 ||
@@ -1556,20 +1557,16 @@ final class GraftWriteClient(val table: GraftTable, val wc: WriteConfig = WriteC
     } else {
       val idxRaw = keyIndex(Some(deduped), Some(bounds),
         nIncoming = nIncoming, dedupKeys = false)
-      val matched = idxRaw
-        .join(broadcast(deduped.select(keys.map(col): _*)), keys, "left_semi")
-        .collect()
+      // internal-row collect: skips the external-Row conversion on the
+      // way out AND the toCatalyst re-conversion inside createDataFrame
+      val (matched, mAttrs) = org.apache.spark.sql.graft.Shims.collectInternal(
+        idxRaw.join(broadcast(deduped.select(keys.map(col): _*)), keys, "left_semi"))
       if (matched.isEmpty)
         return (deduped.withColumn(ColTargetFile, lit(null).cast("string")),
           Some(Array.empty))
       val seen = new scala.collection.mutable.HashSet[(String, String)]
       val localRows = matched.filter(r => seen.add((r.getString(0), r.getString(1))))
-      val local = spark.createDataFrame(
-        java.util.Arrays.asList(localRows: _*),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField(ColKey, org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField(ColPart, org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField(ColTargetFile, org.apache.spark.sql.types.StringType))))
+      val local = org.apache.spark.sql.graft.Shims.localDf(spark, mAttrs, localRows)
       (deduped.join(broadcast(local), keys, "left"), Some(localRows))
     }
   }

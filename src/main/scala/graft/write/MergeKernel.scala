@@ -183,6 +183,55 @@ private[graft] object MergeKernel {
     }
   }
 
+  /** Driver-side latest-per-key collapse for DEFAULT payloads, for
+    * callers about to collect the collapsed result anyway (the MOR
+    * broadcast merge and compaction's mirror of it): collect the RAW
+    * rows — the plan is a pure projected scan, so the job has NO
+    * exchange and no aggregate — and fold newest-per-key in a driver
+    * hashmap. The ordering compare is the same field-lexicographic
+    * newest-first the max_by plan computes; every part/order column is a
+    * non-null string meta column (commit time, zero-padded seqno), so a
+    * binary UTF8String compare IS the struct compare. Only valid for
+    * payloads whose collapse keeps the newest row whole (not event_time
+    * commit-fold, not overwrite_non_defaults) — callers gate on that.
+    * Input volume is the raw delta row count, which is exactly what the
+    * callers' manifest row gate already bounds.
+    */
+  def collapseLatestDriver(
+      df: DataFrame,
+      partCols: Seq[String],
+      orderCols: Seq[String]): (Array[org.apache.spark.sql.catalyst.InternalRow],
+        Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val (rows, attrs) = org.apache.spark.sql.graft.Shims.collectInternal(df)
+    val names = attrs.map(_.name)
+    val pIdx = partCols.map(names.indexOf).toArray
+    val oIdx = orderCols.map(names.indexOf).toArray
+    require(pIdx.forall(_ >= 0) && oIdx.forall(_ >= 0),
+      s"collapseLatestDriver: missing columns in ${names.mkString(",")}")
+    def beats(a: org.apache.spark.sql.catalyst.InternalRow,
+        b: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+      var i = 0
+      while (i < oIdx.length) {
+        val c = a.getUTF8String(oIdx(i)).compareTo(b.getUTF8String(oIdx(i)))
+        if (c != 0) return c > 0
+        i += 1
+      }
+      false
+    }
+    val best = new java.util.HashMap[Seq[String],
+      org.apache.spark.sql.catalyst.InternalRow](rows.length * 2)
+    var i = 0
+    while (i < rows.length) {
+      val r = rows(i)
+      val k: Seq[String] = pIdx.toIndexedSeq.map(r.getString)
+      val cur = best.get(k)
+      if (cur == null || beats(r, cur)) best.put(k, r)
+      i += 1
+    }
+    (best.values.toArray(
+      new Array[org.apache.spark.sql.catalyst.InternalRow](best.size)), attrs)
+  }
+
   /** Broadcast merge: `old` rows stream from their scan through a
     * broadcast-hash LEFT join against the (already latest-per-key) `inc`
     * rows, and per-column winner expressions reproduce the payload
@@ -194,6 +243,11 @@ private[graft] object MergeKernel {
     *                  are null-filled with the incoming side's type
     *                  (schema evolution).
     */
+  /** Column-name prefix of the incoming side inside the broadcast-winner
+    * join (see [[broadcastWinner]] / [[broadcastWinnerShaped]]).
+    */
+  val InPrefix = "_g_in_"
+
   def broadcastWinner(
       old: DataFrame,
       inc: DataFrame,
@@ -201,7 +255,7 @@ private[graft] object MergeKernel {
       valueCols: Seq[String],
       payloadClass: String,
       precombineField: Option[String]): DataFrame = {
-    val In = "_g_in_"
+    val In = InPrefix
     val barrierIn = inc.columns.contains(TombBarrier)
     val floorIn = inc.columns.contains(KillFloor)
     val incR = inc.select(
@@ -209,9 +263,29 @@ private[graft] object MergeKernel {
         (if (barrierIn) Seq(col(TombBarrier).as(In + TombBarrier)) else Seq.empty) ++
         (if (floorIn) Seq(col(KillFloor).as(In + KillFloor),
           col(KillAny).as(In + KillAny)) else Seq.empty): _*)
+    broadcastWinnerShaped(old, incR, keyCols, valueCols, payloadClass, precombineField)
+  }
+
+  /** [[broadcastWinner]] over an `incR` ALREADY in joined shape: key
+    * columns under their own names, every other column under
+    * [[InPrefix]]. Lets a caller holding the incoming side as a
+    * LocalRelation rename it zero-copy (Shims.renamedLocalDf) instead of
+    * handing the optimizer a Project-over-LocalRelation it would
+    * eagerly evaluate row-by-row with interpreted expressions.
+    */
+  def broadcastWinnerShaped(
+      old: DataFrame,
+      incR: DataFrame,
+      keyCols: Seq[String],
+      valueCols: Seq[String],
+      payloadClass: String,
+      precombineField: Option[String]): DataFrame = {
+    val In = InPrefix
+    val barrierIn = incR.columns.contains(In + TombBarrier)
+    val floorIn = incR.columns.contains(In + KillFloor)
     val oldFull = valueCols.foldLeft(old)((d, c) =>
       if (d.columns.contains(c)) d
-      else d.withColumn(c, lit(null).cast(inc.schema(c).dataType)))
+      else d.withColumn(c, lit(null).cast(incR.schema(In + c).dataType)))
     val joined = oldFull.join(broadcast(incR), keyCols, "left")
     val present = col(In + graft.core.MetaColumns.CommitTime).isNotNull
     val wins: Column = (payloadClass, precombineField) match {

@@ -44,6 +44,62 @@ object Shims {
     case _ => None
   }
 
+  /** Collect a DataFrame's result on the driver in Catalyst's INTERNAL
+    * row format (fresh UnsafeRow copies), plus the analyzed output
+    * attributes. The public collect() + createDataFrame round trip
+    * converts every row to an external Row and back — two full
+    * driver-side conversions of the data that [[localDf]] skips.
+    */
+  def collectInternal(df: DataFrame): (Array[org.apache.spark.sql.catalyst.InternalRow],
+      Seq[org.apache.spark.sql.catalyst.expressions.Attribute]) = {
+    val qe = df.queryExecution
+    (qe.executedPlan.executeCollect(), qe.analyzed.output)
+  }
+
+  /** Wrap driver-held internal rows (from [[collectInternal]]) as a
+    * LocalRelation-backed DataFrame — the same plan shape
+    * createDataFrame(list, schema) produces, minus the conversions.
+    */
+  def localDf(spark: SparkSession,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: IndexedSeq[org.apache.spark.sql.catalyst.InternalRow]): DataFrame =
+    ofRows(spark,
+      org.apache.spark.sql.catalyst.plans.logical.LocalRelation(attrs, rows))
+
+  /** Driver-side projection of internal rows to a named column subset,
+    * as a LocalRelation DataFrame. A `.select` over a LocalRelation gets
+    * eagerly evaluated by the optimizer's ConvertToLocalRelation with an
+    * INTERPRETED projection (per row, per optimizer pass, and again per
+    * AQE re-optimization) — this does it once, with a codegen'd
+    * UnsafeProjection, before the plan exists.
+    */
+  def projectLocal(spark: SparkSession,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: Array[org.apache.spark.sql.catalyst.InternalRow],
+      names: Seq[String]): DataFrame = {
+    val picked = names.map(n => attrs.find(_.name == n).getOrElse(
+      throw new IllegalArgumentException(s"projectLocal: no column $n")))
+    val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+      .create(picked, attrs)
+    val out = new Array[org.apache.spark.sql.catalyst.InternalRow](rows.length)
+    var i = 0
+    while (i < rows.length) { out(i) = proj(rows(i)).copy(); i += 1 }
+    localDf(spark, picked.map(_.newInstance()), out)
+  }
+
+  /** Rename-only view over driver-held internal rows: attribute names are
+    * plan metadata, so renaming columns of a LocalRelation is ZERO-COPY —
+    * no projection runs at all (the Project-over-LocalRelation
+    * alternative is eagerly evaluated row-by-row by the optimizer).
+    * Fresh exprIds keep the result join-safe against other local frames
+    * built from the same rows.
+    */
+  def renamedLocalDf(spark: SparkSession,
+      attrs: Seq[org.apache.spark.sql.catalyst.expressions.Attribute],
+      rows: IndexedSeq[org.apache.spark.sql.catalyst.InternalRow],
+      rename: String => String): DataFrame =
+    localDf(spark, attrs.map(a => a.newInstance().withName(rename(a.name))), rows)
+
   /** Rebind a streaming micro-batch DataFrame as a batch DataFrame so the
     * batch writer can run normal actions on it (the standard V1 sink
     * pattern — the incremental plan's rows are re-wrapped, not copied).
