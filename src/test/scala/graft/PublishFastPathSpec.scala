@@ -254,6 +254,58 @@ class PublishFastPathSpec extends AnyFunSuite {
       "every row must carry the update written through the fallback tag join")
   }
 
+  test("driver fold: argmax-identical to the plan-side collapse and the shuffle merge") {
+    // MULTI-VERSION deltas: two upserts touch overlapping keys, then a
+    // delete — the driver fold must pick among 2-3 versions per key
+    // (newest (commit_time, seqno) wins) exactly as the max_by plan and
+    // the clustered window merge do.
+    val t = GraftTable.create(spark,
+      Files.createTempDirectory("graft_dfold_").toString + "/t",
+      GraftTableConfig(tableName = "dfold", tableType = GraftTableType.Mor,
+        recordKeyFields = Seq("o_orderkey"),
+        partitionFields = Seq("o_orderpriority"),
+        precombineField = Some("o_totalprice")))
+    val w = new GraftWriteClient(t, WriteConfig(inlineCompactDeltaCommits = 0))
+    val src = orders.limit(800)
+    w.bulkInsert(src)
+    w.upsert(src.filter(col("o_orderkey") % 2 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 5.0))
+    w.upsert(src.filter(col("o_orderkey") % 3 === 0)
+      .withColumn("o_totalprice", col("o_totalprice") + 11.0))
+    w.delete(src.filter(col("o_orderkey") % 10 === 7)
+      .select("o_orderkey", "o_orderpriority"))
+    val r = new graft.read.GraftReadClient(t)
+    val fast = r.snapshotData().orderBy("o_orderkey").collect().map(_.toSeq)
+    // the shuffle merge (row gate tripped) is the reference semantics
+    spark.conf.set("spark.graft.read.maxBroadcastDeltaRows", "1")
+    try {
+      val slow = r.snapshotData().orderBy("o_orderkey").collect().map(_.toSeq)
+      assert(fast.toSeq === slow.toSeq)
+    } finally spark.conf.unset("spark.graft.read.maxBroadcastDeltaRows")
+    // unit equivalence: collapseLatestDriver over a frame with version
+    // fan-out equals collapseVersions' plan-side argmax, row for row
+    import spark.implicits._
+    val df = Seq(
+      ("p1", "k1", "001", "0000000000000000001", "a1"),
+      ("p1", "k1", "002", "0000000000000000007", "a2"),
+      ("p1", "k1", "002", "0000000000000000003", "a2lo"),
+      ("p1", "k2", "001", "0000000000000000002", "b1"),
+      ("p2", "k1", "003", "0000000000000000004", "c3"),
+      ("p2", "k1", "001", "0000000000000000009", "c1"))
+      .toDF("part", "key", MetaColumns.CommitTime, MetaColumns.CommitSeqno, "payload")
+    val (rows, attrs) = MergeKernel.collapseLatestDriver(
+      df, Seq("part", "key"), Seq(MetaColumns.CommitTime, MetaColumns.CommitSeqno))
+    val folded = org.apache.spark.sql.graft.Shims.localDf(spark, attrs, rows)
+      .orderBy("part", "key").collect().map(_.toSeq)
+    val planned = MergeKernel.collapseVersions(
+      df, Seq(col("part"), col("key")),
+      Seq(col(MetaColumns.CommitTime).desc, col(MetaColumns.CommitSeqno).desc),
+      "overwrite_latest", "_g_rank")
+      .orderBy("part", "key").collect().map(_.toSeq)
+    assert(folded.toSeq === planned.toSeq)
+    assert(folded.map(_(4)).toSet === Set("a2", "b1", "c3"))
+  }
+
   test("max_by collapse: no Window operator, window-identical rows") {
     import spark.implicits._
     // versions of 6 keys across 3 "commits", including null keys' absence
