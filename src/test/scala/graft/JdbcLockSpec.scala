@@ -99,7 +99,10 @@ class JdbcLockSpec extends AnyFunSuite {
     assert(a.tryLock(1000))
     val start = System.currentTimeMillis()
     assert(a.tryLock(3000), "self-token reclaim must not wait out the TTL")
-    assert(System.currentTimeMillis() - start < 3000)
+    // the 3 s tryLock timeout is the real bound (it would return false
+    // without reclaim); the elapsed check only needs to stay far below
+    // the 10-min TTL — leave slack for suite-load scheduler stalls
+    assert(System.currentTimeMillis() - start < 60000)
     a.unlock()
     assert(b.tryLock(1000))
     b.unlock()

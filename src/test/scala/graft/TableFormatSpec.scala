@@ -4625,7 +4625,10 @@ class TableFormatSpec extends AnyFunSuite {
     // is still on disk and fresh, and no unlock ran
     val start = System.currentTimeMillis()
     assert(p.tryLock(3000), "self-token reclaim must not wait out the 60 s TTL")
-    assert(System.currentTimeMillis() - start < 3000)
+    // the 3 s tryLock timeout is the real bound (it would return false
+    // without reclaim); the elapsed check only needs to stay below the
+    // 60 s TTL — leave slack for suite-load scheduler stalls
+    assert(System.currentTimeMillis() - start < 30000)
     p.unlock()
     // the path is genuinely free afterwards
     val q = new FileLockProvider(t.storage, ttlMs = 60000L, pollMs = 10L)
